@@ -1,0 +1,39 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine (SURVEY §7 module `core`).
+  *
+  * Defaults chosen for correctness parity with the DuckDB oracle (UTC
+  * session timezone, ANSI off is Spark default) and for local[N]
+  * iteration with a shuffle-partition count that matches the core count
+  * instead of the 200 default. On a real cluster the same builder is
+  * used with `master` unset (spark-submit provides it) and
+  * `spark.sql.shuffle.partitions` sized to ~2-3x total cores; AQE
+  * coalesces down at runtime either way.
+  */
+object Sessions {
+
+  /** Build (or reuse) the engine session. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors(),
+            shufflePartitions: Int = 32,
+            appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cores]"), shufflePartitions, appName)
+      .getOrCreate()
+
+  /** Apply the engine's standard conf to any builder (cluster or local). */
+  def configure(b: SparkSession.Builder,
+                shufflePartitions: Int = 32,
+                appName: String = "graft"): SparkSession.Builder =
+    b.appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
+      // reader only accepts via this flag (read as long, converted by
+      // graft.core.Tables.events to a microsecond timestamp).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over embedding columns (SURVEY §2.B X17):
+  * brute-force cosine top-k as the exact baseline, plus two scale
+  * paths — LSH bucketing (random hyperplanes) and an IVF-style
+  * partition by coarse centroid.
+  *
+  * Everything is built from higher-order functions (codegen'd, no UDF)
+  * on ArrayType(FloatType) columns; the double summation inside one row
+  * is sequential, making results engine-deterministic.
+  */
+object Similarity {
+
+  /** Exact top-k neighbours of one query vector (broadcast the single
+    * query row; one pass over the corpus, TakeOrderedAndProject — no
+    * full sort, no shuffle of the corpus).
+    * Ties are broken by id so output order is total.
+    */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(query.select(col(vecCol).as("__qv")))
+    corpus.crossJoin(q)
+      .select(col(idCol),
+        cosine(col(vecCol), col("__qv")).cast("decimal(10,4)").as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs near-neighbour candidates via random-hyperplane LSH:
+    * vectors sharing a signature bucket are compared exactly. Recall is
+    * tunable with `planes` (fewer planes → bigger buckets → higher
+    * recall, more comparisons). Per-bucket join, never all-pairs.
+    */
+  def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, minCosine: Double,
+                   planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplaneSignature(col(vecCol), dim, planes, seed).as("bucket"))
+    sig.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
+      .join(sig.select(col("bucket"), col("id").as("idb"), col("v").as("vb")), Seq("bucket"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        cosine(col("va"), col("vb")).cast("decimal(10,4)").as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
+  /** IVF-style search: assign every corpus vector to its nearest of
+    * `centroids` (a small broadcast table of (centroid_id, vec)), then
+    * probe only the `nprobe` centroids closest to the query. At 100 TB
+    * the corpus is pre-partitioned/bucketed by centroid_id so a probe
+    * touches only matching partitions.
+    */
+  def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+              query: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cb = broadcast(centroids.select(col(centroidIdCol).as("__cid"), col(centroidVecCol).as("__cv")))
+    // nearest centroid per corpus vector (broadcast join + max_by)
+    val assigned = corpus.crossJoin(cb)
+      .groupBy(col(idCol), col(vecCol))
+      .agg(max_by(col("__cid"), cosine(col(vecCol), col("__cv"))).as("__cid"))
+    // centroids to probe for this query
+    val probed = query.select(col(vecCol).as("__qv")).crossJoin(cb)
+      .select(col("__qv"), col("__cid"), cosine(col("__qv"), col("__cv")).as("__ccos"))
+      .orderBy(col("__ccos").desc).limit(nprobe)
+      .select(col("__qv"), col("__cid"))
+    assigned.join(broadcast(probed), Seq("__cid"))
+      .select(col(idCol),
+        cosine(col(vecCol), col("__qv")).cast("decimal(10,4)").as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k per group without a global sort: rank inside each group
+    * partition and keep rank ≤ k (SURVEY §2.B X6 as a reusable op). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCol: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
+  }
+}

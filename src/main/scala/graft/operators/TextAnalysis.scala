@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fnv1a64
+
+/** Text-analysis operators for the training-data pipeline (mandated
+  * extensions, SURVEY §2.B X18/X21): token counting, quality scoring,
+  * language ID, document fingerprinting.
+  *
+  * All are narrow, per-row transforms (no shuffle) built from codegen'd
+  * built-ins + the native Fnv1a64 expression — they scale linearly and
+  * stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs plus standalone
+    * punctuation, approximating a byte-pair tokenizer's pre-split. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), c => length(c) > 0))
+
+  /** Heuristic quality score in [0,1]: length sweet-spot, average word
+    * length sanity, punctuation density penalty (the usual cheap
+    * pretraining filters). Pure arithmetic → portable + deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val nWords = tokenCount(text).cast("double")
+    val nChars = length(text).cast("double")
+    val avgWordLen = nChars / greatest(nWords, lit(1.0))
+    val punct = (length(text) - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double")
+    val punctRatio = punct / greatest(nChars, lit(1.0))
+    val lenScore = least(nWords / lit(50.0), lit(1.0))
+    val wordLenScore = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    val punctScore = when(punctRatio <= 0.2, 1.0).otherwise(0.5)
+    round(lenScore * 0.5 + wordLenScore * 0.3 + punctScore * 0.2, 4)
+  }
+
+  /** Tiny per-language stopword lexicon for the n-gram/stopword
+    * language-ID heuristic. Deterministic; intentionally minimal (the
+    * real lexicon would be a broadcast table, which is exactly how this
+    * is implemented — the mechanism is the point, see langId).
+    */
+  val stopwordLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "and", "en" -> "of", "en" -> "to", "en" -> "in",
+    "de" -> "der", "de" -> "und", "de" -> "das", "de" -> "ist", "de" -> "nicht",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "des",
+    "es" -> "el", "es" -> "los", "es" -> "que", "es" -> "y", "es" -> "en",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了", "zh" -> "在", "zh" -> "我")
+
+  /** Language ID: explode tokens, broadcast-join the stopword lexicon,
+    * majority vote per document (max hits, ties broken alphabetically),
+    * default "und" when no stopword matches. One broadcast join + one
+    * hash agg — no skew risk, scales to any corpus size.
+    */
+  def langId(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    val lexicon = stopwordLexicon.toDF("cand_lang", "stopword")
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("tok"))
+    val votes = toks
+      .join(broadcast(lexicon), $"tok" === $"stopword")
+      .groupBy(col(idCol), $"cand_lang").agg(count(lit(1)).as("hits"))
+    val best = votes
+      .groupBy(col(idCol))
+      // most hits, ties → alphabetically first language (min over (-hits, lang))
+      .agg(min_by($"cand_lang", struct((-$"hits").as("nh"), $"cand_lang")).as("pred_lang"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .withColumn("pred_lang", coalesce($"pred_lang", lit("und")))
+  }
+
+  /** Order-sensitive 64-bit document fingerprint: FNV-1a over the
+    * whitespace-normalized, lower-cased text. The byte-level rolling
+    * hash lives inside the native Fnv1a64 expression (JVM long
+    * arithmetic wraps, which is the hashing semantic — Spark-level
+    * arithmetic would throw under ANSI mode).
+    */
+  def fingerprint(spark: SparkSession, text: Column): Column = {
+    Fnv1a64.register(spark)
+    call_function("graft_fnv64",
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+  }
+}

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.AsOfJoin
+
+/** Event-stream queries: declared Q19 (JSON extraction), Q21 (tumbling
+  * window batch form), Q22 (as-of join), plus sliding-window and
+  * sessionization batch equivalents of the Structured Streaming
+  * operators (SURVEY §2.B X9/X10/X11/X19/X22; streaming forms live in
+  * graft.streaming and are exercised by MemoryStream tests).
+  */
+object Events {
+  private type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+  private val D = "decimal(18,2)"
+
+  val defs: Map[String, Q] = Map(
+    "q19_json" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
+    "q21_tumbling" -> ((s, dir) => {
+      // streaming-equivalent tumbling window; window() start is the
+      // epoch-aligned hour bucket, identical to date_trunc('hour').
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(D)).cast(D).as("sv"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "x_sliding_window" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+        .orderBy("ws", "event_type")
+    }),
+
+    "q22_asof" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      AsOfJoin.asOf(
+        left = e, leftKey = "user_id", leftTime = "ts",
+        right = o, rightKey = "o_custkey", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"))
+        .filter(col("o_orderkey").isNotNull) // inner as-of semantics (Q22)
+        .select(col("event_id"), col("o_orderkey").as("ok"))
+        .orderBy("event_id")
+    }),
+
+    "x_sessionize" -> ((s, dir) => {
+      // batch sessionization: session break when gap > 30 min; running
+      // sum of breaks numbers the sessions per user.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapped = ev(s, dir).withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+      gapped
+        .withColumn("session_id",
+          sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"))
+        .orderBy("user_id", "session_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q19_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_sliding_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)
+        |         - i * INTERVAL '15 minutes' AS ws,
+        |       event_type, COUNT(*) AS cnt
+        |FROM events, unnest(range(4)) AS t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q22_asof" ->
+      """WITH m AS (
+        |  SELECT e.event_id, MAX(o.o_orderdate) AS od FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  GROUP BY e.event_id)
+        |SELECT m.event_id, MAX(o.o_orderkey) AS ok
+        |FROM m JOIN events e ON e.event_id = m.event_id
+        |JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = m.od
+        |GROUP BY m.event_id ORDER BY m.event_id""".stripMargin,
+    "x_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events, CAST(MIN(ts) AS TIMESTAMP) AS sess_start
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+  )
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Declared document/text queries Q15–Q17 plus the mandated
+  * training-data extension operators over `documents` (SURVEY §2.B
+  * X15/X16/X18/X21): quality scoring, token counts, n-gram Jaccard
+  * near-dup, SimHash, MinHash LSH, language ID, fingerprinting.
+  *
+  * Oracle coverage: everything expressible in portable SQL has a DuckDB
+  * oracle (including the shingle-join Jaccard dedup); hash-family ops
+  * (SimHash/MinHash/FNV fingerprints) are deterministic Spark-side but
+  * engine-specific, so they get rows-only checks + ScalaTest golden
+  * tests instead (SURVEY §2.C exclusions).
+  */
+object TextDocs {
+  private type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  val defs: Map[String, Q] = Map(
+    "q15_dup_lengths" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(length(col("text")).as("text_len"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .orderBy("text_len")
+    }),
+
+    "q16_wordcount" -> ((s, dir) => {
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 4)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word"))
+        .limit(20)
+    }),
+
+    "q17_lang_stats" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang")
+    }),
+
+    "x_exact_dedup" -> ((s, dir) => {
+      // exact near-dup removal: canonical survivor (min doc_id) per text
+      Dedup.exact(docs(s, dir).select(col("doc_id"), col("text")), Seq("text"), "doc_id")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "x_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy("ida", "idb")
+    }),
+
+    "x_text_quality" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "x_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(length(col("text")).cast("double") /
+          TextAnalysis.tokenCount(col("text")).cast("double"), 4).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+
+    "x_langid" -> ((s, dir) =>
+      TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "x_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(s, col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "x_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s, docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("ida", "idb")),
+
+    "x_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", jaccardDistanceThreshold = 0.5)
+        .select(col("ida"), col("idb"))
+        .orderBy("ida", "idb"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q15_dup_lengths" ->
+      """SELECT text_len, cnt FROM (
+        |  SELECT CAST(length(text) AS INT) AS text_len, COUNT(*) AS cnt
+        |  FROM documents GROUP BY 1
+        |) t WHERE cnt > 1 ORDER BY text_len""".stripMargin,
+    "q16_wordcount" ->
+      """SELECT word, COUNT(*) AS c FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE length(word) >= 4 GROUP BY word ORDER BY c DESC, word LIMIT 20""".stripMargin,
+    "q17_lang_stats" ->
+      """SELECT lang, COUNT(*) AS docs, ROUND(AVG(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_exact_dedup" ->
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "x_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_distinct(list_transform(range(len(w) - 2),
+        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |         ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        |), shared AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ida, idb,
+        |       ROUND(CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter), 4) AS jaccard
+        |FROM shared
+        |JOIN counts ca ON ca.doc_id = ida
+        |JOIN counts cb ON cb.doc_id = idb
+        |WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
+        |ORDER BY ida, idb""".stripMargin,
+    "x_text_quality" ->
+      """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_words,
+        |  ROUND(
+        |    LEAST(len(string_split_regex(text, '\s+')) / 50.0, 1.0) * 0.5 +
+        |    CASE WHEN length(text) * 1.0 / GREATEST(len(string_split_regex(text, '\s+')), 1)
+        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END * 0.3 +
+        |    CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0
+        |              / GREATEST(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END * 0.2,
+        |  4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_token_stats" ->
+      """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
+        |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
+        |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

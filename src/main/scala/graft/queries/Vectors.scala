@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+/** Embedding / similarity-search queries: declared Q18 plus ANN
+  * extensions (SURVEY §2.B X17/X20/X25).
+  *
+  * Cosine is computed with codegen'd higher-order functions in double
+  * precision, folded left-to-right within a row — IEEE-identical to the
+  * DuckDB oracle's list_cosine_similarity over DOUBLE[].
+  */
+object Vectors {
+  private type Q = (SparkSession, String) => DataFrame
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  val defs: Map[String, Q] = Map(
+    "q18_cosine_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("vec_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
+      a.filter(col("vec_id") % 2 === 0)
+        .join(b, col("vid_b") === col("vec_id") + 1)
+        .select(col("vec_id"),
+          VectorFunctions.cosine(col("ea"), col("eb")).cast("decimal(10,4)").as("cos"))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(20)
+    }),
+
+    "x_ann_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        e.filter(col("vec_id") === 0), k = 20)
+    }),
+
+    "x_embed_neardup" -> ((s, dir) => {
+      // blocked exact near-dup: same-label blocking keeps the pair join
+      // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
+      // exercised in ScalaTest — approximate, so not oracle-checked).
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("idb"), col("embedding").as("vb"))
+      a.join(b, Seq("label")).filter(col("ida") < col("idb"))
+        .select(col("ida"), col("idb"),
+          VectorFunctions.cosine(col("va"), col("vb")).as("rawcos"))
+        .filter(col("rawcos") >= 0.99)
+        .select(col("ida"), col("idb"), col("rawcos").cast("decimal(10,4)").as("cos"))
+        .orderBy("ida", "idb")
+    })
+  )
+
+  private val duckCos =
+    "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  val oracle: Map[String, String] = Map(
+    "q18_cosine_pairs" ->
+      s"""SELECT a.vec_id, CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS cos
+         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         |WHERE a.vec_id % 2 = 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    "x_ann_topk" ->
+      s"""SELECT a.vec_id, CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS cos
+         |FROM embeddings a, embeddings q
+         |WHERE q.vec_id = 0 AND a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    "x_embed_neardup" ->
+      s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${duckCos.format("a.embedding", "b.embedding")} >= 0.99
+         |ORDER BY ida, idb""".stripMargin
+  )
+}
