@@ -17,7 +17,8 @@ object SparkEntry {
       (Relational.defs, Relational.oracle),
       (TextDocs.defs, TextDocs.oracle),
       (Vectors.defs, Vectors.oracle),
-      (Events.defs, Events.oracle)
+      (Events.defs, Events.oracle),
+      (GraphQ.defs, GraphQ.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators over the events stream (SURVEY §2.B
+  * X10-X14). Every builder takes a DataFrame that may be either a
+  * batch frame or a readStream frame — the plans are identical, which
+  * is how the batch forms (queries/Events.scala) and the streaming
+  * forms (MemoryStream tests) share semantics.
+  *
+  * Watermarks bound state for the 100 TB/continuous case: state for
+  * windows older than the watermark is dropped, late rows beyond it
+  * are discarded in append mode.
+  */
+object EventStreams {
+
+  /** X10: tumbling hourly counts/sums per event type. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
+
+  /** X11: sliding 1h window every 15 minutes. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+
+  /** X12: session windows with a 30-minute gap, per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
+
+  /** X14: streaming dedup by event_id bounded by the watermark. */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+}
