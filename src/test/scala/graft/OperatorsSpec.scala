@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fnv1a64, VectorFunctions}
+import graft.operators.{AsOfJoin, Dedup, TextAnalysis}
+
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("fnv64 matches the published FNV-1a test vectors") {
+    assert(Fnv1a64.hashBytes(Array.empty) == 0xcbf29ce484222325L)
+    assert(Fnv1a64.hashBytes("a".getBytes("UTF-8")) == 0xaf63dc4c8601ec8cL)
+    // and through the engine (codegen path)
+    val got = Seq("a").toDF("s")
+      .select(Fnv1a64.fnv64(spark, $"s").as("h")).head().getLong(0)
+    assert(got == 0xaf63dc4c8601ec8cL)
+  }
+
+  test("cosine: self-similarity 1, symmetry, |cos|<=1") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 5.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f), Array(-1.0f, -1.0f, 0.0f))
+    ).toDF("id", "a", "b")
+    val rows = df.select($"id",
+      VectorFunctions.cosine($"a", $"b").as("ab"),
+      VectorFunctions.cosine($"b", $"a").as("ba")).collect()
+    val m = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(m(1L)._1 - 1.0) < 1e-12)
+    assert(math.abs(m(2L)._1) < 1e-12)
+    assert(math.abs(m(3L)._1 + 1.0) < 1e-12)
+    m.values.foreach { case (ab, ba) =>
+      assert(math.abs(ab - ba) < 1e-12); assert(math.abs(ab) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("as-of join picks latest right row <= left time, max payload on ties") {
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"),
+      (2L, 150L, "t3")
+    ).toDF("k", "t", "name")
+    val quotes = Seq(
+      (1L, 50L, 10L), (1L, 100L, 11L), (1L, 100L, 12L), (1L, 300L, 13L),
+      (3L, 10L, 99L)
+    ).toDF("k", "qt", "qid")
+    val out = AsOfJoin.asOf(trades, "k", "t", quotes, "k", "qt", Seq("qid"))
+      .select($"name", $"qid").collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1").contains(12L)) // tie at qt=100 → max qid
+    assert(out("t2").contains(12L)) // still the latest <= 200
+    assert(out("t3").isEmpty)       // key 2 has no quotes → null
+  }
+
+  test("exact dedup keeps the row with the smallest tie-break") {
+    val df = Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c"))
+      .toDF("id", "key", "payload")
+    val out = Dedup.exact(df, Seq("key"), "id").orderBy("key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(("x", 1L, "a"), ("y", 3L, "c")))
+  }
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "key")
+    val once = Dedup.exact(df, Seq("key"), "id")
+    val twice = Dedup.exact(once, Seq("key"), "id")
+    assert(once.orderBy("key").collect().toSeq == twice.orderBy("key").collect().toSeq)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
+  test("simhash: identical docs → identical signature; pairs found at hamming 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "completely different words entirely unrelated stuff here now")
+    ).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id", Dedup.simhash(spark, $"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simhashPairs(spark, docs, "doc_id", "text", maxHamming = 3)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("fingerprint is whitespace/case normalized, content sensitive") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")
+    ).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint(spark, $"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId votes by stopword lexicon with deterministic ties") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),  // en
+      (2L, "der hund und das haus ist nicht"),   // de
+      (3L, "qqq zzz www")                        // no hits → und
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("hyperplane signature is deterministic and discriminates opposites") {
+    val df = Seq(
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(1.0f)),
+      (3L, Array.fill(8)(-1.0f))
+    ).toDF("id", "v")
+    val sig = df.select($"id",
+      VectorFunctions.hyperplaneSignature($"v", dim = 8, planes = 12, seed = 42L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+}

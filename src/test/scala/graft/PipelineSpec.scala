@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.ScopedConf
+import graft.jobs.MetadataJob
+import graft.operators.{GraphExpansion, Multimodal}
+import graft.queries.GraphQ
+import graft.sources.{CsvGraphStage, MetadataSource, SqsPublisher}
+
+/** End-to-end pipeline seams: CSV staging round-trip, job lifecycle,
+  * scoped config, metadata SQL shape, multimodal plumbing. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CSV stage round-trip preserves the graph exactly") {
+    val dir = Files.createTempDirectory("graft_stage").toString
+    val tables = GraphExpansion.tableMetadata(spark, GraphQ.readColumnsMeta(spark))
+    val nodes = GraphExpansion.nodes(spark, tables)
+    val rels = GraphExpansion.relations(spark, tables)
+    CsvGraphStage.writeNodes(nodes, s"$dir/nodes")
+    CsvGraphStage.writeRelations(rels, s"$dir/relationships")
+    val nodesBack = CsvGraphStage.readNodes(spark, s"$dir/nodes")
+    val relsBack = CsvGraphStage.readRelations(spark, s"$dir/relationships")
+    assert(nodesBack.collect().toSet == nodes.collect().toSet)
+    assert(relsBack.collect().toSet == rels.collect().toSet)
+  }
+
+  test("MetadataJob full lifecycle publishes one parity envelope") {
+    val dir = Files.createTempDirectory("graft_job").toString
+    val conf = ScopedConf(
+      "extractor.csv.path" -> GraphQ.fixturePath,
+      "loader.csv.node_dir" -> s"$dir/nodes",
+      "loader.csv.relation_dir" -> s"$dir/relationships",
+      "publisher.awssqs.queue_url" -> "q://test")
+    val t = new SqsPublisher.Recording
+    val job = new MetadataJob(spark, conf, t)
+    job.launch()
+    assert(job.succeeded == 1 && job.failed == 0)
+    assert(t.sent.size == 1)
+    val (queue, body, gid) = t.sent.head
+    assert(queue == "q://test" && gid == "metadata")
+    assert(body.startsWith("""{"nodes": ["""))
+    assert("\"KEY\"".r.findAllIn(body).size == 20)
+    assert("\"START_KEY\"".r.findAllIn(body).size == 19)
+  }
+
+  test("ScopedConf: dotted scoping, fallback, parsing") {
+    val c = ScopedConf.parse(
+      """# comment
+        |publisher.awssqs.queue_url = "q://x"
+        |publisher.awssqs.chunked: true
+        |extractor.jdbc.url = jdbc:mysql://host/db
+        |""".stripMargin)
+    val pub = c.scoped("publisher.awssqs")
+    assert(pub("queue_url") == "q://x")
+    assert(pub.getBoolean("chunked"))
+    assert(c.scoped("extractor").get("jdbc.url").contains("jdbc:mysql://host/db"))
+    val merged = ScopedConf("a.b" -> "1").withFallback(ScopedConf("a.b" -> "2", "a.c" -> "3"))
+    assert(merged("a.b") == "1" && merged("a.c") == "3")
+  }
+
+  test("job registry resolves (dbType, queueType) like docker.conf") {
+    val c = ScopedConf("database.mysql.job.aws_sqs" -> "jobs.MysqlJob")
+    assert(MetadataJob.resolveJobKind(c, "mysql", "aws_sqs").contains("jobs.MysqlJob"))
+    assert(MetadataJob.resolveJobKind(c, "postgres", "aws_sqs").isEmpty)
+  }
+
+  test("metadata SQL carries the reference's projection and pushdown") {
+    val sql = MetadataSource.mysqlMetadataSql("WHERE c.table_schema = 'shop'", "main",
+      useCatalogAsCluster = false)
+    Seq("col_sort_order", "is_view", "table_description", "lower(c.table_schema)",
+      "LEFT JOIN information_schema.TABLES", "WHERE c.table_schema = 'shop'")
+      .foreach(s => assert(sql.contains(s), s"missing $s"))
+    val pg = MetadataSource.postgresMetadataSql("", "main", useCatalogAsCluster = true)
+    assert(pg.contains("pg_statio_all_tables") && pg.contains("objsubid = 0"))
+  }
+
+  test("multimodal: stub decode appends typed metadata per row") {
+    val df = Multimodal.withBinaryPayload(
+      Seq((1L, "hello"), (2L, "worlds!")).toDF("id", "text"), "text")
+    val out = Multimodal.decodeMedia(spark, df, "media")
+    assert(out.schema.fieldNames.takeRight(4).toSeq == Seq("format", "width", "height", "n_bytes"))
+    val rows = out.select("id", "format", "n_bytes").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows(1L) == (("jpeg", 5L)))
+    assert(rows(2L) == (("jpeg", 7L)))
+    // deterministic: same input → same metadata
+    val again = Multimodal.decodeMedia(spark, df, "media")
+      .select("id", "width", "height").collect().toSet
+    assert(again == out.select("id", "width", "height").collect().toSet)
+  }
+}

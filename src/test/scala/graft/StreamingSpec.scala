@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming semantics via MemoryStream (SURVEY §5.4 /
+  * FIXTURES.md §4): tumbling windows, late-data drop past the
+  * watermark, session non-merge at >gap, watermark-bounded dedup. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+
+  private def ev(id: Long, minute: Int, typ: String = "a", user: Long = 1L): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, typ, 1.0)
+
+  private def run(name: String, df: org.apache.spark.sql.DataFrame): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode("append").start()
+
+  test("tumbling window finalizes once the watermark passes; late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = run("tumbling_out", EventStreams.tumblingCounts(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 5), ev(2, 15), ev(3, 65, "b"))
+      q.processAllAvailable()
+      // watermark far past hour 0 and 1 → both windows finalize
+      in.addData(ev(4, 300, "c"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select("event_type", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L))
+      // a row 5 hours late for hour 0 must be dropped, not re-emitted
+      in.addData(ev(5, 7))
+      q.processAllAvailable()
+      val after = spark.table("tumbling_out")
+        .select("event_type", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after == Map("a" -> 2L, "b" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session windows: 31-minute gap splits, 29-minute gap merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = run("session_out", EventStreams.sessionCounts(in.toDF(), "30 minutes", "10 minutes"))
+    try {
+      // user 1: events 31 min apart → two sessions; user 2: 29 min → one
+      in.addData(ev(1, 10, user = 1), ev(2, 41, user = 1),
+        ev(3, 10, user = 2), ev(4, 39, user = 2))
+      q.processAllAvailable()
+      in.addData(ev(9, 600, user = 9)) // advance watermark to flush state
+      q.processAllAvailable()
+      val sessions = spark.table("session_out")
+        .select("user_id", "n_events").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+      assert(sessions(1L) == Seq(1L, 1L))
+      assert(sessions(2L) == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses repeats of event_id") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = run("dedup_out", EventStreams.dedupEvents(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 5), ev(1, 6), ev(2, 7))
+      q.processAllAvailable()
+      in.addData(ev(1, 8)) // duplicate within watermark → suppressed
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sliding window assigns each event to 4 overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = run("sliding_out", EventStreams.slidingCounts(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 30))
+      q.processAllAvailable()
+      in.addData(ev(2, 600, "c"))
+      q.processAllAvailable()
+      val n = spark.table("sliding_out")
+        .where($"event_type" === "a").count()
+      assert(n == 4) // 1h window / 15m slide → 4 covering windows
+    } finally q.stop()
+  }
+}
