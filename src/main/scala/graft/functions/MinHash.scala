@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** MinHash signature as a native Catalyst expression: for an
+  * ARRAY(LONG) of shingle hashes, computes the k permutation minima in
+  * ONE tight JVM pass (k × |array| splitmix64 mixes).
+  *
+  * Why custom (SURVEY §4 "custom Expression only for perf"): the
+  * higher-order-function formulation — k separate
+  * `array_min(transform(hs, h → xxhash64(h, j)))` — is interpreted
+  * per-element per-permutation, which measured ~8 s for 5 k docs at
+  * sf0.1; this expression does the identical work in milliseconds and
+  * stays inside whole-stage codegen via a static helper call.
+  *
+  * The permutation family is splitmix64 finalizer over (h ⊕ seed_j),
+  * seed_j itself a splitmix64 stream — deterministic, no RNG state.
+  */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 512, s"unreasonable k=$k")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSignature.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+
+  private def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One pass over the hash array, all k minima at once. */
+  def compute(hashes: ArrayData, k: Int): ArrayData = {
+    val n = hashes.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < k) {
+      val seed = mix64(j.toLong)
+      var i = 0
+      var m = Long.MaxValue
+      while (i < n) {
+        val v = mix64(hashes.getLong(i) ^ seed)
+        if (v < m) m = v
+        i += 1
+      }
+      mins(j) = m
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  private val FnName = "graft_minhash_sig"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => {
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(s"k must be a literal int, got $other")
+        }
+        MinHashSignature(exprs.head, k)
+      }, "built-in")
+
+  def signature(spark: SparkSession, hashes: Column, k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, hashes,
+      org.apache.spark.sql.functions.lit(k))
+  }
+}

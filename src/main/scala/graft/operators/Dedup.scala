@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, Tokenizer}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Fnv1a64
+import graft.functions.{Fnv1a64, ShingleHashes, SimHash64}
 
 /** Deduplication operators for the training-data pipeline (SURVEY §2.B
   * X15/X16): exact, n-gram Jaccard (shingle-bucketed), SimHash, and
@@ -51,7 +51,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3,
                         maxShingleDf: Long = 1000L): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    // Shingling runs in the native ShingleHashes expression and the
+    // join is keyed on the 64-bit shingle hash, not the string —
+    // smaller shuffle, no interpreted HOFs (a hash collision merging
+    // two distinct shingles is ~2^-64 per pair, far below float noise).
+    // Repartition: parallelize the heavy narrow stage regardless of
+    // input split count. Persist: the frame feeds doc-counts,
+    // hot-shingle detection AND both join branches (Spark has no
+    // subplan sharing across self-joins).
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        explode(ShingleHashes.shingleHashes(docs.sparkSession, col(textCol), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("sh")
@@ -69,21 +81,14 @@ object Dedup {
       .select(col("ida"), col("idb"), round(col("__j"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash of the whitespace token stream: per-token FNV-1a
-    * hash, per-bit ±1 majority vote, packed into a long. Pure codegen'd
-    * expressions (no UDF); one pass over each document.
+  /** 64-bit SimHash over word 3-gram shingles: per-shingle FNV-1a
+    * hash, per-bit ±1 majority vote, packed into a long — both steps
+    * native one-pass expressions (ShingleHashes → SimHash64). Shingles
+    * (not unigrams) keep the signature discriminating even on a tiny
+    * vocabulary, where every document's token SET is near-identical.
     */
-  def simhash(spark: SparkSession, text: Column): Column = {
-    Fnv1a64.register(spark)
-    val hashes = transform(split(text, "\\s+"), t => call_function("graft_fnv64", t))
-    val ntok = size(hashes).cast("long")
-    val packed = (0 until 64).map { i =>
-      val ones = size(filter(hashes,
-        h => shiftright(h, i).bitwiseAND(lit(1L)) === lit(1L))).cast("long")
-      when(ones * 2 > ntok, lit(1L << i)).otherwise(lit(0L))
-    }
-    packed.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(spark: SparkSession, text: Column): Column =
+    SimHash64.simhash64(spark, ShingleHashes.shingleHashes(spark, text))
 
   /** SimHash near-duplicate candidate pairs: band the 64-bit signature
     * into four 16-bit bands and join on (band index, band value) — two
@@ -92,7 +97,11 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash(spark, col(textCol)).as("sig"))
+    // Heavy narrow transform: spread across cores even when the scan
+    // has few input splits.
+    val sigs = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), simhash(spark, col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -110,18 +119,74 @@ object Dedup {
       .select(col("ida"), col("idb"), col("hamming"))
   }
 
-  /** MinHash+LSH near-duplicate pairs via spark.ml (tokenize → binary
-    * HashingTF shingle space → MinHashLSH banded join). Seeded, so
-    * results are reproducible run-to-run; still excluded from the
-    * cross-engine oracle (hash family is Spark-specific).
+  /** Native MinHash+LSH near-duplicate pairs, the classic
+    * shingle → minhash → band → bucket-join shape, built entirely from
+    * codegen'd engine primitives:
+    *
+    *  - shingle hashes: FNV-1a per distinct word 3-gram;
+    *  - k minhash values: one-pass native MinHashSignature expression
+    *    (splitmix64 permutation family; the HOF formulation was ~1000×
+    *    slower interpreted — see functions/MinHash.scala);
+    *  - bands of r consecutive minhashes joined by value: two docs
+    *    collide in a band iff all r minhashes agree (P = jaccard^r per
+    *    band — tune bands/rows for the target similarity);
+    *  - candidates verified with the minhash Jaccard ESTIMATE
+    *    (agreement fraction over all k values), filtered at
+    *    `minJaccard`.
+    *
+    * Deterministic across runs (hash-based, no RNG). At scale this is
+    * one narrow hashing pass + a join keyed on tiny band values — the
+    * all-pairs product never materializes.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   jaccardDistanceThreshold: Double,
-                   numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
-    val toks = new Tokenizer().setInputCol(textCol).setOutputCol("__toks")
-    val tf = new HashingTF().setInputCol("__toks").setOutputCol("__features")
+                   minJaccard: Double, numHashes: Int = 16,
+                   bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = docs.sparkSession
+    Fnv1a64.register(spark)
+    val rows = numHashes / bands
+    val hashed = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        ShingleHashes.shingleHashes(spark, col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+    // persist: both band-join branches (and the estimate stage) read
+    // this — without it the whole shingle→minhash pipeline runs once
+    // per consumer (3× the hashing cost at any scale)
+    val mh = hashed.select(col("id"),
+      graft.functions.MinHashSignature.signature(spark, col("hs"), numHashes).as("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = mh.select(col("id"), col("mh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          struct((0 until rows).map(r => element_at(col("mh"), b * rows + r + 1)
+            .as(s"v$r")): _*).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("mh"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val cand = banded.select(col("band"), col("bval"), col("id").as("ida"), col("mh").as("mha"))
+      .join(banded.select(col("band"), col("bval"), col("id").as("idb"), col("mh").as("mhb")),
+        Seq("band", "bval"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb", "mha", "mhb").distinct()
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("mha"), col("mhb"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("ida"), col("idb"), col("est_jaccard"))
+  }
+
+  /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity
+    * with the ml pipeline API; same shingle feature space). */
+  def minhashPairsML(docs: DataFrame, idCol: String, textCol: String,
+                     jaccardDistanceThreshold: Double,
+                     numHashTables: Int = 8, seed: Long = 42L): DataFrame = {
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("__sh", shingles(col(textCol)))
+    val tf = new HashingTF().setInputCol("__sh").setOutputCol("__features")
       .setNumFeatures(1 << 18).setBinary(true)
-    val featured = tf.transform(toks.transform(docs))
+    val featured = tf.transform(sh)
     val lsh = new MinHashLSH().setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = lsh.fit(featured)

@@ -90,8 +90,7 @@ object TextDocs {
         .orderBy("ida", "idb")),
 
     "x_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", jaccardDistanceThreshold = 0.5)
-        .select(col("ida"), col("idb"))
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy("ida", "idb"))
   )
 

@@ -42,12 +42,18 @@ object Vectors {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
       // exercised in ScalaTest — approximate, so not oracle-checked).
-      val e = emb(s, dir)
-      val a = e.select(col("label"), col("vec_id").as("ida"), col("embedding").as("va"))
-      val b = e.select(col("label"), col("vec_id").as("idb"), col("embedding").as("vb"))
+      // norms precomputed once per vector (a projection before the pair
+      // join) instead of per pair — same float expression shape as the
+      // oracle: dot / (sqrt(aa) * sqrt(bb)).
+      val e = emb(s, dir).select(col("label"), col("vec_id"), col("embedding"),
+        VectorFunctions.norm(col("embedding")).as("nrm"))
+      val a = e.select(col("label"), col("vec_id").as("ida"), col("embedding").as("va"),
+        col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("idb"), col("embedding").as("vb"),
+        col("nrm").as("nb"))
       a.join(b, Seq("label")).filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb"),
-          VectorFunctions.cosine(col("va"), col("vb")).as("rawcos"))
+          (VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("rawcos"))
         .filter(col("rawcos") >= 0.99)
         .select(col("ida"), col("idb"), col("rawcos").cast("decimal(10,4)").as("cos"))
         .orderBy("ida", "idb")

@@ -95,6 +95,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("native minhash: exact dup pair estimated at 1.0, random docs excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(pairs((1L, 2L)) == 1.0)
+  }
+
   test("fingerprint is whitespace/case normalized, content sensitive") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "hello worlds")
