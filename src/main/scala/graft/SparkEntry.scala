@@ -18,7 +18,8 @@ object SparkEntry {
       (TextDocs.defs, TextDocs.oracle),
       (Vectors.defs, Vectors.oracle),
       (Events.defs, Events.oracle),
-      (GraphQ.defs, GraphQ.oracle)
+      (GraphQ.defs, GraphQ.oracle),
+      (Extras.defs, Extras.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

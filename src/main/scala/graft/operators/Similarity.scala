@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.CosineSimilarity
 import graft.functions.VectorFunctions._
 
 /** Similarity search over embedding columns (SURVEY §2.B X17):
@@ -27,7 +28,8 @@ object Similarity {
     val q = broadcast(query.select(col(vecCol).as("__qv")))
     corpus.crossJoin(q)
       .select(col(idCol),
-        cosine(col(vecCol), col("__qv")).cast("decimal(10,4)").as("cos"))
+        CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__qv"))
+          .cast("decimal(10,4)").as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -46,7 +48,8 @@ object Similarity {
       .join(sig.select(col("bucket"), col("id").as("idb"), col("v").as("vb")), Seq("bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
-        cosine(col("va"), col("vb")).cast("decimal(10,4)").as("cos"))
+        CosineSimilarity.cosine(corpus.sparkSession, col("va"), col("vb"))
+          .cast("decimal(10,4)").as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -63,15 +66,18 @@ object Similarity {
     // nearest centroid per corpus vector (broadcast join + max_by)
     val assigned = corpus.crossJoin(cb)
       .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("__cid"), cosine(col(vecCol), col("__cv"))).as("__cid"))
+      .agg(max_by(col("__cid"),
+        CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__cv"))).as("__cid"))
     // centroids to probe for this query
     val probed = query.select(col(vecCol).as("__qv")).crossJoin(cb)
-      .select(col("__qv"), col("__cid"), cosine(col("__qv"), col("__cv")).as("__ccos"))
+      .select(col("__qv"), col("__cid"),
+        CosineSimilarity.cosine(corpus.sparkSession, col("__qv"), col("__cv")).as("__ccos"))
       .orderBy(col("__ccos").desc).limit(nprobe)
       .select(col("__qv"), col("__cid"))
     assigned.join(broadcast(probed), Seq("__cid"))
       .select(col(idCol),
-        cosine(col(vecCol), col("__qv")).cast("decimal(10,4)").as("cos"))
+        CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__qv"))
+          .cast("decimal(10,4)").as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

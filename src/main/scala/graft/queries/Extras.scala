@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+import graft.core.Tables
+
+/** Coverage queries for operator-inventory rows not exercised by the
+  * numbered set (SURVEY §2.B X3/X4/X5/X7/X19/X20/X24): EXCEPT, ntile +
+  * lead, CUBE + grouping_id, posexplode (built-in generator), and
+  * map-typed JSON access.
+  */
+object Extras {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val defs: Map[String, Q] = Map(
+    "x_except" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey").as("k"))
+        .except(t(s, dir, "orders").select(col("o_custkey")))
+        .orderBy("k")
+    }),
+
+    "x_ntile_lead" -> ((s, dir) => {
+      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        lead(col("s_acctbal"), 1).over(w).as("next_bal"))
+        .orderBy("s_suppkey")
+    }),
+
+    "x_cube" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .cube(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey"), col("gid"))
+    }),
+
+    "x_posexplode" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .orderBy("doc_id", "pos")
+    }),
+
+    "x_json_keys" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(explode(map_keys(from_json(col("props"), MapType(StringType, IntegerType))))
+          .as("key"))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .orderBy("key")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_except" ->
+      """SELECT k FROM (SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders) t ORDER BY k""".stripMargin,
+    "x_ntile_lead" ->
+      """SELECT s_suppkey,
+        |  CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile,
+        |  LEAD(s_acctbal, 1) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS next_bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "x_cube" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS INT) AS gid
+        |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST, gid""".stripMargin,
+    "x_posexplode" ->
+      """SELECT doc_id, CAST(i AS INT) AS pos, w[i+1] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE doc_id < 20) d, unnest(range(len(w))) t(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+    "x_json_keys" ->
+      """SELECT key, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(json_keys(props)) AS key FROM events) t
+        |GROUP BY key ORDER BY key""".stripMargin
+  )
+}

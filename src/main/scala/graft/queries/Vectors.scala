@@ -26,7 +26,8 @@ object Vectors {
       a.filter(col("vec_id") % 2 === 0)
         .join(b, col("vid_b") === col("vec_id") + 1)
         .select(col("vec_id"),
-          VectorFunctions.cosine(col("ea"), col("eb")).cast("decimal(10,4)").as("cos"))
+          graft.functions.CosineSimilarity.cosine(s, col("ea"), col("eb"))
+            .cast("decimal(10,4)").as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),
@@ -42,18 +43,14 @@ object Vectors {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
       // exercised in ScalaTest — approximate, so not oracle-checked).
-      // norms precomputed once per vector (a projection before the pair
-      // join) instead of per pair — same float expression shape as the
-      // oracle: dot / (sqrt(aa) * sqrt(bb)).
-      val e = emb(s, dir).select(col("label"), col("vec_id"), col("embedding"),
-        VectorFunctions.norm(col("embedding")).as("nrm"))
-      val a = e.select(col("label"), col("vec_id").as("ida"), col("embedding").as("va"),
-        col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("idb"), col("embedding").as("vb"),
-        col("nrm").as("nb"))
+      // native one-pass cosine per candidate pair (same float semantics
+      // as the oracle: dot / (sqrt(aa) * sqrt(bb)), sequential sums)
+      val e = emb(s, dir)
+      val a = e.select(col("label"), col("vec_id").as("ida"), col("embedding").as("va"))
+      val b = e.select(col("label"), col("vec_id").as("idb"), col("embedding").as("vb"))
       a.join(b, Seq("label")).filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb"),
-          (VectorFunctions.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("rawcos"))
+          graft.functions.CosineSimilarity.cosine(s, col("va"), col("vb")).as("rawcos"))
         .filter(col("rawcos") >= 0.99)
         .select(col("ida"), col("idb"), col("rawcos").cast("decimal(10,4)").as("cos"))
         .orderBy("ida", "idb")

@@ -37,6 +37,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("native cosine is bit-identical to the higher-order-function fold") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val a = e.select($"vec_id", $"embedding".as("ea"))
+    val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    val diffs = a.join(b, $"vb" === $"vec_id" + 1)
+      .select(
+        graft.functions.CosineSimilarity.cosine(spark, $"ea", $"eb").as("native"),
+        VectorFunctions.cosine($"ea", $"eb").as("hof"))
+      .filter($"native" =!= $"hof") // exact double comparison
+      .count()
+    assert(diffs == 0)
+  }
+
   test("as-of join picks latest right row <= left time, max payload on ties") {
     val trades = Seq(
       (1L, 100L, "t1"), (1L, 200L, "t2"),
