@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net (SURVEY §4): the optimizations that
+  * matter at 100 TB — scan pushdown, column pruning, broadcast joins,
+  * top-k without a global sort, partial aggregation — must stay in the
+  * plan, not just in the results.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(FormattedMode)
+
+  test("q02: predicates pushed into the parquet scan, columns pruned") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    // only the 5 referenced columns are read, not all 11
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.split(",").length == 5, read)
+    assert(!read.contains("l_extendedprice"))
+  }
+
+  test("q03/q04/q14: dimension joins broadcast, not shuffled") {
+    assert(plan("q03_left_join").contains("BroadcastHashJoin LeftOuter"))
+    assert(plan("q04_join_chain").contains("BroadcastHashJoin"))
+    val anti = plan("q14_anti_join")
+    assert(anti.contains("BroadcastHashJoin LeftAnti"))
+    assert(anti.contains("GreaterThan(o_totalprice,450000.0)")) // filter reached the scan
+    assert(!plan("q03_left_join").contains("SortMergeJoin"))
+  }
+
+  test("q05/q18/x_ann: global top-k is TakeOrderedAndProject, no full sort") {
+    assert(plan("q05_sort_limit").contains("TakeOrderedAndProject"))
+    assert(plan("q18_cosine_pairs").contains("TakeOrderedAndProject"))
+    assert(plan("x_ann_topk").contains("TakeOrderedAndProject"))
+    assert(plan("x_ann_topk").contains("BroadcastNestedLoopJoin")) // 1-row query side
+  }
+
+  test("q07: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q07_agg")
+    val aggIdx = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.trim.matches("""\(\d+\) HashAggregate.*""") => i
+    }.toSeq
+    assert(aggIdx.size >= 2, "expected partial+final HashAggregate")
+  }
+
+  test("q22 as-of join: one shuffle on the key, window, no range cross-join") {
+    val p = plan("q22_asof")
+    assert(p.contains("Window"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // exactly one shuffle before the window (plus the output sort)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("events scan prunes to referenced columns only") {
+    val p = plan("q19_json")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("event_type") && read.contains("props"))
+    assert(!read.contains("user_id") && !read.contains("value"))
+  }
+}
