@@ -141,6 +141,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "de", 3L -> "und"))
   }
 
+  test("approx_count_distinct within its error bound on orders keys") {
+    val o = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val row = o.agg(
+      countDistinct($"o_custkey").as("exact"),
+      approx_count_distinct($"o_custkey", 0.05).as("approx")).head()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact") // 3x the configured rsd as a safe bound
+  }
+
+  test("IVF top-k equals brute force when probing all centroids") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val centroids = e.groupBy($"label")
+      .agg(first($"embedding").as("cvec")) // crude but deterministic-enough centroids
+    val query = e.filter($"vec_id" === 0)
+    val corpus = e.filter($"vec_id" =!= 0)
+    val brute = graft.operators.Similarity
+      .bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val ivfAll = graft.operators.Similarity
+      .ivfTopK(corpus, "vec_id", "embedding",
+        centroids.withColumnRenamed("cvec", "embedding"), "label", "embedding",
+        query, 10, nprobe = 10) // nprobe = all centroids → exhaustive
+      .collect().map(_.getLong(0)).toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("LSH near-pairs finds the exact-duplicate vector pairs") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // duplicate a vector under a new id to create a guaranteed near pair
+    val dup = e.filter($"vec_id" === 3)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val pairs = graft.operators.Similarity
+      .lshNearPairs(e.unionByName(dup), "vec_id", "embedding", dim = 64, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((3L, 100003L)))
+  }
+
+  test("ml MinHashLSH variant returns the duplicate pair too") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsML(docs, "doc_id", "text", jaccardDistanceThreshold = 0.5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
   test("hyperplane signature is deterministic and discriminates opposites") {
     val df = Seq(
       (1L, Array.fill(8)(1.0f)),

@@ -79,6 +79,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pg.contains("pg_statio_all_tables") && pg.contains("objsubid = 0"))
   }
 
+  test("JDBC extraction path works end-to-end against embedded Derby") {
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/meta;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE cols (table_name VARCHAR(64), col_name VARCHAR(64), ord INT)")
+      st.execute("INSERT INTO cols VALUES ('orders', 'id', 1), ('orders', 'total', 2)")
+      st.close()
+    } finally conn.close()
+    val df = MetadataSource.jdbc(spark, url,
+      "SELECT table_name, col_name, ord FROM cols WHERE table_name = 'orders'")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(_._3)
+    assert(rows.toSeq == Seq(("orders", "id", 1), ("orders", "total", 2)))
+  }
+
+  test("multimodal: frame sampling emits every k-th chunk with bytes") {
+    val df = Multimodal.withBinaryPayload(
+      Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text"), "text")
+    val frames = Multimodal.sampleFrames(df, "media", chunkBytes = 8, everyK = 2)
+      .select("id", "frame_idx", "frame").collect()
+    // 26 bytes / 8-byte chunks → idx 0..3, every 2nd → 0 and 2
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(new String(frames.head.getAs[Array[Byte]]("frame"), "UTF-8") == "abcdefgh")
+  }
+
   test("multimodal: stub decode appends typed metadata per row") {
     val df = Multimodal.withBinaryPayload(
       Seq((1L, "hello"), (2L, "worlds!")).toDF("id", "text"), "text")

@@ -80,6 +80,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionizer emits sessions as they close, state times out") {
+    import graft.streaming.StatefulSessions
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StatefulSessions.Event]
+    def sev(id: Long, minute: Int, user: Long) = StatefulSessions.Event(
+      id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, "a", 1.0)
+    val withWm = in.toDS().withWatermark("ts", "10 minutes")
+      .as[StatefulSessions.Event]
+    val q = StatefulSessions.closedSessions(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("stateful_out").outputMode("append").start()
+    try {
+      // user 1: burst at :10-:12, second burst at :50 (gap 38 min > 30)
+      in.addData(sev(1, 10, 1), sev(2, 12, 1))
+      q.processAllAvailable()
+      in.addData(sev(3, 50, 1)) // closes session 1 in-stream
+      q.processAllAvailable()
+      in.addData(sev(9, 600, 9)) // watermark advance → times out session 2
+      q.processAllAvailable()
+      in.addData(sev(10, 660, 9)) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val rows = spark.table("stateful_out")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+      assert(rows.contains((1L, 2)))  // first burst closed by the gap
+      assert(rows.contains((1L, 1)))  // second burst closed by timeout
+    } finally q.stop()
+  }
+
   test("sliding window assigns each event to 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
