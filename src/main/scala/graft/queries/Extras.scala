@@ -45,6 +45,40 @@ object Extras {
         .orderBy("doc_id", "pos")
     }),
 
+    "x_pivot" -> ((s, dir) => {
+      // pivot with an explicit value list → deterministic output schema
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p_urgent"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p_high"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p_medium"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "x_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (the deterministic counterpart of
+      // the sketch path; approx_percentile is spec-tested instead)
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("med_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "x_range_frame" -> ((s, dir) => {
+      // RANGE frame over a double order key needs the SQL window form
+      // (the Scala rangeBetween API only takes Long row offsets)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        expr("""count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)""").as("n_within_10k"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "x_json_keys" -> ((s, dir) => {
       t(s, dir, "events")
         .select(explode(map_keys(from_json(col("props"), MapType(StringType, IntegerType))))
@@ -76,6 +110,22 @@ object Extras {
     "x_json_keys" ->
       """SELECT key, COUNT(*) AS cnt FROM (
         |  SELECT unnest(json_keys(props)) AS key FROM events) t
-        |GROUP BY key ORDER BY key""".stripMargin
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "x_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p_medium
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "x_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |                 RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS n_within_10k
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression net (SURVEY §4): the optimizations that
@@ -58,6 +59,31 @@ class PlanSpec extends AnyFunSuite {
     // exactly one shuffle before the window (plus the output sort)
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
     assert(exchanges <= 2, s"unexpected extra shuffles:\n$p")
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    import graft.operators.ScaleJoins
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+    val l = graft.core.Tables.load(spark, sfDir, "lineitem")
+    ScaleJoins.writeBucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", 8, Seq("o_orderkey"))
+    ScaleJoins.writeBucketed(l.select("l_orderkey", "l_quantity"), "b_lineitem", 8, Seq("l_orderkey"))
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), col("l_orderkey") === col("o_orderkey"))
+    val p = joined.queryExecution.explainString(FormattedMode)
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Exchange.*""")),
+      s"bucketed join should not shuffle:\n$p")
+    assert(joined.count() == l.count()) // every lineitem has its order
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    import graft.operators.ScaleJoins
+    val l = graft.core.Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = graft.core.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_totalprice"))
+    val plain = l.join(o, Seq("k")).groupBy("k").count()
+    val salted = ScaleJoins.saltedJoin(l, o, "k", saltFactor = 4).groupBy("k").count()
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
   test("events scan prunes to referenced columns only") {
