@@ -45,6 +45,19 @@ object Extras {
         .orderBy("doc_id", "pos")
     }),
 
+    "x_theta_join" -> ((s, dir) => {
+      // non-equi (theta) self join: same-region nation pairs — compiles
+      // to a broadcast join on the equi part with the inequality as a
+      // post-condition (no cartesian product)
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("k1"),
+        col("n_name").as("name1"), col("n_regionkey").as("r1"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("k2"),
+        col("n_name").as("name2"), col("n_regionkey").as("r2"))
+      n1.join(n2, col("r1") === col("r2") && col("k1") < col("k2"))
+        .select(col("name1"), col("name2"))
+        .orderBy("name1", "name2")
+    }),
+
     "x_pivot" -> ((s, dir) => {
       // pivot with an explicit value list → deterministic output schema
       t(s, dir, "orders")
@@ -111,6 +124,11 @@ object Extras {
       """SELECT key, COUNT(*) AS cnt FROM (
         |  SELECT unnest(json_keys(props)) AS key FROM events) t
         |GROUP BY key ORDER BY key""".stripMargin,
+    "x_theta_join" ->
+      """SELECT n1.n_name AS name1, n2.n_name AS name2
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+        |ORDER BY name1, name2""".stripMargin,
     "x_pivot" ->
       """SELECT o_orderstatus,
         |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,

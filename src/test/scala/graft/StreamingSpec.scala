@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch publishes each micro-batch through the chunked publisher") {
+    import graft.sources.SqsPublisher
+    import graft.streaming.StreamPublish
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val transport = new SqsPublisher.Recording
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    in.addData(ev(1, 5), ev(2, 15))
+    val q = StreamPublish.start(
+      in.toDF().select($"event_id", $"event_type"),
+      transport, "q://stream", ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      q.awaitTermination(60000)
+      val bodies = transport.sent.map(_._2)
+      assert(bodies.nonEmpty)
+      assert(bodies.map(b => "\"event_id\"".r.findAllIn(b).size).sum == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions as they close, state times out") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
