@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, ShingleHashes, SimHash64}
+import graft.model.{ColumnMetadata, TableMetadata}
+import graft.sources.SqsPublisher
+
+/** Property-based invariants (SURVEY §5.3) over the pure-JVM kernels —
+  * no SparkSession needed, so these run in milliseconds and explore
+  * the space ScalaCheck-style.
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val genIdent: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(12))
+
+  private val genColumn: Gen[ColumnMetadata] = for {
+    name <- genIdent
+    desc <- Gen.option(genIdent)
+    typ <- Gen.oneOf("bigint", "varchar", "double")
+    ord <- Gen.choose(1, 50)
+  } yield ColumnMetadata(name, desc, typ, ord)
+
+  private val genTable: Gen[TableMetadata] = for {
+    db <- genIdent; cluster <- genIdent; schema <- genIdent; name <- genIdent
+    desc <- Gen.option(genIdent)
+    isView <- Gen.oneOf(true, false)
+    cols <- Gen.nonEmptyListOf(genColumn).map(_.take(8))
+  } yield TableMetadata(db, cluster, schema, name, desc, isView, cols)
+
+  property("graph expansion: every relation endpoint is an emitted node") =
+    forAll(genTable) { tm =>
+      val keys = tm.toNodes.map(_.key).toSet
+      tm.toRelations.forall(r => keys.contains(r.startKey) && keys.contains(r.endKey))
+    }
+
+  property("graph expansion: node count arithmetic") = forAll(genTable) { tm =>
+    val expected = 4 + tm.description.size +
+      tm.columns.size + tm.columns.count(_.description.nonEmpty)
+    tm.toNodes.size == expected
+  }
+
+  property("fnv64 is deterministic; equal strings agree, sampled distinct strings differ") =
+    forAll(genIdent, genIdent) { (a, b) =>
+      val ha = Fnv1a64.hashBytes(a.getBytes("UTF-8"))
+      val hb = Fnv1a64.hashBytes(b.getBytes("UTF-8"))
+      val deterministic = ha == Fnv1a64.hashBytes(a.getBytes("UTF-8"))
+      deterministic && (if (a == b) ha == hb else ha != hb)
+    }
+
+  private val genTokens: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8)))
+      .map(_.take(30))
+
+  property("ShingleHashes == FNV of the string shingles") = forAll(genTokens) { toks =>
+    val text = toks.mkString(" ")
+    val native = ShingleHashes.compute(UTF8String.fromString(text), 3)
+      .toLongArray().toSeq
+    val expected = {
+      val raw =
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      raw.map(s => Fnv1a64.hashBytes(s.getBytes("UTF-8"))).distinct
+    }
+    native == expected
+  }
+
+  private val genHashes: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.long).map(_.take(64).toArray)
+
+  property("minhash signature: identical arrays → identical signatures; subsets only raise minima") =
+    forAll(genHashes) { hs =>
+      val sig = MinHashSignature.compute(new GenericArrayData(hs), 16).toLongArray().toSeq
+      val sig2 = MinHashSignature.compute(new GenericArrayData(hs), 16).toLongArray().toSeq
+      val subset = MinHashSignature.compute(new GenericArrayData(hs.drop(1)), 16).toLongArray().toSeq
+      sig == sig2 && sig.zip(subset).forall { case (full, sub) => full <= sub || hs.length == 1 }
+    }
+
+  property("simhash: deterministic and equal inputs agree") = forAll(genHashes) { hs =>
+    SimHash64.compute(new GenericArrayData(hs)) == SimHash64.compute(new GenericArrayData(hs))
+  }
+
+  private val genVec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-6))
+
+  property("cosine: |cos| <= 1+eps, self-cosine == 1, symmetry") =
+    forAll(genVec, genVec) { (a, b) =>
+      val ad = new GenericArrayData(a)
+      val bd = new GenericArrayData(b)
+      val ab = CosineSimilarity.compute(ad, false, bd, false)
+      val ba = CosineSimilarity.compute(bd, false, ad, false)
+      val self = CosineSimilarity.compute(ad, false, ad, false)
+      math.abs(ab) <= 1.0 + 1e-9 && math.abs(ab - ba) < 1e-12 && math.abs(self - 1.0) < 1e-12
+    }
+
+  private val genCell: Gen[String] = Gen.listOf(
+    Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('"', '\\', '\n', '\t', '')))
+    .map(_.mkString)
+
+  property("rowJson always produces parseable JSON preserving values") =
+    forAll(Gen.listOfN(3, genCell)) { cells =>
+      val cols = Seq("a", "b", "c")
+      val json = s"""{"row": ${SqsPublisher.rowJson(cols, cells)}}"""
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = mapper.readTree(json).get("row")
+      cols.zip(cells).forall { case (c, v) => node.get(c).asText() == v }
+    }
+}
