@@ -19,7 +19,8 @@ object SparkEntry {
       (Vectors.defs, Vectors.oracle),
       (Events.defs, Events.oracle),
       (GraphQ.defs, GraphQ.oracle),
-      (Extras.defs, Extras.oracle)
+      (Extras.defs, Extras.oracle),
+      (SqlPath.defs, SqlPath.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

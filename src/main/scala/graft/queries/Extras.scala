@@ -45,6 +45,37 @@ object Extras {
         .orderBy("doc_id", "pos")
     }),
 
+    "x_string_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 10)).as("name10"),
+        regexp_replace(col("p_type"), " ", "_").as("typ_u"),
+        length(trim(col("p_name"))).as("len_name"),
+        col("p_brand").like("Brand#1%").as("b1"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"))
+        .orderBy("p_partkey")
+    }),
+
+    "x_date_funcs" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    "x_null_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey")
+    }),
+
     "x_theta_join" -> ((s, dir) => {
       // non-equi (theta) self join: same-region nation pairs — compiles
       // to a broadcast join on the equi part with the inequality as a
@@ -124,6 +155,27 @@ object Extras {
       """SELECT key, COUNT(*) AS cnt FROM (
         |  SELECT unnest(json_keys(props)) AS key FROM events) t
         |GROUP BY key ORDER BY key""".stripMargin,
+    "x_string_funcs" ->
+      """SELECT p_partkey, upper(substring(p_name, 1, 10)) AS name10,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS typ_u,
+        |  CAST(length(trim(p_name)) AS INT) AS len_name,
+        |  p_brand LIKE 'Brand#1%' AS b1,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "x_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "x_null_funcs" ->
+      """SELECT c_custkey,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+        |  GREATEST(c_acctbal, 0.0) AS bal_floor,
+        |  LEAST(c_acctbal, 1000.0) AS bal_cap
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "x_theta_join" ->
       """SELECT n1.n_name AS name1, n2.n_name AS name2
         |FROM nation n1 JOIN nation n2

@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+
+/** Queries through the SQL text entry path (`spark.sql` over registered
+  * views) — the engine's second front end next to the DataFrame API.
+  * The SQL is ANSI-portable, so the oracle runs the identical text.
+  */
+object SqlPath {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val existsSql =
+    """SELECT c_custkey FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  private val cteSql =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT c_mktsegment, c_custkey, total FROM (
+      |  SELECT c.c_mktsegment, c.c_custkey, s.total,
+      |         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+      |                            ORDER BY s.total DESC, c.c_custkey) AS rn
+      |  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey) x
+      |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  private def run(sql: String): Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(sql)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "x_sql_exists" -> run(existsSql),
+    "x_sql_cte" -> run(cteSql))
+
+  val oracle: Map[String, String] = Map(
+    "x_sql_exists" -> existsSql,
+    "x_sql_cte" -> cteSql)
+}
