@@ -176,6 +176,37 @@ object Dedup {
       .select(col("ida"), col("idb"), col("est_jaccard"))
   }
 
+  /** Drop near-duplicates given candidate pairs: treat (ida, idb) as
+    * edges, find connected components with iterative min-label
+    * propagation, keep only the minimum id of each component.
+    *
+    * The min label travels one hop per round, so `iterations` rounds
+    * resolve components of diameter ≤ iterations — near-dup clusters
+    * are tight in practice (diameter 1-3), so the default of 8 is
+    * generous. Each round is two hash joins on ids; no
+    * driver-side graph state, so it scales with the cluster like any
+    * join (this is the standard large-scale alternative to
+    * driver-resident union-find).
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String,
+                         pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).as("a"), col(idCol).as("lbl"))
+    for (_ <- 0 until iterations) {
+      // each node adopts the smallest label among itself and neighbours
+      val neighbourLbl = edges
+        .join(labels.select(col("a").as("b"), col("lbl")), Seq("b"))
+        .select(col("a"), col("lbl"))
+      labels = labels.union(neighbourLbl)
+        .groupBy("a").agg(min(col("lbl")).as("lbl"))
+    }
+    val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity
     * with the ml pipeline API; same shingle feature space). */
   def minhashPairsML(docs: DataFrame, idCol: String, textCol: String,

@@ -160,6 +160,22 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    "x_headline_revenue" -> ((s, dir) => {
+      // TPC-H Q3 shape: 3-way join + filtered agg + top-k — the classic
+      // "whole engine in one query" benchmark
+      val cutoff = to_timestamp(lit("1995-06-15 00:00:00"))
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(D) * (lit(1).cast(D) - col("l_discount").cast(D)))
+          .cast("decimal(38,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q24_union_agg" -> ((s, dir) => {
       t(s, dir, "lineitem").select(col("l_partkey").as("k"))
         .unionAll(t(s, dir, "part").select(col("p_partkey")))
@@ -238,6 +254,16 @@ object Relational {
         |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_orderstatus = o.o_orderstatus)
         |ORDER BY o_orderkey""".stripMargin,
+    "x_headline_revenue" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-06-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-06-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
     "q24_union_agg" ->
       """SELECT k, COUNT(*) AS c FROM (
         |  SELECT l_partkey AS k FROM lineitem UNION ALL SELECT p_partkey FROM part) t

@@ -76,6 +76,15 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_dedup_corpus" -> ((s, dir) => {
+      // the full dedup pipeline: candidate pairs (exact n-gram jaccard
+      // >= 0.5) -> connected components -> keep min doc_id per cluster
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      Dedup.dropNearDuplicates(d.select("doc_id"), "doc_id", pairs)
+        .orderBy("doc_id")
+    }),
+
     "x_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
@@ -138,6 +147,41 @@ object TextDocs {
         |JOIN counts cb ON cb.doc_id = idb
         |WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
         |ORDER BY ida, idb""".stripMargin,
+    "x_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_distinct(list_transform(range(len(w) - 2),
+        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |         ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks
+        |), counts AS (
+        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+        |), keep AS (
+        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+        |), pruned AS (
+        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+        |), shared AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT ida, idb FROM shared
+        |  JOIN counts ca ON ca.doc_id = ida
+        |  JOIN counts cb ON cb.doc_id = idb
+        |  WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
+        |), edges AS (
+        |  SELECT ida AS a, idb AS b FROM pairs
+        |  UNION SELECT idb, ida FROM pairs
+        |), walk(a, lbl) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.a = e.b
+        |)
+        |SELECT a AS doc_id FROM (SELECT a, MIN(lbl) AS m FROM walk GROUP BY a) t
+        |WHERE a = m ORDER BY doc_id""".stripMargin,
     "x_text_quality" ->
       """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_words,
         |  ROUND(

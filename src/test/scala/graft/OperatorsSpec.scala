@@ -108,6 +108,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dropNearDuplicates keeps one representative per connected component") {
+    val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // components: {1,2,3} (chain), {5,6}; 4 and 7 are singletons
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("ida", "idb", "jaccard")
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+  }
+
   test("native minhash: exact dup pair estimated at 1.0, random docs excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
