@@ -41,6 +41,14 @@ object EventStreams {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col("user_id"), col("n_events"))
 
+  /** Stream-static enrichment join: the static side is planned per
+    * micro-batch (broadcast for dimension-sized tables), the classic
+    * event-enrichment shape. No watermark needed — the static side
+    * never ages. */
+  def enriched(events: DataFrame, static: DataFrame,
+               eventKey: String, staticKey: String): DataFrame =
+    events.join(static, col(eventKey) === col(staticKey), "left")
+
   /** X14: streaming dedup by event_id bounded by the watermark. */
   def dedupEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     events

@@ -80,6 +80,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with customer attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val customers = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select($"c_custkey", $"c_mktsegment")
+    val q = graft.streaming.EventStreams
+      .enriched(in.toDF(), customers, "user_id", "c_custkey")
+      .writeStream.format("memory").queryName("enriched_out").outputMode("append").start()
+    try {
+      in.addData(ev(1, 5, user = 1), ev(2, 6, user = 999999))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).nonEmpty)   // known customer → enriched
+      assert(rows(2L).isEmpty)    // unknown user → left-join null
+    } finally q.stop()
+  }
+
   test("foreachBatch publishes each micro-batch through the chunked publisher") {
     import graft.sources.SqsPublisher
     import graft.streaming.StreamPublish
