@@ -1,0 +1,47 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Training-corpus cleaning pipeline — the composition the mandated
+  * extension operators exist for: quality filter → near-duplicate
+  * removal → language tagging, in one lazy plan chain.
+  *
+  *   1. drop documents below `minQuality` (cheap narrow filter first,
+  *      shrinking everything downstream);
+  *   2. drop near-duplicates (n-gram Jaccard candidates → connected
+  *      components → keep min doc_id per cluster);
+  *   3. tag the survivors with the stopword-vote language ID.
+  *
+  * Every stage is an engine operator with its own oracle/spec; this
+  * job is the end-to-end wiring (and a runnable:
+  * `runMain graft.jobs.CorpusCleanJob <sfDir> <outDir>`).
+  */
+object CorpusCleanJob {
+
+  def clean(spark: SparkSession, docs: DataFrame,
+            minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): DataFrame = {
+    val scored = docs.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    val kept = scored.filter(col("quality") >= minQuality)
+    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text", jaccardThreshold)
+    val deduped = Dedup.dropNearDuplicates(kept, "doc_id", pairs)
+    TextAnalysis.langId(spark, deduped, "doc_id", "text")
+      .join(deduped, Seq("doc_id"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_clean_corpus"
+    val spark = graft.core.Sessions.local(appName = "graft-corpus-clean")
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val cleaned = clean(spark, docs)
+    cleaned.write.mode("overwrite").parquet(outDir)
+    val total = docs.count()
+    val kept = spark.read.parquet(outDir).count()
+    println(s"[corpus-clean] input=$total kept=$kept dropped=${total - kept} out=$outDir")
+    spark.stop()
+  }
+}

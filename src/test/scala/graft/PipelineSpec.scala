@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.ScopedConf
@@ -77,6 +78,17 @@ class PipelineSpec extends AnyFunSuite {
       .foreach(s => assert(sql.contains(s), s"missing $s"))
     val pg = MetadataSource.postgresMetadataSql("", "main", useCatalogAsCluster = true)
     assert(pg.contains("pg_statio_all_tables") && pg.contains("objsubid = 0"))
+  }
+
+  test("corpus-clean pipeline: quality gate + dedup shrink the corpus, lang tagged") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val cleaned = graft.jobs.CorpusCleanJob.clean(spark, docs).cache()
+    val n = cleaned.count()
+    assert(n > 0 && n < docs.count()) // near-dups exist at sf0.001 → strict shrink
+    assert(cleaned.columns.contains("pred_lang") && cleaned.columns.contains("quality"))
+    // survivors are unique doc_ids and all meet the quality bar
+    assert(cleaned.select("doc_id").distinct().count() == n)
+    assert(cleaned.filter(col("quality") < 0.5).count() == 0)
   }
 
   test("JDBC extraction path works end-to-end against embedded Derby") {
