@@ -18,13 +18,21 @@ class ExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = Sessions.configure(
-      SparkSession.builder().master("local[2]").withExtensions(new GraftExtensions),
+      SparkSession.builder().master("local[2]").withExtensions(new GraftExtensions)
+        .config("spark.sql.warehouse.dir",
+          java.nio.file.Files.createTempDirectory("graft_ext_wh").toString),
       shufflePartitions = 2, appName = "graft-ext-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    prev.foreach { p =>
-      SparkSession.setDefaultSession(p)
-      SparkSession.setActiveSession(p)
+    prev match {
+      case Some(p) =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      case None =>
+        // don't leak this session as the default — TestSpark.spark must
+        // build its own (temp-warehouse) session when it initializes
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
     }
     s
   }
