@@ -103,7 +103,31 @@ object TextDocs {
         .orderBy("ida", "idb"))
   )
 
+  /** The langId oracle shares the Scala lexicon — single source of
+    * truth for the stopword table on both engines. */
+  private val lexiconValues: String =
+    TextAnalysis.stopwordLexicon
+      .map { case (lang, word) => s"('$lang', '$word')" }
+      .mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "x_langid" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+         |), lex(cand_lang, stopword) AS (
+         |  SELECT * FROM (VALUES $lexiconValues) v
+         |), votes AS (
+         |  SELECT doc_id, cand_lang, COUNT(*) AS hits
+         |  FROM toks JOIN lex ON tok = stopword GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, cand_lang,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                            ORDER BY hits DESC, cand_lang) AS rn
+         |  FROM votes
+         |)
+         |SELECT d.doc_id, COALESCE(b.cand_lang, 'und') AS pred_lang
+         |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+         |ORDER BY d.doc_id""".stripMargin,
     "q15_dup_lengths" ->
       """SELECT text_len, cnt FROM (
         |  SELECT CAST(length(text) AS INT) AS text_len, COUNT(*) AS cnt
