@@ -28,8 +28,10 @@ object Similarity {
     val q = broadcast(query.select(col(vecCol).as("__qv")))
     corpus.crossJoin(q)
       .select(col(idCol),
+        // decimal(10,4) rounds deterministically cross-engine; the final
+        // DOUBLE cast avoids the driver's trailing-zero decimal-hash trap.
         CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__qv"))
-          .cast("decimal(10,4)").as("cos"))
+          .cast("decimal(10,4)").cast("double").as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -49,7 +51,7 @@ object Similarity {
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         CosineSimilarity.cosine(corpus.sparkSession, col("va"), col("vb"))
-          .cast("decimal(10,4)").as("cos"))
+          .cast("decimal(10,4)").cast("double").as("cos"))
       .filter(col("cos") >= minCosine)
   }
 
@@ -77,7 +79,7 @@ object Similarity {
     assigned.join(broadcast(probed), Seq("__cid"))
       .select(col(idCol),
         CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__qv"))
-          .cast("decimal(10,4)").as("cos"))
+          .cast("decimal(10,4)").cast("double").as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -85,4 +85,13 @@ object TextAnalysis {
     call_function("graft_fnv64",
       regexp_replace(lower(trim(text)), "\\s+", " "))
   }
+
+  /** Cross-engine document fingerprint: md5 of the whitespace-normalized,
+    * lower-cased text. Same normalization as [[fingerprint]], but the
+    * digest is portable (DuckDB ships an identical md5()), so this
+    * variant is oracle-checkable; the FNV-1a variant stays as the
+    * cheaper rolling hash for engine-internal bucketing.
+    */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 }

@@ -32,7 +32,9 @@ object Events {
       ev(s, dir)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(col("value").cast(D)).cast(D).as("sv"))
+          // decimal sum internally (exact, order-free); DOUBLE final
+          // output — driver's decimal hash is rendering-sensitive.
+          sum(col("value").cast(D)).cast("double").as("sv"))
         .select(col("window.start").as("ws"), col("event_type"), col("cnt"), col("sv"))
         .orderBy("ws", "event_type")
     }),
@@ -84,7 +86,7 @@ object Events {
     "q21_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sv
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_sliding_window" ->
       """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP)

@@ -18,8 +18,12 @@ object Extras {
 
   val defs: Map[String, Q] = Map(
     "x_except" -> ((s, dir) => {
+      // customers with no 'F'-status order: 5/71/511 rows at
+      // sf0.001/0.01/0.1 — non-vacuous at every SF (every customer has
+      // SOME order in this dataset, so the unfiltered EXCEPT was empty).
       t(s, dir, "customer").select(col("c_custkey").as("k"))
-        .except(t(s, dir, "orders").select(col("o_custkey")))
+        .except(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey")))
         .orderBy("k")
     }),
 
@@ -135,7 +139,8 @@ object Extras {
   val oracle: Map[String, String] = Map(
     "x_except" ->
       """SELECT k FROM (SELECT c_custkey AS k FROM customer
-        |  EXCEPT SELECT o_custkey FROM orders) t ORDER BY k""".stripMargin,
+        |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY k""".stripMargin,
     "x_ntile_lead" ->
       """SELECT s_suppkey,
         |  CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile,

@@ -12,10 +12,10 @@ import graft.operators.{Dedup, TextAnalysis}
   * near-dup, SimHash, MinHash LSH, language ID, fingerprinting.
   *
   * Oracle coverage: everything expressible in portable SQL has a DuckDB
-  * oracle (including the shingle-join Jaccard dedup); hash-family ops
-  * (SimHash/MinHash/FNV fingerprints) are deterministic Spark-side but
-  * engine-specific, so they get rows-only checks + ScalaTest golden
-  * tests instead (SURVEY §2.C exclusions).
+  * oracle (including the shingle-join Jaccard dedup and the md5
+  * fingerprint); hash-family ops (SimHash/MinHash signatures) are
+  * deterministic Spark-side but engine-specific, so they get rows-only
+  * checks + ScalaTest golden tests instead (SURVEY §2.C exclusions).
   */
 object TextDocs {
   private type Q = (SparkSession, String) => DataFrame
@@ -89,8 +89,11 @@ object TextDocs {
       TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
     "x_fingerprint" -> ((s, dir) => {
+      // md5 variant so DuckDB can oracle-check the full normalization +
+      // digest path; the FNV-1a rolling hash (TextAnalysis.fingerprint)
+      // is golden-tested in ScalaTest instead (engine-specific hash).
       docs(s, dir).select(col("doc_id"),
-        TextAnalysis.fingerprint(s, col("text")).as("fp"))
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
 
@@ -111,9 +114,16 @@ object TextDocs {
       .mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "x_langid" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+         |  -- regex whitespace split, matching the Spark tokenizer
+         |  -- (split on \\s+) — single-space split diverges on tabs /
+         |  -- newlines / space runs (round-2 advice).
+         |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents
          |), lex(cand_lang, stopword) AS (
          |  SELECT * FROM (VALUES $lexiconValues) v
          |), votes AS (

@@ -26,8 +26,11 @@ object Vectors {
       a.filter(col("vec_id") % 2 === 0)
         .join(b, col("vid_b") === col("vec_id") + 1)
         .select(col("vec_id"),
+          // round via decimal(10,4) for cross-engine determinism, then
+          // hand the driver a DOUBLE — its hasher renders trailing-zero
+          // decimals inconsistently (round-1 verdict).
           graft.functions.CosineSimilarity.cosine(s, col("ea"), col("eb"))
-            .cast("decimal(10,4)").as("cos"))
+            .cast("decimal(10,4)").cast("double").as("cos"))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(20)
     }),
@@ -51,8 +54,11 @@ object Vectors {
       a.join(b, Seq("label")).filter(col("ida") < col("idb"))
         .select(col("ida"), col("idb"),
           graft.functions.CosineSimilarity.cosine(s, col("va"), col("vb")).as("rawcos"))
-        .filter(col("rawcos") >= 0.99)
-        .select(col("ida"), col("idb"), col("rawcos").cast("decimal(10,4)").as("cos"))
+        // 0.35 yields 14/26/391 pairs at sf0.001/0.01/0.1 — non-vacuous
+        // at every SF (the synthetic embeddings top out at cosine ~0.47).
+        .filter(col("rawcos") >= 0.35)
+        .select(col("ida"), col("idb"),
+          col("rawcos").cast("decimal(10,4)").cast("double").as("cos"))
         .orderBy("ida", "idb")
     })
   )
@@ -62,21 +68,21 @@ object Vectors {
 
   val oracle: Map[String, String] = Map(
     "q18_cosine_pairs" ->
-      s"""SELECT a.vec_id, CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS cos
+      s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
          |WHERE a.vec_id % 2 = 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
     "x_ann_topk" ->
-      s"""SELECT a.vec_id, CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS cos
+      s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a, embeddings q
          |WHERE q.vec_id = 0 AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
     "x_embed_neardup" ->
       s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |  CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS cos
+         |  CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${duckCos.format("a.embedding", "b.embedding")} >= 0.99
+         |WHERE ${duckCos.format("a.embedding", "b.embedding")} >= 0.35
          |ORDER BY ida, idb""".stripMargin
   )
 }
