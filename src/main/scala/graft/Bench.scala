@@ -12,8 +12,16 @@ import graft.core.{Sessions, Tables}
   * Tables are touched once first so parquet footers and the OS page
   * cache are warm (the driver measures engine time, not disk cold
   * start).
+  *
+  * Stability: queries slower than `rerunThreshold` are run three times
+  * and report the MEDIAN — multi-second iterative queries (dedup label
+  * propagation) showed 8× tail-latency swings under a loaded harness
+  * when sampled once. A query that throws is reported as -1 and listed
+  * under "failed" so a broken query can't masquerade as a fast one.
   */
 object Bench {
+  private val rerunThreshold = 2.0 // seconds
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -28,17 +36,35 @@ object Bench {
     // first timed query isn't charged for JVM warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+      }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = timeOnce(name, fn)
+      val dt =
+        if (first < 0) first
+        else if (first <= rerunThreshold) first
+        else {
+          val runs = (first +: Seq.fill(2)(timeOnce(name, fn))).filter(_ >= 0).sorted
+          runs(runs.size / 2)
+        }
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val failedJson = if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,11 +2,12 @@ package graft.core
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, If, IsNull, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, Fnv1a64, HyperplaneSignature, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Session extension wiring (SURVEY §7: register via
   * SparkSessionExtensions): makes every graft native expression
@@ -46,24 +47,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity in double precision"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
 
+    e.injectFunction((FunctionIdentifier("graft_hyperplane_sig"),
+      info("graft_hyperplane_sig", "graft_hyperplane_sig(vec, planes, seed) - random-hyperplane LSH bucket"),
+      (exprs: Seq[Expression]) => HyperplaneSignature.make(exprs)))
+
     e.injectOptimizerRule(_ => SelfCosineRule)
   }
 }
 
-/** Micro optimizer rule: cosine(x, x) is 1.0 by definition (for
-  * non-degenerate x) — fold it instead of computing two identical
-  * norms and a dot product per row. Semantically safe under the same
-  * convention as the expression itself (zero vectors yield NaN either
-  * way is avoided by keeping NaN semantics: we only fold when the
-  * expression is deterministic and both sides are the SAME attribute,
-  * where compute() returns exactly 1.0 for any non-zero finite vector
-  * — degenerate all-zero vectors would return NaN, so the fold guards
-  * on a nullability-free exact self-reference and accepts the
-  * convention that self-similarity is defined as 1.0).
+/** Micro optimizer rule: cosine(x, x) folds to 1.0 instead of
+  * computing two identical norms and a dot product per row.
+  *
+  * Null safety (round-1 advice): a blanket Literal(1.0) would silently
+  * turn NULL vectors into 1.0 for SQL users of the extension. The fold
+  * therefore preserves the expression's null-in/null-out contract —
+  * non-nullable inputs fold to the literal, nullable inputs to
+  * `IF(x IS NULL, NULL, 1.0)` (still no per-row norms/dot products).
+  *
+  * Declared convention: self-similarity of an ALL-ZERO vector is
+  * defined as 1.0 under this rule, while the unoptimized expression
+  * yields NaN (0/0). This is deliberate — "how similar is x to
+  * itself" has one defensible answer — and documented here because the
+  * optimized and unoptimized plans differ on that degenerate input.
   */
 object SelfCosineRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
-      Literal(1.0)
+      if (a.nullable) If(IsNull(a), Literal(null, DoubleType), Literal(1.0))
+      else Literal(1.0)
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Session factory for the engine (SURVEY §7 module `core`).
   *
   * Defaults chosen for correctness parity with the DuckDB oracle (UTC
-  * session timezone, ANSI off is Spark default) and for local[N]
+  * session timezone; Spark 4 defaults ANSI mode ON, which we keep —
+  * wrap-around hash arithmetic lives inside native expressions) and for local[N]
   * iteration with a shuffle-partition count that matches the core count
   * instead of the 200 default. On a real cluster the same builder is
   * used with `master` unset (spark-submit provides it) and

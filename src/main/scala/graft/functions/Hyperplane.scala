@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Random-hyperplane LSH signature as a native Catalyst expression:
+  * the sign bits of `planes` dot products against deterministic
+  * pseudo-random hyperplanes, packed into one long (cosine LSH,
+  * Charikar SimHash over dense vectors).
+  *
+  * Why custom (SURVEY §4 "custom Expression only for perf"): the
+  * Column formulation expanded to a dim × planes literal expression
+  * tree — 768 terms at dim 64, ~37 000 at a realistic embedding width
+  * of 3072 — which blows the 64 KB JVM method limit and silently falls
+  * back to interpreted evaluation. This expression is one tight JVM
+  * loop regardless of dimensionality and stays inside whole-stage
+  * codegen via a static helper call.
+  *
+  * Hyperplane family: H_p[d] = splitmix64(seed·K1 + p·K2 + d) mapped to
+  * a uniform weight in [-1, 1) via the top 53 bits (÷ 2⁵³ → [0,1),
+  * ×2−1 → [-1,1)). Deterministic across runs and machines; no RNG
+  * state, no driver-side randomness. (The earlier Column version
+  * divided the 53-bit value by 2⁵² — weights in [-1, 3), positively
+  * biased, which collapsed most vectors into the proj ≥ 0 bucket and
+  * degraded the per-bucket join toward all-pairs.)
+  */
+case class HyperplaneSignature(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0 && planes <= 63, "signature packs into one long")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_signature"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_signature needs array<float|double>, got $other")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneSignature.compute(input.asInstanceOf[ArrayData], isFloat, planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSignature.compute($c, $f, $planes, ${seed}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+
+  private def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Uniform hyperplane weight in [-1, 1) for (seed, plane, dim). */
+  def weight(seed: Long, plane: Int, d: Int): Double = {
+    val h = mix64(seed * 0x9e3779b97f4a7c15L + plane * 0xbf58476d1ce4e5b9L + d)
+    (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  /** One pass per plane over the vector; summation order is ascending
+    * dimension index (deterministic). */
+  def compute(vec: ArrayData, isFloat: Boolean, planes: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        proj += x * weight(seed, p, d)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  private val FnName = "graft_hyperplane_sig"
+
+  private def litLong(e: Expression, what: String): Long = e.eval() match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  }
+
+  def make(exprs: Seq[Expression]): HyperplaneSignature =
+    HyperplaneSignature(exprs.head,
+      litLong(exprs(1), "planes").toInt,
+      litLong(exprs(2), "seed"))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, make, "built-in")
+
+  def signature(spark: SparkSession, vec: Column, planes: Int, seed: Long): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(seed))
+  }
+}

@@ -32,29 +32,12 @@ object VectorFunctions {
     * packed into a long. Used to bucket near-duplicate candidates so
     * the pair join is per-bucket instead of all-pairs.
     *
-    * The hyperplanes are derived from a splitmix-style integer mix of
-    * (seed, planeIdx, dim) — deterministic across runs and engines-free
-    * (pure Spark arithmetic), no driver-side randomness.
+    * Delegates to the native [[HyperplaneSignature]] expression — the
+    * earlier Column formulation built a dim × planes literal tree that
+    * broke whole-stage codegen past dim ≈ 500 and carried a weight-
+    * scaling bug ([-1, 3) instead of [-1, 1)) that collapsed buckets.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int, seed: Long): Column = {
-    require(planes <= 63, "signature packs into one long")
-    val bits = (0 until planes).map { p =>
-      // dot(vec, H_p) where H_p[d] = mix(seed, p, d) scaled to [-1, 1]
-      val comps = (0 until dim).map { d =>
-        val h = mix64(seed * 0x9e3779b97f4a7c15L + p * 0xbf58476d1ce4e5b9L + d)
-        val w = (h >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-        element_at(vec, d + 1).cast("double") * lit(w)
-      }
-      val proj = comps.reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  private def mix64(zIn: Long): Long = {
-    var z = zIn + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  def hyperplaneSignature(spark: org.apache.spark.sql.SparkSession,
+                          vec: Column, planes: Int, seed: Long): Column =
+    HyperplaneSignature.signature(spark, vec, planes, seed)
 }

@@ -24,13 +24,23 @@ import graft.sources.{CsvGraphStage, MetadataSource, SqsPublisher}
   * already-staged CSV dir pair without re-extracting.
   */
 final class MetadataJob(spark: SparkSession, conf: ScopedConf,
-                        transport: SqsPublisher.Transport) {
+                        transport: SqsPublisher.Transport,
+                        metrics: MetricsSink = MetricsSink.Noop) {
 
   /** Metric hook (C2's statsd success/fail counters): incremented
-    * counts readable by tests; a cluster deployment would bridge these
-    * to its metrics system via SparkListener. */
+    * counts readable by tests; the pluggable [[MetricsSink]] carries
+    * the same events to an external system under the reference's
+    * naming (customized_job.py:39-44,83-89). */
   @volatile var succeeded: Int = 0
   @volatile var failed: Int = 0
+
+  /** `amundsen.databuilder.job.{identifier}` when job.is_statsd_enabled
+    * is true (reference gating + prefix, customized_job.py:39-44). */
+  private def metricPrefix: Option[String] = {
+    val job = conf.scoped("job")
+    if (job.getBoolean("is_statsd_enabled")) Some(s"amundsen.databuilder.job.${job("identifier")}")
+    else None
+  }
 
   def extract(): DataFrame = {
     val ex = conf.scoped("extractor")
@@ -51,7 +61,13 @@ final class MetadataJob(spark: SparkSession, conf: ScopedConf,
       CsvGraphStage.writeRelations(GraphExpansion.relations(spark, tables), loader("relation_dir"))
       publishStaged()
       succeeded += 1
-    } catch { case e: Throwable => failed += 1; throw e }
+      metricPrefix.foreach(p => metrics.incr(s"$p.success"))
+    } catch {
+      case e: Throwable =>
+        failed += 1
+        metricPrefix.foreach(p => metrics.incr(s"$p.fail"))
+        throw e
+    }
 
   /** Publisher-only mode: read staged CSVs and publish. The raw CSV
     * frames go to the publisher (not the typed model) so JSON keys are

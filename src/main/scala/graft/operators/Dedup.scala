@@ -195,13 +195,16 @@ object Dedup {
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
       .distinct()
       .persist(lvl)
-    // Iterative algorithm: each round MUST be materialized (persist +
-    // count) — `labels` appears twice per round, so a lazy lineage
+    // Iterative algorithm: each round is materialized through ONE Spark
+    // action. `labels` appears three times per round, so a lazy lineage
     // doubles in size every iteration (2^n plan blowup, measured 76 s
-    // for what is now ~2 s at sf0.1). The count also powers the early
-    // convergence exit (tight clusters converge in 2-3 rounds).
-    var labels = docs.select(col(idCol).as("a"), col(idCol).as("lbl")).persist(lvl)
-    labels.count()
+    // for what is now ~2 s at sf0.1); localCheckpoint(eager = false)
+    // truncates the lineage and materializes on the SAME job that
+    // computes the convergence aggregate — the earlier two-actions-per-
+    // round formulation had unstable tail latency under load (a dozen+
+    // scheduler round-trips at up to 2× per round).
+    var labels = docs.select(col(idCol).as("a"), col(idCol).as("lbl"))
+      .localCheckpoint(eager = true)
     var converged = false
     var i = 0
     while (i < iterations && !converged) {
@@ -210,12 +213,15 @@ object Dedup {
         .select(col("a"), col("lbl"))
       val next = labels.union(neighbourLbl)
         .groupBy("a").agg(min(col("lbl")).as("lbl"))
-        .persist(lvl)
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("a"))
-        .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // carry the per-row "label changed" flag so convergence is an
+      // aggregate of the materialized frame, not a second job
+      val merged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("a"))
+        .select(col("a"), col("lbl"), (col("lbl") =!= col("prev")).as("chg"))
+        .localCheckpoint(eager = false)
+      val changed = merged.agg(coalesce(max(col("chg")), lit(false)))
+        .head.getBoolean(0)
+      labels = merged.select("a", "lbl")
+      converged = !changed
       i += 1
     }
     val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))

@@ -42,10 +42,10 @@ object Similarity {
     * recall, more comparisons). Per-bucket join, never all-pairs.
     */
   def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                   dim: Int, minCosine: Double,
+                   minCosine: Double,
                    planes: Int = 12, seed: Long = 42L): DataFrame = {
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), dim, planes, seed).as("bucket"))
+      hyperplaneSignature(corpus.sparkSession, col(vecCol), planes, seed).as("bucket"))
     sig.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
       .join(sig.select(col("bucket"), col("id").as("idb"), col("v").as("vb")), Seq("bucket"))
       .filter(col("ida") < col("idb"))

@@ -38,9 +38,10 @@ object SqsPublisher {
   /** In-memory transport for tests / dry runs. Messages land in a
     * JVM-global registry keyed by instance id: task closures are
     * serialized (copies!) even in local mode, so an instance field
-    * would silently miss executor-side sends from publishChunked. */
-  final class Recording extends Transport {
-    private val id: String = java.util.UUID.randomUUID().toString
+    * would silently miss executor-side sends from publishChunked.
+    * The id is public so string-option-configured writers (the DSv2
+    * sink) can address the same buffer: `new Recording(sameId)`. */
+  final class Recording(val id: String = java.util.UUID.randomUUID().toString) extends Transport {
     Recording.registry.putIfAbsent(id, new ArrayBuffer[(String, String, String)])
     override def send(q: String, body: String, gid: String): Unit = {
       val buf = Recording.registry.computeIfAbsent(id, _ => new ArrayBuffer)
@@ -59,6 +60,10 @@ object SqsPublisher {
   final case class MessageTooLarge(bytes: Int) extends RuntimeException(
     s"single-envelope parity mode: body is $bytes bytes > $MaxMessageBytes " +
       "(use publishChunked for large graphs)")
+
+  final case class RowTooLarge(bytes: Int, maxBytes: Int) extends RuntimeException(
+    s"a single row serializes to $bytes bytes — cannot fit any envelope ≤ $maxBytes; " +
+      "oversized rows must be split or dropped upstream")
 
   private def jsonEscape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
@@ -125,7 +130,9 @@ object SqsPublisher {
       val cols = df.columns.toSeq
       df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val buf = ArrayBuffer.empty[String]
-        var size = 30 // envelope skeleton overhead
+        // sizes are UTF-8 BYTES, not UTF-16 chars — SQS caps bytes, and
+        // CJK/emoji payloads are 3-4 bytes per char (round-1 advice)
+        var size = 30 // envelope skeleton overhead (ASCII)
         def flush(): Unit = if (buf.nonEmpty) {
           val body =
             if (isNodes) envelope(buf.toSeq, Nil) else envelope(Nil, buf.toSeq)
@@ -134,9 +141,13 @@ object SqsPublisher {
         }
         rows.foreach { r =>
           val j = rowJson(cols, r.toSeq)
-          if (size + j.length + 2 > maxBytes) flush()
+          val jb = j.getBytes("UTF-8").length
+          // fail loudly on a row that can never fit, instead of sending
+          // an envelope the queue would reject
+          if (30 + jb > maxBytes) throw RowTooLarge(jb, maxBytes)
+          if (size + jb + 2 > maxBytes) flush()
           buf += j
-          size += j.length + 2
+          size += jb + 2
         }
         flush()
       }

@@ -1,0 +1,151 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 write path for the SQS JSON publisher (SURVEY §4
+  * optional item): the declarative form of
+  * [[SqsPublisher.publishChunked]] —
+  *
+  * {{{
+  *   nodes.write.format("graft-sqs")
+  *     .option("queue_url", "https://sqs.../metadata.fifo")
+  *     .option("kind", "nodes")            // or "relations"
+  *     .option("message_group_id", "metadata")
+  *     .mode("append").save()
+  * }}}
+  *
+  * Each task accumulates rows into `{"nodes":[…],"relations":[…]}`
+  * envelopes of at most `max_bytes` UTF-8 bytes (SQS's 250 KB cap,
+  * reference aws_sqs_csv_puiblisher.py:63) and sends them as they
+  * fill — executor-side, no driver materialization, one transport per
+  * task. Delivery is at-least-once: messages are sent as envelopes
+  * fill, so a retried task may resend its rows (standard queue-sink
+  * semantics; consumers dedup on KEY as the reference's graph loader
+  * does anyway). commit/abort are bookkeeping no-ops for the same
+  * reason.
+  *
+  * `transport` option: `recording:<id>` appends to the JVM-global
+  * [[SqsPublisher.Recording]] buffer with that id (tests, dry runs). A
+  * production deployment registers its AWS-SDK transport under a new
+  * spec here — the one seam left open in a zero-egress environment.
+  */
+class SqsSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sqs"
+  // write-only source: accept whatever schema the query provides
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new UnsupportedOperationException("graft-sqs is write-only")
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SqsSink.SqsTable(schema)
+}
+
+object SqsSink {
+
+  def resolveTransport(spec: String): SqsPublisher.Transport =
+    if (spec.startsWith("recording:"))
+      new SqsPublisher.Recording(spec.stripPrefix("recording:"))
+    else throw new IllegalArgumentException(
+      s"unknown transport '$spec' — this environment ships 'recording:<id>'; " +
+        "production wraps the AWS SDK SqsClient under its own spec")
+
+  private final class SqsTable(writeSchema: StructType) extends Table with SupportsWrite {
+    override def name(): String = "graft-sqs"
+    override def schema(): StructType = writeSchema
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new SqsBatchWrite(
+          info.schema(),
+          queueUrl = require(info, "queue_url"),
+          groupId = info.options.getOrDefault("message_group_id", SqsPublisher.DefaultGroupId),
+          transportSpec = require(info, "transport"),
+          isNodes = info.options.getOrDefault("kind", "nodes") match {
+            case "nodes" => true
+            case "relations" => false
+            case other => throw new IllegalArgumentException(s"kind must be nodes|relations, got $other")
+          },
+          maxBytes = info.options.getInt("max_bytes", SqsPublisher.MaxMessageBytes))
+      }
+    }
+
+    private def require(info: LogicalWriteInfo, key: String): String = {
+      val v = info.options.get(key)
+      if (v == null) throw new IllegalArgumentException(s"graft-sqs needs option '$key'") else v
+    }
+  }
+
+  private final class SqsBatchWrite(schema: StructType, queueUrl: String, groupId: String,
+                                    transportSpec: String, isNodes: Boolean, maxBytes: Int)
+      extends BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+      new SqsWriterFactory(schema, queueUrl, groupId, transportSpec, isNodes, maxBytes)
+    // at-least-once: envelopes were already sent as they filled
+    override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+
+  private final class SqsWriterFactory(schema: StructType, queueUrl: String, groupId: String,
+                                       transportSpec: String, isNodes: Boolean, maxBytes: Int)
+      extends DataWriterFactory {
+    override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+      new SqsDataWriter(schema, resolveTransport(transportSpec),
+        queueUrl, groupId, isNodes, maxBytes)
+  }
+
+  private object Committed extends WriterCommitMessage
+
+  /** Per-task envelope accumulator — identical chunking discipline to
+    * publishChunked (UTF-8 byte budget, skeleton overhead, fail loudly
+    * on rows that can never fit). */
+  private final class SqsDataWriter(schema: StructType, transport: SqsPublisher.Transport,
+                                    queueUrl: String, groupId: String,
+                                    isNodes: Boolean, maxBytes: Int)
+      extends DataWriter[InternalRow] {
+    private val cols: Seq[String] = schema.fieldNames.toSeq
+    private val types: Seq[DataType] = schema.fields.map(_.dataType).toSeq
+    private val buf = ArrayBuffer.empty[String]
+    private var size = 30
+
+    private def flush(): Unit = if (buf.nonEmpty) {
+      val body = if (isNodes) SqsPublisher.envelope(buf.toSeq, Nil)
+                 else SqsPublisher.envelope(Nil, buf.toSeq)
+      transport.send(queueUrl, body, groupId)
+      buf.clear(); size = 30
+    }
+
+    override def write(r: InternalRow): Unit = {
+      val vals = cols.indices.map { i =>
+        if (r.isNullAt(i)) null
+        else r.get(i, types(i)) match {
+          case u: UTF8String => u.toString
+          case other => other
+        }
+      }
+      val j = SqsPublisher.rowJson(cols, vals)
+      val jb = j.getBytes("UTF-8").length
+      if (30 + jb > maxBytes) throw SqsPublisher.RowTooLarge(jb, maxBytes)
+      if (size + jb + 2 > maxBytes) flush()
+      buf += j
+      size += jb + 2
+    }
+
+    override def commit(): WriterCommitMessage = { flush(); Committed }
+    override def abort(): Unit = buf.clear()
+    override def close(): Unit = ()
+  }
+}

@@ -184,7 +184,7 @@ class OperatorsSpec extends AnyFunSuite {
     val dup = e.filter($"vec_id" === 3)
       .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
     val pairs = graft.operators.Similarity
-      .lshNearPairs(e.unionByName(dup), "vec_id", "embedding", dim = 64, minCosine = 0.999)
+      .lshNearPairs(e.unionByName(dup), "vec_id", "embedding", minCosine = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((3L, 100003L)))
   }
@@ -207,9 +207,52 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, Array.fill(8)(-1.0f))
     ).toDF("id", "v")
     val sig = df.select($"id",
-      VectorFunctions.hyperplaneSignature($"v", dim = 8, planes = 12, seed = 42L).as("s"))
+      VectorFunctions.hyperplaneSignature(spark, $"v", planes = 12, seed = 42L).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sig(1L) == sig(2L))
-    assert(sig(1L) != sig(3L))
+    // -v flips the sign of every projection → every one of the 12 bits
+    // flips (this fails under the old [-1,3)-biased weights, which put
+    // almost every vector on the positive side of almost every plane)
+    assert((sig(1L) ^ sig(3L)) == ((1L << 12) - 1))
+  }
+
+  test("hyperplane signature spreads random vectors across buckets (unbiased planes)") {
+    // 64 deterministic pseudo-random vectors; with unbiased weights the
+    // 12-bit signatures should spread widely — the pre-fix biased
+    // weights collapsed nearly all vectors into the all-ones bucket
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(64)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val sigs = vecs.toDF("id", "v")
+      .select(VectorFunctions.hyperplaneSignature(spark, $"v", planes = 12, seed = 42L))
+      .collect().map(_.getLong(0))
+    assert(sigs.distinct.length >= 32, s"only ${sigs.distinct.length} distinct buckets")
+  }
+
+  test("hyperplane signature handles dim 768 in one codegen'd call") {
+    // the old literal-tree formulation was dim × planes expression nodes
+    // (would blow the 64 KB codegen method limit here); the native
+    // expression is one static call regardless of width
+    val rnd = new scala.util.Random(11)
+    val wide = Seq.tabulate(8)(i => (i.toLong, Array.fill(768)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("id", "v")
+      .repartition(2) // keep the projection out of ConvertToLocalRelation
+    val q = wide.select($"id",
+      VectorFunctions.hyperplaneSignature(spark, $"v", planes = 24, seed = 1L).as("s"))
+    val out = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // inspect the final (post-AQE) plan: the signature must sit inside a
+    // whole-stage-codegen span, not an interpreted fallback
+    val planStr = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // AQE's formatted explain marks whole-stage spans as "[codegen id : N]"
+    // on the member nodes; the projection carrying the signature must be one
+    assert(planStr.linesIterator.exists(l =>
+      l.contains("Project") && l.contains("codegen id")), planStr)
+    assert(planStr.contains("hyperplane_signature"), planStr)
+    assert(out.size == 8 && out.values.toSet.size > 1)
+    // deterministic across plans/runs
+    val again = wide.repartition(4).select($"id",
+      VectorFunctions.hyperplaneSignature(spark, $"v", planes = 24, seed = 1L).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
   }
 }

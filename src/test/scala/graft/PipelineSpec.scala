@@ -49,6 +49,36 @@ class PipelineSpec extends AnyFunSuite {
     assert("\"START_KEY\"".r.findAllIn(body).size == 19)
   }
 
+  test("C2 metrics: success/fail counters under the reference prefix") {
+    val dir = Files.createTempDirectory("graft_job_metrics").toString
+    def conf(path: String) = ScopedConf(
+      "job.is_statsd_enabled" -> "true",
+      "job.identifier" -> "shop_mysql",
+      "extractor.csv.path" -> path,
+      "loader.csv.node_dir" -> s"$dir/nodes",
+      "loader.csv.relation_dir" -> s"$dir/relationships",
+      "publisher.awssqs.queue_url" -> "q://test")
+    val sink = new graft.jobs.MetricsSink.InMemory
+    new MetadataJob(spark, conf(GraphQ.fixturePath), new SqsPublisher.Recording, sink).launch()
+    assert(sink.value("amundsen.databuilder.job.shop_mysql.success") == 1)
+    assert(sink.value("amundsen.databuilder.job.shop_mysql.fail") == 0)
+    // a failing launch increments .fail and rethrows
+    intercept[Exception] {
+      new MetadataJob(spark, conf(s"$dir/does_not_exist"), new SqsPublisher.Recording, sink).launch()
+    }
+    assert(sink.value("amundsen.databuilder.job.shop_mysql.success") == 1)
+    assert(sink.value("amundsen.databuilder.job.shop_mysql.fail") == 1)
+    // gating: disabled (default) emits nothing
+    val quiet = new graft.jobs.MetricsSink.InMemory
+    val noStatsd = ScopedConf(
+      "extractor.csv.path" -> GraphQ.fixturePath,
+      "loader.csv.node_dir" -> s"$dir/nodes2",
+      "loader.csv.relation_dir" -> s"$dir/relationships2",
+      "publisher.awssqs.queue_url" -> "q://test")
+    new MetadataJob(spark, noStatsd, new SqsPublisher.Recording, quiet).launch()
+    assert(quiet.all.isEmpty)
+  }
+
   test("ScopedConf: dotted scoping, fallback, parsing") {
     val c = ScopedConf.parse(
       """# comment
@@ -122,6 +152,11 @@ class PipelineSpec extends AnyFunSuite {
       Seq((1L, "hello"), (2L, "worlds!")).toDF("id", "text"), "text")
     val out = Multimodal.decodeMedia(spark, df, "media")
     assert(out.schema.fieldNames.takeRight(4).toSeq == Seq("format", "width", "height", "n_bytes"))
+    // decode must stay inside the SQL plan (typed mapPartitions), not
+    // drop to an RDD and re-enter via createDataFrame
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD"), plan)
+    assert(plan.contains("MapPartitions"), plan)
     val rows = out.select("id", "format", "n_bytes").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(rows(1L) == (("jpeg", 5L)))

@@ -42,6 +42,56 @@ class SqsPublisherSpec extends AnyFunSuite {
     assert(t.sent.isEmpty) // nothing sent on failure
   }
 
+  test("chunked mode accounts UTF-8 bytes, not chars (CJK payloads)") {
+    // 3-byte CJK chars: a char-count budget would overshoot the byte cap
+    val nodes = (1 to 60).map(i => (s"key$i", "Label", "试" * 20))
+      .toDF("KEY", "LABEL", "name")
+    val t = new SqsPublisher.Recording
+    SqsPublisher.publishChunked(nodes, nodes.limit(0), t, "q://x", maxBytes = 1024)
+    assert(t.sent.nonEmpty)
+    assert(t.sent.map(_._2).forall(_.getBytes("UTF-8").length <= 1024))
+    assert(t.sent.map(b => "\"KEY\"".r.findAllIn(b._2).size).sum == 60)
+    // a single row that can never fit fails loudly instead of oversending
+    val huge = Seq(("k", "Label", "语" * 2000)).toDF("KEY", "LABEL", "name")
+    val cause = intercept[org.apache.spark.SparkException] {
+      SqsPublisher.publishChunked(huge, huge.limit(0), new SqsPublisher.Recording, "q://x", maxBytes = 1024)
+    }
+    assert(exceptionChain(cause).exists(_.isInstanceOf[SqsPublisher.RowTooLarge]))
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("DSv2 sink: format(\"graft-sqs\") chunk-publishes executor-side") {
+    val rec = new SqsPublisher.Recording
+    val nodes = (1 to 300).map(i => (s"key$i", "Label", "v" * 40))
+      .toDF("KEY", "LABEL", "name")
+    nodes.repartition(4)
+      .write.format("graft-sqs")
+      .option("queue_url", "q://v2")
+      .option("transport", s"recording:${rec.id}")
+      .option("kind", "nodes")
+      .option("max_bytes", "2048")
+      .mode("append").save()
+    val bodies = rec.sent
+    assert(bodies.forall { case (q, b, g) =>
+      q == "q://v2" && g == "metadata" && b.getBytes("UTF-8").length <= 2048 &&
+        b.startsWith("""{"nodes": [""")
+    })
+    assert(bodies.map(b => "\"KEY\"".r.findAllIn(b._2).size).sum == 300)
+    // relations kind lands rows in the relations array
+    val rels = Seq(("s1", "A", "e1", "B", "T", "T_OF"))
+      .toDF("START_KEY", "START_LABEL", "END_KEY", "END_LABEL", "TYPE", "REVERSE_TYPE")
+    val rec2 = new SqsPublisher.Recording
+    rels.write.format("graft-sqs")
+      .option("queue_url", "q://v2")
+      .option("transport", s"recording:${rec2.id}")
+      .option("kind", "relations")
+      .mode("append").save()
+    assert(rec2.sent.size == 1)
+    assert(rec2.sent.head._2.startsWith("""{"nodes": [], "relations": [{"START_KEY": "s1""""))
+  }
+
   test("chunked mode: every row delivered, every message under the cap") {
     val nodes = (1 to 500).map(i => (s"key$i", "Label", "v" * 50))
       .toDF("KEY", "LABEL", "name")
