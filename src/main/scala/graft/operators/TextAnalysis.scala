@@ -25,6 +25,21 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), c => length(c) > 0))
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to constructs both
+    * Java regex (Spark) and RE2 (DuckDB) evaluate identically — no
+    * lookarounds, no \p classes: an optional leading space glued to a
+    * letter run, digit run, or punctuation run. Whitespace that isn't
+    * absorbed as a token prefix is dropped, like a BPE pre-split. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Cross-engine BPE-ish pre-tokenization (the portable counterpart of
+    * [[subwordCount]]'s lookaround split): `regexp_extract_all` with
+    * [[BpePattern]], oracle-checkable because DuckDB's
+    * regexp_extract_all(text, pattern) yields the same leftmost-first
+    * match list. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Heuristic quality score in [0,1]: length sweet-spot, average word
     * length sanity, punctuation density penalty (the usual cheap
     * pretraining filters). Pure arithmetic → portable + deterministic.

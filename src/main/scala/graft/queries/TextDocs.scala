@@ -76,6 +76,22 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_bpe_tokens" -> ((s, dir) => {
+      // BPE-ish pre-tokenizer counts (the "token counting: whitespace +
+      // BPE-ish regex" extension): token total, distinct types, average
+      // token length (leading-space prefix included, as a byte-pair
+      // pre-split would). Tokens materialized once per row, then three
+      // narrow aggregates over the array — no shuffle.
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_subwords"),
+          size(array_distinct(col("toks"))).as("n_types"),
+          round(length(array_join(col("toks"), "")).cast("double") /
+            greatest(size(col("toks")), lit(1)), 4).as("avg_len"))
+        .orderBy("doc_id")
+    }),
+
     "x_dedup_corpus" -> ((s, dir) => {
       // the full dedup pipeline: candidate pairs (exact n-gram jaccard
       // >= 0.5) -> connected components -> keep min doc_id per cluster
@@ -230,6 +246,17 @@ object TextDocs {
       """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
         |    AS chars_per_token
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_bpe_tokens" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         regexp_extract_all(text, '${TextAnalysis.BpePattern}') AS toks
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(len(toks) AS INT) AS n_subwords,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_types,
+         |  ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+         |        / GREATEST(len(toks), 1), 4) AS avg_len
+         |FROM t ORDER BY doc_id""".stripMargin
   )
 }

@@ -42,6 +42,23 @@ object Vectors {
         e.filter(col("vec_id") === 0), k = 20)
     }),
 
+    "x_ivf_topk" -> ((s, dir) => {
+      // IVF plumbing end-to-end under the driver's oracle: deterministic
+      // coarse centroids (every 100th vector doubles as one — a real
+      // deployment trains k-means, the operator only needs SOME fixed
+      // centroid table) and a probe budget covering every centroid, so
+      // the result is exactly the brute-force top-k and the x_ann_topk
+      // oracle applies verbatim. The recall-vs-nprobe tradeoff (probing
+      // FEWER centroids) is exercised in ScalaTest, where approximate
+      // output is comparable against the in-engine exact baseline.
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        cents, "cid", "cvec", e.filter(col("vec_id") === 0),
+        k = 20, nprobe = Int.MaxValue)
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
@@ -73,6 +90,11 @@ object Vectors {
          |WHERE a.vec_id % 2 = 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
     "x_ann_topk" ->
+      s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
+         |FROM embeddings a, embeddings q
+         |WHERE q.vec_id = 0 AND a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    "x_ivf_topk" ->
       s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a, embeddings q
          |WHERE q.vec_id = 0 AND a.vec_id <> 0

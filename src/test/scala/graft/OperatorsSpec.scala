@@ -255,4 +255,21 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("bpe tokens match the RE2 (DuckDB) golden output on edge strings") {
+    // goldens produced by DuckDB 1.x regexp_extract_all with the same
+    // pattern — pins Java-regex/RE2 agreement on the oracle-checked path
+    val cases = Seq(
+      "Hello, world!  It's 42 degrees..." ->
+        Seq("Hello", ",", " world", "!", " It", "'", "s", " 42", " degrees", "..."),
+      "tab\tsep\nnewline  double  space" ->
+        Seq("tab", "sep", "newline", " double", " space"),
+      "" -> Seq.empty,
+      "...!!!  abc123def 7e7" ->
+        Seq("...!!!", " abc", "123", "def", " 7", "e", "7"))
+    val out = cases.map(_._1).toDF("text")
+      .select(graft.operators.TextAnalysis.bpeTokens($"text").as("toks"))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(out.toSeq == cases.map(_._2))
+  }
 }
