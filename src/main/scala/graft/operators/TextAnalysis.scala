@@ -101,6 +101,27 @@ object TextAnalysis {
       regexp_replace(lower(trim(text)), "\\s+", " "))
   }
 
+  /** PII-redaction patterns (training-data scrubbing): lookaround-free
+    * so Java regex and RE2 agree character-for-character. Email first —
+    * replacing it also removes its digits — then any ≥4-digit run
+    * (phone/account/ssn-ish). */
+  val EmailPattern = "[A-Za-z0-9#._-]+@[A-Za-z0-9.-]+"
+  val DigitRunPattern = "[0-9]{4,}"
+
+  /** Scrub PII-ish spans: emails → `<EMAIL>`, long digit runs →
+    * `<NUM>`. Two codegen'd regexp_replace passes, narrow and
+    * shuffle-free — at 100 TB this is a pure map stage. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      DigitRunPattern, "<NUM>")
+
+  /** How many spans [[scrubPii]] would redact (audit metric). */
+  def piiSpanCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(regexp_replace(text, EmailPattern, "<EMAIL>"),
+        lit(DigitRunPattern), lit(0)))
+
   /** Cross-engine document fingerprint: md5 of the whitespace-normalized,
     * lower-cased text. Same normalization as [[fingerprint]], but the
     * digest is portable (DuckDB ships an identical md5()), so this

@@ -27,6 +27,21 @@ object Extras {
         .orderBy("k")
     }),
 
+    "x_stat_aggs" -> ((s, dir) => {
+      // statistical aggregates (X1-adjacent): stddev/variance/corr/covar
+      // per market segment. Both engines use numerically-stable one-pass
+      // merges; round(4) absorbs the ~1e-6 summation-order noise at
+      // these magnitudes. Partial aggregation applies as usual — one
+      // keyed shuffle of 5 groups at any scale.
+      t(s, dir, "customer").groupBy(col("c_mktsegment"))
+        .agg(
+          round(stddev_samp(col("c_acctbal")), 4).as("sd_bal"),
+          round(var_samp(col("c_acctbal")), 4).as("var_bal"),
+          round(corr(col("c_acctbal"), col("c_nationkey").cast("double")), 4).as("corr_bal_nat"),
+          round(covar_samp(col("c_acctbal"), col("c_nationkey").cast("double")), 4).as("covar_bal_nat"))
+        .orderBy("c_mktsegment")
+    }),
+
     "x_ntile_lead" -> ((s, dir) => {
       val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
       t(s, dir, "supplier").select(
@@ -146,6 +161,13 @@ object Extras {
         |  CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile,
         |  LEAD(s_acctbal, 1) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS next_bal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "x_stat_aggs" ->
+      """SELECT c_mktsegment,
+        |  ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,
+        |  ROUND(var_samp(c_acctbal), 4) AS var_bal,
+        |  ROUND(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS corr_bal_nat,
+        |  ROUND(covar_samp(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS covar_bal_nat
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "x_cube" ->
       """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
         |  CAST(GROUPING(c_mktsegment, c_nationkey) AS INT) AS gid

@@ -104,6 +104,23 @@ object TextDocs {
     "x_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
+    "x_scrub" -> ((s, dir) => {
+      // PII redaction (training-data scrubbing). The synthetic corpus
+      // carries no emails/phones, so the PII-ish contact string is
+      // synthesized deterministically from customer fields INSIDE the
+      // query (both engines build the identical string) — every row
+      // then exercises both redaction classes, so the pass is
+      // non-vacuous by construction.
+      val raw = concat(col("c_name"), lit(" contact "), lower(col("c_name")),
+        lit("@example.com tel 555"), col("c_custkey").cast("string"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), raw.as("raw"))
+        .select(col("c_custkey"),
+          TextAnalysis.scrubPii(col("raw")).as("scrubbed"),
+          TextAnalysis.piiSpanCount(col("raw")).as("n_redacted"))
+        .orderBy("c_custkey")
+    }),
+
     "x_fingerprint" -> ((s, dir) => {
       // md5 variant so DuckDB can oracle-check the full normalization +
       // digest path; the FNV-1a rolling hash (TextAnalysis.fingerprint)
@@ -247,6 +264,21 @@ object TextDocs {
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_scrub" ->
+      s"""WITH t AS (
+         |  SELECT c_custkey,
+         |         c_name || ' contact ' || lower(c_name) || '@example.com tel 555'
+         |           || CAST(c_custkey AS VARCHAR) AS raw
+         |  FROM customer
+         |)
+         |SELECT c_custkey,
+         |  regexp_replace(regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |                 '${TextAnalysis.DigitRunPattern}', '<NUM>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(raw, '${TextAnalysis.EmailPattern}'))
+         |       + len(regexp_extract_all(
+         |           regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |           '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_redacted
+         |FROM t ORDER BY c_custkey""".stripMargin,
     "x_bpe_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,

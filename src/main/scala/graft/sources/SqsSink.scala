@@ -8,6 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -65,21 +66,32 @@ object SqsSink {
     override def name(): String = "graft-sqs"
     override def schema(): StructType = writeSchema
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE).asJava
 
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new SqsBatchWrite(
-          info.schema(),
-          queueUrl = require(info, "queue_url"),
-          groupId = info.options.getOrDefault("message_group_id", SqsPublisher.DefaultGroupId),
-          transportSpec = require(info, "transport"),
-          isNodes = info.options.getOrDefault("kind", "nodes") match {
+        private def cfg = (
+          require(info, "queue_url"),
+          info.options.getOrDefault("message_group_id", SqsPublisher.DefaultGroupId),
+          require(info, "transport"),
+          info.options.getOrDefault("kind", "nodes") match {
             case "nodes" => true
             case "relations" => false
             case other => throw new IllegalArgumentException(s"kind must be nodes|relations, got $other")
           },
-          maxBytes = info.options.getInt("max_bytes", SqsPublisher.MaxMessageBytes))
+          info.options.getInt("max_bytes", SqsPublisher.MaxMessageBytes))
+        override def toBatch: BatchWrite = {
+          val (q, g, t, n, m) = cfg
+          new SqsBatchWrite(info.schema(), q, g, t, n, m)
+        }
+        // micro-batch streaming: same per-task chunking; epoch commit is
+        // bookkeeping only (at-least-once, like the batch path — a
+        // retried epoch may resend, consumers dedup on KEY)
+        override def toStreaming: StreamingWrite = {
+          val (q, g, t, n, m) = cfg
+          new SqsStreamingWrite(info.schema(), q, g, t, n, m)
+        }
       }
     }
 
@@ -101,10 +113,22 @@ object SqsSink {
 
   private final class SqsWriterFactory(schema: StructType, queueUrl: String, groupId: String,
                                        transportSpec: String, isNodes: Boolean, maxBytes: Int)
-      extends DataWriterFactory {
+      extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new SqsDataWriter(schema, resolveTransport(transportSpec),
         queueUrl, groupId, isNodes, maxBytes)
+    // streaming variant: epoch id doesn't change the chunking discipline
+    override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+      createWriter(partitionId, taskId)
+  }
+
+  private final class SqsStreamingWrite(schema: StructType, queueUrl: String, groupId: String,
+                                        transportSpec: String, isNodes: Boolean, maxBytes: Int)
+      extends StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+      new SqsWriterFactory(schema, queueUrl, groupId, transportSpec, isNodes, maxBytes)
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
 
   private object Committed extends WriterCommitMessage

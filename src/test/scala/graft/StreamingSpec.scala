@@ -119,6 +119,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("writeStream.format(\"graft-sqs\") chunk-publishes each epoch (DSv2 streaming write)") {
+    import graft.sources.SqsPublisher
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val rec = new SqsPublisher.Recording
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_v2").toString
+    in.addData(ev(1, 5), ev(2, 15), ev(3, 25))
+    val q = in.toDF().select($"event_id".cast("string").as("KEY"), $"event_type".as("LABEL"))
+      .writeStream.format("graft-sqs")
+      .option("queue_url", "q://stream-v2")
+      .option("transport", s"recording:${rec.id}")
+      .option("kind", "nodes")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      val bodies = rec.sent
+      assert(bodies.nonEmpty)
+      assert(bodies.forall { case (u, b, g) =>
+        u == "q://stream-v2" && g == "metadata" && b.startsWith("""{"nodes": [""")
+      })
+      assert(bodies.map(b => "\"KEY\"".r.findAllIn(b._2).size).sum == 3)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions as they close, state times out") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
