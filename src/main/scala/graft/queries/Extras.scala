@@ -27,6 +27,19 @@ object Extras {
         .orderBy("k")
     }),
 
+    "x_unpivot" -> ((s, dir) => {
+      // wide→long melt (the inverse of x_pivot): numeric part attributes
+      // unpivoted to (attr, val) rows via the native Unpivot node — a
+      // narrow 1→N expansion, no shuffle.
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "attr", "val")
+        .orderBy("p_partkey", "attr")
+    }),
+
     "x_stat_aggs" -> ((s, dir) => {
       // statistical aggregates (X1-adjacent): stddev/variance/corr/covar
       // per market segment. Both engines use numerically-stable one-pass
@@ -161,6 +174,12 @@ object Extras {
         |  CAST(NTILE(4) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS quartile,
         |  LEAD(s_acctbal, 1) OVER (ORDER BY s_acctbal DESC, s_suppkey) AS next_bal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "x_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+        |) t ORDER BY p_partkey, attr""".stripMargin,
     "x_stat_aggs" ->
       """SELECT c_mktsegment,
         |  ROUND(stddev_samp(c_acctbal), 4) AS sd_bal,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Declared document/text queries Q15–Q17 plus the mandated
   * training-data extension operators over `documents` (SURVEY §2.B
@@ -128,6 +128,18 @@ object TextDocs {
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    "x_sample" -> ((s, dir) => {
+      // deterministic train/test split + stratification audit: per-lang
+      // row counts per split. The split is a pure function of doc_id
+      // (md5 bucket), so the same doc lands in the same split on any
+      // engine, partitioning, or re-run — the reproducibility property
+      // df.sample cannot give.
+      docs(s, dir)
+        .select(col("lang"), Sampling.splitColumn(col("doc_id"), testBuckets = 2).as("split"))
+        .groupBy("lang", "split").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "split")
     }),
 
     "x_simhash_pairs" -> ((s, dir) =>
@@ -264,6 +276,12 @@ object TextDocs {
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_sample" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+        |       THEN 'test' ELSE 'train' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     "x_scrub" ->
       s"""WITH t AS (
          |  SELECT c_custkey,

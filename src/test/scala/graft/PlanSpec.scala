@@ -92,4 +92,35 @@ class PlanSpec extends AnyFunSuite {
     assert(read.contains("event_type") && read.contains("props"))
     assert(!read.contains("user_id") && !read.contains("value"))
   }
+
+  test("x_ivf_topk: centroid/probe sides broadcast, top-k via TakeOrdered") {
+    val p = plan("x_ivf_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus never shuffle-joined
+  }
+
+  test("x_scrub/x_bpe_tokens: narrow scrub/tokenize — no shuffle except the output sort") {
+    for (q <- Seq("x_scrub", "x_bpe_tokens")) {
+      val p = plan(q)
+      val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+      assert(exchanges <= 1, s"$q should only shuffle for the final sort:\n$p")
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), q)
+    }
+  }
+
+  test("x_stat_aggs/x_sample: partial aggregation before the single keyed shuffle") {
+    for (q <- Seq("x_stat_aggs", "x_sample")) {
+      val p = plan(q)
+      val aggs = p.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+      assert(aggs >= 2, s"$q expected partial+final HashAggregate:\n$p")
+    }
+  }
+
+  test("x_unpivot: Expand node, no join, no extra shuffle") {
+    val p = plan("x_unpivot")
+    assert(p.contains("Expand"), p)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"unpivot is narrow:\n$p")
+  }
 }
