@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
 
 /** Declared document/text queries Q15–Q17 plus the mandated
   * training-data extension operators over `documents` (SURVEY §2.B
@@ -142,6 +142,20 @@ object TextDocs {
         .orderBy("lang", "split")
     }),
 
+    "x_media_meta" -> ((s, dir) => {
+      // multimodal decode path under the oracle: binary payload
+      // (utf-8 bytes of text — the tables carry no real media) through
+      // the batched mapPartitions decode. The stub decoder is pure
+      // arithmetic on the byte length, so DuckDB can replay it and
+      // hash-check the ENTIRE distributed plumbing: payload attach,
+      // per-partition decode, typed metadata append.
+      val withBin = Multimodal.withBinaryPayload(
+        docs(s, dir).select(col("doc_id"), col("text")), "text")
+      Multimodal.decodeMedia(s, withBin, "media")
+        .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_bytes"))
+        .orderBy("doc_id")
+    }),
+
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s, docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("ida", "idb")),
@@ -275,6 +289,13 @@ object TextDocs {
       """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
         |    AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(octet_length(encode(text)) % 1024 + 1 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) // 7) % 768 + 1 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x_sample" ->
       """SELECT lang,
