@@ -54,8 +54,12 @@ object Bench {
         if (first < 0) first
         else if (first <= rerunThreshold) first
         else {
-          val runs = (first +: Seq.fill(2)(timeOnce(name, fn))).filter(_ >= 0).sorted
-          runs(runs.size / 2)
+          // a failure on ANY rerun marks the query failed — dropping it
+          // from the sample would silently report max-of-2 as "median"
+          // and let a flaky query masquerade as healthy
+          val reruns = Seq.fill(2)(timeOnce(name, fn))
+          if (reruns.exists(_ < 0)) -1.0
+          else (first +: reruns).sorted.apply(1)
         }
       System.err.println(f"[bench] $name%-22s $dt%8.2f s")
       name -> dt

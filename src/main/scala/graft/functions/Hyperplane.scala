@@ -33,11 +33,19 @@ case class HyperplaneSignature(child: Expression, planes: Int, seed: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_signature"
 
+  // fail at analysis time with a clean error, not mid-job on an executor
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_signature needs array<float|double>, got ${other.catalogString}")
+    }
+
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"hyperplane_signature needs array<float|double>, got $other")
+    case _ => false
   }
 
   protected override def nullSafeEval(input: Any): Any =
@@ -68,18 +76,43 @@ object HyperplaneSignature {
     (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
+  /** The weight table depends only on (seed, planes, dim) — it is
+    * row-invariant, so it is materialized once per JVM per key instead
+    * of re-mixing splitmix64 dim × planes times for every row (at
+    * dim 3072 / 24 planes that would be ~74k hashes per row, tripling
+    * the cost of the actual dot products). Laid out plane-major so the
+    * inner loop is a sequential scan. A handful of (seed, planes, dim)
+    * keys exist per workload; the cache is effectively bounded. */
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]
+
+  private def weightTable(seed: Long, planes: Int, dim: Int): Array[Double] =
+    weightCache.computeIfAbsent((seed, planes, dim), { key =>
+      val (s, p, d) = key
+      val arr = new Array[Double](p * d)
+      var pl = 0
+      while (pl < p) {
+        var i = 0
+        while (i < d) { arr(pl * d + i) = weight(s, pl, i); i += 1 }
+        pl += 1
+      }
+      arr
+    })
+
   /** One pass per plane over the vector; summation order is ascending
     * dimension index (deterministic). */
   def compute(vec: ArrayData, isFloat: Boolean, planes: Int, seed: Long): Long = {
     val n = vec.numElements()
+    val w = weightTable(seed, planes, n)
     var sig = 0L
     var p = 0
     while (p < planes) {
       var proj = 0.0
+      val base = p * n
       var d = 0
       while (d < n) {
         val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-        proj += x * weight(seed, p, d)
+        proj += x * w(base + d)
         d += 1
       }
       if (proj >= 0) sig |= (1L << p)
@@ -90,10 +123,14 @@ object HyperplaneSignature {
 
   private val FnName = "graft_hyperplane_sig"
 
-  private def litLong(e: Expression, what: String): Long = e.eval() match {
-    case i: Int => i.toLong
-    case l: Long => l
-    case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+  private def litLong(e: Expression, what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal int, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
+    }
   }
 
   def make(exprs: Seq[Expression]): HyperplaneSignature =

@@ -35,12 +35,22 @@ final class MetadataJob(spark: SparkSession, conf: ScopedConf,
   @volatile var failed: Int = 0
 
   /** `amundsen.databuilder.job.{identifier}` when job.is_statsd_enabled
-    * is true (reference gating + prefix, customized_job.py:39-44). */
+    * is true (reference gating + prefix, customized_job.py:39-44).
+    * Resolved lazily but emitted through [[emit]], which never throws:
+    * metrics must not change job semantics — a statsd transport error
+    * (or a missing identifier key) must neither fail a published job
+    * nor mask the original ETL exception in the failure path. */
   private def metricPrefix: Option[String] = {
     val job = conf.scoped("job")
     if (job.getBoolean("is_statsd_enabled")) Some(s"amundsen.databuilder.job.${job("identifier")}")
     else None
   }
+
+  private def emit(suffix: String): Unit =
+    try metricPrefix.foreach(p => metrics.incr(s"$p.$suffix"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[metadata-job] metrics emission failed: ${e.getMessage}")
+    }
 
   def extract(): DataFrame = {
     val ex = conf.scoped("extractor")
@@ -61,11 +71,11 @@ final class MetadataJob(spark: SparkSession, conf: ScopedConf,
       CsvGraphStage.writeRelations(GraphExpansion.relations(spark, tables), loader("relation_dir"))
       publishStaged()
       succeeded += 1
-      metricPrefix.foreach(p => metrics.incr(s"$p.success"))
+      emit("success")
     } catch {
       case e: Throwable =>
         failed += 1
-        metricPrefix.foreach(p => metrics.incr(s"$p.fail"))
+        emit("fail")
         throw e
     }
 

@@ -198,13 +198,27 @@ object Dedup {
     // Iterative algorithm: each round is materialized through ONE Spark
     // action. `labels` appears three times per round, so a lazy lineage
     // doubles in size every iteration (2^n plan blowup, measured 76 s
-    // for what is now ~2 s at sf0.1); localCheckpoint(eager = false)
-    // truncates the lineage and materializes on the SAME job that
-    // computes the convergence aggregate — the earlier two-actions-per-
-    // round formulation had unstable tail latency under load (a dozen+
+    // for what is now ~2 s at sf0.1); the checkpoint truncates the
+    // lineage and materializes on the SAME job that computes the
+    // convergence aggregate — the earlier two-actions-per-round
+    // formulation had unstable tail latency under load (a dozen+
     // scheduler round-trips at up to 2× per round).
-    var labels = docs.select(col(idCol).as("a"), col(idCol).as("lbl"))
-      .localCheckpoint(eager = true)
+    //
+    // Fault tolerance at scale: localCheckpoint stores blocks on
+    // executors only — an executor loss mid-run makes them
+    // unrecomputable. When the cluster has a checkpoint dir configured
+    // (sc.setCheckpointDir, standard on long-running 100 TB jobs),
+    // reliable checkpoint() is used instead, surviving executor loss;
+    // local[N] iteration and tests take the cheap local path. Dropped
+    // rounds are dereferenced immediately (plus an unpersist for the
+    // cached-plan case) so the ContextCleaner reclaims their blocks as
+    // the loop runs; reliable-checkpoint files additionally honor
+    // spark.cleaner.referenceTracking.cleanCheckpoints.
+    val sc = docs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def ckpt(df: DataFrame, eager: Boolean): DataFrame =
+      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+    var labels = ckpt(docs.select(col(idCol).as("a"), col(idCol).as("lbl")), eager = true)
     var converged = false
     var i = 0
     while (i < iterations && !converged) {
@@ -215,17 +229,20 @@ object Dedup {
         .groupBy("a").agg(min(col("lbl")).as("lbl"))
       // carry the per-row "label changed" flag so convergence is an
       // aggregate of the materialized frame, not a second job
-      val merged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("a"))
-        .select(col("a"), col("lbl"), (col("lbl") =!= col("prev")).as("chg"))
-        .localCheckpoint(eager = false)
+      val merged = ckpt(next.join(labels.withColumnRenamed("lbl", "prev"), Seq("a"))
+        .select(col("a"), col("lbl"), (col("lbl") =!= col("prev")).as("chg")),
+        eager = false)
       val changed = merged.agg(coalesce(max(col("chg")), lit(false)))
         .head.getBoolean(0)
+      labels.unpersist() // previous round's checkpoint blocks
       labels = merged.select("a", "lbl")
       converged = !changed
       i += 1
     }
     val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))
-    docs.join(keep, Seq(idCol), "left_semi")
+    val out = docs.join(keep, Seq(idCol), "left_semi")
+    edges.unpersist()
+    out
   }
 
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,7 +58,7 @@ object Multimodal {
     * payload — outside Tungsten; the typed form keeps the exchange
     * inside the plan as Deserialize→MapPartitions→Serialize, so
     * upstream/downstream stages remain codegen'd and columnar). */
-  def decodeMedia(spark: SparkSession, df: DataFrame, binCol: String): DataFrame = {
+  def decodeMedia(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ mediaMetaSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc: org.apache.spark.sql.Encoder[Row] =

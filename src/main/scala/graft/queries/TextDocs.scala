@@ -151,7 +151,7 @@ object TextDocs {
       // per-partition decode, typed metadata append.
       val withBin = Multimodal.withBinaryPayload(
         docs(s, dir).select(col("doc_id"), col("text")), "text")
-      Multimodal.decodeMedia(s, withBin, "media")
+      Multimodal.decodeMedia(withBin, "media")
         .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_bytes"))
         .orderBy("doc_id")
     }),

@@ -9,11 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 write path for the SQS JSON publisher (SURVEY §4
   * optional item): the declarative form of
@@ -22,7 +21,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   nodes.write.format("graft-sqs")
   *     .option("queue_url", "https://sqs.../metadata.fifo")
-  *     .option("kind", "nodes")            // or "relations"
+  *     .option("transport", "recording:<id>")  // REQUIRED, see below
+  *     .option("kind", "nodes")                // or "relations"
   *     .option("message_group_id", "metadata")
   *     .mode("append").save()
   * }}}
@@ -69,7 +69,14 @@ object SqsSink {
       Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
         TableCapability.TRUNCATE).asJava
 
-    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder {
+    // SupportsTruncate: a queue cannot be rewound, so "truncate" is a
+    // no-op — accepting it makes mode("overwrite") and streaming
+    // outputMode("complete") plan cleanly with the same at-least-once
+    // semantics as append (without it, the advertised TRUNCATE
+    // capability would fail at runtime in V2Writes).
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = new WriteBuilder
+        with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         private def cfg = (
           require(info, "queue_url"),
@@ -135,13 +142,20 @@ object SqsSink {
 
   /** Per-task envelope accumulator — identical chunking discipline to
     * publishChunked (UTF-8 byte budget, skeleton overhead, fail loudly
-    * on rows that can never fit). */
+    * on rows that can never fit).
+    *
+    * Values are converted Catalyst-internal → external Scala through
+    * the standard converter before JSON rendering, so a timestamp
+    * serializes as "2024-01-01 00:00:00.0" and not its raw micros —
+    * byte-identical to what the same frame produces through
+    * SqsPublisher.publishChunked (which receives external Rows). */
   private final class SqsDataWriter(schema: StructType, transport: SqsPublisher.Transport,
                                     queueUrl: String, groupId: String,
                                     isNodes: Boolean, maxBytes: Int)
       extends DataWriter[InternalRow] {
     private val cols: Seq[String] = schema.fieldNames.toSeq
-    private val types: Seq[DataType] = schema.fields.map(_.dataType).toSeq
+    private val toExternal =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(schema)
     private val buf = ArrayBuffer.empty[String]
     private var size = 30
 
@@ -153,13 +167,7 @@ object SqsSink {
     }
 
     override def write(r: InternalRow): Unit = {
-      val vals = cols.indices.map { i =>
-        if (r.isNullAt(i)) null
-        else r.get(i, types(i)) match {
-          case u: UTF8String => u.toString
-          case other => other
-        }
-      }
+      val vals = toExternal(r).asInstanceOf[org.apache.spark.sql.Row].toSeq
       val j = SqsPublisher.rowJson(cols, vals)
       val jb = j.getBytes("UTF-8").length
       if (30 + jb > maxBytes) throw SqsPublisher.RowTooLarge(jb, maxBytes)

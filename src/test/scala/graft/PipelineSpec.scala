@@ -150,7 +150,7 @@ class PipelineSpec extends AnyFunSuite {
   test("multimodal: stub decode appends typed metadata per row") {
     val df = Multimodal.withBinaryPayload(
       Seq((1L, "hello"), (2L, "worlds!")).toDF("id", "text"), "text")
-    val out = Multimodal.decodeMedia(spark, df, "media")
+    val out = Multimodal.decodeMedia(df, "media")
     assert(out.schema.fieldNames.takeRight(4).toSeq == Seq("format", "width", "height", "n_bytes"))
     // decode must stay inside the SQL plan (typed mapPartitions), not
     // drop to an RDD and re-enter via createDataFrame
@@ -162,7 +162,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(1L) == (("jpeg", 5L)))
     assert(rows(2L) == (("jpeg", 7L)))
     // deterministic: same input → same metadata
-    val again = Multimodal.decodeMedia(spark, df, "media")
+    val again = Multimodal.decodeMedia(df, "media")
       .select("id", "width", "height").collect().toSet
     assert(again == out.select("id", "width", "height").collect().toSet)
   }

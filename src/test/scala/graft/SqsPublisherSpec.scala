@@ -92,6 +92,28 @@ class SqsPublisherSpec extends AnyFunSuite {
     assert(rec2.sent.head._2.startsWith("""{"nodes": [], "relations": [{"START_KEY": "s1""""))
   }
 
+  test("DSv2 sink renders external values for non-string columns (parity with publishChunked)") {
+    // regression: the writer once serialized Catalyst internals —
+    // timestamps as raw micros, dates as epoch days
+    val rec = new SqsPublisher.Recording
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Date.valueOf("2024-01-01"), 2.5))
+      .toDF("KEY", "ts", "day", "score")
+    df.write.format("graft-sqs")
+      .option("queue_url", "q://types")
+      .option("transport", s"recording:${rec.id}")
+      .mode("append").save()
+    val body = rec.sent.head._2
+    assert(body.contains("\"ts\": \"2024-01-01 00:00:00"), body)
+    assert(body.contains("\"day\": \"2024-01-01\""), body)
+    assert(body.contains("\"score\": \"2.5\""), body)
+    assert(!body.contains("1704067200000000"), body) // raw micros
+    // byte-identical to the imperative chunked path on the same frame
+    val rec2 = new SqsPublisher.Recording
+    SqsPublisher.publishChunked(df, df.limit(0), rec2, "q://types")
+    assert(rec2.sent.head._2 == body)
+  }
+
   test("chunked mode: every row delivered, every message under the cap") {
     val nodes = (1 to 500).map(i => (s"key$i", "Label", "v" * 50))
       .toDF("KEY", "LABEL", "name")
