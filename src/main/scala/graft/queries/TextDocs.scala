@@ -11,11 +11,11 @@ import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
   * X15/X16/X18/X21): quality scoring, token counts, n-gram Jaccard
   * near-dup, SimHash, MinHash LSH, language ID, fingerprinting.
   *
-  * Oracle coverage: everything expressible in portable SQL has a DuckDB
-  * oracle (including the shingle-join Jaccard dedup and the md5
-  * fingerprint); hash-family ops (SimHash/MinHash signatures) are
-  * deterministic Spark-side but engine-specific, so they get rows-only
-  * checks + ScalaTest golden tests instead (SURVEY §2.C exclusions).
+  * Oracle coverage: EVERY query here has a DuckDB oracle — including
+  * the hash-family ops (SimHash/MinHash), whose FNV-1a + splitmix64
+  * pipeline is replayed in portable SQL via HUGEINT arithmetic
+  * mod 2^64 (see the hash-family oracle machinery below). Nothing in
+  * this module is rows-only checked.
   */
 object TextDocs {
   private type Q = (SparkSession, String) => DataFrame
@@ -172,6 +172,53 @@ object TextDocs {
       .map { case (lang, word) => s"('$lang', '$word')" }
       .mkString(", ")
 
+  // ---- hash-family oracle machinery (x_minhash_pairs / x_simhash_pairs) ----
+  //
+  // The engine's FNV-1a / splitmix64 hash family is replayed in DuckDB
+  // SQL with HUGEINT arithmetic mod 2^64, so even the "hash-family"
+  // dedup operators get full value-level oracles (they were rows-only
+  // in round 1). Bit-pattern equivalences used:
+  //  * xor/shift on HUGEINT values < 2^64 equal the JVM's unsigned
+  //    long bit ops (>>> == >> on non-negative HUGEINT);
+  //  * 64-bit wrap-around multiply: HUGEINT is 128-bit SIGNED, so
+  //    z*C overflows for 64-bit C — split z into 32-bit halves:
+  //    (lo*C + (hi*C mod 2^32)*2^32) mod 2^64  ==  z*C mod 2^64;
+  //  * the JVM's SIGNED long min/compare: xor with 2^63 is an
+  //    order-preserving bijection from signed to unsigned order, and
+  //    preserves equality — signatures are compared only for
+  //    equality/min, so the transformed values are used throughout;
+  //  * documents are ASCII, so ord(char) == utf-8 byte.
+  private val M = "18446744073709551616" // 2^64
+
+  /** (z * c) mod 2^64 without overflowing 128-bit signed HUGEINT. */
+  private def mulmod(z: String, c: String): String =
+    s"((($z) % 4294967296) * $c + ((($z) // 4294967296) * $c % 4294967296) * 4294967296) % $M"
+
+  /** splitmix64 finalizer as chained CTEs over column `z` of `src`. */
+  private def mixCtes(prefix: String, src: String, keys: String): String =
+    s"""${prefix}_a AS (SELECT $keys, ${mulmod("xor(z, z >> 30)", "13787848793156543929")} AS z FROM $src),
+       |${prefix}_b AS (SELECT $keys, ${mulmod("xor(z, z >> 27)", "10723151780598845931")} AS z FROM ${prefix}_a),
+       |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
+
+  /** Shared front end: distinct 3-gram shingles → FNV-1a 64 per
+    * shingle (identical to ShingleHashes semantics on single-space
+    * text). */
+  private val shingleFnvCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_distinct(list_transform(range(len(w) - 2),
+       |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+       |         ELSE [array_to_string(w, ' ')] END) AS shingle
+       |  FROM toks),
+       |fnv AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(range(1, length(shingle)+1), i -> ord(substr(shingle, i, 1)))),
+       |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * 1099511628211) % $M) AS h
+       |  FROM sh)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_fingerprint" ->
       """SELECT doc_id,
@@ -297,6 +344,64 @@ object TextDocs {
         |  CAST((octet_length(encode(text)) // 7) % 768 + 1 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_minhash_pairs" ->
+      s"""WITH $shingleFnvCtes,
+         |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + 11400714819323198485) % $M AS z
+         |            FROM range(16) t(j)),
+         |${mixCtes("seeds", "seeds_z", "j")},
+         |mx_z AS (SELECT f.doc_id, s.j,
+         |           (xor(f.h, s.z) + 11400714819323198485) % $M AS z
+         |         FROM fnv f CROSS JOIN seeds s),
+         |${mixCtes("mx", "mx_z", "doc_id, j")},
+         |-- xor 2^63: signed→unsigned order bijection (JVM long min)
+         |sig AS (SELECT doc_id, j,
+         |          MIN(xor(z, CAST(9223372036854775808 AS HUGEINT))) AS m
+         |        FROM mx GROUP BY 1, 2),
+         |bands AS (
+         |  SELECT doc_id, j // 2 AS band,
+         |    MAX(CASE WHEN j % 2 = 0 THEN m END) AS v0,
+         |    MAX(CASE WHEN j % 2 = 1 THEN m END) AS v1
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.ida, c.idb,
+         |    ROUND(CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.ida
+         |  JOIN sig sb ON sb.doc_id = c.idb AND sb.j = sa.j
+         |  GROUP BY 1, 2)
+         |SELECT ida, idb, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY ida, idb""".stripMargin,
+    "x_simhash_pairs" ->
+      s"""WITH $shingleFnvCtes,
+         |votes AS (
+         |  SELECT doc_id, b.b,
+         |    SUM(CASE WHEN (f.h >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM fnv f CROSS JOIN range(64) b(b) GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b)
+         |             ELSE CAST(0 AS HUGEINT) END) AS sig
+         |  FROM votes GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, sig, b.b AS band, (sig >> (16 * b.b)) % 65536 AS bval
+         |  FROM sig CROSS JOIN range(4) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb, a.sig AS siga, b.sig AS sigb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |-- 64-bit popcount of xor, split into 32-bit halves for BIGINT bit_count
+         |SELECT ida, idb,
+         |  CAST(bit_count(CAST(xor(siga, sigb) % 4294967296 AS BIGINT))
+         |     + bit_count(CAST(xor(siga, sigb) // 4294967296 AS BIGINT)) AS INT) AS hamming
+         |FROM cand
+         |WHERE bit_count(CAST(xor(siga, sigb) % 4294967296 AS BIGINT))
+         |    + bit_count(CAST(xor(siga, sigb) // 4294967296 AS BIGINT)) <= 3
+         |ORDER BY ida, idb""".stripMargin,
     "x_sample" ->
       """SELECT lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
