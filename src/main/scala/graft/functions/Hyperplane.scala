@@ -85,8 +85,13 @@ object HyperplaneSignature {
     * keys exist per workload; the cache is effectively bounded. */
   private val weightCache =
     new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]
+  private val MaxCachedTables = 64 // bound against ragged-dim input minting unbounded entries
 
-  private def weightTable(seed: Long, planes: Int, dim: Int): Array[Double] =
+  private def weightTable(seed: Long, planes: Int, dim: Int): Array[Double] = {
+    // crude but safe bound: recompute is cheap relative to an OOM from
+    // a corpus with many distinct vector widths (corrupt rows, mixed
+    // models) growing the cache for the JVM's lifetime
+    if (weightCache.size > MaxCachedTables) weightCache.clear()
     weightCache.computeIfAbsent((seed, planes, dim), { key =>
       val (s, p, d) = key
       val arr = new Array[Double](p * d)
@@ -98,6 +103,7 @@ object HyperplaneSignature {
       }
       arr
     })
+  }
 
   /** One pass per plane over the vector; summation order is ascending
     * dimension index (deterministic). */

@@ -209,15 +209,26 @@ object Dedup {
     // unrecomputable. When the cluster has a checkpoint dir configured
     // (sc.setCheckpointDir, standard on long-running 100 TB jobs),
     // reliable checkpoint() is used instead, surviving executor loss;
-    // local[N] iteration and tests take the cheap local path. Dropped
-    // rounds are dereferenced immediately (plus an unpersist for the
-    // cached-plan case) so the ContextCleaner reclaims their blocks as
-    // the loop runs; reliable-checkpoint files additionally honor
-    // spark.cleaner.referenceTracking.cleanCheckpoints.
+    // local[N] iteration and tests take the cheap local path. On the
+    // reliable path the frame is persisted FIRST so the checkpoint
+    // write job reads cached blocks instead of recomputing the round's
+    // joins from scratch (Dataset.checkpoint launches a second job);
+    // each round unpersists the previous round's cache entry. Local-
+    // checkpoint blocks are reclaimed by the ContextCleaner once each
+    // round's frame is dereferenced (Dataset.unpersist cannot free
+    // them — they are not CacheManager entries); reliable-checkpoint
+    // files honor spark.cleaner.referenceTracking.cleanCheckpoints.
     val sc = docs.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+    var prevCached: Option[DataFrame] = None
     def ckpt(df: DataFrame, eager: Boolean): DataFrame =
-      if (reliable) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (reliable) {
+        df.persist(lvl)
+        val out = df.checkpoint(eager)
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(df)
+        out
+      } else df.localCheckpoint(eager)
     var labels = ckpt(docs.select(col(idCol).as("a"), col(idCol).as("lbl")), eager = true)
     var converged = false
     var i = 0
@@ -234,11 +245,11 @@ object Dedup {
         eager = false)
       val changed = merged.agg(coalesce(max(col("chg")), lit(false)))
         .head.getBoolean(0)
-      labels.unpersist() // previous round's checkpoint blocks
       labels = merged.select("a", "lbl")
       converged = !changed
       i += 1
     }
+    prevCached.foreach(_.unpersist())
     val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))
     val out = docs.join(keep, Seq(idCol), "left_semi")
     edges.unpersist()

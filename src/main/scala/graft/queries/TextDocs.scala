@@ -201,17 +201,23 @@ object TextDocs {
        |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
 
   /** Shared front end: distinct 3-gram shingles → FNV-1a 64 per
-    * shingle (identical to ShingleHashes semantics on single-space
-    * text). */
+    * shingle, mirroring ShingleHashes exactly: tokens are whitespace
+    * RUNS (regex split + empty filter, not single-space split — space
+    * runs/tabs tokenize identically to the engine), and zero-token
+    * documents produce NO shingles (the engine emits an empty hash
+    * array for them; the single RE2-vs-JVM \s divergence left is the
+    * vertical tab \x0B, absent from this corpus). */
   private val shingleFnvCtes: String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s"""toks AS (SELECT doc_id,
+       |           list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+       |         FROM documents),
        |sh AS (
        |  SELECT DISTINCT doc_id, unnest(
        |    CASE WHEN len(w) >= 3
        |         THEN list_distinct(list_transform(range(len(w) - 2),
        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
        |         ELSE [array_to_string(w, ' ')] END) AS shingle
-       |  FROM toks),
+       |  FROM toks WHERE len(w) > 0),
        |fnv AS (
        |  SELECT doc_id,
        |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
@@ -261,14 +267,16 @@ object TextDocs {
         |GROUP BY text ORDER BY doc_id""".stripMargin,
     "x_ngram_jaccard" ->
       """WITH toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  -- whitespace-RUN tokens + empty-doc drop, mirroring ShingleHashes
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id, unnest(
         |    CASE WHEN len(w) >= 3
         |         THEN list_distinct(list_transform(range(len(w) - 2),
         |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
         |         ELSE [array_to_string(w, ' ')] END) AS shingle
-        |  FROM toks
+        |  FROM toks WHERE len(w) > 0
         |), counts AS (
         |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
         |), keep AS (
@@ -289,14 +297,15 @@ object TextDocs {
         |ORDER BY ida, idb""".stripMargin,
     "x_dedup_corpus" ->
       """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id, unnest(
         |    CASE WHEN len(w) >= 3
         |         THEN list_distinct(list_transform(range(len(w) - 2),
         |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
         |         ELSE [array_to_string(w, ' ')] END) AS shingle
-        |  FROM toks
+        |  FROM toks WHERE len(w) > 0
         |), counts AS (
         |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
         |), keep AS (
@@ -386,7 +395,9 @@ object TextDocs {
          |  SELECT doc_id,
          |    SUM(CASE WHEN v > 0 THEN (CAST(1 AS HUGEINT) << b)
          |             ELSE CAST(0 AS HUGEINT) END) AS sig
-         |  FROM votes GROUP BY doc_id),
+         |  FROM votes GROUP BY doc_id
+         |  -- zero-token docs: engine simhash of an empty hash array is 0
+         |  UNION ALL SELECT doc_id, CAST(0 AS HUGEINT) FROM toks WHERE len(w) = 0),
          |bands AS (
          |  SELECT doc_id, sig, b.b AS band, (sig >> (16 * b.b)) % 65536 AS bval
          |  FROM sig CROSS JOIN range(4) b(b)),
