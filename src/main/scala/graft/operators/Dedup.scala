@@ -176,6 +176,58 @@ object Dedup {
       .select(col("ida"), col("idb"), col("est_jaccard"))
   }
 
+  /** MinHash signature table for a corpus: (id, mh ARRAY(LONG)). At
+    * 100 TB this is the PERSISTED dedup index — computed once per
+    * corpus snapshot, stored (bucketed by band keys) so incremental
+    * batches never rescan historical text. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        ShingleHashes.shingleHashes(spark, col(textCol)).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("id"),
+        graft.functions.MinHashSignature.signature(spark, col("hs"), numHashes).as("mh"))
+  }
+
+  private def bandKeys(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("id"), col("mh"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          struct((0 until rows).map(r => element_at(col("mh"), b * rows + r + 1)
+            .as(s"v$r")): _*).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("mh"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+  }
+
+  /** Incremental near-dup: which NEW docs duplicate an EXISTING corpus
+    * (the daily-ingest shape). `index` is a [[minhashSignatures]] table
+    * of the historical corpus; only the new batch is shingled/hashed,
+    * then band-joined against the index — per-increment cost is
+    * O(|batch|) plus a keyed join against the (bucketed) index, never a
+    * rescan of history. Returns (new_id, dup_of, est_jaccard). */
+  def incrementalNearDups(newDocs: DataFrame, idCol: String, textCol: String,
+                          index: DataFrame, minJaccard: Double,
+                          numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val fresh = minhashSignatures(newDocs, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandKeys(fresh, numHashes, bands)
+      .select(col("band"), col("bval"), col("id").as("new_id"), col("mh").as("mhn"))
+      .join(bandKeys(index, numHashes, bands)
+        .select(col("band"), col("bval"), col("id").as("dup_of"), col("mh").as("mhi")),
+        Seq("band", "bval"))
+      .select("new_id", "dup_of", "mhn", "mhi").distinct()
+    cand
+      .withColumn("est_jaccard",
+        round(size(filter(zip_with(col("mhn"), col("mhi"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes, 4))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("new_id"), col("dup_of"), col("est_jaccard"))
+  }
+
   /** Drop near-duplicates given candidate pairs: treat (ida, idb) as
     * edges, find connected components with iterative min-label
     * propagation, keep only the minimum id of each component.

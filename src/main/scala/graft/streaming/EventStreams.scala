@@ -54,4 +54,24 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** X9/X13 stream-STREAM interval join: correlate two event streams on
+    * a key where the right event lands within [0, interval] after the
+    * left one (click-attribution shape). Both sides carry watermarks
+    * and the join condition bounds event-time distance, so Spark can
+    * compute how long each side's state must be retained and evict it
+    * — the state-bounded form that survives an unbounded stream. The
+    * inputs must expose distinct column names (pre-aliased). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   interval: String = "10 minutes",
+                   watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"))
+  }
 }

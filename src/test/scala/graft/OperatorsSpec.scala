@@ -256,6 +256,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == out)
   }
 
+  test("incremental near-dup: new batch band-joins a precomputed index, history not rescanned") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different text about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-copy of 1
+      (101L, "entirely novel document with words shared by nothing in the corpus"))
+      .toDF("doc_id", "text")
+    val dups = graft.operators.Dedup
+      .incrementalNearDups(batch, "doc_id", "text", index, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((100L, 1L)), dups.toString)
+    // the index side is reusable across batches: a second batch of pure
+    // originals reports no duplicates against the same index
+    val clean = Seq((200L, "another fresh document sharing no trigrams with anything above"))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Dedup
+      .incrementalNearDups(clean, "doc_id", "text", index, minJaccard = 0.5).isEmpty)
+  }
+
   test("bpe tokens match the RE2 (DuckDB) golden output on edge strings") {
     // goldens produced by DuckDB 1.x regexp_extract_all with the same
     // pattern — pins Java-regex/RE2 agreement on the oracle-checked path

@@ -145,6 +145,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: right event within the interval joins, outside drops") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoin(
+      views.toDF().select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id")),
+      clicks.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id")),
+      "v_user", "c_user", "v_ts", "c_ts", interval = "10 minutes", watermark = "10 minutes")
+    val q = run("ivj_out", joined.select("v_id", "c_id"))
+    try {
+      // view at min 0; click at min 5 (joins), click at min 25 (outside interval)
+      views.addData(ev(1, 0, user = 7))
+      clicks.addData(ev(100, 5, user = 7), ev(101, 25, user = 7))
+      // advance both watermarks far past the interval so results finalize
+      views.addData(ev(2, 120, user = 8))
+      clicks.addData(ev(102, 120, user = 9))
+      q.processAllAvailable()
+      val rows = spark.table("ivj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((1L, 100L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions as they close, state times out") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
