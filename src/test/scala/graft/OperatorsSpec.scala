@@ -118,6 +118,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 4L, 5L, 7L))
   }
 
+  test("dropNearDuplicates reliable-checkpoint path (checkpoint dir set) matches local path") {
+    val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
+      .toDF("ida", "idb", "jaccard")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_reliable").toString
+    // a set checkpoint dir flips the operator onto reliable checkpoint()
+    // (the 100 TB fault-tolerant branch) — results must be identical
+    spark.sparkContext.setCheckpointDir(dir)
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L, 7L))
+    assert(spark.sparkContext.getCheckpointDir.isDefined)
+  }
+
   test("native minhash: exact dup pair estimated at 1.0, random docs excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
