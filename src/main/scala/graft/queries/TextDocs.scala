@@ -130,6 +130,18 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_ngram_freq" -> ((s, dir) => {
+      // corpus n-gram document frequency (contamination / memorization
+      // analysis shape): how many documents contain each trigram. Uses
+      // the string shingles (distinct per doc), so the count is a true
+      // document frequency; partial agg + one keyed shuffle.
+      docs(s, dir)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+        .groupBy("shingle").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)
+    }),
+
     "x_sample" -> ((s, dir) => {
       // deterministic train/test split + stratification audit: per-lang
       // row counts per split. The split is a pure function of doc_id
@@ -353,6 +365,20 @@ object TextDocs {
         |  CAST((octet_length(encode(text)) // 7) % 768 + 1 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ngram_freq" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) >= 3
+        |         THEN list_distinct(list_transform(range(len(w) - 2),
+        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+        |         ELSE [array_to_string(w, ' ')] END) AS shingle
+        |  FROM toks WHERE len(w) > 0
+        |)
+        |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+        |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "x_minhash_pairs" ->
       s"""WITH $shingleFnvCtes,
          |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + 11400714819323198485) % $M AS z
