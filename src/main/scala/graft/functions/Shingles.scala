@@ -107,6 +107,91 @@ object ShingleHashes {
   }
 }
 
+/** Distinct word n-gram shingles as STRINGS (ARRAY(STRING)) — the
+  * string-emitting sibling of [[ShingleHashes]], sharing its exact
+  * tokenization (whitespace-run tokens, zero-token docs → empty array,
+  * short docs → one whole-doc shingle, first-occurrence dedup). Used
+  * where the shingle text itself is the output (n-gram frequency /
+  * contamination analysis), so the oracle-checked semantics match the
+  * hash pipeline's and the per-row loop stays out of interpreted HOFs.
+  */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= 16, s"unreasonable shingle width $n")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleStrings.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // token boundaries on the same whitespace set as ShingleHashes
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isSpace(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isSpace(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size()
+    val width = math.min(n, math.max(m, 1))
+    val count = math.max(m - width + 1, if (m == 0) 0 else 1)
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    var k = 0
+    while (k < count) {
+      val sb = new java.lang.StringBuilder()
+      var t = 0
+      while (t < width) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(k + t))
+        t += 1
+      }
+      seen.add(sb.toString)
+      k += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
+
+  private val FnName = "graft_shingle_strings"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => {
+        val n = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(s"n must be a literal int, got $other")
+        }
+        ShingleStrings(exprs.head, n)
+      }, "built-in")
+
+  def shingleStrings(spark: SparkSession, text: Column, n: Int = 3): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, text,
+      org.apache.spark.sql.functions.lit(n))
+  }
+}
+
 /** 64-bit SimHash of an ARRAY(LONG) hash column: per-bit ±1 majority
   * vote packed into a long, one JVM pass (native counterpart of the
   * 64-HOF-filter formulation, which was interpreted per bit).

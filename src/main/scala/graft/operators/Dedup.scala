@@ -4,7 +4,7 @@ import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Fnv1a64, ShingleHashes, SimHash64}
+import graft.functions.{ShingleHashes, SimHash64}
 
 /** Deduplication operators for the training-data pipeline (SURVEY §2.B
   * X15/X16): exact, n-gram Jaccard (shingle-bucketed), SimHash, and
@@ -142,27 +142,12 @@ object Dedup {
                    minJaccard: Double, numHashes: Int = 16,
                    bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = docs.sparkSession
-    Fnv1a64.register(spark)
-    val rows = numHashes / bands
-    val hashed = docs
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"),
-        ShingleHashes.shingleHashes(spark, col(textCol)).as("hs"))
-      .filter(size(col("hs")) > 0)
     // persist: both band-join branches (and the estimate stage) read
     // this — without it the whole shingle→minhash pipeline runs once
     // per consumer (3× the hashing cost at any scale)
-    val mh = hashed.select(col("id"),
-      graft.functions.MinHashSignature.signature(spark, col("hs"), numHashes).as("mh"))
+    val mh = minhashSignatures(docs, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = mh.select(col("id"), col("mh"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          struct((0 until rows).map(r => element_at(col("mh"), b * rows + r + 1)
-            .as(s"v$r")): _*).as("bval"))
-      }: _*)).as("bk"))
-      .select(col("id"), col("mh"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val banded = bandKeys(mh, numHashes, bands)
     val cand = banded.select(col("band"), col("bval"), col("id").as("ida"), col("mh").as("mha"))
       .join(banded.select(col("band"), col("bval"), col("id").as("idb"), col("mh").as("mhb")),
         Seq("band", "bval"))
@@ -212,8 +197,17 @@ object Dedup {
                           index: DataFrame, minJaccard: Double,
                           numHashes: Int = 16, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // guard: an index built with a different signature width would
+    // throw element_at out-of-bounds deep inside the join under ANSI
+    // mode (or silently deflate estimates without it) — fail fast with
+    // a clear message instead. take(1) reads one row (limit pushdown).
+    index.select(size(col("mh")).as("w")).take(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"index signature width ${r.getInt(0)} != numHashes $numHashes — " +
+          "rebuild the index or pass the width it was built with")
+    }
+    // no persist: the batch signatures feed exactly one band join
     val fresh = minhashSignatures(newDocs, idCol, textCol, numHashes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandKeys(fresh, numHashes, bands)
       .select(col("band"), col("bval"), col("id").as("new_id"), col("mh").as("mhn"))
       .join(bandKeys(index, numHashes, bands)

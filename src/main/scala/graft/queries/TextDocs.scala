@@ -132,11 +132,15 @@ object TextDocs {
 
     "x_ngram_freq" -> ((s, dir) => {
       // corpus n-gram document frequency (contamination / memorization
-      // analysis shape): how many documents contain each trigram. Uses
-      // the string shingles (distinct per doc), so the count is a true
-      // document frequency; partial agg + one keyed shuffle.
+      // analysis shape): how many documents contain each trigram.
+      // Native ShingleStrings shares ShingleHashes' exact tokenization
+      // (whitespace runs, zero-token drop) so the oracle semantics
+      // match the hash pipeline's, and the per-row shingling stays out
+      // of interpreted HOFs; repartition spreads the single-file scan.
       docs(s, dir)
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("shingle"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleStrings.shingleStrings(s, col("text"))).as("shingle"))
         .groupBy("shingle").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)

@@ -122,14 +122,24 @@ class OperatorsSpec extends AnyFunSuite {
     val docs = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (5L, 6L, 1.0))
       .toDF("ida", "idb", "jaccard")
-    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_reliable").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_reliable")
     // a set checkpoint dir flips the operator onto reliable checkpoint()
     // (the 100 TB fault-tolerant branch) — results must be identical
-    spark.sparkContext.setCheckpointDir(dir)
-    val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
-      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(kept == Seq(1L, 4L, 5L, 7L))
-    assert(spark.sparkContext.getCheckpointDir.isDefined)
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val kept = Dedup.dropNearDuplicates(docs, "doc_id", pairs)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 4L, 5L, 7L))
+    } finally {
+      // restore the shared session to the local-checkpoint default and
+      // drop the checkpoint files so later suites see a clean state
+      org.apache.spark.GraftTestSparkAccess.clearCheckpointDir(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
   }
 
   test("native minhash: exact dup pair estimated at 1.0, random docs excluded") {
