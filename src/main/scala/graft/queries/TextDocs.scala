@@ -130,6 +130,24 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_tfidf" -> ((s, dir) => {
+      // classic tf-idf term weighting: tf per (doc, word), df across
+      // docs, idf = ln(N/df). N rides along as a broadcast 1-row agg
+      // (no driver-side count action); two hash aggs + one broadcast
+      // join. round(4) absorbs cross-engine ln() ulp differences.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n"))
+      tf.join(df, Seq("word")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"),
+          round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+        .limit(20)
+    }),
+
     "x_ngram_freq" -> ((s, dir) => {
       // corpus n-gram document frequency (contamination / memorization
       // analysis shape): how many documents contain each trigram.
@@ -369,6 +387,19 @@ object TextDocs {
         |  CAST((octet_length(encode(text)) // 7) % 768 + 1 AS INT) AS height,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.word,
+        |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+        |FROM tf JOIN df USING (word) CROSS JOIN n
+        |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 20""".stripMargin,
     "x_ngram_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
