@@ -32,12 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_shingle_hashes"),
       info("graft_shingle_hashes", "graft_shingle_hashes(text, n) - distinct word n-gram FNV hashes"),
       (exprs: Seq[Expression]) =>
-        ShingleHashes(exprs.head, exprs(1).eval().toString.toInt)))
+        ShingleHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "n"))))
 
     e.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "graft_minhash_sig(hashes, k) - k minhash permutation minima"),
       (exprs: Seq[Expression]) =>
-        MinHashSignature(exprs.head, exprs(1).eval().toString.toInt)))
+        MinHashSignature(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "k"))))
 
     e.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash"),

@@ -88,11 +88,19 @@ object HyperplaneSignature {
   private val MaxCachedTables = 64 // bound against ragged-dim input minting unbounded entries
 
   private def weightTable(seed: Long, planes: Int, dim: Int): Array[Double] = {
-    // crude but safe bound: recompute is cheap relative to an OOM from
-    // a corpus with many distinct vector widths (corrupt rows, mixed
-    // models) growing the cache for the JVM's lifetime
-    if (weightCache.size > MaxCachedTables) weightCache.clear()
-    weightCache.computeIfAbsent((seed, planes, dim), { key =>
+    // fast path first: steady-state rows never pay the bound check.
+    // The bound is enforced only on the MISS path (round-2 advice: a
+    // per-row `if (size > bound) clear()` meant that with >bound live
+    // keys — ragged-dim/mixed-model corpora — EVERY row wiped the cache
+    // and rebuilt a planes×dim table, a per-row perf cliff instead of a
+    // graceful degradation). Clearing before computeIfAbsent keeps the
+    // map mutation outside the mapping function (ConcurrentHashMap
+    // forbids mutating the map inside computeIfAbsent).
+    val k = (seed, planes, dim)
+    val hit = weightCache.get(k)
+    if (hit != null) return hit
+    if (weightCache.size >= MaxCachedTables) weightCache.clear()
+    weightCache.computeIfAbsent(k, { key =>
       val (s, p, d) = key
       val arr = new Array[Double](p * d)
       var pl = 0
@@ -129,20 +137,10 @@ object HyperplaneSignature {
 
   private val FnName = "graft_hyperplane_sig"
 
-  private def litLong(e: Expression, what: String): Long = {
-    if (!e.foldable) throw new IllegalArgumentException(
-      s"$what must be a literal int, got non-foldable expression ${e.sql}")
-    e.eval() match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => throw new IllegalArgumentException(s"$what must be a literal int, got $other")
-    }
-  }
-
   def make(exprs: Seq[Expression]): HyperplaneSignature =
     HyperplaneSignature(exprs.head,
-      litLong(exprs(1), "planes").toInt,
-      litLong(exprs(2), "seed"))
+      LitArgs.litInt(exprs(1), "planes"),
+      LitArgs.litLong(exprs(2), "seed"))
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

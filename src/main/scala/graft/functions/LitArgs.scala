@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Shared validation for SQL-registered functions whose non-column
+  * arguments must be literals (shingle width, minhash k, LSH planes…).
+  *
+  * Guarding on `foldable` BEFORE `eval()` turns "obscure Catalyst
+  * unbound-reference error mid-analysis" into a clean
+  * 'n must be a literal int' message when a user passes a column
+  * (round-2 advice on ShingleStrings.register).
+  */
+private[graft] object LitArgs {
+
+  def litLong(e: Expression, what: String): Long = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal int, got non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal int, got $other")
+    }
+  }
+
+  def litInt(e: Expression, what: String): Int = litLong(e, what).toInt
+}

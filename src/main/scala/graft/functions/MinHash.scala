@@ -68,14 +68,7 @@ object MinHashSignature {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        val k = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(s"k must be a literal int, got $other")
-        }
-        MinHashSignature(exprs.head, k)
-      }, "built-in")
+      FnName, exprs => MinHashSignature(exprs.head, LitArgs.litInt(exprs(1), "k")), "built-in")
 
   def signature(spark: SparkSession, hashes: Column, k: Int): Column = {
     register(spark)

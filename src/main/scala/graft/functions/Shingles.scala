@@ -91,14 +91,7 @@ object ShingleHashes {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        val n = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(s"n must be a literal int, got $other")
-        }
-        ShingleHashes(exprs.head, n)
-      }, "built-in")
+      FnName, exprs => ShingleHashes(exprs.head, LitArgs.litInt(exprs(1), "n")), "built-in")
 
   def shingleHashes(spark: SparkSession, text: Column, n: Int = 3): Column = {
     register(spark)
@@ -176,14 +169,7 @@ object ShingleStrings {
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => {
-        val n = exprs(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(s"n must be a literal int, got $other")
-        }
-        ShingleStrings(exprs.head, n)
-      }, "built-in")
+      FnName, exprs => ShingleStrings(exprs.head, LitArgs.litInt(exprs(1), "n")), "built-in")
 
   def shingleStrings(spark: SparkSession, text: Column, n: Int = 3): Column = {
     register(spark)

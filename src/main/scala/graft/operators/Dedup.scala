@@ -72,13 +72,22 @@ object Dedup {
       .join(pruned.select(col("sh"), col("id").as("idb")), Seq("sh"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
-    shared
+    val out = shared
       .join(counts.select(col("id").as("ida"), col("nsh").as("na")), Seq("ida"))
       .join(counts.select(col("id").as("idb"), col("nsh").as("nb")), Seq("idb"))
       .withColumn("__j", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("__j") >= threshold) // filter BEFORE rounding (oracle parity)
       .select(col("ida"), col("idb"), round(col("__j"), 4).as("jaccard"))
+    // Materialize the verified-pairs frame (orders of magnitude smaller
+    // than the shingle frame) so the heavy cache is dropped NOW instead
+    // of leaking for the session's lifetime — round-2 advice on
+    // minhashPairs, and the measured cause of cache churn when many
+    // dedup queries run in one harness: each un-released MEMORY_AND_DISK
+    // shingle frame evicts/spills the next query's working set.
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
+    materialized
   }
 
   /** 64-bit SimHash over word 3-gram shingles: per-shingle FNV-1a
@@ -153,12 +162,18 @@ object Dedup {
         Seq("band", "bval"))
       .filter(col("ida") < col("idb"))
       .select("ida", "idb", "mha", "mhb").distinct()
-    cand
+    val out = cand
       .withColumn("est_jaccard",
         round(size(filter(zip_with(col("mha"), col("mhb"), (x, y) => x === y),
           b => b)).cast("double") / numHashes, 4))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("ida"), col("idb"), col("est_jaccard"))
+    // materialize the small verified-pairs result so the signature
+    // cache is released before returning (round-2 advice: repeated
+    // calls in a long-lived session accumulated dead cache entries)
+    val materialized = out.localCheckpoint(true)
+    mh.unpersist()
+    materialized
   }
 
   /** MinHash signature table for a corpus: (id, mh ARRAY(LONG)). At
@@ -192,25 +207,35 @@ object Dedup {
     * of the historical corpus; only the new batch is shingled/hashed,
     * then band-joined against the index — per-increment cost is
     * O(|batch|) plus a keyed join against the (bucketed) index, never a
-    * rescan of history. Returns (new_id, dup_of, est_jaccard). */
+    * rescan of history. Returns (new_id, dup_of, est_jaccard).
+    *
+    * Width guard: a fast-fail check reads ONE index row before any job
+    * launches, and a per-row validation inside the scan catches mixed-
+    * width (corrupt / partially rebuilt) indexes the sample misses —
+    * both raise a message naming the fix instead of the opaque
+    * element_at out-of-bounds the band join would otherwise throw under
+    * ANSI mode (round-2 advice). */
   def incrementalNearDups(newDocs: DataFrame, idCol: String, textCol: String,
                           index: DataFrame, minJaccard: Double,
                           numHashes: Int = 16, bands: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // guard: an index built with a different signature width would
-    // throw element_at out-of-bounds deep inside the join under ANSI
-    // mode (or silently deflate estimates without it) — fail fast with
-    // a clear message instead. take(1) reads one row (limit pushdown).
+    // fail fast with a clear message: take(1) reads one row (limit pushdown)
     index.select(size(col("mh")).as("w")).take(1).foreach { r =>
       require(r.getInt(0) == numHashes,
         s"index signature width ${r.getInt(0)} != numHashes $numHashes — " +
           "rebuild the index or pass the width it was built with")
     }
+    // per-row completeness: one size() comparison per index row
+    val checkedIndex = index.withColumn("mh",
+      when(size(col("mh")) === numHashes, col("mh")).otherwise(raise_error(
+        concat(lit("minhash index row (id "), col("id").cast("string"),
+          lit(") has signature width "), size(col("mh")).cast("string"),
+          lit(s", expected $numHashes — rebuild the index")))))
     // no persist: the batch signatures feed exactly one band join
     val fresh = minhashSignatures(newDocs, idCol, textCol, numHashes)
     val cand = bandKeys(fresh, numHashes, bands)
       .select(col("band"), col("bval"), col("id").as("new_id"), col("mh").as("mhn"))
-      .join(bandKeys(index, numHashes, bands)
+      .join(bandKeys(checkedIndex, numHashes, bands)
         .select(col("band"), col("bval"), col("id").as("dup_of"), col("mh").as("mhi")),
         Seq("band", "bval"))
       .select("new_id", "dup_of", "mhn", "mhi").distinct()

@@ -60,16 +60,30 @@ object Similarity {
     * probe only the `nprobe` centroids closest to the query. At 100 TB
     * the corpus is pre-partitioned/bucketed by centroid_id so a probe
     * touches only matching partitions.
+    *
+    * Assignment is NARROW (round-2 verdict): the centroid table rides
+    * along as one broadcast array-of-structs row and the per-row argmax
+    * runs inside whole-stage codegen ([[graft.functions.NearestCentroid]]).
+    * The earlier `groupBy(id, vec).agg(max_by(...))` formulation
+    * expressed the same per-row computation as an aggregation, whose
+    * final exchange shuffled every embedding across the network —
+    * the whole corpus moved for a map-shaped step. Now the corpus never
+    * shuffles: scan → argmax project → broadcast probe join → top-k.
     */
   def ivfTopK(corpus: DataFrame, idCol: String, vecCol: String,
               centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
               query: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    val cb = broadcast(centroids.select(col(centroidIdCol).as("__cid"), col(centroidVecCol).as("__cv")))
-    // nearest centroid per corpus vector (broadcast join + max_by)
-    val assigned = corpus.crossJoin(cb)
-      .groupBy(col(idCol), col(vecCol))
-      .agg(max_by(col("__cid"),
-        CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__cv"))).as("__cid"))
+    val cb = broadcast(centroids.select(
+      col(centroidIdCol).cast("long").as("__cid"), col(centroidVecCol).as("__cv")))
+    // one-row centroid array, sorted by cid so argmax ties are
+    // engine-independent (struct sort orders by the first field)
+    val centArr = broadcast(
+      cb.agg(array_sort(collect_list(struct(col("__cid"), col("__cv")))).as("__cents")))
+    // nearest centroid per corpus vector: zero-exchange codegen argmax
+    val assigned = corpus.crossJoin(centArr)
+      .withColumn("__cid",
+        graft.functions.NearestCentroid.nearest(corpus.sparkSession, col(vecCol), col("__cents")))
+      .drop("__cents")
     // centroids to probe for this query
     val probed = query.select(col(vecCol).as("__qv")).crossJoin(cb)
       .select(col("__qv"), col("__cid"),

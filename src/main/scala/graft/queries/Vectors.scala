@@ -54,9 +54,13 @@ object Vectors {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      // nprobe far above the centroid count at every SF (sf0.1 has
+      // ~200) → full probe, so the exact x_ann_topk oracle applies; yet
+      // small enough that the probe ranking stays TakeOrderedAndProject
+      // (Int.MaxValue forced a two-stage global sort on the probe side).
       Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         cents, "cid", "cvec", e.filter(col("vec_id") === 0),
-        k = 20, nprobe = Int.MaxValue)
+        k = 20, nprobe = 1000)
     }),
 
     "x_embed_neardup" -> ((s, dir) => {

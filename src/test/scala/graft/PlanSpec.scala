@@ -98,6 +98,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p) // corpus never shuffle-joined
+    // round-2 verdict: assignment must be narrow. The only shuffles
+    // allowed are centroid/probe-side (single-row collect_list agg and
+    // the nprobe ordering) — no Exchange may ever carry the corpus
+    // embedding column. Formatted explain prints each Exchange node's
+    // schema on the next "Input [...]" line.
+    val lines = p.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.trim.matches("""\(\d+\) Exchange""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+    }
+    assert(exchangeInputs.size <= 2, s"unexpected extra shuffles:\n$p")
+    assert(!exchangeInputs.exists(_.contains("embedding#")),
+      s"an exchange carries corpus embeddings:\n$p")
+    assert(p.contains("nearest_centroid"), p)
   }
 
   test("x_scrub/x_bpe_tokens: narrow scrub/tokenize — no shuffle except the output sort") {
