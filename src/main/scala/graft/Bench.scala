@@ -35,6 +35,19 @@ object Bench {
     // one throwaway query to amortize first-plan codegen/JIT so the
     // first timed query isn't charged for JVM warmup
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // warm the iterative dedup path (shingle/minhash codegen, the
+    // checkpoint machinery, the per-round scheduler round-trips) at the
+    // smallest SF: the round-2 driver recorded a 19.3 s tail for
+    // x_dedup_corpus whose re-runs measured 1-8 s — first-execution
+    // JVM/codegen warmup on an 8-stage iterative job is exactly the
+    // kind of cost a single-plan warmup query doesn't amortize.
+    val warmDir = new java.io.File(sfDir).getParentFile
+    val sf001 = new java.io.File(warmDir, "sf0.001")
+    if (sf001.isDirectory) {
+      try SparkEntry.queries("x_dedup_corpus")(spark, sf001.getAbsolutePath)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
+    }
 
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -37,7 +37,9 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
 object MinHashSignature {
 
-  private def mix64(zIn: Long): Long = {
+  // private[graft]: the HashReplay property test pins the oracle's
+  // BigInt/SQL replay to exactly this kernel
+  private[graft] def mix64(zIn: Long): Long = {
     var z = zIn + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL

@@ -48,4 +48,31 @@ object ScaleJoins {
                             cols: Seq[Column]): Unit =
     df.repartitionByRange(partitions, cols: _*)
       .write.mode("overwrite").parquet(path)
+
+  // one partitioned copy per (source dir, table, month column) per JVM
+  private val partitionedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Hive-style month-partitioned copy of a test table, memoized per
+    * JVM: the substrate for dynamic partition pruning (SURVEY §4
+    * "partition pruning"). At 100 TB the fact table lives permanently
+    * partitioned like this — `spark.read` on the directory restores
+    * `monthCol` as a partition column, so a join against a filtered
+    * dimension on that column lets Spark prune whole partition
+    * directories AT RUNTIME from the dim side's values (DPP), the
+    * single biggest scan-killer on partitioned facts. Derived from the
+    * flat test parquet once; rewrites only on a fresh JVM. */
+  def partitionedByMonth(spark: SparkSession, sourceDir: String, table: String,
+                         dateCol: String, monthCol: String): DataFrame = {
+    val path = partitionedCache.computeIfAbsent(s"$sourceDir/$table/$monthCol", { _ =>
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_part_${table}_${monthCol}_${Integer.toHexString(sourceDir.hashCode)}")
+        .getAbsolutePath
+      graft.core.Tables.load(spark, sourceDir, table)
+        .withColumn(monthCol, date_format(col(dateCol), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy(monthCol).parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.operators.AsOfJoin
+import graft.streaming.EventStreams
 
 /** Event-stream queries: declared Q19 (JSON extraction), Q21 (tumbling
   * window batch form), Q22 (as-of join), plus sliding-window and
@@ -40,11 +41,47 @@ object Events {
     }),
 
     "x_sliding_window" -> ((s, dir) => {
-      ev(s, dir)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+      // two-level sliding window: aggregate per 15-minute BASE bucket
+      // first, then expand each bucket row into the 4 one-hour windows
+      // containing it and re-aggregate. Result-identical to
+      // window(ts, '1 hour', '15 minutes') — an event's 4 windows start
+      // at its bucket minus {0,15,30,45} min — but the 4× Expand runs
+      // over |buckets| pre-aggregated rows instead of |events| raw
+      // rows, shrinking the expand+shuffle input by the events-per-
+      // bucket factor (the number that grows with scale). The
+      // streaming form keeps the canonical single-level plan
+      // (EventStreams.slidingCounts); this is the batch scale shape.
+      val base = ev(s, dir)
+        .groupBy(window(col("ts"), "15 minutes").getField("start").as("bs"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      base.select(col("event_type"), col("c"),
+          explode(array((0 until 4).map(i =>
+            col("bs") - expr(s"INTERVAL ${15 * i} MINUTES")): _*)).as("ws"))
+        .groupBy("ws", "event_type").agg(sum(col("c")).as("cnt"))
+        .select(col("ws"), col("event_type"), col("cnt"))
         .orderBy("ws", "event_type")
+    }),
+
+    "x_interval_join" -> ((s, dir) => {
+      // batch form of the stream-STREAM interval join (X13) through
+      // the SAME builder the streaming tests exercise — withWatermark
+      // is a no-op on batch frames, so the join semantics get a full
+      // DuckDB value oracle here while the state-bounded streaming
+      // behavior is MemoryStream-spec'd (round-2 verdict item 4).
+      // Shape: view → purchase attribution within 30 minutes.
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("buy_id"), col("user_id").as("b_user"),
+          col("ts").as("b_ts"))
+      EventStreams.intervalJoin(views, buys, "v_user", "b_user", "v_ts", "b_ts",
+          interval = "30 minutes")
+        .select(col("view_id"), col("buy_id"),
+          expr("(unix_micros(b_ts) - unix_micros(v_ts)) div 1000000").as("lag_s"))
+        .orderBy("view_id", "buy_id")
     }),
 
     "q22_asof" -> ((s, dir) => {
@@ -94,6 +131,14 @@ object Events {
         |       event_type, COUNT(*) AS cnt
         |FROM events, unnest(range(4)) AS t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_interval_join" ->
+      """SELECT v.event_id AS view_id, b.event_id AS buy_id,
+        |  CAST((epoch_us(b.ts) - epoch_us(v.ts)) // 1000000 AS BIGINT) AS lag_s
+        |FROM events v JOIN events b
+        |  ON v.user_id = b.user_id
+        | AND v.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '30 minutes'
+        |ORDER BY view_id, buy_id""".stripMargin,
     "q22_asof" ->
       """WITH m AS (
         |  SELECT e.event_id, MAX(o.o_orderdate) AS od FROM events e

@@ -1,0 +1,79 @@
+package graft.queries
+
+/** Single source of truth for the DuckDB-side replay of the engine's
+  * 64-bit hash family (FNV-1a, splitmix64, signed-order bijection) —
+  * the machinery that lets the hash-family dedup operators
+  * (x_minhash_pairs / x_simhash_pairs) be value-level oracled.
+  *
+  * Both the oracle SQL (generated in [[TextDocs]]) and the BigInt
+  * model (property-checked against the JVM kernels in GraftProperties)
+  * are built from THE SAME constants and the same 32-bit-split
+  * multiply decomposition, so drift in either side fails a test
+  * instead of silently corrupting an oracle (round-2 verdict item 8).
+  *
+  * Bit-pattern equivalences (HUGEINT is 128-bit SIGNED):
+  *  - xor/shift on values < 2^64 equal the JVM's unsigned long bit ops
+  *    (>>> == >> on non-negative HUGEINT);
+  *  - 64-bit wrap-around multiply z*c: z split into 32-bit halves,
+  *    (lo*c + (hi*c mod 2^32)*2^32) mod 2^64 — every intermediate fits
+  *    a signed 128-bit value;
+  *  - the JVM's SIGNED long compare: xor with 2^63 is an
+  *    order-preserving bijection from signed to unsigned order and
+  *    preserves equality.
+  */
+object HashReplay {
+
+  /** 2^64 as BigInt and as SQL text. */
+  val M: BigInt = BigInt(1) << 64
+  val MSql: String = "18446744073709551616"
+  private val TwoPow32 = BigInt(1) << 32
+
+  // decimal (unsigned) renderings of the JVM constants in
+  // functions/Hashing.scala and functions/MinHash.scala
+  val FnvOffset: BigInt = BigInt("14695981039346656037")  // 0xcbf29ce484222325
+  val FnvPrime: BigInt = BigInt("1099511628211")          // 0x100000001b3
+  val SplitmixGamma: BigInt = BigInt("11400714819323198485") // 0x9e3779b97f4a7c15
+  val SplitmixC1: BigInt = BigInt("13787848793156543929")    // 0xbf58476d1ce4e5b9
+  val SplitmixC2: BigInt = BigInt("10723151780598845931")    // 0x94d049bb133111eb
+  val SignBit: BigInt = BigInt("9223372036854775808")        // 2^63
+
+  /** SQL: (z * c) mod 2^64 without overflowing signed HUGEINT. */
+  def mulmodSql(z: String, c: BigInt): String =
+    s"((($z) % 4294967296) * $c + ((($z) // 4294967296) * $c % 4294967296) * 4294967296) % $MSql"
+
+  /** BigInt model of [[mulmodSql]] — the identical decomposition, so a
+    * wrong split in the SQL text means a wrong split here too and the
+    * property against the JVM multiply catches it. */
+  def mulmod(z: BigInt, c: BigInt): BigInt =
+    ((z % TwoPow32) * c + ((z / TwoPow32) * c % TwoPow32) * TwoPow32) % M
+
+  /** splitmix64 finalizer over an unsigned z — BigInt model of the
+    * mixCtes SQL chain in [[TextDocs]]. */
+  def mix(z0: BigInt): BigInt = {
+    def xs(z: BigInt, s: Int): BigInt = z ^ (z >> s)
+    xs(mulmod(xs(mulmod(xs(z0, 30), SplitmixC1), 27), SplitmixC2), 31)
+  }
+
+  /** Full splitmix64 step (gamma add + finalizer), as the minhash
+    * permutation family applies it: seed_j = mix(j + gamma),
+    * value = mix((h ^ seed_j) + gamma). */
+  def mixWithGamma(z: BigInt): BigInt = mix((z + SplitmixGamma) % M)
+
+  /** FNV-1a 64 over bytes — BigInt model of the shingleFnvCtes reduce
+    * (plain HUGEINT multiply: h < 2^64 and the prime is 40 bits, so
+    * the product stays inside signed 128-bit). */
+  def fnv(bytes: Array[Byte]): BigInt =
+    bytes.foldLeft(FnvOffset) { (h, b) =>
+      ((h ^ BigInt(b & 0xff)) * FnvPrime) % M
+    }
+
+  /** Unsigned rendering of a JVM long (the HUGEINT value the SQL side
+    * works with). */
+  def unsigned(l: Long): BigInt = {
+    val b = BigInt(l)
+    if (b < 0) b + M else b
+  }
+
+  /** Signed→unsigned order bijection (xor 2^63). */
+  def signedOrderKey(z: BigInt): BigInt = z ^ SignBit
+}

@@ -29,8 +29,18 @@ object SqlPath {
       |  FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey) x
       |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  // temp views are session-scoped and all tables are re-registered when
+  // the (session, dir) pair changes — but NOT on every invocation:
+  // round-2 verdict item 6, registerAll (10 parquet reads + schema
+  // inference) per call dominated x_sql_cte's bench time.
+  private val lastRegistered =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+
   private def run(sql: String): Q = (s, dir) => {
-    Tables.registerAll(s, dir)
+    if (lastRegistered.get() != ((s, dir))) {
+      Tables.registerAll(s, dir)
+      lastRegistered.set((s, dir))
+    }
     s.sql(sql)
   }
 

@@ -190,6 +190,25 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_frames" -> ((s, dir) => {
+      // frame sampling under the oracle (round-2 verdict item 3 — the
+      // last spec-only operator): every 2nd 64-byte chunk of the binary
+      // payload becomes a frame row. The frame bytes themselves are
+      // checked via md5 (the proven portable cross-engine hash) plus
+      // the byte length, so the binary substr chunk arithmetic — byte
+      // vs char semantics being exactly the cross-engine edge the
+      // oracle exists to catch — is value-verified end to end
+      // (documents are ASCII, so DuckDB's char-based substr over the
+      // text equals the engine's byte-based substr over its utf-8).
+      val withBin = Multimodal.withBinaryPayload(
+        docs(s, dir).select(col("doc_id"), col("text")), "text")
+      Multimodal.sampleFrames(withBin, "media", chunkBytes = 64, everyK = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_bytes"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "x_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s, docs(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("ida", "idb")),
@@ -210,28 +229,21 @@ object TextDocs {
   //
   // The engine's FNV-1a / splitmix64 hash family is replayed in DuckDB
   // SQL with HUGEINT arithmetic mod 2^64, so even the "hash-family"
-  // dedup operators get full value-level oracles (they were rows-only
-  // in round 1). Bit-pattern equivalences used:
-  //  * xor/shift on HUGEINT values < 2^64 equal the JVM's unsigned
-  //    long bit ops (>>> == >> on non-negative HUGEINT);
-  //  * 64-bit wrap-around multiply: HUGEINT is 128-bit SIGNED, so
-  //    z*C overflows for 64-bit C — split z into 32-bit halves:
-  //    (lo*C + (hi*C mod 2^32)*2^32) mod 2^64  ==  z*C mod 2^64;
-  //  * the JVM's SIGNED long min/compare: xor with 2^63 is an
-  //    order-preserving bijection from signed to unsigned order, and
-  //    preserves equality — signatures are compared only for
-  //    equality/min, so the transformed values are used throughout;
-  //  * documents are ASCII, so ord(char) == utf-8 byte.
-  private val M = "18446744073709551616" // 2^64
+  // dedup operators get full value-level oracles. Constants and the
+  // 32-bit-split multiply decomposition come from [[HashReplay]] — the
+  // same object whose BigInt model is property-checked against the JVM
+  // kernels (GraftProperties), so the formulas here cannot silently
+  // drift. One extra equivalence this module relies on: documents are
+  // ASCII, so ord(char) == utf-8 byte.
+  private val M = HashReplay.MSql
 
   /** (z * c) mod 2^64 without overflowing 128-bit signed HUGEINT. */
-  private def mulmod(z: String, c: String): String =
-    s"((($z) % 4294967296) * $c + ((($z) // 4294967296) * $c % 4294967296) * 4294967296) % $M"
+  private def mulmod(z: String, c: BigInt): String = HashReplay.mulmodSql(z, c)
 
   /** splitmix64 finalizer as chained CTEs over column `z` of `src`. */
   private def mixCtes(prefix: String, src: String, keys: String): String =
-    s"""${prefix}_a AS (SELECT $keys, ${mulmod("xor(z, z >> 30)", "13787848793156543929")} AS z FROM $src),
-       |${prefix}_b AS (SELECT $keys, ${mulmod("xor(z, z >> 27)", "10723151780598845931")} AS z FROM ${prefix}_a),
+    s"""${prefix}_a AS (SELECT $keys, ${mulmod("xor(z, z >> 30)", HashReplay.SplitmixC1)} AS z FROM $src),
+       |${prefix}_b AS (SELECT $keys, ${mulmod("xor(z, z >> 27)", HashReplay.SplitmixC2)} AS z FROM ${prefix}_a),
        |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
 
   /** Shared front end: distinct 3-gram shingles → FNV-1a 64 per
@@ -254,9 +266,9 @@ object TextDocs {
        |  FROM toks WHERE len(w) > 0),
        |fnv AS (
        |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_reduce(list_prepend(CAST(${HashReplay.FnvOffset} AS HUGEINT),
        |      list_transform(range(1, length(shingle)+1), i -> ord(substr(shingle, i, 1)))),
-       |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * 1099511628211) % $M) AS h
+       |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * ${HashReplay.FnvPrime}) % $M) AS h
        |  FROM sh)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -380,6 +392,23 @@ object TextDocs {
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
         |    AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_frames" ->
+      // replay of sampleFrames(chunkBytes=64, everyK=2): frame indexes
+      // are 0, 2, … up to the last FULL chunk (short docs get one
+      // partial frame at index 0 — mirror of the engine's
+      // greatest(len/chunk - 1, 0) bound); range() is end-exclusive
+      // where Spark's sequence() is inclusive, hence the +1.
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, GREATEST(octet_length(encode(text)) // 64 - 1, 0) + 1, 2))
+        |      AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64))) AS INT)
+        |    AS frame_bytes,
+        |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "x_media_meta" ->
       """SELECT doc_id,
         |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
@@ -416,16 +445,16 @@ object TextDocs {
         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "x_minhash_pairs" ->
       s"""WITH $shingleFnvCtes,
-         |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + 11400714819323198485) % $M AS z
+         |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + ${HashReplay.SplitmixGamma}) % $M AS z
          |            FROM range(16) t(j)),
          |${mixCtes("seeds", "seeds_z", "j")},
          |mx_z AS (SELECT f.doc_id, s.j,
-         |           (xor(f.h, s.z) + 11400714819323198485) % $M AS z
+         |           (xor(f.h, s.z) + ${HashReplay.SplitmixGamma}) % $M AS z
          |         FROM fnv f CROSS JOIN seeds s),
          |${mixCtes("mx", "mx_z", "doc_id, j")},
          |-- xor 2^63: signed→unsigned order bijection (JVM long min)
          |sig AS (SELECT doc_id, j,
-         |          MIN(xor(z, CAST(9223372036854775808 AS HUGEINT))) AS m
+         |          MIN(xor(z, CAST(${HashReplay.SignBit} AS HUGEINT))) AS m
          |        FROM mx GROUP BY 1, 2),
          |bands AS (
          |  SELECT doc_id, j // 2 AS band,

@@ -110,4 +110,53 @@ object GraftProperties extends Properties("graft") {
       val node = mapper.readTree(json).get("row")
       cols.zip(cells).forall { case (c, v) => node.get(c).asText() == v }
     }
+
+  // ---- HashReplay: the oracle's HUGEINT-mod-2^64 replay machinery ----
+  //
+  // These pin the SQL-side hash replay (queries/HashReplay, used by the
+  // x_minhash_pairs / x_simhash_pairs oracles) to the JVM kernels it
+  // claims to reproduce: the BigInt model here IS the 32-bit-split
+  // decomposition the generated SQL uses, built from the same constants,
+  // so drift in either the SQL formula or the JVM hash breaks a
+  // property instead of silently corrupting an oracle (round-2 verdict
+  // item 8).
+  import graft.queries.HashReplay
+
+  property("hash replay: mulmod split == JVM wrap-around multiply, any operands") =
+    forAll(Gen.long, Gen.long) { (a, b) =>
+      HashReplay.mulmod(HashReplay.unsigned(a), HashReplay.unsigned(b)) ==
+        HashReplay.unsigned(a * b)
+    }
+
+  property("hash replay: splitmix64 chain == MinHashSignature.mix64") =
+    forAll(Gen.long) { z =>
+      HashReplay.mixWithGamma(HashReplay.unsigned(z)) ==
+        HashReplay.unsigned(MinHashSignature.mix64(z))
+    }
+
+  private val genAscii: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString.take(40))
+
+  property("hash replay: FNV-1a reduce == Fnv1a64.hashBytes on ASCII") =
+    forAll(genAscii) { s =>
+      HashReplay.fnv(s.getBytes("UTF-8")) ==
+        HashReplay.unsigned(Fnv1a64.hashBytes(s.getBytes("UTF-8")))
+    }
+
+  property("hash replay: xor-2^63 key preserves signed order and equality") =
+    forAll(Gen.long, Gen.long) { (a, b) =>
+      val (ka, kb) = (HashReplay.signedOrderKey(HashReplay.unsigned(a)),
+        HashReplay.signedOrderKey(HashReplay.unsigned(b)))
+      ((a < b) == (ka < kb)) && ((a == b) == (ka == kb))
+    }
+
+  property("hash replay: full minhash permutation value == JVM kernel") =
+    forAll(Gen.long, Gen.choose(0, 15)) { (h, j) =>
+      // value_j(h) = mix64(h ^ mix64(j)) on the JVM; replay both levels
+      val seedJvm = MinHashSignature.mix64(j.toLong)
+      val vJvm = MinHashSignature.mix64(h ^ seedJvm)
+      val seedSql = HashReplay.mixWithGamma(HashReplay.unsigned(j.toLong))
+      val vSql = HashReplay.mixWithGamma(HashReplay.unsigned(h) ^ seedSql)
+      vSql == HashReplay.unsigned(vJvm)
+    }
 }

@@ -114,6 +114,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nearest_centroid"), p)
   }
 
+  test("x_dpp_join: dynamic partition pruning subquery reaches the fact scan") {
+    val p = plan("x_dpp_join")
+    // the fact scan's partition filters must carry the runtime pruning
+    // subquery fed from the (broadcast) filtered dimension — the plan
+    // shape that lets a 100 TB partitioned fact read ~3 of ~83 month
+    // directories instead of all of them
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_sliding_window: pre-aggregated two-level form — expand runs AFTER the first agg") {
+    val p = plan("x_sliding_window")
+    // two HashAggregate pairs (base bucket agg, window re-agg) with the
+    // Generate (explode) between them: the 4× expansion multiplies
+    // |buckets| pre-aggregated rows, not |events|. The tree prints
+    // top-down, so the BASE aggregate is the last HashAggregate line
+    // and must sit below the Generate.
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("HashAggregate") => i
+    }
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(aggIdx.size >= 4, s"expected two partial+final agg pairs:\n$p")
+    assert(gen >= 0 && aggIdx.head < gen && gen < aggIdx.last,
+      s"explode should consume the aggregated buckets:\n$p")
+  }
+
   test("x_scrub/x_bpe_tokens: narrow scrub/tokenize — no shuffle except the output sort") {
     for (q <- Seq("x_scrub", "x_bpe_tokens")) {
       val p = plan(q)
