@@ -49,6 +49,27 @@ object ScaleJoins {
     df.repartitionByRange(partitions, cols: _*)
       .write.mode("overwrite").parquet(path)
 
+  // one bucketed copy pair per source dir per JVM
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  /** Bucketed copies of orders+lineitem co-bucketed on the order key,
+    * memoized per source dir: the permanent layout a repeatedly-joined
+    * 100 TB fact pair would have. Returns the (orders, lineitem) table
+    * names; a join between them needs ZERO exchanges (PlanSpec). Only
+    * the columns the bucketed-join query consumes are materialized. */
+  def bucketedOrderTables(spark: SparkSession, sourceDir: String,
+                          buckets: Int = 8): (String, String) =
+    bucketedCache.computeIfAbsent(sourceDir, { _ =>
+      val tag = Integer.toHexString(sourceDir.hashCode)
+      val (ot, lt) = (s"gb_orders_$tag", s"gb_lineitem_$tag")
+      writeBucketed(graft.core.Tables.load(spark, sourceDir, "orders")
+        .select("o_orderkey", "o_orderpriority"), ot, buckets, Seq("o_orderkey"))
+      writeBucketed(graft.core.Tables.load(spark, sourceDir, "lineitem")
+        .select("l_orderkey", "l_quantity"), lt, buckets, Seq("l_orderkey"))
+      (ot, lt)
+    })
+
   // one partitioned copy per (source dir, table, month column) per JVM
   private val partitionedCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]

@@ -215,7 +215,42 @@ object TextDocs {
 
     "x_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
-        .orderBy("ida", "idb"))
+        .orderBy("ida", "idb")),
+
+    "x_incremental_dedup" -> ((s, dir) => {
+      // the daily-ingest dedup path under the oracle (round-2 verdict
+      // listed it spec-only): even doc_ids play the INDEXED history
+      // (minhashSignatures — at scale a persisted, band-bucketed
+      // table), odd doc_ids the incoming batch. Only the batch side is
+      // shingled by incrementalNearDups; the index is consumed as-is
+      // and history text is never rescanned (spec asserts that).
+      val d = docs(s, dir)
+      val index = Dedup.minhashSignatures(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalNearDups(
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+        index, minJaccard = 0.5)
+        .orderBy("new_id", "dup_of")
+    }),
+
+    "x_unigram_logprob" -> ((s, dir) => {
+      // LM-style quality score: mean negative log-probability of each
+      // document's words under the corpus unigram distribution — the
+      // classic cheap proxy for "does this text look like the corpus"
+      // used in training-data quality filtering. Two hash aggs + one
+      // keyed join; the corpus total rides along as a broadcast 1-row
+      // agg (no driver-side action). round(4) absorbs summation-order
+      // ulp noise in the per-doc mean (x_stat_aggs precedent).
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val wc = toks.groupBy("word").agg(count(lit(1)).as("wc"))
+      val total = toks.agg(count(lit(1)).as("tot"))
+      toks.join(wc, Seq("word")).crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("wc").cast("double") / col("tot"))), 4).as("nll"))
+        .orderBy("doc_id")
+    })
   )
 
   /** The langId oracle shares the Scala lexicon — single source of
@@ -270,6 +305,29 @@ object TextDocs {
        |      list_transform(range(1, length(shingle)+1), i -> ord(substr(shingle, i, 1)))),
        |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * ${HashReplay.FnvPrime}) % $M) AS h
        |  FROM sh)""".stripMargin
+
+  /** Shared minhash replay: shingle FNV → 16 splitmix permutation
+    * minima (signed-order-bijected) → 8 bands of 2 — everything up to
+    * the `sig` and `bands` CTEs that the pair/incremental oracles
+    * consume. */
+  private val minhashSigCtes: String =
+    s"""$shingleFnvCtes,
+       |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + ${HashReplay.SplitmixGamma}) % $M AS z
+       |            FROM range(16) t(j)),
+       |${mixCtes("seeds", "seeds_z", "j")},
+       |mx_z AS (SELECT f.doc_id, s.j,
+       |           (xor(f.h, s.z) + ${HashReplay.SplitmixGamma}) % $M AS z
+       |         FROM fnv f CROSS JOIN seeds s),
+       |${mixCtes("mx", "mx_z", "doc_id, j")},
+       |-- xor 2^63: signed→unsigned order bijection (JVM long min)
+       |sig AS (SELECT doc_id, j,
+       |          MIN(xor(z, CAST(${HashReplay.SignBit} AS HUGEINT))) AS m
+       |        FROM mx GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, j // 2 AS band,
+       |    MAX(CASE WHEN j % 2 = 0 THEN m END) AS v0,
+       |    MAX(CASE WHEN j % 2 = 1 THEN m END) AS v1
+       |  FROM sig GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_fingerprint" ->
@@ -444,23 +502,7 @@ object TextDocs {
         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     "x_minhash_pairs" ->
-      s"""WITH $shingleFnvCtes,
-         |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + ${HashReplay.SplitmixGamma}) % $M AS z
-         |            FROM range(16) t(j)),
-         |${mixCtes("seeds", "seeds_z", "j")},
-         |mx_z AS (SELECT f.doc_id, s.j,
-         |           (xor(f.h, s.z) + ${HashReplay.SplitmixGamma}) % $M AS z
-         |         FROM fnv f CROSS JOIN seeds s),
-         |${mixCtes("mx", "mx_z", "doc_id, j")},
-         |-- xor 2^63: signed→unsigned order bijection (JVM long min)
-         |sig AS (SELECT doc_id, j,
-         |          MIN(xor(z, CAST(${HashReplay.SignBit} AS HUGEINT))) AS m
-         |        FROM mx GROUP BY 1, 2),
-         |bands AS (
-         |  SELECT doc_id, j // 2 AS band,
-         |    MAX(CASE WHEN j % 2 = 0 THEN m END) AS v0,
-         |    MAX(CASE WHEN j % 2 = 1 THEN m END) AS v1
-         |  FROM sig GROUP BY 1, 2),
+      s"""WITH $minhashSigCtes,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
@@ -475,6 +517,26 @@ object TextDocs {
          |  GROUP BY 1, 2)
          |SELECT ida, idb, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY ida, idb""".stripMargin,
+    "x_incremental_dedup" ->
+      // the same signature/band machinery, but candidates pair a BATCH
+      // doc (odd id) with an INDEX doc (even id) only — the daily-
+      // ingest shape incrementalNearDups implements
+      s"""WITH $minhashSigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |est AS (
+         |  SELECT c.new_id, c.dup_of,
+         |    ROUND(CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.new_id
+         |  JOIN sig sb ON sb.doc_id = c.dup_of AND sb.j = sa.j
+         |  GROUP BY 1, 2)
+         |SELECT new_id, dup_of, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY new_id, dup_of""".stripMargin,
     "x_simhash_pairs" ->
       s"""WITH $shingleFnvCtes,
          |votes AS (
@@ -503,6 +565,16 @@ object TextDocs {
          |WHERE bit_count(CAST(xor(siga, sigb) % 4294967296 AS BIGINT))
          |    + bit_count(CAST(xor(siga, sigb) // 4294967296 AS BIGINT)) <= 3
          |ORDER BY ida, idb""".stripMargin,
+    "x_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents
+        |), wc AS (
+        |  SELECT word, COUNT(*) AS wc FROM toks GROUP BY 1
+        |), tot AS (SELECT COUNT(*) AS tot FROM toks)
+        |SELECT doc_id, ROUND(AVG(-ln(CAST(wc AS DOUBLE) / tot)), 4) AS nll
+        |FROM toks JOIN wc USING (word) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_sample" ->
       """SELECT lang,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'

@@ -114,6 +114,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nearest_centroid"), p)
   }
 
+  test("x_bucketed_join: fact-fact join consumes bucketed scans with no join-side shuffle") {
+    val p = plan("x_bucketed_join")
+    // both scans bucketed, join needs no exchange — the only shuffles
+    // are the 5-group aggregation and the output sort
+    assert(p.linesIterator.count(_.contains("Bucketed: true")) == 2, p)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"join-side shuffle crept in:\n$p")
+  }
+
   test("x_dpp_join: dynamic partition pruning subquery reaches the fact scan") {
     val p = plan("x_dpp_join")
     // the fact scan's partition filters must carry the runtime pruning
