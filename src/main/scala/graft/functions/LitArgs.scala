@@ -23,5 +23,12 @@ private[graft] object LitArgs {
     }
   }
 
-  def litInt(e: Expression, what: String): Int = litLong(e, what).toInt
+  def litInt(e: Expression, what: String): Int = {
+    val v = litLong(e, what)
+    // explicit range check: a silent toInt wrap would turn e.g.
+    // k = 2^32 + 16 into a plausible-but-wrong width 16 (review)
+    if (v < Int.MinValue || v > Int.MaxValue) throw new IllegalArgumentException(
+      s"$what must fit in an int, got $v")
+    v.toInt
+  }
 }

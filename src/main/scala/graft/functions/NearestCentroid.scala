@@ -60,19 +60,25 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
   }
 
   protected override def nullSafeEval(v: Any, cs: Any): Any = {
-    val r = NearestCentroid.best(
-      v.asInstanceOf[ArrayData], vecIsFloat, cs.asInstanceOf[ArrayData], centIsFloat)
-    if (r == NearestCentroid.NoCentroid) null else r
+    val cents = cs.asInstanceOf[ArrayData]
+    val i = NearestCentroid.bestIndex(
+      v.asInstanceOf[ArrayData], vecIsFloat, cents, centIsFloat)
+    if (i < 0) null else cents.getStruct(i, 2).getLong(0)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val (vf, cf) = (vecIsFloat, centIsFloat)
     nullSafeCodeGen(ctx, ev, (v, cs) => {
-      // the sentinel is inlined as a literal: Long.MinValue == NoCentroid
+      // argmax returns the winning INDEX (-1 = no usable centroid), so
+      // every long — including Long.MinValue — is a legal centroid id
+      // (review: a value sentinel conflated a real id with "none")
+      val idx = ctx.freshName("centIdx")
       s"""
-         |${ev.value} = graft.functions.NearestCentroid.best($v, $vf, $cs, $cf);
-         |if (${ev.value} == ${Long.MinValue}L) {
+         |final int $idx = graft.functions.NearestCentroid.bestIndex($v, $vf, $cs, $cf);
+         |if ($idx < 0) {
          |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $cs.getStruct($idx, 2).getLong(0);
          |}
        """.stripMargin
     })
@@ -85,15 +91,13 @@ case class NearestCentroid(left: Expression, right: Expression) extends BinaryEx
 
 object NearestCentroid {
 
-  /** Sentinel for "no usable centroid" (empty array / all-null
-    * entries); mapped to SQL NULL by the expression. Long.MinValue can
-    * never be a real winner because real entries always improve on the
-    * initial -infinity similarity. */
-  final val NoCentroid: Long = Long.MinValue
-
-  def best(vec: ArrayData, vecFloat: Boolean, cents: ArrayData, centFloat: Boolean): Long = {
+  /** Index of the argmax-cosine centroid in the array, or -1 when no
+    * usable centroid exists (empty array / all-null entries) — the
+    * caller maps -1 to SQL NULL. */
+  def bestIndex(vec: ArrayData, vecFloat: Boolean,
+                cents: ArrayData, centFloat: Boolean): Int = {
     val n = cents.numElements()
-    var bestId = NoCentroid
+    var bestIdx = -1
     var bestCos = Double.NegativeInfinity
     var i = 0
     while (i < n) {
@@ -101,12 +105,15 @@ object NearestCentroid {
         val s = cents.getStruct(i, 2)
         if (!s.isNullAt(0) && !s.isNullAt(1)) {
           val cos = CosineSimilarity.compute(vec, vecFloat, s.getArray(1), centFloat)
-          if (cos > bestCos) { bestCos = cos; bestId = s.getLong(0) }
+          // strict > keeps the first (lowest-index) winner on ties; a
+          // NaN cosine (zero-norm vector) never beats the initial
+          // -infinity, matching "no meaningful similarity"
+          if (cos > bestCos) { bestCos = cos; bestIdx = i }
         }
       }
       i += 1
     }
-    bestId
+    bestIdx
   }
 
   private val FnName = "graft_nearest_centroid"

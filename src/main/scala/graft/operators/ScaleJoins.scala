@@ -49,19 +49,29 @@ object ScaleJoins {
     df.repartitionByRange(partitions, cols: _*)
       .write.mode("overwrite").parquet(path)
 
-  // one bucketed copy pair per source dir per JVM
+  /** Collision-free, catalog-safe name tag for a source dir: the full
+    * path sanitized, not a hash — two dirs can never silently share a
+    * table/path (review: String.hashCode collisions would have
+    * redirected one dir's query to the other's data). */
+  private def dirTag(sourceDir: String): String =
+    sourceDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  // one bucketed copy pair per (session, source dir); keyed on the
+  // session identity because the table lives in the SESSION catalog —
+  // a JVM-global memo would hand a fresh session names it never wrote
   private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]
 
   /** Bucketed copies of orders+lineitem co-bucketed on the order key,
-    * memoized per source dir: the permanent layout a repeatedly-joined
-    * 100 TB fact pair would have. Returns the (orders, lineitem) table
-    * names; a join between them needs ZERO exchanges (PlanSpec). Only
-    * the columns the bucketed-join query consumes are materialized. */
+    * memoized per (session, source dir): the permanent layout a
+    * repeatedly-joined 100 TB fact pair would have. Returns the
+    * (orders, lineitem) table names; a join between them needs ZERO
+    * exchanges (PlanSpec). Only the columns the bucketed-join query
+    * consumes are materialized. */
   def bucketedOrderTables(spark: SparkSession, sourceDir: String,
                           buckets: Int = 8): (String, String) =
-    bucketedCache.computeIfAbsent(sourceDir, { _ =>
-      val tag = Integer.toHexString(sourceDir.hashCode)
+    bucketedCache.computeIfAbsent((System.identityHashCode(spark), sourceDir), { _ =>
+      val tag = dirTag(sourceDir)
       val (ot, lt) = (s"gb_orders_$tag", s"gb_lineitem_$tag")
       writeBucketed(graft.core.Tables.load(spark, sourceDir, "orders")
         .select("o_orderkey", "o_orderpriority"), ot, buckets, Seq("o_orderkey"))
@@ -87,8 +97,7 @@ object ScaleJoins {
                          dateCol: String, monthCol: String): DataFrame = {
     val path = partitionedCache.computeIfAbsent(s"$sourceDir/$table/$monthCol", { _ =>
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_part_${table}_${monthCol}_${Integer.toHexString(sourceDir.hashCode)}")
-        .getAbsolutePath
+        s"graft_part_${table}_${monthCol}_${dirTag(sourceDir)}").getAbsolutePath
       graft.core.Tables.load(spark, sourceDir, table)
         .withColumn(monthCol, date_format(col(dateCol), "yyyy-MM"))
         .write.mode("overwrite").partitionBy(monthCol).parquet(out)

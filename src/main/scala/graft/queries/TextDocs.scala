@@ -237,19 +237,27 @@ object TextDocs {
       // LM-style quality score: mean negative log-probability of each
       // document's words under the corpus unigram distribution — the
       // classic cheap proxy for "does this text look like the corpus"
-      // used in training-data quality filtering. Two hash aggs + one
-      // keyed join; the corpus total rides along as a broadcast 1-row
-      // agg (no driver-side action). round(4) absorbs summation-order
-      // ulp noise in the per-doc mean (x_stat_aggs precedent).
+      // used in training-data quality filtering. The tokenized frame
+      // feeds THREE consumers (word counts, corpus total, the per-doc
+      // probe) and Spark shares no subplans across branches, so it is
+      // persisted for the query's duration and released once the small
+      // per-doc result is materialized (review: the naive form ran the
+      // scan+explode three times). The corpus total rides along as a
+      // broadcast 1-row agg (no driver-side action). round(4) absorbs
+      // summation-order ulp noise in the per-doc mean.
       val toks = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wc = toks.groupBy("word").agg(count(lit(1)).as("wc"))
       val total = toks.agg(count(lit(1)).as("tot"))
-      toks.join(wc, Seq("word")).crossJoin(broadcast(total))
+      // checkpoint BEFORE the output sort so ordering is applied last
+      val out = toks.join(wc, Seq("word")).crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(round(avg(-log(col("wc").cast("double") / col("tot"))), 4).as("nll"))
-        .orderBy("doc_id")
+        .localCheckpoint(true)
+      toks.unpersist()
+      out.orderBy("doc_id")
     })
   )
 

@@ -54,10 +54,13 @@ object Vectors {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      // nprobe far above the centroid count at every SF (sf0.1 has
-      // ~200) → full probe, so the exact x_ann_topk oracle applies; yet
-      // small enough that the probe ranking stays TakeOrderedAndProject
-      // (Int.MaxValue forced a two-stage global sort on the probe side).
+      // nprobe far above the centroid count at every test SF (every
+      // 100th vector: 20 at sf0.1's 2 000 embeddings, 200 even at a
+      // hypothetical sf1) → full probe, so the exact x_ann_topk oracle
+      // applies; yet small enough that the probe ranking stays
+      // TakeOrderedAndProject (Int.MaxValue forced a two-stage global
+      // sort on the probe side). If the corpus ever outgrows this, the
+      // driver's IVF==exact check fails loudly — nprobe is the knob.
       Similarity.ivfTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
         cents, "cid", "cvec", e.filter(col("vec_id") === 0),
         k = 20, nprobe = 1000)
