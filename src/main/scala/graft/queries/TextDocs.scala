@@ -233,6 +233,26 @@ object TextDocs {
         .orderBy("new_id", "dup_of")
     }),
 
+    "x_seq_pack" -> ((s, dir) => {
+      // sequence packing (training-batch construction): documents are
+      // packed in doc_id order into fixed token-budget bins via a
+      // running token total — bin = floor(tokens-before-this-doc /
+      // budget), the streaming-friendly approximation of greedy bin
+      // packing. The global-order window is the ORACLE form; at 100 TB
+      // packing runs per shard/partition (window PARTITION BY shard)
+      // so no single-partition sort exists — the per-shard plan is the
+      // same expression with a partition key.
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("toks"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("bin", expr("(cum - toks) div 512"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+        .orderBy("bin")
+    }),
+
     "x_unigram_logprob" -> ((s, dir) => {
       // LM-style quality score: mean negative log-probability of each
       // document's words under the corpus unigram distribution — the
@@ -573,6 +593,17 @@ object TextDocs {
          |WHERE bit_count(CAST(xor(siga, sigb) % 4294967296 AS BIGINT))
          |    + bit_count(CAST(xor(siga, sigb) // 4294967296 AS BIGINT)) <= 3
          |ORDER BY ida, idb""".stripMargin,
+    "x_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS toks FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT CAST((cum - toks) // 512 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
     "x_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word

@@ -66,6 +66,30 @@ object Vectors {
         k = 20, nprobe = 1000)
     }),
 
+    "x_quantize" -> ((s, dir) => {
+      // int8 scalar quantization audit — the 4× embedding-storage
+      // shrink every 100 TB vector corpus applies before indexing.
+      // Per-vector max-abs scale, floor quantization (floor, not
+      // round: Spark's ANSI double→int cast truncates while DuckDB's
+      // CAST rounds — floor() is bit-identical in both engines), and
+      // integer summaries (qsum/qmin/qmax are exact, no float-hash
+      // risk). Narrow per-row HOFs; the only shuffle is the output
+      // sort.
+      val e = emb(s, dir)
+      val scale = greatest(
+        aggregate(col("embedding"), lit(0.0d), (acc, x) => greatest(acc, abs(x))),
+        lit(1e-30d)) // zero vector → scale guard, q stays all-zero
+      e.select(col("vec_id"), scale.as("scale"), col("embedding"))
+        .select(col("vec_id"),
+          round(col("scale"), 4).as("scale_r"),
+          transform(col("embedding"), x => floor(x / col("scale") * 127)).as("q"))
+        .select(col("vec_id"), col("scale_r"),
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
+          array_min(col("q")).as("qmin"),
+          array_max(col("q")).as("qmax"))
+        .orderBy("vec_id")
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
@@ -106,6 +130,25 @@ object Vectors {
          |FROM embeddings a, embeddings q
          |WHERE q.vec_id = 0 AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    "x_quantize" ->
+      // identical expression shapes → bit-identical doubles → identical
+      // floor; integer outputs are exact
+      """WITH t AS (
+        |  SELECT vec_id,
+        |    GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))),
+        |             1e-30) AS scale,
+        |    CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    list_transform(e, x -> floor(x / scale * 127)) AS qv
+        |  FROM t
+        |)
+        |SELECT vec_id, ROUND(scale, 4) AS scale_r,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS BIGINT) AS qmin,
+        |  CAST(list_max(qv) AS BIGINT) AS qmax
+        |FROM q ORDER BY vec_id""".stripMargin,
     "x_embed_neardup" ->
       s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
          |  CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
