@@ -19,6 +19,17 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any output from an earlier run: a failed query must
+        // surface as MISSING to the compare, never as a stale-but-
+        // plausible result that silently passes
+        val stale = new java.io.File(s"$outDir/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(stale)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

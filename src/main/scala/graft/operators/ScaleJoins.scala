@@ -17,12 +17,23 @@ object ScaleJoins {
     * (parquet bucketed files + bucket spec in the table metadata).
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
-                    bucketCols: Seq[String]): Unit =
+                    bucketCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // the session catalog is in-memory but the warehouse DIRECTORY
+    // persists across JVMs — a fresh session neither knows the table
+    // nor may create a managed table over the stale location
+    // (LOCATION_ALREADY_EXISTS). Drop both before writing.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Salted inner equi-join for skewed keys: the skewed (large) side
     * gets a deterministic salt in [0, saltFactor) derived from its

@@ -155,6 +155,30 @@ object Extras {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    "x_full_outer" -> ((s, dir) => {
+      // FULL OUTER equi-join with unmatched rows on BOTH sides (the
+      // filters guarantee each side has keys the other lacks); output
+      // carries the nulls through a total-order sort
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("ck"), col("c_acctbal"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 500000)
+        .select(col("o_custkey").as("ok"), col("o_orderkey"))
+      c.join(o, col("ck") === col("ok"), "full_outer")
+        .select(coalesce(col("ck"), col("ok")).as("k"),
+          col("c_acctbal"), col("o_orderkey"))
+        .orderBy(col("k"), asc_nulls_first("o_orderkey"))
+    }),
+
+    "x_histogram" -> ((s, dir) => {
+      // fixed-width histogram by pure floor arithmetic (portable across
+      // engines, unlike width_bucket which DuckDB lacks): 1000-unit
+      // buckets over account balance — one partial+final hash agg
+      t(s, dir, "customer")
+        .select(floor((col("c_acctbal") + 1000.0) / 1000.0).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+
     "x_bucketed_join" -> ((s, dir) => {
       // co-located fact-fact join under the oracle: both sides written
       // bucketed on the order key once per session (the permanent
@@ -234,6 +258,17 @@ object Extras {
         |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |      WHERE doc_id < 20) d, unnest(range(len(w))) t(i)
         |ORDER BY doc_id, pos""".stripMargin,
+    "x_full_outer" ->
+      """SELECT COALESCE(c.ck, o.ok) AS k, c.c_acctbal, o.o_orderkey
+        |FROM (SELECT c_custkey AS ck, c_acctbal FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN
+        |     (SELECT o_custkey AS ok, o_orderkey FROM orders WHERE o_totalprice > 500000) o
+        |  ON c.ck = o.ok
+        |ORDER BY k, o_orderkey NULLS FIRST""".stripMargin,
+    "x_histogram" ->
+      """SELECT CAST(floor((c_acctbal + 1000.0) / 1000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin,
     "x_bucketed_join" ->
       // replay over the flat tables: bucketing changes the storage
       // layout and the plan, never the result

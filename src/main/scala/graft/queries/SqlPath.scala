@@ -44,11 +44,29 @@ object SqlPath {
     s.sql(sql)
   }
 
+  private val groupingSetsSql =
+    // explicit NULLS FIRST: Spark's ASC default is nulls-first while
+    // DuckDB's is nulls-last — the identical text must order identically
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+      |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+
+  private val lateralSql =
+    """SELECT c.c_custkey, t.mx FROM customer c,
+      |LATERAL (SELECT MAX(o.o_totalprice) AS mx FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey) t
+      |ORDER BY c.c_custkey""".stripMargin
+
   val defs: Map[String, Q] = Map(
     "x_sql_exists" -> run(existsSql),
-    "x_sql_cte" -> run(cteSql))
+    "x_sql_cte" -> run(cteSql),
+    "x_sql_grouping_sets" -> run(groupingSetsSql),
+    "x_sql_lateral" -> run(lateralSql))
 
   val oracle: Map[String, String] = Map(
     "x_sql_exists" -> existsSql,
-    "x_sql_cte" -> cteSql)
+    "x_sql_cte" -> cteSql,
+    "x_sql_grouping_sets" -> groupingSetsSql,
+    "x_sql_lateral" -> lateralSql)
 }
