@@ -21,15 +21,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // remove any output from an earlier run: a failed query must
         // surface as MISSING to the compare, never as a stale-but-
-        // plausible result that silently passes
-        val stale = new java.io.File(s"$outDir/$name")
-        if (stale.exists()) {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(stale)
-        }
+        // plausible result that silently passes — and a delete that
+        // itself fails must be loud, not silent
+        val stale = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(stale) && !fs.delete(stale, true))
+          System.err.println(s"[verify] WARNING: stale output for $name could not be removed")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

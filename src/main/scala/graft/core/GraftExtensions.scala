@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_hyperplane_sig", "graft_hyperplane_sig(vec, planes, seed) - random-hyperplane LSH bucket"),
       (exprs: Seq[Expression]) => HyperplaneSignature.make(exprs)))
 
+    e.injectFunction((FunctionIdentifier("graft_nearest_centroid"),
+      info("graft_nearest_centroid",
+        "graft_nearest_centroid(vec, centroids) - argmax-cosine centroid id over array<struct<cid,cv>>"),
+      (exprs: Seq[Expression]) => graft.functions.NearestCentroid(exprs(0), exprs(1))))
+
+    e.injectFunction((FunctionIdentifier("graft_quant_stats"),
+      info("graft_quant_stats",
+        "graft_quant_stats(vec) - int8 quantization stats struct(scale, qsum, qmin, qmax)"),
+      (exprs: Seq[Expression]) => graft.functions.QuantStats(exprs.head)))
+
     e.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

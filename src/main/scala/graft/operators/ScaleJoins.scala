@@ -22,10 +22,14 @@ object ScaleJoins {
     // the session catalog is in-memory but the warehouse DIRECTORY
     // persists across JVMs — a fresh session neither knows the table
     // nor may create a managed table over the stale location
-    // (LOCATION_ALREADY_EXISTS). Drop both before writing.
+    // (LOCATION_ALREADY_EXISTS). Drop both before writing. The
+    // location comes from the catalog's own path derivation (current
+    // database + identifier normalization), not a hand-built
+    // warehouse/<name> guess (review).
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -73,20 +73,17 @@ object Vectors {
       // round: Spark's ANSI double→int cast truncates while DuckDB's
       // CAST rounds — floor() is bit-identical in both engines), and
       // integer summaries (qsum/qmin/qmax are exact, no float-hash
-      // risk). Narrow per-row HOFs; the only shuffle is the output
-      // sort.
-      val e = emb(s, dir)
-      val scale = greatest(
-        aggregate(col("embedding"), lit(0.0d), (acc, x) => greatest(acc, abs(x))),
-        lit(1e-30d)) // zero vector → scale guard, q stays all-zero
-      e.select(col("vec_id"), scale.as("scale"), col("embedding"))
+      // risk). One codegen'd pass per row via the native QuantStats
+      // expression (the HOF form was three interpreted passes —
+      // review); the only shuffle is the output sort.
+      emb(s, dir)
         .select(col("vec_id"),
-          round(col("scale"), 4).as("scale_r"),
-          transform(col("embedding"), x => floor(x / col("scale") * 127)).as("q"))
-        .select(col("vec_id"), col("scale_r"),
-          aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("qsum"),
-          array_min(col("q")).as("qmin"),
-          array_max(col("q")).as("qmax"))
+          graft.functions.QuantStats.stats(s, col("embedding")).as("st"))
+        .select(col("vec_id"),
+          round(col("st.scale"), 4).as("scale_r"),
+          col("st.qsum").as("qsum"),
+          col("st.qmin").as("qmin"),
+          col("st.qmax").as("qmax"))
         .orderBy("vec_id")
     }),
 
