@@ -3,17 +3,20 @@ package graft.jobs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Training-corpus cleaning pipeline — the composition the mandated
   * extension operators exist for: quality filter → near-duplicate
-  * removal → language tagging, in one lazy plan chain.
+  * removal → language tagging → deterministic split, in one lazy plan
+  * chain.
   *
   *   1. drop documents below `minQuality` (cheap narrow filter first,
   *      shrinking everything downstream);
   *   2. drop near-duplicates (n-gram Jaccard candidates → connected
   *      components → keep min doc_id per cluster);
-  *   3. tag the survivors with the stopword-vote language ID.
+  *   3. tag the survivors with the stopword-vote language ID;
+  *   4. assign the reproducible md5-bucket train/test split (a pure
+  *      function of doc_id — stable across engines and re-runs).
   *
   * Every stage is an engine operator with its own oracle/spec; this
   * job is the end-to-end wiring (and a runnable:
@@ -29,6 +32,7 @@ object CorpusCleanJob {
     val deduped = Dedup.dropNearDuplicates(kept, "doc_id", pairs)
     TextAnalysis.langId(spark, deduped, "doc_id", "text")
       .join(deduped, Seq("doc_id"))
+      .withColumn("split", Sampling.splitColumn(col("doc_id"), testBuckets = 2))
   }
 
   def main(args: Array[String]): Unit = {

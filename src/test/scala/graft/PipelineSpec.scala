@@ -116,6 +116,8 @@ class PipelineSpec extends AnyFunSuite {
     val n = cleaned.count()
     assert(n > 0 && n < docs.count()) // near-dups exist at sf0.001 → strict shrink
     assert(cleaned.columns.contains("pred_lang") && cleaned.columns.contains("quality"))
+    // every survivor gets a deterministic split assignment
+    assert(cleaned.filter(!col("split").isin("train", "test")).count() == 0)
     // survivors are unique doc_ids and all meet the quality bar
     assert(cleaned.select("doc_id").distinct().count() == n)
     assert(cleaned.filter(col("quality") < 0.5).count() == 0)
