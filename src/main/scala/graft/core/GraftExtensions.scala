@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashSignature(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "k"))))
 
+    e.injectFunction((FunctionIdentifier("graft_shingle_strings"),
+      info("graft_shingle_strings", "graft_shingle_strings(text, n) - distinct word n-gram shingle strings"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ShingleStrings(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "n"))))
+
     e.injectFunction((FunctionIdentifier("graft_simhash64"),
       info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))

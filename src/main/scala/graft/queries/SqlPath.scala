@@ -53,9 +53,15 @@ object SqlPath {
       |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
 
   private val lateralSql =
-    """SELECT c.c_custkey, t.mx FROM customer c,
-      |LATERAL (SELECT MAX(o.o_totalprice) AS mx FROM orders o
-      |         WHERE o.o_custkey = c.c_custkey) t
+    // LEFT JOIN LATERAL ... ON true, NOT the comma form: DuckDB
+    // decorrelates `c, LATERAL (agg)` to an inner join and DROPS a
+    // customer with no orders, while Spark keeps it with a NULL
+    // aggregate — the sf0.1 corpus has exactly one such customer and
+    // caught the 1-row divergence. The explicit left lateral join is
+    // all-rows-preserving in both engines.
+    """SELECT c.c_custkey, t.mx FROM customer c
+      |LEFT JOIN LATERAL (SELECT MAX(o.o_totalprice) AS mx FROM orders o
+      |                   WHERE o.o_custkey = c.c_custkey) t ON true
       |ORDER BY c.c_custkey""".stripMargin
 
   val defs: Map[String, Q] = Map(
