@@ -47,6 +47,14 @@ object HashReplay {
   def mulmod(z: BigInt, c: BigInt): BigInt =
     ((z % TwoPow32) * c + ((z / TwoPow32) * c % TwoPow32) * TwoPow32) % M
 
+  /** splitmix64 finalizer as chained SQL CTEs over column `z` of
+    * `src`, keyed by `keys` (the SQL twin of [[mix]]); callers add the
+    * gamma term in their `_z` source CTE. */
+  def mixCtesSql(prefix: String, src: String, keys: String): String =
+    s"""${prefix}_a AS (SELECT $keys, ${mulmodSql("xor(z, z >> 30)", SplitmixC1)} AS z FROM $src),
+       |${prefix}_b AS (SELECT $keys, ${mulmodSql("xor(z, z >> 27)", SplitmixC2)} AS z FROM ${prefix}_a),
+       |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
+
   /** splitmix64 finalizer over an unsigned z — BigInt model of the
     * mixCtes SQL chain in [[TextDocs]]. */
   def mix(z0: BigInt): BigInt = {

@@ -305,9 +305,7 @@ object TextDocs {
 
   /** splitmix64 finalizer as chained CTEs over column `z` of `src`. */
   private def mixCtes(prefix: String, src: String, keys: String): String =
-    s"""${prefix}_a AS (SELECT $keys, ${mulmod("xor(z, z >> 30)", HashReplay.SplitmixC1)} AS z FROM $src),
-       |${prefix}_b AS (SELECT $keys, ${mulmod("xor(z, z >> 27)", HashReplay.SplitmixC2)} AS z FROM ${prefix}_a),
-       |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
+    HashReplay.mixCtesSql(prefix, src, keys)
 
   /** Shared front end: distinct 3-gram shingles → FNV-1a 64 per
     * shingle, mirroring ShingleHashes exactly: tokens are whitespace

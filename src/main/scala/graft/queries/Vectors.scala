@@ -87,6 +87,20 @@ object Vectors {
         .orderBy("vec_id")
     }),
 
+    "x_lsh_pairs" -> ((s, dir) => {
+      // random-hyperplane LSH near-pairs under a FULL value oracle —
+      // the last deterministic hash-family operator that was spec-only.
+      // The hyperplane family is splitmix64-derived (no RNG), and the
+      // weight mapping (top-53-bits / 2^53 * 2 - 1) plus the sequential
+      // double-precision projection are all exactly representable /
+      // order-pinned, so DuckDB can replay bucket assignment
+      // bit-for-bit (see the oracle below). planes=10 keeps candidate
+      // buckets non-trivial at every SF (15/15/223 output pairs).
+      Similarity.lshNearPairs(emb(s, dir), "vec_id", "embedding",
+        minCosine = 0.25, planes = 10, seed = 42L)
+        .orderBy("ida", "idb")
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
@@ -110,6 +124,40 @@ object Vectors {
 
   private val duckCos =
     "list_cosine_similarity(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+
+  // ---- hyperplane-LSH replay (x_lsh_pairs) ----
+  //
+  // Replays functions/HyperplaneSignature exactly: weight(seed, p, d) =
+  // splitmix64(seed·gamma + p·C1 + d) top 53 bits mapped to [-1, 1).
+  // Every step is exact: the integer mix is HUGEINT mod-2^64
+  // (HashReplay), (h >>> 11) is a 53-bit integer so its DOUBLE cast is
+  // exact, /2^53 and *2 are power-of-two scalings, and v·2^-52 − 1 =
+  // (v − 2^52)·2^-52 with v−2^52 a 53-bit signed integer — exactly
+  // representable. The projection is a sequential left fold in both
+  // engines, so even the proj >= 0 sign test at the bucket boundary is
+  // bit-identical.
+  private val lshPlanes = 10
+  private val lshSeedTerm = (BigInt(42) * HashReplay.SplitmixGamma) % HashReplay.M
+
+  private val lshSigCtes: String =
+    s"""w_z AS (
+       |  SELECT p.p, d.d,
+       |    ($lshSeedTerm + ${HashReplay.mulmodSql("CAST(p.p AS HUGEINT)", HashReplay.SplitmixC1)}
+       |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) % ${HashReplay.MSql} AS z
+       |  FROM range($lshPlanes) p(p) CROSS JOIN range(64) d(d)),
+       |${HashReplay.mixCtesSql("wmix", "w_z", "p, d")},
+       |wl AS (
+       |  SELECT p, list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+       |                 ORDER BY d) AS ws
+       |  FROM wmix GROUP BY p),
+       |sig AS (
+       |  SELECT e.vec_id,
+       |    SUM(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * w.ws[i])),
+       |           (a, b) -> a + b) >= 0
+       |        THEN (CAST(1 AS HUGEINT) << p) ELSE CAST(0 AS HUGEINT) END) AS sig
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
+       |  CROSS JOIN wl w GROUP BY e.vec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q18_cosine_pairs" ->
@@ -146,6 +194,15 @@ object Vectors {
         |  CAST(list_min(qv) AS BIGINT) AS qmin,
         |  CAST(list_max(qv) AS BIGINT) AS qmax
         |FROM q ORDER BY vec_id""".stripMargin,
+    "x_lsh_pairs" ->
+      s"""WITH $lshSigCtes
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  CAST(CAST(${duckCos.format("ea.embedding", "eb.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
+         |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+         |JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |JOIN embeddings eb ON eb.vec_id = b.vec_id
+         |WHERE CAST(CAST(${duckCos.format("ea.embedding", "eb.embedding")} AS DECIMAL(10,4)) AS DOUBLE) >= 0.25
+         |ORDER BY ida, idb""".stripMargin,
     "x_embed_neardup" ->
       s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
          |  CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
