@@ -233,6 +233,16 @@ object TextDocs {
         .orderBy("new_id", "dup_of")
     }),
 
+    "x_fingerprint_fnv" -> ((s, dir) => {
+      // the engine's own FNV-1a rolling-hash fingerprint under the
+      // oracle (was golden-spec only): the HUGEINT mod-2^64 machinery
+      // replays the byte-level fold, and the unsigned replay value maps
+      // back to the JVM's signed long for the compare.
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(s, col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     "x_seq_pack" -> ((s, dir) => {
       // sequence packing (training-batch construction): documents are
       // packed in doc_id order into fixed token-budget bins via a
@@ -360,6 +370,23 @@ object TextDocs {
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_fingerprint_fnv" ->
+      // FNV-1a 64 replay over the normalized text (documents are ASCII
+      // so ord(char) == utf-8 byte); the final CASE maps the unsigned
+      // HUGEINT back to the JVM's signed BIGINT bit pattern
+      s"""WITH n AS (
+         |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(${HashReplay.FnvOffset} AS HUGEINT),
+         |      list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1)))),
+         |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * ${HashReplay.FnvPrime}) % $M) AS h
+         |  FROM n
+         |)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN h >= ${HashReplay.SignBit} THEN h - $M ELSE h END AS BIGINT) AS fp
+         |FROM h ORDER BY doc_id""".stripMargin,
     "x_langid" ->
       s"""WITH toks AS (
          |  -- regex whitespace split, matching the Spark tokenizer
