@@ -44,15 +44,24 @@ object Similarity {
   def lshNearPairs(corpus: DataFrame, idCol: String, vecCol: String,
                    minCosine: Double,
                    planes: Int = 12, seed: Long = 42L): DataFrame = {
+    // persist: both self-join branches read the signature frame (Spark
+    // shares no subplans across branches — without it the scan and the
+    // per-row signatures compute twice, the dominant cost at scale);
+    // the small verified-pairs output is materialized so the cache is
+    // released before returning (the dedup-family pattern)
     val sig = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplaneSignature(corpus.sparkSession, col(vecCol), planes, seed).as("bucket"))
-    sig.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = sig.select(col("bucket"), col("id").as("ida"), col("v").as("va"))
       .join(sig.select(col("bucket"), col("id").as("idb"), col("v").as("vb")), Seq("bucket"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         CosineSimilarity.cosine(corpus.sparkSession, col("va"), col("vb"))
           .cast("decimal(10,4)").cast("double").as("cos"))
       .filter(col("cos") >= minCosine)
+    val materialized = out.localCheckpoint(true)
+    sig.unpersist()
+    materialized
   }
 
   /** IVF-style search: assign every corpus vector to its nearest of

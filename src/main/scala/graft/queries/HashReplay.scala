@@ -67,9 +67,17 @@ object HashReplay {
     * value = mix((h ^ seed_j) + gamma). */
   def mixWithGamma(z: BigInt): BigInt = mix((z + SplitmixGamma) % M)
 
-  /** FNV-1a 64 over bytes — BigInt model of the shingleFnvCtes reduce
-    * (plain HUGEINT multiply: h < 2^64 and the prime is 40 bits, so
-    * the product stays inside signed 128-bit). */
+  /** SQL: FNV-1a 64 fold over the characters of `strExpr` (ASCII text,
+    * so ord(char) == utf-8 byte) — plain HUGEINT multiply is safe:
+    * h < 2^64 and the prime is 40 bits, so the product stays inside
+    * signed 128-bit. Single source for the shingle-hash and
+    * fingerprint oracles. */
+  def fnvFoldSql(strExpr: String): String =
+    s"""list_reduce(list_prepend(CAST($FnvOffset AS HUGEINT),
+       |      list_transform(range(1, length($strExpr) + 1), i -> ord(substr($strExpr, i, 1)))),
+       |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * $FnvPrime) % $MSql)""".stripMargin
+
+  /** FNV-1a 64 over bytes — BigInt model of [[fnvFoldSql]]. */
   def fnv(bytes: Array[Byte]): BigInt =
     bytes.foldLeft(FnvOffset) { (h, b) =>
       ((h ^ BigInt(b & 0xff)) * FnvPrime) % M

@@ -336,10 +336,7 @@ object TextDocs {
        |         ELSE [array_to_string(w, ' ')] END) AS shingle
        |  FROM toks WHERE len(w) > 0),
        |fnv AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(${HashReplay.FnvOffset} AS HUGEINT),
-       |      list_transform(range(1, length(shingle)+1), i -> ord(substr(shingle, i, 1)))),
-       |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * ${HashReplay.FnvPrime}) % $M) AS h
+       |  SELECT doc_id, ${HashReplay.fnvFoldSql("shingle")} AS h
        |  FROM sh)""".stripMargin
 
   /** Shared minhash replay: shingle FNV → 16 splitmix permutation
@@ -378,10 +375,7 @@ object TextDocs {
          |  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
          |  FROM documents
          |), h AS (
-         |  SELECT doc_id,
-         |    list_reduce(list_prepend(CAST(${HashReplay.FnvOffset} AS HUGEINT),
-         |      list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1)))),
-         |      (h, b) -> (xor(h, CAST(b AS HUGEINT)) * ${HashReplay.FnvPrime}) % $M) AS h
+         |  SELECT doc_id, ${HashReplay.fnvFoldSql("t")} AS h
          |  FROM n
          |)
          |SELECT doc_id,

@@ -95,16 +95,18 @@ object Vectors {
       // double-precision projection are all exactly representable /
       // order-pinned, so DuckDB can replay bucket assignment
       // bit-for-bit (see the oracle below). planes=10 keeps candidate
-      // buckets non-trivial at every SF (15/15/223 output pairs).
+      // buckets non-trivial at every SF (15/15/223 output pairs). The
+      // parameters are shared vals so the def and the replay SQL can
+      // never drift apart.
       Similarity.lshNearPairs(emb(s, dir), "vec_id", "embedding",
-        minCosine = 0.25, planes = 10, seed = 42L)
+        minCosine = lshMinCosine, planes = lshPlanes, seed = lshSeed)
         .orderBy("ida", "idb")
     }),
 
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
-      // bounded (the LSH-bucketed variant is Similarity.lshNearPairs,
-      // exercised in ScalaTest — approximate, so not oracle-checked).
+      // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
+      // fully value-oracled above as x_lsh_pairs).
       // native one-pass cosine per candidate pair (same float semantics
       // as the oracle: dot / (sqrt(aa) * sqrt(bb)), sequential sums)
       val e = emb(s, dir)
@@ -136,15 +138,25 @@ object Vectors {
   // representable. The projection is a sequential left fold in both
   // engines, so even the proj >= 0 sign test at the bucket boundary is
   // bit-identical.
+  // single source for BOTH the query def and the replay SQL (review:
+  // independently duplicated literals would let them drift apart)
   private val lshPlanes = 10
-  private val lshSeedTerm = (BigInt(42) * HashReplay.SplitmixGamma) % HashReplay.M
+  private val lshSeed = 42L
+  private val lshMinCosine = 0.25
+  private val lshSeedTerm = (BigInt(lshSeed) * HashReplay.SplitmixGamma) % HashReplay.M
 
   private val lshSigCtes: String =
+    // the weight-table dimension comes from the DATA (max embedding
+    // width), mirroring the engine's per-row vec.numElements()
     s"""w_z AS (
        |  SELECT p.p, d.d,
        |    ($lshSeedTerm + ${HashReplay.mulmodSql("CAST(p.p AS HUGEINT)", HashReplay.SplitmixC1)}
        |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) % ${HashReplay.MSql} AS z
-       |  FROM range($lshPlanes) p(p) CROSS JOIN range(64) d(d)),
+       |  FROM range($lshPlanes) p(p)
+       |  -- list-function range (not the table function, which rejects
+       |  -- subquery parameters): dimension derived from the data
+       |  CROSS JOIN (SELECT unnest(range(CAST(
+       |      (SELECT MAX(len(embedding)) FROM embeddings) AS BIGINT))) AS d) d),
        |${HashReplay.mixCtesSql("wmix", "w_z", "p, d")},
        |wl AS (
        |  SELECT p, list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
@@ -201,7 +213,7 @@ object Vectors {
          |FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
          |JOIN embeddings ea ON ea.vec_id = a.vec_id
          |JOIN embeddings eb ON eb.vec_id = b.vec_id
-         |WHERE CAST(CAST(${duckCos.format("ea.embedding", "eb.embedding")} AS DECIMAL(10,4)) AS DOUBLE) >= 0.25
+         |WHERE CAST(CAST(${duckCos.format("ea.embedding", "eb.embedding")} AS DECIMAL(10,4)) AS DOUBLE) >= $lshMinCosine
          |ORDER BY ida, idb""".stripMargin,
     "x_embed_neardup" ->
       s"""SELECT a.vec_id AS ida, b.vec_id AS idb,
