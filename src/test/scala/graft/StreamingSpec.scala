@@ -46,6 +46,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tumbling counts run on the RocksDB state store (scale-grade state backend)") {
+    // at 100 TB / unbounded streams, keyed state outlives executor heap
+    // — RocksDB is the provider that spills it to local disk. This pins
+    // the engine's streaming operators to that backend (same results as
+    // the default HDFS-backed in-memory provider).
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = run("rocksdb_out", EventStreams.tumblingCounts(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 5), ev(2, 7), ev(3, 65, "b"))
+      q.processAllAvailable()
+      in.addData(ev(4, 300, "c")) // advance watermark → finalize hours 0 and 1
+      q.processAllAvailable()
+      val rows = spark.table("rocksdb_out")
+        .select("event_type", "cnt").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows == Map("a" -> 2L, "b" -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("session windows: 31-minute gap splits, 29-minute gap merges") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
