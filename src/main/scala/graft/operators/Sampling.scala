@@ -36,4 +36,31 @@ object Sampling {
     require(buckets > 0 && buckets < 16, "buckets in 1..15")
     df.filter(hashBucket(col(idCol)) < lit(f"$buckets%x"))
   }
+
+  /** Sequence-packing bin assignment (training-batch construction):
+    * rows are packed in `orderCol` order into fixed token-budget bins
+    * via a running token total — `bin = floor(tokens-before-this-row /
+    * budget)`, the streaming-friendly approximation of greedy bin
+    * packing. With `shardCols` empty the order (and the window) is
+    * GLOBAL — deterministic and cross-engine replayable, but a
+    * single-partition sort; that is the oracle form. At 100 TB pass the
+    * shard key (date, language, source file): packing then runs
+    * independently inside each shard partition and the window
+    * parallelizes like any keyed aggregation — bins are
+    * (shard, bin)-scoped, which is exactly what a sharded training-data
+    * writer wants. */
+  def packBins(df: DataFrame, orderCol: String, tokensCol: String,
+               budget: Int, shardCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base =
+      if (shardCols.isEmpty) org.apache.spark.sql.expressions.Window.orderBy(orderCol)
+      else org.apache.spark.sql.expressions.Window
+        .partitionBy(shardCols.map(col): _*).orderBy(orderCol)
+    val w = base.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
+      .withColumn("bin", expr(s"(__cum - $tokensCol) div $budget"))
+      .drop("__cum")
+  }
 }

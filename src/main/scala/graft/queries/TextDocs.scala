@@ -244,20 +244,14 @@ object TextDocs {
     }),
 
     "x_seq_pack" -> ((s, dir) => {
-      // sequence packing (training-batch construction): documents are
-      // packed in doc_id order into fixed token-budget bins via a
-      // running token total — bin = floor(tokens-before-this-doc /
-      // budget), the streaming-friendly approximation of greedy bin
-      // packing. The global-order window is the ORACLE form; at 100 TB
-      // packing runs per shard/partition (window PARTITION BY shard)
-      // so no single-partition sort exists — the per-shard plan is the
-      // same expression with a partition key.
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy("doc_id").rowsBetween(Long.MinValue, 0)
-      docs(s, dir)
-        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("toks"))
-        .withColumn("cum", sum(col("toks")).over(w))
-        .withColumn("bin", expr("(cum - toks) div 512"))
+      // sequence packing through Sampling.packBins, global-order form —
+      // deterministic, so this is the ORACLE form; the per-shard scale
+      // form (packBins with a shard key → parallel keyed windows, no
+      // single-partition sort) is spec-checked in OperatorsSpec.
+      Sampling.packBins(
+        docs(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("toks")),
+        "doc_id", "toks", budget = 512)
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
         .orderBy("bin")

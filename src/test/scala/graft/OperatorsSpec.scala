@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Fnv1a64, VectorFunctions}
-import graft.operators.{AsOfJoin, Dedup, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Sampling, TextAnalysis}
 
 class OperatorsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -300,6 +300,33 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(graft.operators.Dedup
       .incrementalNearDups(clean, "doc_id", "text", index, minJaccard = 0.5).isEmpty)
+  }
+
+  test("packBins: sharded packing equals a per-shard replay of the running-total rule") {
+    // the scale form: a shard key makes the window a parallel keyed
+    // window (no single-partition sort). Semantics per shard must be
+    // identical to the global rule applied shard-by-shard.
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("toks"))
+    val packed = Sampling.packBins(docs, "doc_id", "toks", budget = 200,
+        shardCols = Seq("lang"))
+      .select("lang", "doc_id", "toks", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    val expected = packed.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).toSeq.map { case (_, id, toks, _) =>
+        val bin = cum / 200
+        cum += toks
+        (lang, id) -> bin
+      }
+    }.toMap
+    packed.foreach { case (lang, id, _, bin) =>
+      assert(bin == expected((lang, id)), s"($lang, $id)")
+    }
+    // at least one language needs more than one bin at this budget
+    assert(packed.exists(_._4 > 0))
   }
 
   test("bpe tokens match the RE2 (DuckDB) golden output on edge strings") {
