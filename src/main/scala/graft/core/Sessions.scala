@@ -22,6 +22,20 @@ object Sessions {
     configure(SparkSession.builder().master(s"local[$cores]"), shufflePartitions, appName)
       .getOrCreate()
 
+  // weak keys: a stopped session's entry disappears with the object,
+  // and a fresh session can never inherit its id (Spark's own
+  // sessionUUID is private[sql], so we mint our own)
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Stable unique key for a session, for caches of session-scoped
+    * state (temp views, catalog tables). `System.identityHashCode` is
+    * NOT unique — a collision, or hash reuse after a stopped session is
+    * GC'd, could hand a fresh session another session's state (review).
+    */
+  def uuid(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
   /** Apply the engine's standard conf to any builder (cluster or local). */
   def configure(b: SparkSession.Builder,
                 shufflePartitions: Int = 32,

@@ -52,6 +52,8 @@ object Sampling {
   def packBins(df: DataFrame, orderCol: String, tokensCol: String,
                budget: Int, shardCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, "budget must be positive")
+    require(!df.columns.contains("bin"),
+      "packBins writes a 'bin' column; the input already has one")
     val base =
       if (shardCols.isEmpty) org.apache.spark.sql.expressions.Window.orderBy(orderCol)
       else org.apache.spark.sql.expressions.Window
@@ -59,8 +61,15 @@ object Sampling {
     val w = base.rowsBetween(
       org.apache.spark.sql.expressions.Window.unboundedPreceding,
       org.apache.spark.sql.expressions.Window.currentRow)
-    df.withColumn("__cum", sum(col(tokensCol)).over(w))
-      .withColumn("bin", expr(s"(__cum - $tokensCol) div $budget"))
-      .drop("__cum")
+    // collision-checked temp name + backtick-quoted identifiers in the
+    // interpolated expr: a raw `$tokensCol` breaks (or silently
+    // mis-parses) for names needing quoting (advice r3). `div` keeps
+    // the exact integer semantics of the original.
+    val cum = Iterator.from(0).map(i => s"__graft_cum$i")
+      .filterNot(df.columns.contains).next()
+    def quoted(name: String) = "`" + name.replace("`", "``") + "`"
+    df.withColumn(cum, sum(col(tokensCol)).over(w))
+      .withColumn("bin", expr(s"(${quoted(cum)} - ${quoted(tokensCol)}) div $budget"))
+      .drop(cum)
   }
 }

@@ -72,10 +72,11 @@ object ScaleJoins {
     sourceDir.replaceAll("[^A-Za-z0-9]", "_")
 
   // one bucketed copy pair per (session, source dir); keyed on the
-  // session identity because the table lives in the SESSION catalog —
-  // a JVM-global memo would hand a fresh session names it never wrote
+  // session UUID because the table lives in the SESSION catalog —
+  // a JVM-global memo would hand a fresh session names it never wrote,
+  // and identityHashCode can collide or be reused after GC (advice r3)
   private val bucketedCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]
 
   /** Bucketed copies of orders+lineitem co-bucketed on the order key,
     * memoized per (session, source dir): the permanent layout a
@@ -85,7 +86,7 @@ object ScaleJoins {
     * consumes are materialized. */
   def bucketedOrderTables(spark: SparkSession, sourceDir: String,
                           buckets: Int = 8): (String, String) =
-    bucketedCache.computeIfAbsent((System.identityHashCode(spark), sourceDir), { _ =>
+    bucketedCache.computeIfAbsent((graft.core.Sessions.uuid(spark), sourceDir), { _ =>
       val tag = dirTag(sourceDir)
       val (ot, lt) = (s"gb_orders_$tag", s"gb_lineitem_$tag")
       writeBucketed(graft.core.Tables.load(spark, sourceDir, "orders")
@@ -111,8 +112,12 @@ object ScaleJoins {
   def partitionedByMonth(spark: SparkSession, sourceDir: String, table: String,
                          dateCol: String, monthCol: String): DataFrame = {
     val path = partitionedCache.computeIfAbsent(s"$sourceDir/$table/$monthCol", { _ =>
+      // pid in the path: two concurrent JVMs (parallel verify + bench)
+      // would otherwise race mode("overwrite") on one fixed directory
+      // and one of them could read a half-rewritten layout (advice r3)
       val out = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_part_${table}_${monthCol}_${dirTag(sourceDir)}").getAbsolutePath
+        s"graft_part_${table}_${monthCol}_${dirTag(sourceDir)}_p${ProcessHandle.current().pid()}")
+        .getAbsolutePath
       graft.core.Tables.load(spark, sourceDir, table)
         .withColumn(monthCol, date_format(col(dateCol), "yyyy-MM"))
         .write.mode("overwrite").partitionBy(monthCol).parquet(out)

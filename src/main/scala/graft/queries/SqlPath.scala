@@ -30,16 +30,23 @@ object SqlPath {
       |WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey""".stripMargin
 
   // temp views are session-scoped and all tables are re-registered when
-  // the (session, dir) pair changes — but NOT on every invocation:
-  // round-2 verdict item 6, registerAll (10 parquet reads + schema
-  // inference) per call dominated x_sql_cte's bench time.
-  private val lastRegistered =
-    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+  // a session's dir changes — but NOT on every invocation: round-2
+  // verdict item 6, registerAll (10 parquet reads + schema inference)
+  // per call dominated x_sql_cte's bench time. Tracks the CURRENT dir
+  // per session (view names are shared, so two dirs cannot both be
+  // "registered" on one session), and the check+register is atomic —
+  // the round-3 single-slot memo let one thread's SQL run against the
+  // other thread's freshly re-registered views.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def run(sql: String): Q = (s, dir) => {
-    if (lastRegistered.get() != ((s, dir))) {
-      Tables.registerAll(s, dir)
-      lastRegistered.set((s, dir))
+    val key = graft.core.Sessions.uuid(s)
+    registeredDir.synchronized {
+      if (registeredDir.get(key) != dir) {
+        Tables.registerAll(s, dir)
+        registeredDir.put(key, dir)
+      }
     }
     s.sql(sql)
   }
