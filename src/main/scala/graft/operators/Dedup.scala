@@ -327,6 +327,61 @@ object Dedup {
     out
   }
 
+  /** Benchmark-contamination report: for each document in the `test`
+    * split, how many of its distinct n-gram shingles appear in ANY
+    * `train` document — the decontamination check run before an
+    * evaluation set is trusted. Shingling is the native ShingleHashes
+    * expression and both sides join on the 64-bit shingle hash, so the
+    * shuffle carries longs, not n-gram strings; the train side is
+    * reduced to distinct hashes first (partial aggregation shrinks it
+    * map-side). Output: (idCol, n_shingles, n_contaminated, rate).
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          splitCol: Column, n: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol), splitCol.as("__split"),
+        explode(ShingleHashes.shingleHashes(spark, col(textCol), n)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSh = sh.filter(col("__split") === "train").select("__sh").distinct()
+    val out = sh.filter(col("__split") === "test")
+      .join(trainSh.withColumn("__hit", lit(1L)), Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("rate"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
+  /** Blocklist subtraction with a Bloom prefilter: remove every row of
+    * `df` whose key appears in `blocklist`, exactly. The blocklist
+    * (small side — a takedown list, a test-set id list) is folded into
+    * a Bloom filter CONSTANT, so the bulk of a 100 TB scan is decided
+    * by a codegen'd `might_contain` with zero shuffle: rows the filter
+    * rejects are provably clean and bypass the join entirely; only the
+    * ~fpp false-positive sliver plus true hits anti-join against the
+    * real blocklist for exactness. Building the filter is one action on
+    * the SMALL side only (the same collect a broadcast join would do).
+    */
+  def blocklistSubtract(df: DataFrame, keyCol: String,
+                        blocklist: DataFrame, blockKeyCol: String,
+                        expectedItems: Long = 1000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    val bf = blocklist.stat.bloomFilter(blockKeyCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val mc = graft.functions.BloomMightContain.mightContain(
+      df.sparkSession, lit(bos.toByteArray), col(keyCol).cast("long"))
+    val clean = df.filter(!mc)
+    val candidates = df.filter(mc)
+      .join(blocklist, df(keyCol) === blocklist(blockKeyCol), "left_anti")
+    clean.unionByName(candidates)
+  }
+
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity
     * with the ml pipeline API; same shingle feature space). */
   def minhashPairsML(docs: DataFrame, idCol: String, textCol: String,

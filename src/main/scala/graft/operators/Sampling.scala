@@ -37,6 +37,27 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < lit(f"$buckets%x"))
   }
 
+  /** Stratified deterministic sampling: per-stratum keep rates, each
+    * expressed in 16ths via the md5 bucket of the id — the domain-mixing
+    * move every pretraining pipeline makes (downsample the
+    * overrepresented source, keep the rare one whole) while staying a
+    * pure function of (id, stratum): stable across engines,
+    * partitioning, and re-ingestion, and still a narrow codegen'd
+    * filter (no shuffle, no RNG).
+    */
+  def stratifiedKeep(df: DataFrame, idCol: String, strataCol: String,
+                     buckets: Map[String, Int], defaultBuckets: Int): DataFrame = {
+    (buckets.values ++ Seq(defaultBuckets)).foreach(b =>
+      require(b > 0 && b <= 16, "per-stratum buckets in 1..16"))
+    // 16 = keep-all; its threshold 'g' sorts above every md5 hex char
+    def hex(b: Int) = if (b == 16) "g" else f"$b%x"
+    val threshold = buckets.foldLeft(lit(hex(defaultBuckets))) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(hex(b))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < threshold)
+  }
+
   /** Sequence-packing bin assignment (training-batch construction):
     * rows are packed in `orderCol` order into fixed token-budget bins
     * via a running token total — `bin = floor(tokens-before-this-row /

@@ -40,6 +40,31 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Within-document repetition / boilerplate profile — the standard
+    * cheap filter for template spam and degenerate generations in a
+    * pretraining corpus: total tokens, distinct types, the duplicate
+    * ratio (1 − types/tokens) and the share of the single most frequent
+    * token. Two hash aggregations keyed on (doc, word) then doc — all
+    * counts exact integers, so the derived ratios are cross-engine
+    * deterministic; partial (map-side) aggregation keeps the shuffle
+    * proportional to the vocabulary per doc, not the token stream.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perWord = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("cnt"))
+    perWord.groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_types"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col(idCol),
+        col("n_words"), col("n_types"),
+        round(lit(1.0) - col("n_types").cast("double") / col("n_words"), 4)
+          .as("rep_ratio"),
+        round(col("max_cnt").cast("double") / col("n_words"), 4).as("top_share"))
+  }
+
   /** Heuristic quality score in [0,1]: length sweet-spot, average word
     * length sanity, punctuation density penalty (the usual cheap
     * pretraining filters). Pure arithmetic → portable + deterministic.

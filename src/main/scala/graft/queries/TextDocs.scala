@@ -282,6 +282,77 @@ object TextDocs {
         .localCheckpoint(true)
       toks.unpersist()
       out.orderBy("doc_id")
+    }),
+
+    "x_repetition" -> ((s, dir) =>
+      // within-document repetition / boilerplate profile (template-spam
+      // filter): exact-integer counts → deterministic ratios
+      TextAnalysis.repetitionStats(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_pmi" -> ((s, dir) => {
+      // bigram PMI collocations (phrase mining / tokenizer-merge
+      // analysis): bigrams come from a positional self-join — adjacency
+      // via (doc, pos+1), all codegen — because the native shingler
+      // dedups per doc and PMI needs occurrence MULTIPLICITY. The token
+      // frame feeds four consumers (unigram counts, unigram total,
+      // both bigram sides), so it is persisted and released after the
+      // small top-k result materializes. Counts are exact integers;
+      // round(4) absorbs cross-engine ln() ulp noise (x_tfidf proved
+      // the pattern).
+      val toks = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
+        .filter(length(col("word")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
+      val tuni = toks.agg(count(lit(1)).as("tu"))
+      val bi = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
+        .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"), col("word").as("w2")),
+          Seq("doc_id", "pos"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
+      val tbi = bi.agg(sum(col("cab")).as("tb"))
+      val out = bi.filter(col("cab") >= 5)
+        .join(uni.select(col("word").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uni.select(col("word").as("w2"), col("c").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(tbi)).crossJoin(broadcast(tuni))
+        .select(col("w1"), col("w2"), col("cab"),
+          round(log((col("cab").cast("double") / col("tb")) /
+            ((col("ca").cast("double") / col("tu")) *
+             (col("cb").cast("double") / col("tu")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+        .localCheckpoint(true)
+      toks.unpersist()
+      out
+    }),
+
+    "x_stratified_sample" -> ((s, dir) =>
+      // domain-mixing sampler: downsample overrepresented English to
+      // 2/16, keep Chinese whole, 4/16 for the rest — a pure function
+      // of (doc_id, lang), reproducible on any engine/partitioning
+      Sampling.stratifiedKeep(docs(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 2, "zh" -> 16), defaultBuckets = 4)
+        .orderBy("doc_id")),
+
+    "x_contamination" -> ((s, dir) =>
+      // benchmark decontamination: per TEST doc, the fraction of its
+      // distinct trigram shingles that any TRAIN doc contains; the
+      // md5-bucket split keeps membership engine-independent
+      Dedup.contaminationReport(docs(s, dir), "doc_id", "text",
+        Sampling.splitColumn(col("doc_id"), testBuckets = 2))
+        .orderBy("doc_id")),
+
+    "x_blocklist" -> ((s, dir) => {
+      // exact blocklist subtraction behind a Bloom-constant prefilter
+      // (takedown / test-set-id removal): the oracle is the plain
+      // subtraction — the bloom path must be EXACTLY equivalent
+      val d = docs(s, dir).select(col("doc_id"), col("lang"))
+      val bl = docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("blocked_id"))
+      Dedup.blocklistSubtract(d, "doc_id", bl, "blocked_id",
+        expectedItems = 100000L, fpp = 0.01)
+        .orderBy("doc_id")
     })
   )
 
@@ -648,6 +719,77 @@ object TextDocs {
          |           regexp_replace(raw, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
          |           '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_redacted
          |FROM t ORDER BY c_custkey""".stripMargin,
+    "x_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents
+        |), pw AS (
+        |  SELECT doc_id, word, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 4) AS rep_ratio,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT), 4) AS top_share
+        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_pmi" ->
+      // parallel unnests zip positionally, so (w1, w2) pairs carry full
+      // occurrence multiplicity — mirroring the engine's positional
+      // self-join exactly (the dedup'd shingler would undercount)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT unnest(w) AS word FROM toks
+        |), ucnt AS (SELECT word, COUNT(*) AS c FROM uni GROUP BY 1),
+        |tuni AS (SELECT COUNT(*) AS tu FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(len(w) - 1), i -> w[i+1])) AS w1,
+        |         unnest(list_transform(range(len(w) - 1), i -> w[i+2])) AS w2
+        |  FROM toks WHERE len(w) >= 2
+        |), bcnt AS (
+        |  SELECT w1, w2, COUNT(*) AS cab FROM bg GROUP BY 1, 2
+        |), tbi AS (SELECT CAST(SUM(cab) AS BIGINT) AS tb FROM bcnt)
+        |SELECT w1, w2, cab,
+        |  ROUND(LN((CAST(cab AS DOUBLE) / tb) /
+        |           ((CAST(a.c AS DOUBLE) / tu) * (CAST(b.c AS DOUBLE) / tu))), 4) AS pmi
+        |FROM bcnt
+        |JOIN ucnt a ON a.word = w1
+        |JOIN ucnt b ON b.word = w2
+        |CROSS JOIN tbi CROSS JOIN tuni
+        |WHERE cab >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "x_stratified_sample" ->
+      // md5-bucket thresholds: en 2/16, zh all ('g' sorts above every
+      // hex char), default 4/16 — same pure function as the engine
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+        |  CASE lang WHEN 'en' THEN '2' WHEN 'zh' THEN 'g' ELSE '4' END
+        |ORDER BY doc_id""".stripMargin,
+    "x_contamination" ->
+      // distinct-by-HASH per doc (the engine joins on the 64-bit
+      // shingle hash), md5-bucket split, then per-test-doc hit counting
+      s"""WITH $shingleFnvCtes,
+         |dh AS (SELECT DISTINCT doc_id, h FROM fnv),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+         |         THEN 'test' ELSE 'train' END AS s
+         |  FROM documents
+         |), train_h AS (
+         |  SELECT DISTINCT h FROM dh JOIN sp USING (doc_id) WHERE s = 'train'
+         |), test_h AS (
+         |  SELECT dh.doc_id, dh.h FROM dh JOIN sp USING (doc_id) WHERE s = 'test'
+         |)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  ROUND(CAST(SUM(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / COUNT(*), 4) AS rate
+         |FROM test_h t LEFT JOIN train_h tr ON t.h = tr.h
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "x_blocklist" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
     "x_bpe_tokens" ->
       s"""WITH t AS (
          |  SELECT doc_id,

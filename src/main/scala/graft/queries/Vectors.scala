@@ -103,6 +103,17 @@ object Vectors {
         .orderBy("ida", "idb")
     }),
 
+    "x_kmeans" -> ((s, dir) =>
+      // two Lloyd iterations, k=4, integer-quantized vectors — fully
+      // value-oracled (every vec_id's final cluster): quantization
+      // makes the update sums exact and the assignment cosine is the
+      // same left-to-right fold the DuckDB replay runs (see
+      // kmeansSeqCos below / operators/Clustering.scala determinism
+      // notes)
+      graft.operators.Clustering.kmeansAssign(
+        emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+        .orderBy("vec_id")),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
@@ -171,7 +182,60 @@ object Vectors {
        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) e
        |  CROSS JOIN wl w GROUP BY e.vec_id)""".stripMargin
 
+  // ---- k-means replay (x_kmeans) ----
+  //
+  // Sequential-fold cosine matching CosineSimilarity.compute exactly:
+  // each accumulator (dot, |a|², |b|²) is an independent left-to-right
+  // double fold, then dot / (sqrt·sqrt) — the x_lsh_pairs-proven
+  // order-pinned pattern, bit-identical to the JVM loop.
+  private def kmeansSeqCos(a: String, b: String): String = {
+    def fold(ea: String, eb: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(range(1, len($a) + 1), i -> $ea * $eb)), (x, y) -> x + y)""".stripMargin
+    s"""(${fold(s"$a[i]", s"$b[i]")}
+       | / (sqrt(${fold(s"$a[i]", s"$a[i]")}) * sqrt(${fold(s"$b[i]", s"$b[i]")})))""".stripMargin
+  }
+
+  private val kmeansOracle: String = {
+    // one assignment round: cosine of every (vector, centroid) pair →
+    // argmax with ties to the lowest cid (the engine scans the
+    // cid-sorted centroid array with strict >); NaN skipped like the
+    // engine's -infinity init
+    def assign(prefix: String, cents: String) =
+      s"""${prefix}_cos AS (
+         |  SELECT q.vec_id, c.cid, ${kmeansSeqCos("q.v", "c.cv")} AS cos
+         |  FROM qv q CROSS JOIN $cents c
+         |), $prefix AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |    FROM ${prefix}_cos WHERE NOT isnan(cos)) t
+         |  WHERE rn = 1
+         |)""".stripMargin
+    s"""WITH ev0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |         unnest(range(len(embedding))) AS pos
+       |  FROM embeddings
+       |), ev AS (
+       |  SELECT vec_id, pos, floor(e[pos + 1] * 10000) AS q FROM ev0
+       |), qv AS (
+       |  SELECT vec_id, list(q ORDER BY pos) AS v FROM ev GROUP BY vec_id
+       |), c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT 4) t
+       |), ${assign("asn1", "c0")},
+       |u1 AS (
+       |  SELECT a.cid, e.pos, SUM(e.q) AS s, COUNT(*) AS c
+       |  FROM asn1 a JOIN ev e USING (vec_id) GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT cid, list(s / c ORDER BY pos) AS cv FROM u1 GROUP BY cid
+       |), ${assign("asn2", "c1")}
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+       |FROM asn2 ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "x_kmeans" -> kmeansOracle,
     "q18_cosine_pairs" ->
       s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1

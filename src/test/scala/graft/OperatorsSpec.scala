@@ -329,6 +329,87 @@ class OperatorsSpec extends AnyFunSuite {
     assert(packed.exists(_._4 > 0))
   }
 
+  test("repetitionStats: ratios from exact counts; pathological repeat detected") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),                    // 4 tokens, 1 type
+      (2L, "all words here are unique tokens")        // 6 tokens, 6 types
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 1L, 0.75, 1.0)))
+    assert(m(2L) == ((6L, 6L, 0.0, round4(1.0 / 6))))
+  }
+
+  test("stratifiedKeep: per-stratum rates hold exactly under the md5 rule") {
+    val df = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedKeep(df, "id", "lang", Map("zh" -> 16), 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // zh (16/16) keeps every odd id; en keeps exactly the bucket<'4' ids
+    assert(kept.count(_._2 == "zh") == 1000)
+    val enKept = kept.filter(_._2 == "en").map(_._1).toSet
+    val expected = (0L until 2000L by 2).filter { i =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+      f"${h(0) & 0xff}%02x".charAt(0) < '4'
+    }.toSet
+    assert(enKept == expected)
+  }
+
+  test("contaminationReport: planted overlap counted, clean test doc at rate 0") {
+    // ids chosen so the md5 split puts 6/19 in 'test' and 10/23 in
+    // 'train' (first md5 hex char < '2' → test) — asserted below so a
+    // hash change fails loudly instead of silently testing nothing
+    val docs = Seq(
+      (6L, "alpha beta gamma delta epsilon"),    // test: shares all trigrams with 23
+      (19L, "uno dos tres cuatro cinco seis"),   // test: disjoint from train
+      (23L, "alpha beta gamma delta epsilon"),   // train
+      (10L, "other unrelated train words here")  // train
+    ).toDF("doc_id", "text")
+    val split = Sampling.splitColumn(col("doc_id"), testBuckets = 2)
+    val splits = docs.select($"doc_id", split.as("s")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(splits == Map(6L -> "test", 19L -> "test", 23L -> "train", 10L -> "train"))
+    val m = Dedup.contaminationReport(docs, "doc_id", "text", split)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(6L) == ((3L, 3L, 1.0)))    // 3 trigrams, all in train doc 23
+    assert(m(19L)._2 == 0L && m(19L)._3 == 0.0)
+  }
+
+  test("blocklistSubtract equals the plain anti-join, bloom probe in the plan") {
+    val df = (0L until 500L).map(i => (i, s"p$i")).toDF("id", "payload")
+    val bl = (0L until 500L by 7).toDF("blocked")
+    val out = Dedup.blocklistSubtract(df, "id", bl, "blocked",
+      expectedItems = 100L, fpp = 0.01)
+    val plain = df.join(bl, $"id" === $"blocked", "left_anti")
+    assert(out.orderBy("id").collect().toSeq == plain.orderBy("id").collect().toSeq)
+    // analyzed plan: over a LocalRelation the optimizer constant-folds
+    // the probe away entirely (parquet-backed plans keep it — PlanSpec)
+    assert(out.queryExecution.analyzed.toString.contains("might_contain"))
+  }
+
+  test("kmeansAssign: duplicate vectors co-cluster; rerun is identical") {
+    // two tight groups around orthogonal directions + exact duplicates
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.1f, 0.0f) else Array(0.1f, 10.0f, 0.0f)
+      (i, base.map(v => v + (i / 2 % 5) * 0.01f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val run1 = graft.operators.Clustering.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = graft.operators.Clustering.kmeansAssign(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2)
+    assert(run1.values.toSet.size == 2)
+    val evens = vecs.map(_._1).filter(_ % 2 == 0).map(run1).toSet
+    val odds = vecs.map(_._1).filter(_ % 2 == 1).map(run1).toSet
+    assert(evens.size == 1 && odds.size == 1 && evens != odds)
+  }
+
+  private def round4(d: Double): Double =
+    BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("bpe tokens match the RE2 (DuckDB) golden output on edge strings") {
     // goldens produced by DuckDB 1.x regexp_extract_all with the same
     // pattern — pins Java-regex/RE2 agreement on the oracle-checked path

@@ -168,6 +168,49 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x_blocklist: bloom probe survives to the physical plan over parquet") {
+    val p = plan("x_blocklist")
+    // the codegen'd might_contain prefilter gates the anti-join branch;
+    // exactly one real join remains (the exactness anti-join)
+    assert(p.contains("might_contain"))
+    assert(p.contains("LeftAnti"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("x_kmeans stages: narrow assignment, update shuffles only (cid, dim) partials") {
+    // mirror of Clustering.kmeansAssign's per-iteration plan (built
+    // inline because the operator checkpoints its result, collapsing
+    // the interesting stages): a plan that shuffles vectors for the
+    // assignment or the update is the IVF mistake resurfacing.
+    import graft.functions.{NearestCentroid, QuantizeVec}
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val q = e.select(col("vec_id").as("__id"),
+      QuantizeVec.quantize(spark, col("embedding"), 10000).as("__qv"))
+    val centArr = q.orderBy("__id").limit(4)
+      .agg(array_sort(collect_list(struct(
+        col("__id").as("cid"), col("__qv").as("cv")))).as("__cents"))
+    val asn = q.crossJoin(broadcast(centArr))
+      .select(col("__id"), col("__qv"),
+        NearestCentroid.nearest(spark, col("__qv"), col("__cents")).as("cid"))
+    val upd = asn.select(col("cid"), posexplode(col("__qv")).as(Seq("__pos", "__q")))
+      .groupBy(col("cid"), col("__pos"))
+      .agg(sum(col("__q")).as("s"), count(lit(1)).as("c"))
+    val p = upd.queryExecution.explainString(FormattedMode)
+    assert(p.contains("quantize_vec") && p.contains("nearest_centroid"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin")) // 1-row centroid array side
+    // partial + final hash aggregation around the single shuffle
+    val aggs = p.linesIterator.count(_.trim.matches("""\(\d+\) HashAggregate.*"""))
+    assert(aggs >= 2, p)
+    // the keyed shuffle is on (cid, __pos); the only other legal
+    // exchange is the broadcast of the k-row centroid array — NOTHING
+    // may shuffle the corpus by row id (details section carries the
+    // partitioning arguments in FormattedMode)
+    assert(p.contains("hashpartitioning(cid"), p)
+    assert(!p.contains("hashpartitioning(__id"), p)
+  }
+
   test("x_unpivot: Expand node, no join, no extra shuffle") {
     val p = plan("x_unpivot")
     assert(p.contains("Expand"), p)
