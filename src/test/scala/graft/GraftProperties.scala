@@ -98,6 +98,30 @@ object GraftProperties extends Properties("graft") {
       math.abs(ab) <= 1.0 + 1e-9 && math.abs(ab - ba) < 1e-12 && math.abs(self - 1.0) < 1e-12
     }
 
+  private val genFloatVec: Gen[Array[Float]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-10.0f, 10.0f)).map(_.take(64).toArray)
+
+  property("quantize_vec == floor model; outputs exact integers the oracle can resum") =
+    forAll(genFloatVec) { v =>
+      val out = graft.functions.QuantizeVec
+        .compute(new GenericArrayData(v.map(x => x: Any)), true, 10000)
+      (0 until out.numElements()).forall { i =>
+        val q = out.getDouble(i)
+        q == math.floor(v(i).toDouble * 10000) && q == math.rint(q) &&
+          math.abs(q) < (1L << 52).toDouble // exact-in-double territory
+      }
+    }
+
+  property("nearest-centroid argmax: ties keep the FIRST (lowest-index) centroid") =
+    forAll(genVec) { v =>
+      val vd = new GenericArrayData(v)
+      // centroid array = the SAME vector twice: equal cosines, index 0 must win
+      val row = org.apache.spark.sql.catalyst.InternalRow(0L, vd)
+      val row2 = org.apache.spark.sql.catalyst.InternalRow(1L, vd)
+      val cents = new GenericArrayData(Array[Any](row, row2))
+      graft.functions.NearestCentroid.bestIndex(vd, false, cents, false) == 0
+    }
+
   private val genCell: Gen[String] = Gen.listOf(
     Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('"', '\\', '\n', '\t', '')))
     .map(_.mkString)
