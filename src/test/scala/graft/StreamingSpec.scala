@@ -239,4 +239,33 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == 4) // 1h window / 15m slide → 4 covering windows
     } finally q.stop()
   }
+
+  case class Doc(doc_id: Long, text: String)
+
+  test("streaming dedup filter: index grows per batch, cross- and within-batch dups drop") {
+    import graft.streaming.StreamDedup
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Doc]
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val (idx, out, ckpt) = (s"$dir/index", s"$dir/clean", s"$dir/ckpt")
+    val textA = "alpha beta gamma delta epsilon zeta"
+    val textB = "one two three four five six seven"
+    val q = StreamDedup.start(in.toDF(), "doc_id", "text", idx, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      in.addData(Doc(1L, textA))
+      q.processAllAvailable()
+      // doc 2 near-dups the HISTORY (batch 1); doc 4 near-dups doc 3
+      // WITHIN its own batch — min id survives each
+      in.addData(Doc(2L, textA), Doc(3L, textB), Doc(4L, textB))
+      q.processAllAvailable()
+      val clean = spark.read.parquet(out).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(clean == Set(1L, 3L))
+      // index carries signatures for exactly the accepted docs
+      val indexed = spark.read.parquet(idx).select("id")
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == Set(1L, 3L))
+    } finally q.stop()
+  }
 }
