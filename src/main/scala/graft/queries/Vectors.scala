@@ -114,6 +114,27 @@ object Vectors {
         emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
         .orderBy("vec_id")),
 
+    "x_label_centroid" -> ((s, dir) => {
+      // per-label mean-pooled embedding, exact-integer form: quantize
+      // (narrow codegen) → posexplode → partial-aggregated (label, dim)
+      // integer sums — the same scale shape as the k-means update, and
+      // the group-wise pooling every "average embedding per domain /
+      // language / source" report needs. Outputs are exact integers
+      // (sums of quantized values), so the oracle is exact.
+      val q = emb(s, dir).select(col("label"),
+        graft.functions.QuantizeVec.quantize(s, col("embedding"), 10000).as("qv"))
+      q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("c"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("dims"),
+          max(col("c")).as("n_vecs"),
+          sum(col("s")).cast("bigint").as("qsum_total"),
+          min(col("s")).cast("bigint").as("qsum_min"),
+          max(col("s")).cast("bigint").as("qsum_max"))
+        .orderBy("label")
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
@@ -236,6 +257,25 @@ object Vectors {
 
   val oracle: Map[String, String] = Map(
     "x_kmeans" -> kmeansOracle,
+    "x_label_centroid" ->
+      // same quantization as the engine (floor of float→double exact
+      // cast × 10000); every aggregated value is an exact integer, so
+      // any summation order agrees and the BIGINT casts are lossless
+      """WITH ev0 AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |         unnest(range(len(embedding))) AS pos
+        |  FROM embeddings
+        |), ev AS (
+        |  SELECT vec_id, label, pos, floor(e[pos + 1] * 10000) AS q FROM ev0
+        |), u AS (
+        |  SELECT label, pos, SUM(q) AS s, COUNT(*) AS c FROM ev GROUP BY 1, 2
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS dims,
+        |  CAST(MAX(c) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(s) AS BIGINT) AS qsum_total,
+        |  CAST(MIN(s) AS BIGINT) AS qsum_min,
+        |  CAST(MAX(s) AS BIGINT) AS qsum_max
+        |FROM u GROUP BY label ORDER BY label""".stripMargin,
     "q18_cosine_pairs" ->
       s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "b.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
