@@ -21,11 +21,18 @@ case class QuantizeVec(child: Expression, scale: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "quantize_vec"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quantize_vec needs array<float|double>, got ${other.catalogString}")
+    }
+
   private def isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"quantize_vec needs array<float|double>, got $other")
+    case _ => false
   }
 
   protected override def nullSafeEval(input: Any): Any =

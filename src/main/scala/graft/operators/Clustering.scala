@@ -37,7 +37,10 @@ object Clustering {
 
   /** Assign every row to a cluster after `iters` Lloyd iterations.
     * Returns (idCol, cluster BIGINT); cluster ids are 0..k-1 dense from
-    * the init ordering. */
+    * the init ordering. A row whose quantized vector has zero norm
+    * (every |component| < 1/scale) has no meaningful cosine to any
+    * centroid and comes back with cluster NULL — callers decide whether
+    * to drop or route such rows. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, scale: Int = 10000): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")

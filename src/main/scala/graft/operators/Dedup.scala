@@ -359,23 +359,46 @@ object Dedup {
 
   /** Blocklist subtraction with a Bloom prefilter: remove every row of
     * `df` whose key appears in `blocklist`, exactly. The blocklist
-    * (small side — a takedown list, a test-set id list) is folded into
-    * a Bloom filter CONSTANT, so the bulk of a 100 TB scan is decided
-    * by a codegen'd `might_contain` with zero shuffle: rows the filter
+    * (a takedown list, a test-set id list) is folded into a Bloom
+    * filter CONSTANT, so the bulk of a 100 TB scan is decided by a
+    * codegen'd `might_contain` with zero shuffle: rows the filter
     * rejects are provably clean and bypass the join entirely; only the
     * ~fpp false-positive sliver plus true hits anti-join against the
-    * real blocklist for exactness. Building the filter is one action on
-    * the SMALL side only (the same collect a broadcast join would do).
+    * real blocklist for exactness.
+    *
+    * When the blocklist fits a broadcast, a plain broadcast anti-join
+    * is already narrow and reads the corpus once — use that. This
+    * operator is for the blocklist TOO LARGE to broadcast (billions of
+    * ids): the anti-join degrades to a shuffle join, and two narrow
+    * scans (clean branch + candidate sliver) are far cheaper than
+    * shuffling the whole corpus. Building the filter is one aggregation
+    * over the blocklist side only.
+    *
+    * Key contract: INTEGRAL keys only (enforced) — `stat.bloomFilter`
+    * inserts integral columns via putLong and the probe replays
+    * mightContainLong; a string key would hash differently on the two
+    * sides and silently retain blocked rows (review). NULL keys cannot
+    * be blocked (SQL join semantics) and are kept.
     */
   def blocklistSubtract(df: DataFrame, keyCol: String,
                         blocklist: DataFrame, blockKeyCol: String,
                         expectedItems: Long = 1000000L,
                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(df.schema(keyCol).dataType -> keyCol,
+        blocklist.schema(blockKeyCol).dataType -> blockKeyCol).foreach {
+      case (t, c) => require(
+        t == LongType || t == IntegerType || t == ShortType || t == ByteType,
+        s"blocklistSubtract needs an integral key; '$c' is $t — putLong/" +
+          "mightContainLong only agree for integral columns")
+    }
     val bf = blocklist.stat.bloomFilter(blockKeyCol, expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val mc = graft.functions.BloomMightContain.mightContain(
-      df.sparkSession, lit(bos.toByteArray), col(keyCol).cast("long"))
+    // NULL key → might_contain is NULL → coalesce keeps the row on the
+    // clean branch, matching the plain anti-join (NULL never matches)
+    val mc = coalesce(graft.functions.BloomMightContain.mightContain(
+      df.sparkSession, lit(bos.toByteArray), col(keyCol).cast("long")), lit(false))
     val clean = df.filter(!mc)
     val candidates = df.filter(mc)
       .join(blocklist, df(keyCol) === blocklist(blockKeyCol), "left_anti")

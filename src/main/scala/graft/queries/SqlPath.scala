@@ -41,13 +41,14 @@ object SqlPath {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def run(sql: String): Q = (s, dir) => {
-    val key = graft.core.Sessions.uuid(s)
-    registeredDir.synchronized {
-      if (registeredDir.get(key) != dir) {
-        Tables.registerAll(s, dir)
-        registeredDir.put(key, dir)
-      }
-    }
+    // compute() holds the PER-KEY lock for the check+register (the
+    // lambda touches the session, never the map, so it is legal inside
+    // compute) — two different sessions register concurrently instead
+    // of serializing on a global monitor (review)
+    registeredDir.compute(graft.core.Sessions.uuid(s), (_, prev) => {
+      if (prev != dir) Tables.registerAll(s, dir)
+      dir
+    })
     s.sql(sql)
   }
 

@@ -112,6 +112,11 @@ object Vectors {
       // notes)
       graft.operators.Clustering.kmeansAssign(
         emb(s, dir), "vec_id", "embedding", k = 4, iters = 2)
+        // a zero-norm quantized vector would get cluster NULL (NaN
+        // cosine against every centroid); the oracle's NOT isnan drops
+        // such rows — mirror that so the two sides agree even on the
+        // degenerate input (review; none exist in this corpus)
+        .filter(col("cluster").isNotNull)
         .orderBy("vec_id")),
 
     "x_label_centroid" -> ((s, dir) => {

@@ -21,9 +21,18 @@ import graft.operators.Dedup
   * bucketing turns the join into the co-located probe the batch
   * operator documents). foreachBatch is the right tool, not stateful
   * operators: the dedup state is a TABLE (queryable, compactable,
-  * rebuildable), not per-key session state, and Structured Streaming's
-  * exactly-once batch ids make the append idempotent on retry for
-  * observers that track batch id.
+  * rebuildable), not per-key session state.
+  *
+  * Delivery semantics: AT-LEAST-ONCE per micro-batch — plain parquet
+  * appends are not transactional, so a retried epoch can append the
+  * same rows twice. Both outputs therefore carry the epoch's
+  * `__batch_id` column: downstream readers (and an index compaction)
+  * dedup on (batch id, doc id), which is exactly how the parquet sink
+  * era handled retries before transactional tables; swap the two
+  * writes for a transactional table commit to get exactly-once. The
+  * clean output is written BEFORE the index so a crash between the
+  * writes can only under-index (later dups of those rows get a second
+  * look) — never silently drop accepted rows.
   *
   * Within-batch duplicates: survivors are additionally deduped against
   * each other ([[Dedup.minhashPairs]] inside the batch — batches are
@@ -41,11 +50,15 @@ object StreamDedup {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fs = new Path(indexDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasIndex = fs.exists(new Path(indexDir))
+        // glob for data files, not bare existence: a batch whose
+        // survivors produced zero signatures leaves only _SUCCESS, and
+        // schema inference over a fileless dir would kill the query
+        val hasIndex = fs.exists(new Path(indexDir)) &&
+          fs.globStatus(new Path(indexDir, "*.parquet")).nonEmpty
 
         // 1) drop batch rows near-duplicating the accepted history
         val vsHistory =
@@ -64,9 +77,12 @@ object StreamDedup {
         val clean = Dedup.dropNearDuplicates(vsHistory, idCol, pairs)
           .localCheckpoint(true) // both writes below consume it once
 
-        // 3) append clean rows + their signatures (index grows by batch)
-        clean.write.mode("append").parquet(outDir)
+        // 3) append clean rows + their signatures (index grows by
+        // batch); both stamped with the epoch for retry dedup
+        clean.withColumn("__batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
         Dedup.minhashSignatures(clean, idCol, textCol)
+          .withColumn("__batch_id", lit(batchId))
           .write.mode("append").parquet(indexDir)
         ()
       }
