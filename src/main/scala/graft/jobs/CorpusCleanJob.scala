@@ -6,16 +6,21 @@ import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Training-corpus cleaning pipeline — the composition the mandated
-  * extension operators exist for: quality filter → near-duplicate
-  * removal → language tagging → deterministic split, in one lazy plan
-  * chain.
+  * extension operators exist for: blocklist subtraction → quality
+  * filter → repetition filter → near-duplicate removal → language
+  * tagging → deterministic split, in one lazy plan chain.
   *
-  *   1. drop documents below `minQuality` (cheap narrow filter first,
+  *   1. subtract the takedown/eval blocklist, if given (Bloom-constant
+  *      prefilter — at 100 TB the overwhelming clean majority never
+  *      reaches a join);
+  *   2. drop documents below `minQuality` (cheap narrow filter early,
   *      shrinking everything downstream);
-  *   2. drop near-duplicates (n-gram Jaccard candidates → connected
+  *   3. drop template-spam: documents whose duplicate-token ratio
+  *      exceeds `maxRepRatio` (repetitionStats);
+  *   4. drop near-duplicates (n-gram Jaccard candidates → connected
   *      components → keep min doc_id per cluster);
-  *   3. tag the survivors with the stopword-vote language ID;
-  *   4. assign the reproducible md5-bucket train/test split (a pure
+  *   5. tag the survivors with the stopword-vote language ID;
+  *   6. assign the reproducible md5-bucket train/test split (a pure
   *      function of doc_id — stable across engines and re-runs).
   *
   * Every stage is an engine operator with its own oracle/spec; this
@@ -25,11 +30,21 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
 object CorpusCleanJob {
 
   def clean(spark: SparkSession, docs: DataFrame,
-            minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): DataFrame = {
-    val scored = docs.withColumn("quality", TextAnalysis.qualityScore(col("text")))
+            minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
+            blocklist: Option[DataFrame] = None,
+            blockKeyCol: String = "blocked_id",
+            maxRepRatio: Double = 0.95): DataFrame = {
+    val unblocked = blocklist
+      .map(bl => Dedup.blocklistSubtract(docs, "doc_id", bl, blockKeyCol))
+      .getOrElse(docs)
+    val scored = unblocked.withColumn("quality", TextAnalysis.qualityScore(col("text")))
     val kept = scored.filter(col("quality") >= minQuality)
-    val pairs = Dedup.ngramJaccardPairs(kept, "doc_id", "text", jaccardThreshold)
-    val deduped = Dedup.dropNearDuplicates(kept, "doc_id", pairs)
+    val unrepetitive = kept.join(
+      TextAnalysis.repetitionStats(kept, "doc_id", "text")
+        .filter(col("rep_ratio") <= maxRepRatio).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val pairs = Dedup.ngramJaccardPairs(unrepetitive, "doc_id", "text", jaccardThreshold)
+    val deduped = Dedup.dropNearDuplicates(unrepetitive, "doc_id", pairs)
     TextAnalysis.langId(spark, deduped, "doc_id", "text")
       .join(deduped, Seq("doc_id"))
       .withColumn("split", Sampling.splitColumn(col("doc_id"), testBuckets = 2))

@@ -123,6 +123,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.filter(col("quality") < 0.5).count() == 0)
   }
 
+  test("corpus-clean pipeline: blocklist and repetition stages drop their targets") {
+    import spark.implicits._
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val ids = docs.select("doc_id").limit(3).collect().map(_.getLong(0))
+    val spamId = 999999L
+    val spamText = ("spam " * 30).trim // 30 tokens, 1 type → rep_ratio 0.9667
+    val spam = Seq((spamId, spamText, "en", "synthetic", spamText.length.toLong))
+      .toDF(docs.columns: _*)
+    val blocklist = Some(ids.toSeq.toDF("blocked_id"))
+    val cleaned = graft.jobs.CorpusCleanJob.clean(
+      spark, docs.unionByName(spam), blocklist = blocklist).cache()
+    // blocked ids are gone even if they would pass every quality stage
+    assert(cleaned.filter(col("doc_id").isin(ids: _*)).count() == 0)
+    // the template-spam doc (rep_ratio 0.9667 > 0.95) is dropped by
+    // the repetition stage
+    assert(cleaned.filter(col("doc_id") === spamId).count() == 0)
+    assert(cleaned.count() > 0)
+  }
+
   test("JDBC extraction path works end-to-end against embedded Derby") {
     val dbDir = Files.createTempDirectory("graft_derby").toString
     val url = s"jdbc:derby:$dbDir/meta;create=true"
