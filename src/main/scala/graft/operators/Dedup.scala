@@ -405,6 +405,87 @@ object Dedup {
     clean.unionByName(candidates)
   }
 
+  /** Fixed-width token chunks of each document as (id, ck, chunk) —
+    * the sub-document grain for CCNet-style line/paragraph dedup. The
+    * synthetic corpus has no line structure, so "lines" are consecutive
+    * `width`-token windows; on real data pass pre-split lines through
+    * the same downstream ops. Chunking is a NARROW per-row transform
+    * (sequence + slice over the token array) — nothing shuffles until a
+    * consumer aggregates.
+    */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+                width: Int = 8): DataFrame = {
+    require(width > 0, "chunk width must be positive")
+    val w = array_remove(split(col(textCol), "\\s+"), "")
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), w.as("__w"))
+      .withColumn("__chunks",
+        when(size(col("__w")) > 0,
+          transform(
+            // last chunk index = floor((n-1)/width); sequence() must not
+            // see start > stop (it would count DOWN), hence the guard
+            sequence(lit(0), floor((size(col("__w")) - 1) / width).cast("int")),
+            k => struct(k.as("ck"),
+              array_join(slice(col("__w"), k * width + 1, lit(width)), " ").as("chunk"))))
+          .otherwise(array()))
+      .select(col("id"), explode(col("__chunks")).as("__c"))
+      .select(col("id"), col("__c.ck").as("ck"), col("__c.chunk").as("chunk"))
+  }
+
+  /** Cross-document duplicate chunks (boilerplate report): chunk texts
+    * appearing in at least `minDocs` DISTINCT documents, with document
+    * and occurrence counts — the "top boilerplate" diagnostic run
+    * before chunk-level scrubbing. One hash-agg shuffle on the chunk
+    * text; partial aggregation shrinks it map-side.
+    */
+  def duplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                      width: Int = 8, minDocs: Int = 2): DataFrame =
+    docChunks(docs, idCol, textCol, width)
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("id")).as("ndocs"), count(lit(1)).as("nocc"))
+      .filter(col("ndocs") >= minDocs)
+
+  /** Chunk-level dedup (CCNet-style line scrubbing): drop every chunk
+    * whose text appears in ≥ `minDocs` distinct documents, then rebuild
+    * each document from its surviving chunks in order. Returns
+    * (idCol, clean_text, n_kept, n_dropped) for EVERY input document —
+    * a document that was pure boilerplate comes back with an empty
+    * clean_text, so downstream length filters can drop it explicitly.
+    *
+    * Scale shape: the duplicate-chunk set and the anti-join are keyed
+    * on the 64-bit FNV hash of the chunk, not the string — the shuffle
+    * carries longs (a false merge is ~2^-64 per chunk pair). The chunk
+    * frame feeds three consumers (dup detection, scrub join, per-doc
+    * totals), so it is persisted and released once the per-doc result
+    * materializes.
+    */
+  def scrubDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                           width: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val ch = docChunks(docs, idCol, textCol, width)
+      .withColumn("__h", graft.functions.Fnv1a64.fnv64(spark, col("chunk")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = ch.groupBy(col("__h"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__h")
+    val rebuilt = ch.join(dup, Seq("__h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("ck"), col("chunk")))),
+          c => c.getField("chunk")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = ch.groupBy(col("id")).agg(count(lit(1)).as("__n_chunks"))
+    val out = totals
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .localCheckpoint(true)
+    ch.unpersist()
+    out
+  }
+
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity
     * with the ml pipeline API; same shingle feature space). */
   def minhashPairsML(docs: DataFrame, idCol: String, textCol: String,

@@ -129,4 +129,30 @@ object ScaleJoins {
     })
     spark.read.parquet(path)
   }
+
+  /** Join-key skew diagnostic — the report run BEFORE choosing between
+    * a plain shuffle join, [[saltedJoin]], or an AQE skew split. One
+    * row: total rows, distinct keys, mean/median/p99/max per-key
+    * counts, the hottest key's share of all rows, and the max/mean
+    * skew ratio (≈1 uniform; ≥10 means the hot key serializes a
+    * shuffle partition and wants salting). Two hash aggregations, both
+    * partially aggregated map-side; the percentile runs over one row
+    * per KEY, not per input row.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("cnt")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        round(avg(col("cnt")), 4).as("avg_cnt"),
+        expr("percentile(cnt, 0.5)").as("med_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("avg_cnt"),
+        col("med_cnt"), col("p99_cnt"), col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("n_rows"), 4).as("top_share"),
+        // max/mean from exact integers (not the rounded avg_cnt) —
+        // double-rounding is a cross-engine parity trap
+        round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
+          .as("skew_ratio"))
 }

@@ -112,7 +112,13 @@ object Events {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"), min(col("ts")).as("sess_start"))
         .orderBy("user_id", "session_id")
-    })
+    }),
+
+    "x_skew_report" -> ((s, dir) =>
+      // join-key skew diagnostic on the stream's natural join key —
+      // the report run before choosing plain vs salted vs AQE-split
+      // joins at scale (one row: count distribution over keys)
+      graft.operators.ScaleJoins.keySkewReport(ev(s, dir), "user_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +169,17 @@ object Events {
         |)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       COUNT(*) AS n_events, CAST(MIN(ts) AS TIMESTAMP) AS sess_start
-        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    "x_skew_report" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  ROUND(AVG(cnt), 4) AS avg_cnt,
+        |  quantile_cont(cnt, 0.5) AS med_cnt,
+        |  quantile_cont(cnt, 0.99) AS p99_cnt,
+        |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_share,
+        |  ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4) AS skew_ratio
+        |FROM k""".stripMargin
   )
 }

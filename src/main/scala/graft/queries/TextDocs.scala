@@ -353,6 +353,43 @@ object TextDocs {
       Dedup.blocklistSubtract(d, "doc_id", bl, "blocked_id",
         expectedItems = 100000L, fpp = 0.01)
         .orderBy("doc_id")
+    }),
+
+    "x_boilerplate" -> ((s, dir) =>
+      // cross-document boilerplate report (CCNet-style line dedup at
+      // the 8-token-chunk grain): chunk texts shared by ≥2 distinct
+      // docs, hottest first — the diagnostic run before chunk scrubbing
+      Dedup.duplicateChunks(docs(s, dir), "doc_id", "text")
+        .orderBy(col("ndocs").desc, col("chunk"))
+        .limit(20)),
+
+    "x_chunk_scrub" -> ((s, dir) =>
+      // chunk-level dedup: every cross-document duplicate chunk removed
+      // and each doc rebuilt from its surviving chunks in order; docs
+      // that were pure boilerplate come back empty (n_kept = 0), one
+      // row per input doc either way
+      Dedup.scrubDuplicateChunks(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_jsonl_roundtrip" -> ((s, dir) => {
+      // JSONL ingest (the LLM-corpus interchange format): write the
+      // corpus as line-delimited JSON, read it back with an explicit
+      // schema, and aggregate — equality with the oracle (which reads
+      // the original parquet) proves the round trip lossless. The temp
+      // dir is pid-scoped (two concurrent JVMs must not race one
+      // overwrite) and removed on JVM exit.
+      val d = docs(s, dir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_jsonl_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit))
+      graft.sources.JsonlCorpus.write(d, tmp.getAbsolutePath)
+      graft.sources.JsonlCorpus.read(s, tmp.getAbsolutePath, d.schema)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("source")
     })
   )
 
@@ -800,6 +837,65 @@ object TextDocs {
          |  CAST(len(list_distinct(toks)) AS INT) AS n_types,
          |  ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE)
          |        / GREATEST(len(toks), 1), 4) AS avg_len
-         |FROM t ORDER BY doc_id""".stripMargin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // ---- chunk-level (CCNet-style line) dedup: fixed 8-token chunks
+    // rebuilt via 1-based inclusive list slicing — same windows as the
+    // engine's sequence+slice
+    "x_boilerplate" ->
+      s"""WITH $chunkCtes
+         |SELECT chunk, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs,
+         |  CAST(COUNT(*) AS BIGINT) AS nocc
+         |FROM ch GROUP BY chunk HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY ndocs DESC, chunk LIMIT 20""".stripMargin,
+    "x_chunk_scrub" ->
+      s"""WITH $chunkCtes,
+         |dup AS (
+         |  SELECT chunk FROM ch GROUP BY chunk
+         |  HAVING COUNT(DISTINCT doc_id) >= 2
+         |), kept AS (
+         |  SELECT doc_id, ck, chunk FROM ch
+         |  WHERE chunk NOT IN (SELECT chunk FROM dup)
+         |), reb AS (
+         |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY ck) AS clean_text,
+         |         CAST(COUNT(*) AS BIGINT) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |), tot AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+         |  FROM ch GROUP BY doc_id
+         |)
+         |SELECT tot.doc_id, COALESCE(reb.clean_text, '') AS clean_text,
+         |  COALESCE(reb.n_kept, 0) AS n_kept,
+         |  tot.n_chunks - COALESCE(reb.n_kept, 0) AS n_dropped
+         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+         |ORDER BY tot.doc_id""".stripMargin,
+    "x_jsonl_roundtrip" ->
+      // the oracle reads the ORIGINAL parquet — equality proves the
+      // engine's JSONL write→read round trip lossless
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
+
+  /** Shared CTEs for the chunk-dedup oracles: tokens → fixed 8-token
+    * chunks via 1-based inclusive list slices (w[a:b]), chunk index
+    * 0-based to match the engine's sequence().
+    * (def, not val: referenced from the `oracle` val above — a val
+    * declared below it would still be null during object init.) */
+  private def chunkCtes: String =
+    """toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      |  FROM documents
+      |), ckidx AS (
+      |  SELECT doc_id, w,
+      |         unnest(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS ck
+      |  FROM toks WHERE len(w) > 0
+      |), ch AS (
+      |  SELECT doc_id, ck,
+      |         array_to_string(
+      |           w[ck * 8 + 1 : LEAST((ck + 1) * 8, CAST(len(w) AS BIGINT))],
+      |           ' ') AS chunk
+      |  FROM ckidx
+      |)""".stripMargin
 }

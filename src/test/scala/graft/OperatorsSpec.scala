@@ -426,4 +426,58 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0).toSeq)
     assert(out.toSeq == cases.map(_._2))
   }
+
+  test("chunk dedup: shared chunk reported, scrubbed docs rebuilt in order") {
+    // 4-token chunks; A = the shared (boilerplate) chunk
+    val A = "a b c d"
+    val docs = Seq(
+      (1L, s"$A e f g h"),      // A + unique tail
+      (2L, s"$A i j k"),        // A + short unique tail (ragged last chunk)
+      (3L, A),                  // pure boilerplate
+      (4L, "x y z w v u")       // no duplicate chunks at all
+    ).toDF("doc_id", "text")
+    val dup = Dedup.duplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2)
+      .collect()
+    assert(dup.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((A, 3L, 3L))) // in docs 1, 2, 3; once each
+    val out = Dedup.scrubDuplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "e f g h", 1L, 1L),
+      (2L, "i j k", 1L, 1L),
+      (3L, "", 0L, 1L),        // fully-boilerplate doc kept, emptied
+      (4L, "x y z w v u", 2L, 0L)))
+  }
+
+  test("keySkewReport: exact distribution stats on a known key histogram") {
+    val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
+    val r = graft.operators.ScaleJoins.keySkewReport(df, "k").head()
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("max_cnt") == 4L)
+    assert(math.abs(r.getAs[Double]("avg_cnt") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("med_cnt") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("top_share") - 0.6667) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 2.0) < 1e-12)
+  }
+
+  test("JSONL round trip preserves rows, schema, and values exactly") {
+    val df = Seq(
+      (1L, "plain text", "en", 10L),
+      (2L, "quotes \" and \\ backslash and\ttab", "de", 33L),
+      (3L, "unicode é中文", "zh", 11L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toFile
+    try {
+      graft.sources.JsonlCorpus.write(df, tmp.getAbsolutePath)
+      val back = graft.sources.JsonlCorpus.read(spark, tmp.getAbsolutePath, df.schema)
+      // json reads are always nullable — compare names and types (the
+      // real corpus input is parquet-read and already nullable)
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+      assert(back.orderBy("doc_id").collect().toSeq ==
+        df.orderBy("doc_id").collect().toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
 }
