@@ -371,6 +371,38 @@ object TextDocs {
       Dedup.scrubDuplicateChunks(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_source_kl" -> ((s, dir) => {
+      // corpus drift / domain-mix monitoring: per-source unigram KL
+      // divergence from the whole-corpus distribution,
+      // KL(P_s ‖ P) = Σ_w p_s(w)·ln(p_s(w)/p(w)) — the number watched
+      // when a new crawl slice shifts the token mix. All counts are
+      // exact integers (three partially-aggregated hash aggs + one
+      // broadcast 1-row total); doubles appear only in the final
+      // per-word contribution, and round(4) absorbs summation-order
+      // ulp noise (same pattern as x_tfidf / x_unigram_logprob).
+      val toks = docs(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sw = toks.groupBy("source", "word").agg(count(lit(1)).as("csw"))
+      val st = toks.groupBy("source").agg(count(lit(1)).as("cs"))
+      val wt = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+      val tot = toks.agg(count(lit(1)).as("ct"))
+      val out = sw.join(st, Seq("source")).join(wt, Seq("word"))
+        .crossJoin(broadcast(tot))
+        .withColumn("contrib",
+          (col("csw").cast("double") / col("cs")) *
+            log((col("csw").cast("double") * col("ct")) /
+              (col("cs").cast("double") * col("cw"))))
+        .groupBy(col("source"))
+        .agg(max(col("cs")).as("n_tokens"), round(sum(col("contrib")), 4).as("kl"))
+        .orderBy("source")
+        .localCheckpoint(true)
+      toks.unpersist()
+      out
+    }),
+
     "x_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL ingest (the LLM-corpus interchange format): write the
       // corpus as line-delimited JSON, read it back with an explicit
@@ -868,6 +900,21 @@ object TextDocs {
          |  tot.n_chunks - COALESCE(reb.n_kept, 0) AS n_dropped
          |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
          |ORDER BY tot.doc_id""".stripMargin,
+    "x_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents
+        |), sw AS (SELECT source, word, COUNT(*) AS csw FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, COUNT(*) AS cs FROM toks GROUP BY 1),
+        |wt AS (SELECT word, COUNT(*) AS cw FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS ct FROM toks)
+        |SELECT source, CAST(MAX(cs) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM((CAST(csw AS DOUBLE) / cs)
+        |            * LN((CAST(csw AS DOUBLE) * ct)
+        |                 / (CAST(cs AS DOUBLE) * cw))), 4) AS kl
+        |FROM sw JOIN st USING (source) JOIN wt USING (word) CROSS JOIN tot
+        |GROUP BY source ORDER BY source""".stripMargin,
     "x_jsonl_roundtrip" ->
       // the oracle reads the ORIGINAL parquet — equality proves the
       // engine's JSONL write→read round trip lossless
