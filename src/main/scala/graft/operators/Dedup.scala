@@ -486,6 +486,49 @@ object Dedup {
     out
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
+    * k-means ([[Clustering.kmeansAssign]]), compare vectors only WITHIN
+    * a cluster, and greedily keep each row that has no lower-id
+    * same-cluster neighbor with cosine ≥ `minCosine`. Returns the
+    * surviving (idCol, cluster) rows.
+    *
+    * Scale shape: the cluster id is the candidate-generation key — the
+    * pair join is a keyed self-join on `cluster`, O(Σ|cluster|²)
+    * instead of O(n²). `k` is the blocking knob: a real 100 TB run
+    * sizes k ≈ n/⟨target cluster size⟩ (thousands+), keeping each
+    * cluster's pair block bounded; assignment itself never shuffles a
+    * vector (broadcast-centroid codegen argmax). The greedy
+    * earliest-survivor rule needs only the pair list, not an iterative
+    * component resolution, so the prune is one join + one anti-join.
+    *
+    * Determinism: assignment is the fully-replayable quantized k-means;
+    * the cosine prune compares raw doubles with the same left-to-right
+    * fold as the DuckDB oracle — every step value-oracle-able.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val spark = df.sparkSession
+    val asn = Clustering.kmeansAssign(df, idCol, vecCol, k, iters)
+      .filter(col("cluster").isNotNull)
+    // one keyed join re-attaches the vector; persisted because it feeds
+    // both sides of the pair join AND the final anti-join
+    val withVec = df.select(col(idCol), col(vecCol)).join(asn, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = withVec.select(col("cluster"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = withVec.select(col("cluster"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(graft.functions.CosineSimilarity.cosine(spark, col("__va"), col("__vb"))
+        >= minCosine)
+      .select(col("__idb").as(idCol)).distinct()
+    val out = withVec.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
+      .localCheckpoint(true)
+    withVec.unpersist()
+    out
+  }
+
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity
     * with the ml pipeline API; same shingle feature space). */
   def minhashPairsML(docs: DataFrame, idCol: String, textCol: String,

@@ -422,6 +422,28 @@ object TextDocs {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text")).cast("long")).as("sum_len"))
         .orderBy("source")
+    }),
+
+    "x_orc_roundtrip" -> ((s, dir) => {
+      // ORC ingest/export, hive-partitioned on lang: write the corpus
+      // as lang-partitioned zstd ORC, read it back through partition
+      // discovery, and aggregate BY THE PARTITION COLUMN — equality
+      // with the parquet-reading oracle proves both the column data
+      // and the reconstructed partition values lossless. Same
+      // pid-scoped temp-dir discipline as x_jsonl_roundtrip.
+      val d = docs(s, dir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_orc_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit))
+      graft.sources.OrcCorpus.write(d, tmp.getAbsolutePath, partitionBy = Seq("lang"))
+      graft.sources.OrcCorpus.read(s, tmp.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(col("source")).as("sources"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("lang")
     })
   )
 
@@ -921,7 +943,15 @@ object TextDocs {
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_orc_roundtrip" ->
+      // oracle reads the ORIGINAL parquet — equality proves the ORC
+      // write→partition-discovery-read round trip lossless
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Shared CTEs for the chunk-dedup oracles: tokens → fixed 8-token

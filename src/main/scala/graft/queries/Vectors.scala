@@ -140,6 +140,19 @@ object Vectors {
         .orderBy("label")
     }),
 
+    "x_semdedup" -> ((s, dir) =>
+      // SemDeDup (cluster → within-cluster cosine prune → greedy
+      // earliest survivor) — the semantic companion to the MinHash
+      // family, fully value-oracled: k-means assignment replay (the
+      // x_kmeans machinery) + the raw-double cosine compare proven
+      // bit-identical in x_embed_neardup. k=4 keeps the oracle's pair
+      // CTE tractable; k is the blocking knob at scale (see
+      // operators/Dedup.semanticDedup scaladoc).
+      graft.operators.Dedup.semanticDedup(
+        emb(s, dir), "vec_id", "embedding",
+        k = 4, iters = 2, minCosine = semMinCos)
+        .orderBy("vec_id")),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
@@ -222,7 +235,11 @@ object Vectors {
        | / (sqrt(${fold(s"$a[i]", s"$a[i]")}) * sqrt(${fold(s"$b[i]", s"$b[i]")})))""".stripMargin
   }
 
-  private val kmeansOracle: String = {
+  /** The CTE body (no leading WITH) of the two-iteration k=4 k-means
+    * replay, ending at `asn2` = the final (vec_id, cid) assignment.
+    * Shared by the x_kmeans oracle and the x_semdedup oracle (which
+    * appends the within-cluster cosine prune on top). */
+  private val kmeansCtesBody: String = {
     // one assignment round: cosine of every (vector, centroid) pair →
     // argmax with ties to the lowest cid (the engine scans the
     // cid-sorted centroid array with strict >); NaN skipped like the
@@ -238,7 +255,7 @@ object Vectors {
          |    FROM ${prefix}_cos WHERE NOT isnan(cos)) t
          |  WHERE rn = 1
          |)""".stripMargin
-    s"""WITH ev0 AS (
+    s"""ev0 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
        |         unnest(range(len(embedding))) AS pos
        |  FROM embeddings
@@ -255,13 +272,34 @@ object Vectors {
        |  FROM asn1 a JOIN ev e USING (vec_id) GROUP BY 1, 2
        |), c1 AS (
        |  SELECT cid, list(s / c ORDER BY pos) AS cv FROM u1 GROUP BY cid
-       |), ${assign("asn2", "c1")}
+       |), ${assign("asn2", "c1")}""".stripMargin
+  }
+
+  private val kmeansOracle: String =
+    s"""WITH $kmeansCtesBody
        |SELECT vec_id, CAST(cid AS BIGINT) AS cluster
        |FROM asn2 ORDER BY vec_id""".stripMargin
-  }
+
+  // x_semdedup: same assignment CTEs + the greedy within-cluster prune.
+  // Shared threshold val so the query def and the replay SQL cannot
+  // drift (the x_lsh_pairs lesson).
+  private val semMinCos = 0.35
+  private val semDedupOracle: String =
+    s"""WITH $kmeansCtesBody,
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id AS idb
+       |  FROM asn2 a JOIN asn2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+       |  WHERE ${duckCos.format("ea.embedding", "eb.embedding")} >= $semMinCos)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster
+       |FROM asn2 a
+       |WHERE a.vec_id NOT IN (SELECT idb FROM dropped)
+       |ORDER BY a.vec_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "x_kmeans" -> kmeansOracle,
+    "x_semdedup" -> semDedupOracle,
     "x_label_centroid" ->
       // same quantization as the engine (floor of float→double exact
       // cast × 10000); every aggregated value is an exact integer, so

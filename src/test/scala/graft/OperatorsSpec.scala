@@ -407,6 +407,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(evens.size == 1 && odds.size == 1 && evens != odds)
   }
 
+  test("semanticDedup: greedy earliest survivor per within-cluster near-group") {
+    // ids 0 and 1 seed the two centroids (init = k smallest ids), so
+    // they must point apart. Cluster A: id0, exact dup id2, and a
+    // distinct-enough id3 (cos(id0,id3) ≈ 0.914); cluster B: id1 and
+    // near-dup id4 (cos ≈ 0.99875). At minCosine=0.99 exactly id2 and
+    // id4 drop.
+    val df = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 10.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f, 0.0f)),
+      (3L, Array(9.0f, 4.0f, 0.0f)),
+      (4L, Array(0.0f, 10.0f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Dedup.semanticDedup(
+      df, "vec_id", "embedding", k = 2, iters = 2, minCosine = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(0L, 1L, 3L))
+    // survivors carry their cluster: A-side ids share one, B-side the other
+    assert(out(0L) == out(3L) && out(0L) != out(1L))
+    // idempotence on the survivor set: no survivor pair is near
+    val again = graft.operators.Dedup.semanticDedup(
+      df.filter(col("vec_id").isin(0L, 1L, 3L)),
+      "vec_id", "embedding", k = 2, iters = 2, minCosine = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == Set(0L, 1L, 3L))
+  }
+
   private def round4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -478,6 +504,28 @@ class OperatorsSpec extends AnyFunSuite {
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
       assert(back.orderBy("doc_id").collect().toSeq ==
         df.orderBy("doc_id").collect().toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+  }
+
+  test("ORC round trip preserves values through a lang-partitioned layout") {
+    val df = Seq(
+      (1L, "plain text", "en", 10L),
+      (2L, "quotes \" and \\ backslash and\ttab", "de", 33L),
+      (3L, "unicode é中文", "zh", 11L),
+      (4L, "second english doc", "en", 18L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc_spec").toFile
+    try {
+      graft.sources.OrcCorpus.write(df, tmp.getAbsolutePath, partitionBy = Seq("lang"))
+      val back = graft.sources.OrcCorpus.read(spark, tmp.getAbsolutePath)
+      // partitionBy moves `lang` to the end of the schema — compare as sets
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSet)
+      assert(back.select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id").collect().toSeq ==
+        df.orderBy("doc_id").collect().toSeq)
+      // the hive layout really is partitioned by lang
+      assert(tmp.listFiles().exists(_.getName == "lang=en"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 }
