@@ -58,6 +58,20 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Deterministic output shard id in [0, nShards): the first two hex
+    * nibbles of md5(id) — 256 base buckets — folded mod nShards. The
+    * export-side counterpart of [[hashBucket]]: a training-data writer
+    * partitions its output by this column, and because the shard is a
+    * pure function of the id it is stable across engines, partitioning,
+    * and re-export (an incremental re-run appends each doc to the same
+    * shard it was in last time). Narrow and codegen'd; the write's
+    * `partitionBy("shard")` does the only data movement.
+    */
+  def shardId(id: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards <= 256, "nShards in 1..256")
+    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int") % nShards
+  }
+
   /** Sequence-packing bin assignment (training-batch construction):
     * rows are packed in `orderCol` order into fixed token-budget bins
     * via a running token total — `bin = floor(tokens-before-this-row /

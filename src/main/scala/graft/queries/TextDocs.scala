@@ -444,6 +444,51 @@ object TextDocs {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text")).cast("long")).as("sum_len"))
         .orderBy("lang")
+    }),
+
+    "x_shard_export" -> ((s, dir) => {
+      // deterministic sharded export (the training-data writer shape):
+      // shard = pure function of doc_id (Sampling.shardId), output
+      // written shard-partitioned, read back through partition
+      // discovery, and summarized per shard. The oracle replays the
+      // md5-nibble arithmetic on the original parquet, so equality
+      // proves BOTH the shard assignment and the partitioned layout
+      // lossless. Narrow assignment — the write's partitionBy is the
+      // only movement, exactly what a 100 TB export does.
+      val d = docs(s, dir)
+        .withColumn("shard", graft.operators.Sampling.shardId(col("doc_id"), 8))
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_shard_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp): Unit))
+      d.write.mode("overwrite").partitionBy("shard").parquet(tmp.getAbsolutePath)
+      s.read.parquet(tmp.getAbsolutePath)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("docs"),
+          countDistinct(col("lang")).as("langs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard")
+    }),
+
+    "x_length_trim" -> ((s, dir) => {
+      // robust length-outlier trim (quality filtering): per-language
+      // exact p05/p95 of n_chars, keep only in-range docs. The bounds
+      // frame is tiny (one row per lang) and broadcast, so the corpus
+      // never shuffles: scan → broadcast-join → narrow filter → one
+      // small agg. percentile() is the exact interpolated form whose
+      // cross-engine value equality x_percentiles already pins.
+      val d = docs(s, dir)
+      val bounds = d.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
+          expr("percentile(n_chars, 0.95)").as("hi"))
+      d.join(broadcast(bounds), Seq("lang"))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
     })
   )
 
@@ -951,7 +996,39 @@ object TextDocs {
         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS sources,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_shard_export" ->
+      // replay of Sampling.shardId: first two md5 hex nibbles folded
+      // mod 8, via strpos into the hex alphabet (DuckDB has no
+      // base-16 conv); md5 of the decimal-rendered id is identical in
+      // both engines
+      """WITH s AS (
+        |  SELECT *,
+        |    CAST(((strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |        + (strpos('0123456789abcdef',
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 8
+        |      AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS langs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "x_length_trim" ->
+      // quantile_cont == Spark's exact interpolated percentile()
+      // (x_percentiles pins the value-level equality); integer bounds
+      // comparisons then agree exactly
+      """WITH b AS (
+        |  SELECT lang, quantile_cont(n_chars, 0.05) AS lo,
+        |         quantile_cont(n_chars, 0.95) AS hi
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS kept,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents d JOIN b USING (lang)
+        |WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 
   /** Shared CTEs for the chunk-dedup oracles: tokens → fixed 8-token

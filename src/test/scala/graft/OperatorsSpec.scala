@@ -507,6 +507,25 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("shardId: matches an md5 replay, stable under repartition, covers all shards") {
+    val df = spark.range(0, 512).toDF("id")
+    val got = df.withColumn("shard", Sampling.shardId(col("id"), 8))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent JVM-side replay of the two-nibble rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(id: Long): Int = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 2)
+      Integer.parseInt(hex, 16) % 8
+    }
+    got.foreach { case (id, s) => assert(s == expected(id), s"id $id") }
+    assert(got.values.toSet == (0 until 8).toSet)
+    val reshuffled = df.repartition(7)
+      .withColumn("shard", Sampling.shardId(col("id"), 8))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(reshuffled == got)
+  }
+
   test("ORC round trip preserves values through a lang-partitioned layout") {
     val df = Seq(
       (1L, "plain text", "en", 10L),
