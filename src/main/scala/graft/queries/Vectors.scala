@@ -153,6 +153,31 @@ object Vectors {
         k = 4, iters = 2, minCosine = semMinCos)
         .orderBy("vec_id")),
 
+    "x_cluster_stats" -> ((s, dir) => {
+      // k-means evaluation report: per-cluster size, majority label,
+      // and purity — the "did the clustering find structure" check an
+      // embedding-curation run does after Lloyd. Assignment is the
+      // narrow replayable path; then one keyed join to labels and two
+      // partial-aggregated hash aggs (k·|labels| rows after map-side
+      // combine). Majority ties break to the lowest label.
+      val e = emb(s, dir)
+      val asn = graft.operators.Clustering.kmeansAssign(
+        e, "vec_id", "embedding", k = 4, iters = 2)
+        .filter(col("cluster").isNotNull)
+      val byLab = e.select(col("vec_id"), col("label")).join(asn, Seq("vec_id"))
+        .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("c").desc, col("label"))
+      byLab.withColumn("rn", row_number().over(w))
+        .groupBy(col("cluster"))
+        .agg(sum(col("c")).cast("bigint").as("n_vecs"),
+          max(when(col("rn") === 1, col("label"))).as("top_label"),
+          max(when(col("rn") === 1, col("c"))).as("top_c"))
+        .select(col("cluster"), col("n_vecs"), col("top_label"),
+          round(col("top_c").cast("double") / col("n_vecs"), 4).as("purity"))
+        .orderBy("cluster")
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
@@ -297,9 +322,24 @@ object Vectors {
        |WHERE a.vec_id NOT IN (SELECT idb FROM dropped)
        |ORDER BY a.vec_id""".stripMargin
 
+  private val clusterStatsOracle: String =
+    s"""WITH $kmeansCtesBody,
+       |j AS (SELECT a.cid, e.label FROM asn2 a JOIN embeddings e USING (vec_id)),
+       |g AS (SELECT cid, label, COUNT(*) AS c FROM j GROUP BY 1, 2),
+       |t AS (SELECT cid, SUM(c) AS n FROM g GROUP BY 1),
+       |top AS (
+       |  SELECT cid, label, c FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+       |    FROM g) s WHERE rn = 1)
+       |SELECT CAST(t.cid AS BIGINT) AS cluster, CAST(t.n AS BIGINT) AS n_vecs,
+       |  top.label AS top_label,
+       |  ROUND(CAST(top.c AS DOUBLE) / t.n, 4) AS purity
+       |FROM t JOIN top USING (cid) ORDER BY cluster""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_kmeans" -> kmeansOracle,
     "x_semdedup" -> semDedupOracle,
+    "x_cluster_stats" -> clusterStatsOracle,
     "x_label_centroid" ->
       // same quantization as the engine (floor of float→double exact
       // cast × 10000); every aggregated value is an exact integer, so
