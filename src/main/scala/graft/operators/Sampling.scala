@@ -58,18 +58,24 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
-  /** Deterministic output shard id in [0, nShards): the first two hex
-    * nibbles of md5(id) — 256 base buckets — folded mod nShards. The
+  /** Deterministic output shard id in [0, nShards): the first eight hex
+    * nibbles of md5(id) — 2^32 base buckets — folded mod nShards. The
     * export-side counterpart of [[hashBucket]]: a training-data writer
     * partitions its output by this column, and because the shard is a
     * pure function of the id it is stable across engines, partitioning,
     * and re-export (an incremental re-run appends each doc to the same
     * shard it was in last time). Narrow and codegen'd; the write's
     * `partitionBy("shard")` does the only data movement.
+    *
+    * 2^32 base buckets (not one byte): with B base buckets the
+    * folded-mod skew between shards is ceil(B/n)/floor(B/n) — at B=256
+    * and n=96 that is a 50% size imbalance; at B=2^32 it is negligible
+    * for any permitted n.
     */
   def shardId(id: Column, nShards: Int): Column = {
-    require(nShards > 0 && nShards <= 256, "nShards in 1..256")
-    conv(substring(md5(id.cast("string")), 1, 2), 16, 10).cast("int") % nShards
+    require(nShards > 0 && nShards <= 65536, "nShards in 1..65536")
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
   }
 
   /** Sequence-packing bin assignment (training-batch construction):

@@ -19,7 +19,14 @@ object OrcCorpus {
 
   /** Write a corpus as ORC, optionally hive-partitioned on low-
     * cardinality columns (e.g. lang, source — the partition-pruning
-    * keys a curation pipeline filters on). */
+    * keys a curation pipeline filters on).
+    *
+    * Hive-layout caveat (Spark-standard, shared with the parquet
+    * writer): a NULL or empty-string partition VALUE lands in the
+    * `__HIVE_DEFAULT_PARTITION__` directory and reads back as NULL —
+    * the layout cannot distinguish the two. Partition only on columns
+    * where '' does not occur (or coalesce to a sentinel first);
+    * non-partition data columns round-trip all values exactly. */
   def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
             compression: String = "zstd"): Unit = {
     val w = df.write.mode("overwrite").option("compression", compression)

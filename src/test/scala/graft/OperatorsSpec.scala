@@ -511,12 +511,12 @@ class OperatorsSpec extends AnyFunSuite {
     val df = spark.range(0, 512).toDF("id")
     val got = df.withColumn("shard", Sampling.shardId(col("id"), 8))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // independent JVM-side replay of the two-nibble rule
+    // independent JVM-side replay of the eight-nibble rule
     val md = java.security.MessageDigest.getInstance("MD5")
     def expected(id: Long): Int = {
       val hex = md.digest(id.toString.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString.substring(0, 2)
-      Integer.parseInt(hex, 16) % 8
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
     }
     got.foreach { case (id, s) => assert(s == expected(id), s"id $id") }
     assert(got.values.toSet == (0 until 8).toSet)
