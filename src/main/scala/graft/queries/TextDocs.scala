@@ -476,6 +476,28 @@ object TextDocs {
         .orderBy("shard")
     }),
 
+    "x_mixture_plan" -> ((s, dir) => {
+      // domain-mixing planner: per-source char budgets → deterministic
+      // keep rates toward a UNIFORM share target, emitted in the
+      // 16ths Sampling.stratifiedKeep consumes. rate_s = min(1,
+      // (total/nsrc)/chars_s): overrepresented sources are
+      // downsampled, rare ones kept whole — the plan every pretraining
+      // mixture job computes before its stratified filter. Two hash
+      // aggs + a broadcast 1-row totals join; no driver action.
+      val bySrc = docs(s, dir).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      val tot = bySrc.agg(sum(col("chars")).as("total"),
+        count(lit(1)).as("nsrc"))
+      val rate = least(lit(1.0),
+        (col("total").cast("double") / col("nsrc")) / col("chars"))
+      bySrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("chars").cast("bigint").as("chars"),
+          round(col("chars").cast("double") / col("total"), 4).as("share"),
+          round(rate, 4).as("rate"),
+          floor(rate * 16).cast("int").as("buckets"))
+        .orderBy("source")
+    }),
+
     "x_length_trim" -> ((s, dir) => {
       // robust length-outlier trim (quality filtering): per-language
       // exact p05/p95 of n_chars, keep only in-range docs. The bounds
@@ -1020,6 +1042,20 @@ object TextDocs {
          |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
          |FROM s GROUP BY shard ORDER BY shard""".stripMargin
     },
+    "x_mixture_plan" ->
+      // identical expression shapes (double casts before each
+      // division, LEAST against a double 1.0) → bit-identical rates →
+      // identical floor; chars/total/buckets are exact
+      """WITH b AS (SELECT source, SUM(n_chars) AS chars
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT SUM(chars) AS total, COUNT(*) AS nsrc FROM b)
+        |SELECT b.source, CAST(b.chars AS BIGINT) AS chars,
+        |  ROUND(CAST(b.chars AS DOUBLE) / t.total, 4) AS share,
+        |  ROUND(LEAST(CAST(1.0 AS DOUBLE),
+        |        (CAST(t.total AS DOUBLE) / t.nsrc) / b.chars), 4) AS rate,
+        |  CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+        |        (CAST(t.total AS DOUBLE) / t.nsrc) / b.chars) * 16) AS INTEGER) AS buckets
+        |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
     "x_length_trim" ->
       // quantile_cont == Spark's exact interpolated percentile()
       // (x_percentiles pins the value-level equality); integer bounds
