@@ -222,10 +222,47 @@ object Extras {
           .as("key"))
         .groupBy("key").agg(count(lit(1)).as("cnt"))
         .orderBy("key")
+    }),
+
+    "x_snapshot_diff" -> ((s, dir) => {
+      // delta between two catalog snapshots (the push-pattern consumer
+      // shape — see operators/SnapshotDiff): previous = orders with
+      // key % 10 != 0, current = key % 7 != 0 with every % 3 == 0
+      // price doubled. All four classes (insert/delete/update/same)
+      // are non-vacuous by construction; doubling a double (x + x) is
+      // IEEE-exact so the update classification is deterministic.
+      val ord = t(s, dir, "orders")
+      val prev = ord.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val cur = ord.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0,
+            col("o_totalprice") + col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      graft.operators.SnapshotDiff.diff(prev, cur,
+        Seq("o_orderkey"), Seq("o_totalprice"))
+        .groupBy("change_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("change_type")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "x_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),
+        |cur AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + o_totalprice
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |d AS (
+        |  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |              WHEN n.o_orderkey IS NULL THEN 'delete'
+        |              WHEN o.o_totalprice IS DISTINCT FROM n.p THEN 'update'
+        |              ELSE 'same' END AS change_type
+        |  FROM prev o FULL OUTER JOIN cur n ON o.o_orderkey = n.o_orderkey)
+        |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_except" ->
       """SELECT k FROM (SELECT c_custkey AS k FROM customer
         |  EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t

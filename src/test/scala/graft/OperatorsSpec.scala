@@ -507,6 +507,21 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("snapshotDiff classifies insert/delete/update/same, null-safe on values") {
+    val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
+      .toDF("k", "v")
+    val cur = Seq((2L, Some(21.0)), (3L, None), (4L, Some(40.0)), (5L, Some(50.0)))
+      .toDF("k", "v")
+    val got = graft.operators.SnapshotDiff.diff(prev, cur, Seq("k"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "delete",   // only in prev
+      2L -> "update",   // value changed
+      3L -> "same",     // null == null under null-safe compare
+      4L -> "same",     // unchanged
+      5L -> "insert"))  // only in cur
+  }
+
   test("shardId: matches an md5 replay, stable under repartition, covers all shards") {
     val df = spark.range(0, 512).toDF("id")
     val got = df.withColumn("shard", Sampling.shardId(col("id"), 8))
