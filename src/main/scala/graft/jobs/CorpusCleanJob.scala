@@ -19,8 +19,11 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *      exceeds `maxRepRatio` (repetitionStats);
   *   4. drop near-duplicates (n-gram Jaccard candidates → connected
   *      components → keep min doc_id per cluster);
-  *   5. tag the survivors with the stopword-vote language ID;
-  *   6. assign the reproducible md5-bucket train/test split (a pure
+  *   5. optionally rebalance the source mixture (deterministic
+  *      md5-bucket downsampling of overrepresented sources toward a
+  *      uniform char share — Sampling.mixtureKeep);
+  *   6. tag the survivors with the stopword-vote language ID;
+  *   7. assign the reproducible md5-bucket train/test split (a pure
   *      function of doc_id — stable across engines and re-runs).
   *
   * Every stage is an engine operator with its own oracle/spec; this
@@ -33,7 +36,8 @@ object CorpusCleanJob {
             minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
             blocklist: Option[DataFrame] = None,
             blockKeyCol: String = "blocked_id",
-            maxRepRatio: Double = 0.95): DataFrame = {
+            maxRepRatio: Double = 0.95,
+            balanceMixture: Boolean = false): DataFrame = {
     val unblocked = blocklist
       .map(bl => Dedup.blocklistSubtract(docs, "doc_id", bl, blockKeyCol))
       .getOrElse(docs)
@@ -45,8 +49,11 @@ object CorpusCleanJob {
       Seq("doc_id"), "left_semi")
     val pairs = Dedup.ngramJaccardPairs(unrepetitive, "doc_id", "text", jaccardThreshold)
     val deduped = Dedup.dropNearDuplicates(unrepetitive, "doc_id", pairs)
-    TextAnalysis.langId(spark, deduped, "doc_id", "text")
-      .join(deduped, Seq("doc_id"))
+    val balanced =
+      if (balanceMixture) Sampling.mixtureKeep(deduped, "doc_id", "source", "n_chars")
+      else deduped
+    TextAnalysis.langId(spark, balanced, "doc_id", "text")
+      .join(balanced, Seq("doc_id"))
       .withColumn("split", Sampling.splitColumn(col("doc_id"), testBuckets = 2))
   }
 

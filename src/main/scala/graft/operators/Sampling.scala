@@ -58,6 +58,37 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < threshold)
   }
 
+  /** Declarative domain-mixing filter: compute per-stratum keep rates
+    * toward a UNIFORM weight share (rate_s = min(1,
+    * (total/nstrata)/weight_s), quantized to 16ths) and apply them via
+    * the md5-bucket rule — [[stratifiedKeep]] with the rate table
+    * derived IN-PLAN from the data instead of passed in from the
+    * driver. Overrepresented strata are downsampled, rare ones kept
+    * whole; the rate table is one row per stratum and broadcast, so
+    * the corpus sees two hash aggs + a narrow filter and never an
+    * extra wide shuffle. Deterministic: keep/drop is a pure function
+    * of (id, stratum, corpus weights).
+    */
+  def mixtureKeep(df: DataFrame, idCol: String, strataCol: String,
+                  weightCol: String): DataFrame = {
+    val byStratum = df.groupBy(col(strataCol))
+      .agg(sum(col(weightCol)).as("__w"))
+    val tot = byStratum.agg(sum(col("__w")).as("__total"),
+      count(lit(1)).as("__nstrata"))
+    // 16 → 'g' keeps every md5 hex bucket (the stratifiedKeep rule)
+    val buckets = byStratum.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        floor(least(lit(1.0),
+          (col("__total").cast("double") / col("__nstrata")) / col("__w")) * 16)
+          .cast("int").as("__bkt"))
+      .withColumn("__thresh",
+        expr("substr('0123456789abcdefg', __bkt + 1, 1)"))
+      .select(col(strataCol), col("__thresh"))
+    df.join(broadcast(buckets), Seq(strataCol))
+      .filter(hashBucket(col(idCol)) < col("__thresh"))
+      .drop("__thresh")
+  }
+
   /** Deterministic output shard id in [0, nShards): the first eight hex
     * nibbles of md5(id) — 2^32 base buckets — folded mod nShards. The
     * export-side counterpart of [[hashBucket]]: a training-data writer

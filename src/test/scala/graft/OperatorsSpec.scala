@@ -507,6 +507,22 @@ class OperatorsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
 
+  test("mixtureKeep: derived per-stratum rates match the md5 rule exactly") {
+    // big: 100 docs x weight 10 = 1000; small: 20 x 10 = 200.
+    // total=1200, 2 strata → target 600/stratum: big rate 0.6 → 9
+    // buckets of 16, small rate capped at 1.0 → keep all.
+    val df = ((0L until 100L).map(i => (i, "big", 10L)) ++
+      (100L until 120L).map(i => (i, "small", 10L)))
+      .toDF("id", "source", "w")
+    val kept = graft.operators.Sampling.mixtureKeep(df, "id", "source", "w")
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Char =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val expected = (0L until 100L).filter(bucket(_) < '9').toSet ++ (100L until 120L)
+    assert(kept == expected)
+  }
+
   test("snapshotDiff classifies insert/delete/update/same, null-safe on values") {
     val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
       .toDF("k", "v")

@@ -142,6 +142,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.count() > 0)
   }
 
+  test("corpus-clean pipeline: mixture balancing downsamples only overrepresented sources") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plain = graft.jobs.CorpusCleanJob.clean(spark, docs).cache()
+    val balanced = graft.jobs.CorpusCleanJob.clean(spark, docs, balanceMixture = true).cache()
+    // balancing is a pure filter over the unbalanced survivor set
+    assert(balanced.count() <= plain.count())
+    val balIds = balanced.select("doc_id").collect().map(_.getLong(0)).toSet
+    val plainIds = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(balIds.subsetOf(plainIds))
+    // exact-semantics replay: recompute each source's bucket threshold
+    // from the pre-balance survivors and check the kept set matches the
+    // md5 rule id-for-id (realized per-source SHARES can wobble — ~25
+    // docs/source means bucket realization noise — so the contract is
+    // the rule, not a share inequality)
+    val weights = plain.groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = weights.values.sum.toDouble
+    val target = total / weights.size
+    val thresh = weights.map { case (s, w) =>
+      s -> "0123456789abcdefg".charAt(
+        math.floor(math.min(1.0, target / w) * 16).toInt)
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Char =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val expected = plain.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, src) => bucket(id) < thresh(src) }
+      .map(_._1).toSet
+    assert(balIds == expected)
+    assert(balIds.size < plainIds.size) // balancing actually dropped rows
+  }
+
   test("JDBC extraction path works end-to-end against embedded Derby") {
     val dbDir = Files.createTempDirectory("graft_derby").toString
     val url = s"jdbc:derby:$dbDir/meta;create=true"
