@@ -43,6 +43,22 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("x_ann_topk").contains("BroadcastNestedLoopJoin")) // 1-row query side
   }
 
+  test("x_length_trim/x_mixture_plan: tiny derived tables broadcast back, corpus not sort-merge-joined") {
+    val trim = plan("x_length_trim")
+    assert(trim.contains("BroadcastHashJoin"), trim)
+    assert(!trim.contains("SortMergeJoin"), "bounds join must broadcast")
+    val mix = plan("x_mixture_plan")
+    assert(mix.contains("BroadcastNestedLoopJoin") || mix.contains("BroadcastHashJoin"),
+      "1-row totals must broadcast")
+    assert(!mix.contains("SortMergeJoin"))
+  }
+
+  test("x_snapshot_diff: full-outer join on the key only, no cartesian") {
+    val p = plan("x_snapshot_diff")
+    assert(p.contains("FullOuter"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q07: partial (map-side) aggregation before the shuffle") {
     val p = plan("q07_agg")
     val aggIdx = p.linesIterator.zipWithIndex.collect {
