@@ -82,6 +82,23 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_quality_by_source" -> ((s, dir) => {
+      // per-source corpus-health report: doc count, exact quality mass,
+      // mean quality, word volume. Per-row quality is 4-decimal-pinned,
+      // so summing it as DECIMAL(10,4) is exact in any aggregation
+      // order (the decimal-before-sum rule); one partial-aggregated
+      // hash agg, no extra shuffle.
+      val q = docs(s, dir).select(col("source"),
+        TextAnalysis.qualityScore(col("text")).cast("decimal(10,4)").as("q"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nw"))
+      q.groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("q")).cast("double").as("sum_quality"),
+          round(sum(col("q")).cast("double") / count(lit(1)), 4).as("mean_quality"),
+          sum(col("nw")).as("sum_words"))
+        .orderBy("source")
+    }),
+
     "x_token_stats" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -520,6 +537,19 @@ object TextDocs {
     })
   )
 
+  /** The x_text_quality per-row quality expression (4-decimal-rounded),
+    * shared by the x_text_quality and x_quality_by_source oracles so
+    * the two replays cannot drift. (def, not val: referenced from the
+    * `oracle` val above.) */
+  private def qualityExprSql: String =
+    """ROUND(
+      |    LEAST(len(string_split_regex(text, '\s+')) / 50.0, 1.0) * 0.5 +
+      |    CASE WHEN length(text) * 1.0 / GREATEST(len(string_split_regex(text, '\s+')), 1)
+      |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END * 0.3 +
+      |    CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0
+      |              / GREATEST(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END * 0.2,
+      |  4)""".stripMargin
+
   /** The langId oracle shares the Scala lexicon — single source of
     * truth for the stopword table on both engines. */
   private val lexiconValues: String =
@@ -712,15 +742,23 @@ object TextDocs {
         |SELECT a AS doc_id FROM (SELECT a, MIN(lbl) AS m FROM walk GROUP BY a) t
         |WHERE a = m ORDER BY doc_id""".stripMargin,
     "x_text_quality" ->
-      """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_words,
-        |  ROUND(
-        |    LEAST(len(string_split_regex(text, '\s+')) / 50.0, 1.0) * 0.5 +
-        |    CASE WHEN length(text) * 1.0 / GREATEST(len(string_split_regex(text, '\s+')), 1)
-        |              BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END * 0.3 +
-        |    CASE WHEN len(regexp_extract_all(text, '[!-/:-@\[-`{-~]')) * 1.0
-        |              / GREATEST(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.5 END * 0.2,
-        |  4) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_words,
+         |  $qualityExprSql AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality_by_source" ->
+      // per-row quality is pinned to 4 decimals (the x_text_quality
+      // contract), so summing it as DECIMAL(10,4) is exact in any
+      // order — the corpus-health mean is then one deterministic
+      // division
+      s"""WITH q AS (
+         |  SELECT source, CAST($qualityExprSql AS DECIMAL(10,4)) AS q,
+         |         len(string_split_regex(text, '\\s+')) AS nw
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(q) AS DOUBLE) AS sum_quality,
+         |  ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4) AS mean_quality,
+         |  CAST(SUM(nw) AS BIGINT) AS sum_words
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id, CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_tokens,
         |  ROUND(CAST(length(text) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4)
