@@ -48,6 +48,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_simhash64", "graft_simhash64(hashes) - 64-bit simhash"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
 
+    e.injectFunction((FunctionIdentifier("graft_chunk_strings"),
+      info("graft_chunk_strings", "graft_chunk_strings(text, width) - consecutive width-token chunks"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ChunkStrings(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
+
+    e.injectFunction((FunctionIdentifier("graft_chunk_hashes"),
+      info("graft_chunk_hashes", "graft_chunk_hashes(text, width) - FNV hashes of consecutive width-token chunks"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ChunkHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
+
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity in double precision"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

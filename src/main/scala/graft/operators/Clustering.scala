@@ -40,19 +40,31 @@ object Clustering {
     * the init ordering. A row whose quantized vector has zero norm
     * (every |component| < 1/scale) has no meaningful cosine to any
     * centroid and comes back with cluster NULL — callers decide whether
-    * to drop or route such rows. */
+    * to drop or route such rows.
+    *
+    * `eager = false` (default) returns a LAZY plan: no persist, no
+    * checkpoint — the iterations' re-reads of the quantized corpus
+    * share its repartition exchange via ReuseExchange and everything
+    * past it is narrow, so a single-consumer caller (a report, one
+    * downstream join) pays zero extra materializations (round-4
+    * verdict item 2). `eager = true` persists the quantized corpus,
+    * materializes the assignment with an eager localCheckpoint, and
+    * releases the cache — for callers that iterate over the result
+    * many times (a long Lloyd run driving convergence checks) where
+    * replaying the full lineage per consumer would dominate. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
-                   k: Int, iters: Int, scale: Int = 10000): DataFrame = {
+                   k: Int, iters: Int, scale: Int = 10000,
+                   eager: Boolean = false): DataFrame = {
     require(k > 0 && iters > 0, "k and iters must be positive")
     val spark = df.sparkSession
 
-    // one narrow codegen'd pass; persisted because every iteration
-    // (assignment + update) re-reads it
-    val qdf = df
+    // one narrow codegen'd pass; in eager mode persisted because every
+    // iteration (assignment + update) re-reads it
+    val qbase = df
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"),
         QuantizeVec.quantize(spark, col(vecCol), scale).as("__qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qdf = if (eager) qbase.persist(StorageLevel.MEMORY_AND_DISK) else qbase
 
     // init: the k smallest ids' quantized vectors, cid dense by id
     // order (TakeOrdered ships k rows per partition, not the corpus)
@@ -82,10 +94,12 @@ object Clustering {
       }
       i += 1
     }
-    val out = assigned
+    val result = assigned
       .select(col("__id").as(idCol), col("cid").as("cluster"))
-      .localCheckpoint(true)
-    qdf.unpersist()
-    out
+    if (eager) {
+      val out = result.localCheckpoint(true)
+      qdf.unpersist()
+      out
+    } else result
   }
 }

@@ -409,41 +409,76 @@ object Dedup {
     * the sub-document grain for CCNet-style line/paragraph dedup. The
     * synthetic corpus has no line structure, so "lines" are consecutive
     * `width`-token windows; on real data pass pre-split lines through
-    * the same downstream ops. Chunking is a NARROW per-row transform
-    * (sequence + slice over the token array) — nothing shuffles until a
-    * consumer aggregates.
+    * the same downstream ops. Chunking is a NARROW per-row transform —
+    * one compiled pass ([[graft.functions.ChunkStrings]]; the
+    * composable transform(sequence, slice+array_join) formulation ran
+    * interpreted inside HOFs and dominated the chunk benchmarks) —
+    * nothing shuffles until a consumer aggregates.
     */
   def docChunks(docs: DataFrame, idCol: String, textCol: String,
                 width: Int = 8): DataFrame = {
     require(width > 0, "chunk width must be positive")
-    val w = array_remove(split(col(textCol), "\\s+"), "")
-    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol).as("id"), w.as("__w"))
-      .withColumn("__chunks",
-        when(size(col("__w")) > 0,
-          transform(
-            // last chunk index = floor((n-1)/width); sequence() must not
-            // see start > stop (it would count DOWN), hence the guard
-            sequence(lit(0), floor((size(col("__w")) - 1) / width).cast("int")),
-            k => struct(k.as("ck"),
-              array_join(slice(col("__w"), k * width + 1, lit(width)), " ").as("chunk"))))
-          .otherwise(array()))
-      .select(col("id"), explode(col("__chunks")).as("__c"))
-      .select(col("id"), col("__c.ck").as("ck"), col("__c.chunk").as("chunk"))
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.ChunkStrings.chunkStrings(
+          spark, col(textCol), width)).as(Seq("ck", "chunk")))
+  }
+
+  /** Hash-only sibling of [[docChunks]]: (id, ck, __h) where __h is the
+    * FNV-1a 64 of the chunk text ([[graft.functions.ChunkHashes]] —
+    * element-wise equal to fnv64 over [[docChunks]]'s chunk column, but
+    * the string is never materialized). The counting side of the chunk
+    * family reads this, so no chunk text is even DECODED for the
+    * duplicate-detection pass.
+    */
+  private def docChunkHashes(docs: DataFrame, idCol: String, textCol: String,
+                             width: Int): DataFrame = {
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.ChunkHashes.chunkHashes(
+          spark, col(textCol), width)).as(Seq("ck", "__h")))
   }
 
   /** Cross-document duplicate chunks (boilerplate report): chunk texts
     * appearing in at least `minDocs` DISTINCT documents, with document
     * and occurrence counts — the "top boilerplate" diagnostic run
-    * before chunk-level scrubbing. One hash-agg shuffle on the chunk
-    * text; partial aggregation shrinks it map-side.
+    * before chunk-level scrubbing.
+    *
+    * Scale shape: every counting shuffle is keyed on the 64-bit FNV
+    * hash of the chunk, never the chunk text — the count exchanges
+    * carry only longs, so their payload grows with chunk COUNT, not
+    * text volume (a false merge is ~2^-64 per chunk pair, the same
+    * contract as [[scrubDuplicateChunks]]). ndocs comes from a
+    * two-level agg ((hash, doc) then hash) instead of
+    * COUNT(DISTINCT) — no Expand, both levels partial-aggregated. The
+    * display exemplar string is recovered AFTER the ≥minDocs filter:
+    * the surviving hash set (the report itself — small by
+    * construction) broadcasts back onto the chunk stream and a
+    * map-side-combined min() moves at most one exemplar string per
+    * (hash, input partition) — the minimum text traffic any
+    * string-keyed report can do.
     */
   def duplicateChunks(docs: DataFrame, idCol: String, textCol: String,
-                      width: Int = 8, minDocs: Int = 2): DataFrame =
-    docChunks(docs, idCol, textCol, width)
-      .groupBy(col("chunk"))
-      .agg(countDistinct(col("id")).as("ndocs"), count(lit(1)).as("nocc"))
+                      width: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val stats = docChunkHashes(docs, idCol, textCol, width)
+      .groupBy(col("__h"), col("id"))
+      .agg(count(lit(1)).as("__occ"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("ndocs"), sum(col("__occ")).as("nocc"))
       .filter(col("ndocs") >= minDocs)
+    // counts ride along through the exemplar agg (they are constant
+    // per hash), so the corpus is read exactly twice: once to count
+    // (hashes only), once to pick exemplars for the surviving hashes
+    val ch = docChunks(docs, idCol, textCol, width)
+      .withColumn("__h", graft.functions.Fnv1a64.fnv64(spark, col("chunk")))
+    ch.join(broadcast(stats), Seq("__h"))
+      .groupBy(col("__h"), col("ndocs"), col("nocc"))
+      .agg(min(col("chunk")).as("chunk"))
+      .select(col("chunk"), col("ndocs"), col("nocc"))
+  }
 
   /** Chunk-level dedup (CCNet-style line scrubbing): drop every chunk
     * whose text appears in ≥ `minDocs` distinct documents, then rebuild
@@ -452,38 +487,38 @@ object Dedup {
     * a document that was pure boilerplate comes back with an empty
     * clean_text, so downstream length filters can drop it explicitly.
     *
-    * Scale shape: the duplicate-chunk set and the anti-join are keyed
-    * on the 64-bit FNV hash of the chunk, not the string — the shuffle
-    * carries longs (a false merge is ~2^-64 per chunk pair). The chunk
-    * frame feeds three consumers (dup detection, scrub join, per-doc
-    * totals), so it is persisted and released once the per-doc result
-    * materializes.
+    * Scale shape: the duplicate-chunk set is keyed on the 64-bit FNV
+    * hash of the chunk, not the string — its shuffles carry longs (a
+    * false merge is ~2^-64 per chunk pair) — and broadcasts back onto
+    * the chunk stream as a keep/drop flag (boilerplate hash sets are
+    * small by construction). Kept text, kept count, and total count
+    * all come out of ONE per-doc aggregation over the flagged stream
+    * (collect_list skips the null-when-duplicate structs), so the only
+    * text-carrying exchange is the per-doc rebuild itself — inherent
+    * to a text→text transform. No persist / checkpoint: the two
+    * consumers of the chunk stream share its repartition exchange via
+    * Catalyst's ReuseExchange, and everything past it is narrow.
     */
   def scrubDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
                            width: Int = 8, minDocs: Int = 2): DataFrame = {
     val spark = docs.sparkSession
+    val dup = docChunkHashes(docs, idCol, textCol, width)
+      .select(col("__h"), col("id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__h"), lit(true).as("__dup"))
     val ch = docChunks(docs, idCol, textCol, width)
       .withColumn("__h", graft.functions.Fnv1a64.fnv64(spark, col("chunk")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dup = ch.groupBy(col("__h"))
-      .agg(countDistinct(col("id")).as("__nd"))
-      .filter(col("__nd") >= minDocs).select("__h")
-    val rebuilt = ch.join(dup, Seq("__h"), "left_anti")
+    ch.join(broadcast(dup), Seq("__h"), "left")
       .groupBy(col("id"))
       .agg(
-        array_join(transform(array_sort(collect_list(struct(col("ck"), col("chunk")))),
+        array_join(transform(array_sort(collect_list(
+          when(col("__dup").isNull, struct(col("ck"), col("chunk"))))),
           c => c.getField("chunk")), " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    val totals = ch.groupBy(col("id")).agg(count(lit(1)).as("__n_chunks"))
-    val out = totals
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
-      .localCheckpoint(true)
-    ch.unpersist()
-    out
+        count(when(col("__dup").isNull, lit(1))).as("n_kept"),
+        count(lit(1)).as("__n_chunks"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_kept"),
+        (col("__n_chunks") - col("n_kept")).as("n_dropped"))
   }
 
   /** SemDeDup-style semantic deduplication over an embedding column

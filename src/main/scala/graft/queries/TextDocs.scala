@@ -412,16 +412,25 @@ object TextDocs {
       // broadcast 1-row total); doubles appear only in the final
       // per-word contribution, and round(4) absorbs summation-order
       // ulp noise (same pattern as x_tfidf / x_unigram_logprob).
+      //
+      // The word string never reaches the output (per-source rows
+      // only), so every group/join key is the 64-bit FNV hash of the
+      // word — the sw/wt shuffles and the three-way join carry longs
+      // instead of token text (round-4 verdict item 3). The oracle
+      // replays the identical hash (HashReplay.fnvFoldSql), so even a
+      // collision would merge the same words on both sides.
       val toks = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("source"), explode(split(col("text"), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
+        .select(col("source"),
+          graft.functions.Fnv1a64.fnv64(s, col("word")).as("wh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sw = toks.groupBy("source", "word").agg(count(lit(1)).as("csw"))
+      val sw = toks.groupBy("source", "wh").agg(count(lit(1)).as("csw"))
       val st = toks.groupBy("source").agg(count(lit(1)).as("cs"))
-      val wt = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+      val wt = toks.groupBy("wh").agg(count(lit(1)).as("cw"))
       val tot = toks.agg(count(lit(1)).as("ct"))
-      val out = sw.join(st, Seq("source")).join(wt, Seq("word"))
+      val out = sw.join(st, Seq("source")).join(wt, Seq("wh"))
         .crossJoin(broadcast(tot))
         .withColumn("contrib",
           (col("csw").cast("double") / col("cs")) *
@@ -1034,20 +1043,26 @@ object TextDocs {
          |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
          |ORDER BY tot.doc_id""".stripMargin,
     "x_source_kl" ->
-      """WITH toks AS (
-        |  SELECT source,
-        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
-        |  FROM documents
-        |), sw AS (SELECT source, word, COUNT(*) AS csw FROM toks GROUP BY 1, 2),
-        |st AS (SELECT source, COUNT(*) AS cs FROM toks GROUP BY 1),
-        |wt AS (SELECT word, COUNT(*) AS cw FROM toks GROUP BY 1),
-        |tot AS (SELECT COUNT(*) AS ct FROM toks)
-        |SELECT source, CAST(MAX(cs) AS BIGINT) AS n_tokens,
-        |  ROUND(SUM((CAST(csw AS DOUBLE) / cs)
-        |            * LN((CAST(csw AS DOUBLE) * ct)
-        |                 / (CAST(cs AS DOUBLE) * cw))), 4) AS kl
-        |FROM sw JOIN st USING (source) JOIN wt USING (word) CROSS JOIN tot
-        |GROUP BY source ORDER BY source""".stripMargin,
+      // th replays the engine's per-word FNV-1a 64 (the engine groups
+      // and joins on the hash so its shuffles carry longs, not token
+      // text); grouping by the replayed hash keeps even a collision
+      // bit-identical across engines
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+         |  FROM documents
+         |), th AS (
+         |  SELECT source, ${HashReplay.fnvFoldSql("word")} AS wh FROM toks
+         |), sw AS (SELECT source, wh, COUNT(*) AS csw FROM th GROUP BY 1, 2),
+         |st AS (SELECT source, COUNT(*) AS cs FROM th GROUP BY 1),
+         |wt AS (SELECT wh, COUNT(*) AS cw FROM th GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS ct FROM th)
+         |SELECT source, CAST(MAX(cs) AS BIGINT) AS n_tokens,
+         |  ROUND(SUM((CAST(csw AS DOUBLE) / cs)
+         |            * LN((CAST(csw AS DOUBLE) * ct)
+         |                 / (CAST(cs AS DOUBLE) * cw))), 4) AS kl
+         |FROM sw JOIN st USING (source) JOIN wt USING (wh) CROSS JOIN tot
+         |GROUP BY source ORDER BY source""".stripMargin,
     "x_jsonl_roundtrip" ->
       // the oracle reads the ORIGINAL parquet — equality proves the
       // engine's JSONL write→read round trip lossless

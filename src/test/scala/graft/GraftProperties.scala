@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.functions.{CosineSimilarity, Fnv1a64, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{ChunkHashes, ChunkStrings, CosineSimilarity, Fnv1a64, MinHashSignature, ShingleHashes, SimHash64}
 import graft.model.{ColumnMetadata, TableMetadata}
 import graft.sources.SqsPublisher
 
@@ -182,5 +182,28 @@ object GraftProperties extends Properties("graft") {
       val seedSql = HashReplay.mixWithGamma(HashReplay.unsigned(j.toLong))
       val vSql = HashReplay.mixWithGamma(HashReplay.unsigned(h) ^ seedSql)
       vSql == HashReplay.unsigned(vJvm)
+    }
+
+  private val genDocText: Gen[String] = for {
+    toks <- Gen.listOf(Gen.nonEmptyListOf(
+      Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('é', '中', '.', '!')))
+      .map(_.mkString.take(10)))
+    seps <- Gen.listOfN(toks.length + 1, Gen.oneOf(" ", "  ", "\t", "\n", ""))
+  } yield seps.head + toks.zip(seps.tail).map { case (t, s) => t + s }.mkString
+
+  property("chunk kernels: chunks tile the tokens; hashes == fnv64 of each chunk") =
+    forAll(genDocText, Gen.choose(1, 12)) { (text, w) =>
+      val u = UTF8String.fromString(text)
+      val cs = ChunkStrings.compute(u, w)
+      val hs = ChunkHashes.compute(u, w)
+      val chunks = (0 until cs.numElements()).map(cs.getUTF8String(_).toString)
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val tiling = chunks.flatMap(_.split(" ").toSeq) == toks
+      val widths = chunks.dropRight(1).forall(_.split(" ").length == w) &&
+        chunks.lastOption.forall(_.split(" ").length <= w)
+      val hashes = hs.numElements() == chunks.size && chunks.indices.forall(i =>
+        hs.getLong(i) == Fnv1a64.hashBytes(
+          chunks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      tiling && widths && hashes
     }
 }

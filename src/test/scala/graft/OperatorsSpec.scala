@@ -476,6 +476,42 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "x y z w v u", 2L, 0L)))
   }
 
+  test("chunk width boundaries: width=1 is per-token scrub; huge width is doc-grain exact dedup") {
+    // the two semantic corners the oracle's fixed width=8 never
+    // reaches (round-4 verdict item 7)
+    val docs = Seq(
+      (1L, "a b c"),           // exact duplicate of 2 after ws-normalization
+      (2L, "a  b\tc"),
+      (3L, "c x y"),           // shares only token c with 1/2
+      (4L, "z z z")            // repeats a token within ONE doc only
+    ).toDF("doc_id", "text")
+
+    // width ≥ token count: one chunk per doc ≡ exact (normalized) dedup
+    val wBig = 1 << 20
+    val dupBig = Dedup.duplicateChunks(docs, "doc_id", "text", width = wBig, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dupBig.toSet == Set(("a b c", 2L, 2L)))
+    val scrubBig = Dedup.scrubDuplicateChunks(docs, "doc_id", "text", width = wBig, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(scrubBig.toSeq == Seq(
+      (1L, "", 0L, 1L), (2L, "", 0L, 1L),
+      (3L, "c x y", 1L, 0L), (4L, "z z z", 1L, 0L)))
+
+    // width=1: every token is a chunk. minDocs counts DISTINCT docs, so
+    // doc 4's thrice-repeated z is NOT boilerplate (one doc), while c
+    // spans three docs with one occurrence each
+    val dup1 = Dedup.duplicateChunks(docs, "doc_id", "text", width = 1, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(dup1.toSet == Set(("a", 2L, 2L), ("b", 2L, 2L), ("c", 3L, 3L)))
+    val scrub1 = Dedup.scrubDuplicateChunks(docs, "doc_id", "text", width = 1, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(scrub1.toSeq == Seq(
+      (1L, "", 0L, 3L), (2L, "", 0L, 3L),
+      (3L, "x y", 2L, 1L), (4L, "z z z", 3L, 0L)))
+  }
+
   test("keySkewReport: exact distribution stats on a known key histogram") {
     val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
     val r = graft.operators.ScaleJoins.keySkewReport(df, "k").head()

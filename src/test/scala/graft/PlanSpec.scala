@@ -227,6 +227,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(__id"), p)
   }
 
+  test("x_boilerplate/x_chunk_scrub: no shuffle exchange carries the chunk string") {
+    // round-4 verdict item 1: the chunk-dedup family keys every
+    // counting shuffle on the 64-bit FNV hash — the raw chunk column
+    // must never cross a shuffle Exchange (its payload would grow with
+    // text volume, not doc count). Broadcast exchanges are exempt:
+    // x_boilerplate's final report exemplar is ≥minDocs-filtered and
+    // report-sized by construction.
+    for (n <- Seq("x_boilerplate", "x_chunk_scrub")) {
+      val p = plan(n)
+      val lines = p.linesIterator.toVector
+      val shuffleInputs = lines.zipWithIndex.collect {
+        case (l, i) if l.trim.matches("""\(\d+\) Exchange""") =>
+          lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+      }
+      assert(shuffleInputs.nonEmpty, s"expected shuffle exchanges in $n:\n$p")
+      assert(!shuffleInputs.exists(_.contains("chunk#")),
+        s"a shuffle exchange carries the chunk string in $n:\n$p")
+    }
+  }
+
   test("x_unpivot: Expand node, no join, no extra shuffle") {
     val p = plan("x_unpivot")
     assert(p.contains("Expand"), p)
