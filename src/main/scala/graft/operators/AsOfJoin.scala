@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Cost: ONE shuffle on the key + a per-partition sort — no range
   * cross-join blowup, no per-key collect. At 100 TB this is the same
-  * shape as a sort-merge join; heavy keys can be pre-salted by date
-  * bucketing if a single key's timeline exceeds one task's memory
-  * (sorting spills, so it degrades gracefully rather than OOMing).
+  * shape as a sort-merge join; sorting spills, so a heavy key degrades
+  * gracefully rather than OOMing — but it still serializes one key's
+  * whole timeline through one task. For a pathologically hot key
+  * (detect with [[ScaleJoins.keySkewReport]]: a large max_cnt /
+  * skew_ratio on the join key), use [[asOfSalted]], which spreads each
+  * key over time buckets.
   */
 object AsOfJoin {
 
@@ -56,6 +59,91 @@ object AsOfJoin {
     r.unionByName(l)
       .withColumn("__best", max(col("__m")).over(w))
       .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__l.$c")) ++
+        (rightTime +: payload).map(c => col(s"__best.$c")): _*)
+  }
+
+  /** Skew-resistant [[asOf]]: identical semantics and output, but every
+    * wide operation keys on (key, time-bucket) instead of the bare key,
+    * so one hot key's timeline spreads over ~timeline/bucketWidth tasks
+    * instead of serializing through one ([[ScaleJoins.keySkewReport]]
+    * on the join key is the strategy picker: reach for this variant
+    * when max_cnt is a straggler-sized share of the table).
+    *
+    * Mechanics — time-bucket salting preserves as-of semantics because
+    * a bucket only ever needs history from strictly-earlier buckets:
+    *   1. in-bucket: the same union + running-max trick as [[asOf]],
+    *      windowed by (key, bucket) — the salted shuffle;
+    *   2. carry-in: per-(key, bucket) max of the right rows, unioned
+    *      with the left side's bucket keys (a left bucket where the
+    *      right side is silent still needs older history), running-max
+    *      over strictly-earlier buckets. This summary frame is one row
+    *      per (key, bucket) — collapsed by partial aggregation, tiny
+    *      next to the data — so its per-key window is not a hot spot;
+    *   3. best = greatest(in-bucket, carry-in): struct order compares
+    *      rightTime first, and carry-in times are strictly older than
+    *      any in-bucket match, so the lexicographic max is exactly
+    *      [[asOf]]'s answer (greatest also skips nulls — a left row
+    *      with neither match stays unmatched).
+    *
+    * `bucketWidth` is in units of the time line's integral form
+    * (seconds for timestamps, days for dates, the raw value for
+    * numeric times). Pick it so a hot
+    * key's per-bucket row count fits one task comfortably — buckets
+    * only spread work, they never change the result.
+    */
+  def asOfSalted(left: DataFrame, leftKey: String, leftTime: String,
+                 right: DataFrame, rightKey: String, rightTime: String,
+                 payload: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val leftCols = left.columns.toSeq
+    val matchType = struct(col(rightTime) +: payload.map(col): _*)
+
+    val r = right.select(
+      col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      matchType.as("__m"),
+      lit(null).cast(left.schema).as("__l"))
+    val l = left.select(
+      col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+      lit(null).cast(r.schema("__m").dataType).as("__m"),
+      struct(leftCols.map(col): _*).as("__l"))
+    // DIV truncates toward zero — a monotone non-decreasing map of the
+    // time line, which is all bucket assignment needs (bucket 0 spans
+    // (-width, width) for mixed-sign times; only spread is affected).
+    // Integral DIV, not floor(a/b): double division mangles longs past
+    // 2^53 (nanosecond epochs qualify).
+    val u = r.unionByName(l)
+    val tLong = u.schema("__t").dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_seconds(col("__t"))
+      case org.apache.spark.sql.types.DateType =>
+        datediff(col("__t"), lit("1970-01-01").cast("date")).cast("long")
+      case _ => col("__t").cast("long")
+    }
+    val bucketed = u.withColumn("__tl", tLong)
+      .withColumn("__b", expr(s"__tl DIV $bucketWidth")).drop("__tl")
+
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed
+      .withColumn("__best0", max(col("__m")).over(w))
+      .filter(col("__tag") === 1)
+
+    val mType = r.schema("__m").dataType
+    val rSumm = bucketed.filter(col("__tag") === 0)
+      .groupBy(col("__k"), col("__b")).agg(max(col("__m")).as("__bm"))
+    val lBuckets = bucketed.filter(col("__tag") === 1)
+      .select(col("__k"), col("__b")).distinct()
+      .withColumn("__bm", lit(null).cast(mType))
+    val wc = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rSumm.unionByName(lBuckets)
+      .groupBy(col("__k"), col("__b")).agg(max(col("__bm")).as("__bm"))
+      .withColumn("__carry", max(col("__bm")).over(wc))
+      .select(col("__k"), col("__b"), col("__carry"))
+
+    inBucket.join(carry, Seq("__k", "__b"), "left")
+      .withColumn("__best", greatest(col("__best0"), col("__carry")))
       .select(leftCols.map(c => col(s"__l.$c")) ++
         (rightTime +: payload).map(c => col(s"__best.$c")): _*)
   }

@@ -524,17 +524,27 @@ object Dedup {
   /** SemDeDup-style semantic deduplication over an embedding column
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
     * k-means ([[Clustering.kmeansAssign]]), compare vectors only WITHIN
-    * a cluster, and greedily keep each row that has no lower-id
-    * same-cluster neighbor with cosine ≥ `minCosine`. Returns the
-    * surviving (idCol, cluster) rows.
+    * a cluster, and keep each row that has no lower-id same-cluster
+    * neighbor with cosine ≥ `minCosine`. Returns the surviving
+    * (idCol, cluster) rows.
+    *
+    * Survivor rule, precisely: a row is dropped when ANY lower-id
+    * near neighbor exists — including neighbors that were themselves
+    * dropped. On a similarity chain (a~b, b~c, a≁c) both b and c are
+    * dropped, which over-prunes relative to SemDeDup's
+    * keep-one-representative-per-group greedy scan (that scan would
+    * keep c). This one-join rule is what the DuckDB oracle encodes, so
+    * the query is consistent as tested; when chain-aware survivor
+    * selection matters, resolve groups with the connected-components
+    * path ([[dedupCorpus]]) over the near-pair list instead.
     *
     * Scale shape: the cluster id is the candidate-generation key — the
     * pair join is a keyed self-join on `cluster`, O(Σ|cluster|²)
     * instead of O(n²). `k` is the blocking knob: a real 100 TB run
     * sizes k ≈ n/⟨target cluster size⟩ (thousands+), keeping each
     * cluster's pair block bounded; assignment itself never shuffles a
-    * vector (broadcast-centroid codegen argmax). The greedy
-    * earliest-survivor rule needs only the pair list, not an iterative
+    * vector (broadcast-centroid codegen argmax). The no-lower-id-
+    * neighbor rule needs only the pair list, not an iterative
     * component resolution, so the prune is one join + one anti-join.
     *
     * Determinism: assignment is the fully-replayable quantized k-means;

@@ -68,26 +68,39 @@ object Sampling {
     * the corpus sees two hash aggs + a narrow filter and never an
     * extra wide shuffle. Deterministic: keep/drop is a pure function
     * of (id, stratum, corpus weights).
+    *
+    * NULL strata do not vanish (an inner join on a null key never
+    * matches): the stratum is coalesced to a reserved sentinel, so
+    * null-stratum rows form their own stratum and are weighted and
+    * balanced like any other — the in-plan analogue of
+    * [[stratifiedKeep]]'s null → default fall-through. Strata compare
+    * by their string rendering; a real stratum equal to the sentinel
+    * (a NUL-prefixed marker) would merge with the nulls.
     */
   def mixtureKeep(df: DataFrame, idCol: String, strataCol: String,
                   weightCol: String): DataFrame = {
-    val byStratum = df.groupBy(col(strataCol))
+    val skey = coalesce(col(strataCol).cast("string"), lit(NullStratum))
+    val byStratum = df.groupBy(skey.as("__sk"))
       .agg(sum(col(weightCol)).as("__w"))
     val tot = byStratum.agg(sum(col("__w")).as("__total"),
       count(lit(1)).as("__nstrata"))
     // 16 → 'g' keeps every md5 hex bucket (the stratifiedKeep rule)
     val buckets = byStratum.crossJoin(broadcast(tot))
-      .select(col(strataCol),
+      .select(col("__sk"),
         floor(least(lit(1.0),
           (col("__total").cast("double") / col("__nstrata")) / col("__w")) * 16)
           .cast("int").as("__bkt"))
       .withColumn("__thresh",
         expr("substr('0123456789abcdefg', __bkt + 1, 1)"))
-      .select(col(strataCol), col("__thresh"))
-    df.join(broadcast(buckets), Seq(strataCol))
+      .select(col("__sk"), col("__thresh"))
+    df.withColumn("__sk", skey).join(broadcast(buckets), Seq("__sk"))
       .filter(hashBucket(col(idCol)) < col("__thresh"))
-      .drop("__thresh")
+      .drop("__sk", "__thresh")
   }
+
+  /** Sentinel stratum for NULL values in [[mixtureKeep]] — NUL-prefixed
+    * so no real-world label collides with it. */
+  private[operators] val NullStratum = "\u0000<null-stratum>"
 
   /** Deterministic output shard id in [0, nShards): the first eight hex
     * nibbles of md5(id) — 2^32 base buckets — folded mod nShards. The

@@ -25,6 +25,16 @@ object SnapshotDiff {
            keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     require(compareCols.nonEmpty, "compareCols must be non-empty")
+    // a key column in compareCols would reference __new_<key>, which is
+    // never created (keys are not renamed) — fail loud, not with an
+    // unresolved-column analysis error downstream
+    require(keyCols.intersect(compareCols).isEmpty,
+      s"keyCols and compareCols must be disjoint; both contain " +
+        keyCols.intersect(compareCols).mkString(", "))
+    val reserved = compareCols.map(c => s"__new_$c") ++ Seq("__in_old", "__in_new")
+    val clash = reserved.filter((oldDf.columns ++ newDf.columns).contains)
+    require(clash.isEmpty,
+      s"input columns collide with diff internals: ${clash.mkString(", ")}")
     val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
       .withColumn("__in_old", lit(true))
     val n = newDf.select((keyCols ++ compareCols).map(c =>

@@ -97,6 +97,22 @@ object Events {
         .orderBy("event_id")
     }),
 
+    "x_asof_salted" -> ((s, dir) => {
+      // the skew-salted as-of variant on q22's exact shape: identical
+      // output (the oracle IS q22's) through (key, 30-day-bucket)
+      // shuffles — the hot-user_id straggler defense at 100 TB
+      val e = ev(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      AsOfJoin.asOfSalted(
+        left = e, leftKey = "user_id", leftTime = "ts",
+        right = o, rightKey = "o_custkey", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"), bucketWidth = 30L * 86400)
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("event_id"), col("o_orderkey").as("ok"))
+        .orderBy("event_id")
+    }),
+
     "x_sessionize" -> ((s, dir) => {
       // batch sessionization: session break when gap > 30 min; running
       // sum of breaks numbers the sessions per user.
@@ -146,6 +162,17 @@ object Events {
         | AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL '30 minutes'
         |ORDER BY view_id, buy_id""".stripMargin,
     "q22_asof" ->
+      """WITH m AS (
+        |  SELECT e.event_id, MAX(o.o_orderdate) AS od FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  GROUP BY e.event_id)
+        |SELECT m.event_id, MAX(o.o_orderkey) AS ok
+        |FROM m JOIN events e ON e.event_id = m.event_id
+        |JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate = m.od
+        |GROUP BY m.event_id ORDER BY m.event_id""".stripMargin,
+    // the salted variant must be bit-identical to the plain as-of —
+    // the oracle is q22's verbatim
+    "x_asof_salted" ->
       """WITH m AS (
         |  SELECT e.event_id, MAX(o.o_orderdate) AS od FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts

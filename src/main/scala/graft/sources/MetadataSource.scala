@@ -77,6 +77,31 @@ object MetadataSource {
       case (r, (k, v)) => r.option(k, v)
     }.load()
 
+  /** Partitioned JDBC extraction — the reference's one genuinely
+    * distributed boundary (the DB-side pull at reference
+    * job/sample_mysql_aws_sqs_job.py:74): Spark splits
+    * [lowerBound, upperBound] into `numPartitions` range predicates on
+    * `partitionColumn` and issues one query per partition, so a huge
+    * information_schema (millions of column rows) is read by N
+    * executors instead of one connection. `dbtable` form (a table name
+    * or a `(subquery) alias`) because Spark forbids partition options
+    * with `option("query")`. Rows outside the bounds are still
+    * returned — bounds only shape the stride — so result equality with
+    * the single-query read is exact.
+    */
+  def jdbcPartitioned(spark: SparkSession, url: String, dbtable: String,
+                      partitionColumn: String, lowerBound: Long,
+                      upperBound: Long, numPartitions: Int,
+                      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+      spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
+        .option("partitionColumn", partitionColumn)
+        .option("lowerBound", lowerBound.toString)
+        .option("upperBound", upperBound.toString)
+        .option("numPartitions", numPartitions.toString)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
+
   /** Generic CSV-directory scan (S4): every regular file in `dir`,
     * header row, unlimited field size (the reference raises the csv
     * field limit — Spark needs maxCharsPerColumn lifted instead). */

@@ -66,6 +66,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out("t3").isEmpty)       // key 2 has no quotes → null
   }
 
+  test("salted as-of == plain as-of on a pathologically hot key, any bucket width") {
+    // one key holds 90% of both sides (the straggler shape the salt
+    // exists for), with cross-bucket gaps: left rows whose bucket has
+    // no right rows must still see older history via the carry-in
+    val left = ((1 to 450).map(i => (7L, i * 10L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5 + 100, i * 97L, 1000L + i)))
+      .toDF("k", "t", "lid")
+    val right = ((1 to 90).map(i => (7L, i * 49L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong % 5 + 100, i * 31L, 500L + i)))
+      .toDF("k", "rt", "rid")
+    val plain = AsOfJoin.asOf(left, "k", "t", right, "k", "rt", Seq("rid"))
+      .select($"lid", $"rt", $"rid")
+    // widths spanning sub-row-gap to whole-timeline: result must be
+    // bit-identical regardless of how the salt slices the time line
+    for (width <- Seq(1L, 7L, 100L, 1000000L)) {
+      val salted = AsOfJoin.asOfSalted(left, "k", "t", right, "k", "rt",
+        Seq("rid"), bucketWidth = width)
+        .select($"lid", $"rt", $"rid")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        s"salted as-of diverged at bucketWidth=$width")
+    }
+  }
+
   test("exact dedup keeps the row with the smallest tie-break") {
     val df = Seq((1L, "x", "a"), (2L, "x", "b"), (3L, "y", "c"))
       .toDF("id", "key", "payload")
@@ -559,6 +582,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  test("mixtureKeep: NULL strata form their own stratum instead of vanishing") {
+    // 100 'big' + 20 null-stratum docs: total=1200, 2 strata → target
+    // 600 each — identical shares to the named-strata case above, so
+    // nulls must downsample/keep by the same rule, not be dropped by
+    // the inner join's null-never-matches semantics
+    val df = ((0L until 100L).map(i => (i, Some("big"), 10L)) ++
+      (100L until 120L).map(i => (i, Option.empty[String], 10L)))
+      .toDF("id", "source", "w")
+    val kept = graft.operators.Sampling.mixtureKeep(df, "id", "source", "w")
+      .collect().map(r => r.getAs[Long]("id")).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): Char =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.head
+    val expected = (0L until 100L).filter(bucket(_) < '9').toSet ++ (100L until 120L)
+    assert(kept == expected) // all 20 null-stratum docs kept (rare stratum)
+  }
+
   test("snapshotDiff classifies insert/delete/update/same, null-safe on values") {
     val prev = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None), (4L, Some(40.0)))
       .toDF("k", "v")
@@ -572,6 +612,23 @@ class OperatorsSpec extends AnyFunSuite {
       3L -> "same",     // null == null under null-safe compare
       4L -> "same",     // unchanged
       5L -> "insert"))  // only in cur
+  }
+
+  test("snapshotDiff rejects key/compare overlap and internal-name collisions loudly") {
+    val a = Seq((1L, 1.0)).toDF("k", "v")
+    // a key in compareCols would reference the never-created __new_k —
+    // must fail at the API boundary, not as an analysis error
+    intercept[IllegalArgumentException] {
+      graft.operators.SnapshotDiff.diff(a, a, Seq("k"), Seq("k", "v"))
+    }
+    val withReserved = Seq((1L, 1.0, true)).toDF("k", "v", "__in_old")
+    intercept[IllegalArgumentException] {
+      graft.operators.SnapshotDiff.diff(withReserved, withReserved, Seq("k"), Seq("v"))
+    }
+    val withNewName = Seq((1L, 1.0, 2.0)).toDF("k", "v", "__new_v")
+    intercept[IllegalArgumentException] {
+      graft.operators.SnapshotDiff.diff(withNewName, withNewName, Seq("k"), Seq("v"))
+    }
   }
 
   test("shardId: matches an md5 replay, stable under repartition, covers all shards") {

@@ -192,6 +192,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("orders", "id", 1), ("orders", "total", 2)))
   }
 
+  test("partitioned JDBC extraction: >1 range query, same rows as the single read") {
+    // round-4 verdict item 5: the partition options were plumbed but
+    // never exercised — this pins that the stride actually splits the
+    // read AND that rows outside [lower, upper] still arrive (bounds
+    // shape the stride, they are not a filter)
+    val dbDir = Files.createTempDirectory("graft_derby_part").toString
+    val url = s"jdbc:derby:$dbDir/meta;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE cols (col_name VARCHAR(64), ord INT)")
+      (1 to 100).foreach(i => st.execute(s"INSERT INTO cols VALUES ('c$i', $i)"))
+      st.close()
+    } finally conn.close()
+    val part = MetadataSource.jdbcPartitioned(spark, url, "cols",
+      partitionColumn = "ord", lowerBound = 10, upperBound = 90, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4) // one range predicate per task
+    val single = MetadataSource.jdbc(spark, url, "SELECT col_name, ord FROM cols")
+    val got = part.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    val want = single.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+    assert(got.length == 100) // ord 1..9 and 91..100 rode the edge partitions
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("multimodal: frame sampling emits every k-th chunk with bytes") {
     val df = Multimodal.withBinaryPayload(
       Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "text"), "text")

@@ -227,6 +227,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning(__id"), p)
   }
 
+  test("x_asof_salted: the data-bearing wide stages key on (key, time-bucket)") {
+    // the salt must actually reach the shuffle: an exchange keyed on
+    // the bare key would re-create the hot-key straggler. The only
+    // bare-__k window allowed is the carry-in summary (one row per
+    // (key, bucket) after partial aggregation).
+    val p = plan("x_asof_salted")
+    assert("""hashpartitioning\(__k#\d+L?, __b#\d+L""".r.findFirstIn(p).isDefined,
+      s"no (key, bucket) shuffle in the salted plan:\n$p")
+  }
+
   test("x_boilerplate/x_chunk_scrub: no shuffle exchange carries the chunk string") {
     // round-4 verdict item 1: the chunk-dedup family keys every
     // counting shuffle on the 64-bit FNV hash — the raw chunk column
