@@ -58,6 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.ChunkHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
 
+    e.injectFunction((FunctionIdentifier("graft_rolling_hashes"),
+      info("graft_rolling_hashes", "graft_rolling_hashes(text, width) - FNV hashes of every stride-1 width-token window"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.RollingHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
+
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity in double precision"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

@@ -117,6 +117,14 @@ case class ChunkHashes(child: Expression, width: Int) extends UnaryExpression {
 object ChunkHashes {
 
   def compute(text: UTF8String, width: Int): ArrayData = {
+    compute(text, width, width)
+  }
+
+  /** Shared kernel with [[RollingHashes]]: window start steps by
+    * `stride`; `stride == width` gives disjoint chunks (ragged last
+    * window kept), `stride == 1` gives every full-width window (short
+    * docs produce none). */
+  private[functions] def compute(text: UTF8String, width: Int, stride: Int): ArrayData = {
     val bytes = text.getBytes
     val starts = new java.util.ArrayList[Int]()
     val ends = new java.util.ArrayList[Int]()
@@ -130,15 +138,19 @@ object ChunkHashes {
       }
     }
     val m = starts.size()
-    val count = (m + width - 1) / width
+    val count =
+      if (stride == width) (m + width - 1) / width     // ragged tail kept
+      else if (m >= width) (m - width) / stride + 1    // full windows only
+      else 0
     val out = new Array[Long](count)
     var c = 0
     while (c < count) {
       var h = 0xcbf29ce484222325L
-      var t = c * width
-      val end = math.min(t + width, m)
+      val s0 = c * stride
+      var t = s0
+      val end = math.min(s0 + width, m)
       while (t < end) {
-        if (t > c * width) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        if (t > s0) { h ^= ' '.toLong; h *= 0x100000001b3L }
         var b = starts.get(t)
         val e = ends.get(t)
         while (b < e) {
@@ -164,6 +176,51 @@ object ChunkHashes {
       FnName, exprs => ChunkHashes(exprs.head, LitArgs.litInt(exprs(1), "width")), "built-in")
 
   def chunkHashes(spark: SparkSession, text: Column, width: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, text,
+      org.apache.spark.sql.functions.lit(width))
+  }
+}
+
+/** FNV-1a 64 hashes of every stride-1 `width`-token window
+  * (ARRAY(LONG), element k = hash of tokens [k, k+width)) — the
+  * sliding-window sibling of [[ChunkHashes]] and the substrate of
+  * exact substring-span dedup (Lee et al. 2022, arXiv:2107.06499:
+  * duplicate TRAINING SPANS repeat verbatim at arbitrary offsets, so
+  * the detection grain must be every window, not disjoint chunks).
+  * Unlike [[ShingleHashes]] nothing is deduplicated — the array index
+  * IS the token position, which the span-merge pass needs. Docs
+  * shorter than `width` produce an empty array (no full window exists
+  * to match; contrast ShingleHashes' whole-doc fallback shingle).
+  */
+case class RollingHashes(child: Expression, width: Int) extends UnaryExpression {
+  require(width >= 1 && width <= (1 << 20), s"unreasonable window width $width")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    ChunkHashes.compute(input.asInstanceOf[UTF8String], width, 1)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHashes.compute($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+object RollingHashes {
+
+  /** Codegen entry point (kernel shared with [[ChunkHashes]]). */
+  def compute(text: UTF8String, width: Int): ArrayData =
+    ChunkHashes.compute(text, width, 1)
+
+  private val FnName = "graft_rolling_hashes"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => RollingHashes(exprs.head, LitArgs.litInt(exprs(1), "width")), "built-in")
+
+  def rollingHashes(spark: SparkSession, text: Column, width: Int): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function(FnName, text,
       org.apache.spark.sql.functions.lit(width))

@@ -521,6 +521,79 @@ object Dedup {
         (col("__n_chunks") - col("n_kept")).as("n_dropped"))
   }
 
+  /** Exact substring-span dedup (Lee et al. 2022, arXiv:2107.06499):
+    * duplicate training text repeats VERBATIM at arbitrary token
+    * offsets, so the detection grain is every stride-1 `width`-token
+    * window, not disjoint chunks. Finds each window whose text appears
+    * in ≥ `minDocs` distinct documents, merges each document's
+    * overlapping duplicate windows into maximal [start, end) token
+    * spans, and rebuilds the document without the spanned tokens.
+    * Returns (idCol, clean_text, n_kept, n_dropped) for every document
+    * with ≥1 token. Unlike the paper's keep-one-copy rule this scrubs
+    * the span from EVERY document (the [[scrubDuplicateChunks]]
+    * family contract); documents shorter than `width` have no full
+    * window and are never scrubbed.
+    *
+    * Scale shape: window hashing is one compiled narrow pass
+    * ([[graft.functions.RollingHashes]] — the array index IS the token
+    * position); duplicate detection shuffles only (hash, id) longs and
+    * broadcasts the surviving hash set back; span merge is a per-doc
+    * window over HIT positions only (duplicate-dense docs, not the
+    * corpus); the rebuild joins tokens to spans on the doc id (spans
+    * are disjoint after the merge, so the left join stays 1:≤1) and
+    * aggregates once per doc — the only text-carrying exchanges are
+    * the token rebuild itself.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                          width: Int = 8, minDocs: Int = 2): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val win = docs.repartition(par)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.RollingHashes.rollingHashes(
+          spark, col(textCol), width)).as(Seq("pos", "__h")))
+    val dup = win.select(col("__h"), col("id")).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    // duplicate window starts per doc → maximal merged spans: a window
+    // opens a new span iff it starts past every earlier window's end
+    val byId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val hits = win.join(broadcast(dup), Seq("__h")).select(col("id"), col("pos"))
+    val spans = hits
+      .withColumn("__prevEnd", max(col("pos") + width).over(
+        byId.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__prevEnd").isNull || col("pos") > col("__prevEnd"), 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(byId.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("id"), col("__span"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + width).as("__e"))
+      .select(col("id").as("__sid"), col("__s"), col("__e"))
+    // tokens with positions (width-1 chunks ARE the tokens), flagged by
+    // span coverage; spans are disjoint so the left join is 1:≤1 and
+    // one aggregation yields text + kept/total counts
+    val toks = docs.repartition(par)
+      .select(col(idCol).as("id"),
+        posexplode(graft.functions.ChunkStrings.chunkStrings(
+          spark, col(textCol), 1)).as(Seq("pos", "tok")))
+    toks.join(spans,
+        toks("id") === col("__sid") &&
+          toks("pos") >= col("__s") && toks("pos") < col("__e"),
+        "left")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__s").isNull, struct(col("pos"), col("tok"))))),
+          c => c.getField("tok")), " ").as("clean_text"),
+        count(when(col("__s").isNull, lit(1))).as("n_kept"),
+        count(lit(1)).as("__n"))
+      .select(col("id").as(idCol), col("clean_text"), col("n_kept"),
+        (col("__n") - col("n_kept")).as("n_dropped"))
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column
     * (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus with
     * k-means ([[Clustering.kmeansAssign]]), compare vectors only WITHIN

@@ -403,6 +403,16 @@ object TextDocs {
       Dedup.scrubDuplicateChunks(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_span_scrub" -> ((s, dir) =>
+      // exact substring-span dedup (Lee et al. 2022): duplicate text
+      // repeats at ARBITRARY offsets, so detection runs at every
+      // stride-1 8-token window; per-doc overlapping duplicate windows
+      // merge into maximal spans that are cut out of the rebuilt text.
+      // The sliding grain catches offset-shifted copies the disjoint
+      // chunk grain (x_chunk_scrub) provably misses.
+      Dedup.scrubDuplicateSpans(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_source_kl" -> ((s, dir) => {
       // corpus drift / domain-mix monitoring: per-source unigram KL
       // divergence from the whole-corpus distribution,
@@ -1042,6 +1052,58 @@ object TextDocs {
          |  tot.n_chunks - COALESCE(reb.n_kept, 0) AS n_dropped
          |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
          |ORDER BY tot.doc_id""".stripMargin,
+    // ---- substring-span dedup: every stride-1 8-token window FNV-
+    // replayed, cross-doc dup windows merged into maximal per-doc
+    // spans (same window-open rule as the engine: a window starts a
+    // new span iff it begins past every earlier window's end), spanned
+    // tokens cut from the rebuild
+    "x_span_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+         |  FROM documents
+         |), wpos AS (
+         |  SELECT doc_id, w,
+         |         unnest(range(GREATEST(CAST(len(w) AS BIGINT) - 7, 0))) AS pos
+         |  FROM t
+         |), winh AS (
+         |  SELECT doc_id, pos,
+         |    ${HashReplay.fnvFoldSql("array_to_string(w[CAST(pos AS BIGINT) + 1 : CAST(pos AS BIGINT) + 8], ' ')")} AS h
+         |  FROM wpos
+         |), dup AS (
+         |  SELECT h FROM winh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+         |), hits AS (
+         |  SELECT doc_id, pos FROM winh WHERE h IN (SELECT h FROM dup)
+         |), mk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN MAX(pos + 8) OVER prevw IS NULL
+         |           OR pos > MAX(pos + 8) OVER prevw THEN 1 ELSE 0 END AS brk
+         |  FROM hits
+         |  WINDOW prevw AS (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |), sp AS (
+         |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+         |  FROM mk
+         |), spans AS (
+         |  SELECT doc_id, span, MIN(pos) AS s, MAX(pos) + 8 AS e
+         |  FROM sp GROUP BY 1, 2
+         |), tpos AS (
+         |  SELECT doc_id, w, unnest(range(CAST(len(w) AS BIGINT))) AS pos FROM t
+         |), tok AS (
+         |  SELECT doc_id, pos, w[CAST(pos AS BIGINT) + 1] AS tok FROM tpos
+         |), kept AS (
+         |  SELECT tk.doc_id, tk.pos, tk.tok,
+         |    EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id
+         |            AND tk.pos >= s.s AND tk.pos < s.e) AS cov
+         |  FROM tok tk
+         |)
+         |SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN NOT cov THEN tok END, ' ' ORDER BY pos), '')
+         |    AS clean_text,
+         |  CAST(COUNT(CASE WHEN NOT cov THEN 1 END) AS BIGINT) AS n_kept,
+         |  CAST(COUNT(*) - COUNT(CASE WHEN NOT cov THEN 1 END) AS BIGINT) AS n_dropped
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "x_source_kl" ->
       // th replays the engine's per-word FNV-1a 64 (the engine groups
       // and joins on the hash so its shuffles carry longs, not token

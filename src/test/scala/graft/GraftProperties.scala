@@ -204,6 +204,13 @@ object GraftProperties extends Properties("graft") {
       val hashes = hs.numElements() == chunks.size && chunks.indices.forall(i =>
         hs.getLong(i) == Fnv1a64.hashBytes(
           chunks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      tiling && widths && hashes
+      // rolling sibling: one hash per FULL stride-1 window, same FNV
+      val rh = graft.functions.RollingHashes.compute(u, w)
+      val wins = if (toks.size >= w) toks.sliding(w).toSeq else Seq.empty
+      val rolling = rh.numElements() == wins.size && wins.zipWithIndex.forall {
+        case (ts, i) => rh.getLong(i) == Fnv1a64.hashBytes(
+          ts.mkString(" ").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      tiling && widths && hashes && rolling
     }
 }

@@ -535,6 +535,40 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, "x y", 2L, 1L), (4L, "z z z", 3L, 0L)))
   }
 
+  test("span scrub cuts offset-shifted duplicates the disjoint chunk grain misses") {
+    // the same 8-token span embedded at DIFFERENT offsets: no disjoint
+    // 8-chunk ever aligns across the two docs, but stride-1 windows do
+    val span = "p q r s t u v w"
+    val docs = Seq(
+      (1L, s"a1 b1 $span c1 d1"), // span at token offset 2
+      (2L, s"a2 $span c2"),       // span at token offset 1
+      (3L, "x y z")               // shorter than the window: untouchable
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(docs, "doc_id", "text", width = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "a1 b1 c1 d1", 4L, 8L),
+      (2L, "a2 c2", 2L, 8L),
+      (3L, "x y z", 3L, 0L)))
+    val chunkDropped = Dedup.scrubDuplicateChunks(docs, "doc_id", "text",
+      width = 8, minDocs = 2).agg(sum("n_dropped")).head().getLong(0)
+    assert(chunkDropped == 0L) // chunk grain provably blind to the shift
+  }
+
+  test("span scrub merges overlapping and adjacent duplicate windows into one span") {
+    // two docs sharing a 10-token run → three overlapping dup windows
+    // (offsets 0,1,2 of the run) must merge into ONE [start, end) span
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val docs = Seq((1L, s"$run tail1"), (2L, s"head2 $run")).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicateSpans(docs, "doc_id", "text", width = 8, minDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "tail1", 1L, 10L),
+      (2L, "head2", 1L, 10L)))
+  }
+
   test("keySkewReport: exact distribution stats on a known key histogram") {
     val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
     val r = graft.operators.ScaleJoins.keySkewReport(df, "k").head()
