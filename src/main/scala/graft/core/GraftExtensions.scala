@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.RollingHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
 
+    e.injectFunction((FunctionIdentifier("graft_top_k"),
+      info("graft_top_k", "graft_top_k(value, k) - aggregate: the k largest values, sorted descending (bounded partial buffers)"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.TopK(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "k"))))
+
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity in double precision"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

@@ -36,6 +36,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched exact kNN join: the top-k corpus neighbours of EVERY
+    * query row (the retrieval shape of embedding-dedup audits, eval-set
+    * contamination checks, and RAG index validation — [[bruteForceTopK]]
+    * answers one query, this answers a batch).
+    *
+    * Scale shape: the query set broadcasts (BroadcastNestedLoopJoin —
+    * corpus×Q candidates exist only inside narrow codegen, never on
+    * disk or a wire), and the per-query reduction is the bounded-buffer
+    * [[graft.functions.TopK]] aggregate, so map-side combine caps the
+    * one shuffle at k rows per (query, partition) — a
+    * `collect_list`+slice formulation would shuffle every candidate.
+    * Scores are decimal(10,4)-pinned like every cosine query, ties
+    * break to the larger neighbour id (struct order), rank is dense
+    * from 1.
+    */
+  def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = broadcast(queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")))
+    corpus.join(q)
+      .select(col("__qid"),
+        struct(
+          CosineSimilarity.cosine(spark, col(vecCol), col("__qvec"))
+            .cast("decimal(10,4)").cast("double").as("cos"),
+          col(idCol).as("nid")).as("__cand"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopK.topK(spark, col("__cand"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__r", "__c")))
+      .select(col("__qid").as(qIdCol), (col("__r") + 1).as("rank"),
+        col("__c.nid").as(idCol), col("__c.cos").as("cos"))
+  }
+
   /** All-pairs near-neighbour candidates via random-hyperplane LSH:
     * vectors sharing a signature bucket are compared exactly. Recall is
     * tunable with `planes` (fewer planes → bigger buckets → higher

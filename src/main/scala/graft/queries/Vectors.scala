@@ -103,6 +103,20 @@ object Vectors {
         .orderBy("ida", "idb")
     }),
 
+    "x_knn_join" -> ((s, dir) => {
+      // batched exact kNN: top-10 corpus neighbours for each of 5 query
+      // vectors through the bounded-buffer TopK aggregate — the shuffle
+      // carries k-element heaps per (query, partition), never the
+      // corpus×queries candidate stream
+      val e = emb(s, dir)
+      Similarity.knnJoin(
+        e.filter(col("vec_id") >= 5).select(col("vec_id").as("nid"), col("embedding")),
+        "nid", "embedding",
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("embedding")),
+        "qid", "embedding", k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     "x_kmeans" -> ((s, dir) =>
       // two Lloyd iterations, k=4, integer-quantized vectors — fully
       // value-oracled (every vec_id's final cluster): quantization
@@ -374,6 +388,21 @@ object Vectors {
          |FROM embeddings a, embeddings q
          |WHERE q.vec_id = 0 AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    // per-query rank replay: cos DESC, nid DESC mirrors the engine's
+    // struct(cos, nid) keep-largest heap order exactly
+    "x_knn_join" ->
+      s"""WITH s AS (
+         |  SELECT q.vec_id AS qid, a.vec_id AS nid,
+         |    CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
+         |  FROM embeddings a, embeddings q
+         |  WHERE q.vec_id < 5 AND a.vec_id >= 5
+         |), r AS (
+         |  SELECT qid, nid, cos, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY cos DESC, nid DESC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT qid, rank, nid, cos FROM r WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "x_quantize" ->
       // identical expression shapes → bit-identical doubles → identical
       // floor; integer outputs are exact

@@ -569,6 +569,42 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "head2", 1L, 10L)))
   }
 
+  test("TopK aggregate: k largest per group, descending, bounded under shuffle") {
+    import graft.functions.TopK
+    // 64 partitions force partial buffers through serialize/merge
+    val df = spark.range(0, 1000).toDF("v")
+      .withColumn("g", col("v") % 3)
+      .repartition(64)
+    val got = df.groupBy("g").agg(TopK.topK(spark, col("v"), 5).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got(0L) == Seq(999L, 996L, 993L, 990L, 987L))
+    assert(got(1L) == Seq(997L, 994L, 991L, 988L, 985L))
+    assert(got(2L) == Seq(998L, 995L, 992L, 989L, 986L))
+    // groups smaller than k return everything; nulls are skipped
+    val small = Seq(Some(1L), None, Some(3L)).toDF("v").withColumn("g", lit(0))
+    val s = small.groupBy("g").agg(TopK.topK(spark, col("v"), 5).as("top"))
+      .head().getSeq[Long](1).toSeq
+    assert(s == Seq(3L, 1L))
+  }
+
+  test("knnJoin equals the window-rank baseline on real embeddings") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter($"vec_id" >= 5).select($"vec_id".as("nid"), $"embedding")
+    val queries = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding")
+    val fast = graft.operators.Similarity.knnJoin(
+      corpus, "nid", "embedding", queries, "qid", "embedding", k = 7)
+    // unbounded baseline: window rank over ALL candidates
+    val cand = corpus.crossJoin(broadcast(queries.select($"qid", $"embedding".as("__qv"))))
+      .select($"qid", $"nid",
+        graft.functions.CosineSimilarity.cosine(spark, $"embedding", $"__qv")
+          .cast("decimal(10,4)").cast("double").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy($"cos".desc, $"nid".desc)
+    val slow = cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 7)
+      .select($"qid", $"rank", $"nid", $"cos")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("keySkewReport: exact distribution stats on a known key histogram") {
     val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
     val r = graft.operators.ScaleJoins.keySkewReport(df, "k").head()

@@ -237,6 +237,27 @@ class PlanSpec extends AnyFunSuite {
       s"no (key, bucket) shuffle in the salted plan:\n$p")
   }
 
+  test("x_knn_join: broadcast candidates, bounded TopK buffers through the shuffle") {
+    val p = plan("x_knn_join")
+    // query side broadcasts — corpus never shuffles for the join
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // TypedImperativeAggregate runs as ObjectHashAggregate with a
+    // partial stage below the exchange and a final one above: the
+    // shuffle carries k-element heaps, not the corpus x queries stream
+    val objAggs = p.linesIterator.count(_.trim.matches("""\(\d+\) ObjectHashAggregate"""))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    // no shuffle exchange may carry an embedding (candidate vectors
+    // exist only inside the narrow codegen segment)
+    val lines = p.linesIterator.toVector
+    val shuffleInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.trim.matches("""\(\d+\) Exchange""") =>
+        lines.drop(i + 1).find(_.trim.startsWith("Input")).getOrElse("")
+    }
+    assert(!shuffleInputs.exists(s => s.contains("embedding#") || s.contains("__qvec#")),
+      s"an exchange carries vectors:\n$p")
+  }
+
   test("x_boilerplate/x_chunk_scrub: no shuffle exchange carries the chunk string") {
     // round-4 verdict item 1: the chunk-dedup family keys every
     // counting shuffle on the 64-bit FNV hash — the raw chunk column
