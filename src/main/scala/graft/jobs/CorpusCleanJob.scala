@@ -17,13 +17,16 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *      shrinking everything downstream);
   *   3. drop template-spam: documents whose duplicate-token ratio
   *      exceeds `maxRepRatio` (repetitionStats);
-  *   4. drop near-duplicates (n-gram Jaccard candidates → connected
+  *   4. optionally cut cross-document duplicate SPANS out of the text
+  *      (Lee-et-al sliding-window scrub — Dedup.scrubDuplicateSpans;
+  *      docs emptied by the cut are dropped, n_chars re-derived);
+  *   5. drop near-duplicates (n-gram Jaccard candidates → connected
   *      components → keep min doc_id per cluster);
-  *   5. optionally rebalance the source mixture (deterministic
+  *   6. optionally rebalance the source mixture (deterministic
   *      md5-bucket downsampling of overrepresented sources toward a
   *      uniform char share — Sampling.mixtureKeep);
-  *   6. tag the survivors with the stopword-vote language ID;
-  *   7. assign the reproducible md5-bucket train/test split (a pure
+  *   7. tag the survivors with the stopword-vote language ID;
+  *   8. assign the reproducible md5-bucket train/test split (a pure
   *      function of doc_id — stable across engines and re-runs).
   *
   * Every stage is an engine operator with its own oracle/spec; this
@@ -37,7 +40,8 @@ object CorpusCleanJob {
             blocklist: Option[DataFrame] = None,
             blockKeyCol: String = "blocked_id",
             maxRepRatio: Double = 0.95,
-            balanceMixture: Boolean = false): DataFrame = {
+            balanceMixture: Boolean = false,
+            scrubSpans: Boolean = false, spanWidth: Int = 8): DataFrame = {
     val unblocked = blocklist
       .map(bl => Dedup.blocklistSubtract(docs, "doc_id", bl, blockKeyCol))
       .getOrElse(docs)
@@ -47,8 +51,22 @@ object CorpusCleanJob {
       TextAnalysis.repetitionStats(kept, "doc_id", "text")
         .filter(col("rep_ratio") <= maxRepRatio).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val pairs = Dedup.ngramJaccardPairs(unrepetitive, "doc_id", "text", jaccardThreshold)
-    val deduped = Dedup.dropNearDuplicates(unrepetitive, "doc_id", pairs)
+    val despanned =
+      if (scrubSpans) {
+        // text is replaced by the span-scrubbed rebuild; docs emptied
+        // by the cut drop out here, and n_chars is re-derived so the
+        // later mixture weighting sees the post-scrub volume
+        val scrubbed = Dedup.scrubDuplicateSpans(
+          unrepetitive, "doc_id", "text", spanWidth)
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("clean_text"))
+        unrepetitive.drop("text", "n_chars")
+          .join(scrubbed, Seq("doc_id"))
+          .withColumnRenamed("clean_text", "text")
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      } else unrepetitive
+    val pairs = Dedup.ngramJaccardPairs(despanned, "doc_id", "text", jaccardThreshold)
+    val deduped = Dedup.dropNearDuplicates(despanned, "doc_id", pairs)
     val balanced =
       if (balanceMixture) Sampling.mixtureKeep(deduped, "doc_id", "source", "n_chars")
       else deduped

@@ -123,6 +123,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(cleaned.filter(col("quality") < 0.5).count() == 0)
   }
 
+  test("corpus-clean pipeline: span-scrub stage cuts shared spans, keeps the docs") {
+    import spark.implicits._
+    // two high-quality docs sharing an 8-token run at different offsets
+    // plus distinct filler (so neither the quality gate nor the doc-level
+    // near-dup stage removes them) — the span stage must cut the run
+    // from BOTH texts while both docs survive to the output
+    val run = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val fillA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val fillB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$fillA $run", "a", 1L),
+      (2L, s"$run $fillB", "b", 1L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val out = graft.jobs.CorpusCleanJob.clean(spark, docs, scrubSpans = true)
+      .select("doc_id", "text", "n_chars").orderBy("doc_id").collect()
+    assert(out.length == 2) // both docs survive
+    assert(out(0).getString(1) == fillA && out(1).getString(1) == fillB)
+    // n_chars re-derived from the post-scrub text
+    assert(out(0).getLong(2) == fillA.length && out(1).getLong(2) == fillB.length)
+    // without the stage the shared run stays in place
+    val plain = graft.jobs.CorpusCleanJob.clean(spark, docs)
+      .select("text").collect().map(_.getString(0))
+    assert(plain.forall(_.contains(run)))
+  }
+
   test("corpus-clean pipeline: blocklist and repetition stages drop their targets") {
     import spark.implicits._
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
