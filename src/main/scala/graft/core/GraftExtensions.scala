@@ -63,6 +63,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         graft.functions.RollingHashes(exprs.head, graft.functions.LitArgs.litInt(exprs(1), "width"))))
 
+    e.injectFunction((FunctionIdentifier("graft_overlap_chunks"),
+      info("graft_overlap_chunks", "graft_overlap_chunks(text, width, stride) - overlapping width-token chunks stepping by stride, tail clipped"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.OverlapChunkStrings(exprs.head,
+          graft.functions.LitArgs.litInt(exprs(1), "width"),
+          graft.functions.LitArgs.litInt(exprs(2), "stride"))))
+
     e.injectFunction((FunctionIdentifier("graft_top_k"),
       info("graft_top_k", "graft_top_k(value, k) - aggregate: the k largest values, sorted descending (bounded partial buffers)"),
       (exprs: Seq[Expression]) =>

@@ -182,6 +182,89 @@ object ChunkHashes {
   }
 }
 
+/** Overlapping `width`-token chunks stepping by `stride` tokens
+  * (ARRAY(STRING)) — the RAG / retrieval-index chunking grain: every
+  * token is covered, consecutive chunks overlap by `width - stride`
+  * tokens so a fact straddling a boundary still lands whole in one
+  * chunk, and the final chunk is clipped to the document end rather
+  * than dropped. A document of ≤ `width` tokens is one whole-doc
+  * chunk; an empty document produces no chunks. Contrast
+  * [[ChunkStrings]] (disjoint, dedup grain) and [[RollingHashes]]
+  * (stride-1 full windows, substring-dup grain).
+  */
+case class OverlapChunkStrings(child: Expression, width: Int, stride: Int)
+  extends UnaryExpression {
+  require(width >= 1 && width <= (1 << 20), s"unreasonable chunk width $width")
+  require(stride >= 1 && stride <= width,
+    s"stride $stride must be in [1, width] — stride > width would drop tokens")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "overlap_chunk_strings"
+
+  protected override def nullSafeEval(input: Any): Any =
+    OverlapChunkStrings.compute(input.asInstanceOf[UTF8String], width, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.OverlapChunkStrings.compute($c, $width, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): OverlapChunkStrings =
+    copy(child = newChild)
+}
+
+object OverlapChunkStrings {
+
+  def compute(text: UTF8String, width: Int, stride: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < s.length) {
+      while (i < s.length && isSpace(s.charAt(i))) i += 1
+      if (i < s.length) {
+        val start = i
+        while (i < s.length && !isSpace(s.charAt(i))) i += 1
+        toks.add(s.substring(start, i))
+      }
+    }
+    val m = toks.size()
+    val count =
+      if (m == 0) 0
+      else if (m <= width) 1
+      else (m - width + stride - 1) / stride + 1
+    val out = new Array[Any](count)
+    var c = 0
+    while (c < count) {
+      val sb = new java.lang.StringBuilder()
+      var t = c * stride
+      val end = math.min(t + width, m)
+      while (t < end) {
+        if (t > c * stride) sb.append(' ')
+        sb.append(toks.get(t))
+        t += 1
+      }
+      out(c) = UTF8String.fromString(sb.toString)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b
+
+  private val FnName = "graft_overlap_chunks"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, exprs => OverlapChunkStrings(exprs.head,
+        LitArgs.litInt(exprs(1), "width"), LitArgs.litInt(exprs(2), "stride")), "built-in")
+
+  def overlapChunks(spark: SparkSession, text: Column, width: Int, stride: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, text,
+      org.apache.spark.sql.functions.lit(width),
+      org.apache.spark.sql.functions.lit(stride))
+  }
+}
+
 /** FNV-1a 64 hashes of every stride-1 `width`-token window
   * (ARRAY(LONG), element k = hash of tokens [k, k+width)) — the
   * sliding-window sibling of [[ChunkHashes]] and the substrate of

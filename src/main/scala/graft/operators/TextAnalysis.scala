@@ -155,4 +155,23 @@ object TextAnalysis {
     */
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** RAG / retrieval-index chunk export: overlapping `width`-token
+    * chunks stepping by `stride` (overlap = width − stride), tail
+    * clipped so every token is covered — the grain an embedding
+    * indexer consumes. One compiled narrow pass
+    * ([[graft.functions.OverlapChunkStrings]]); the write's
+    * partitioning is the only data movement. Returns
+    * (idCol, ck, chunk, n_toks) with ck dense from 0 per document.
+    */
+  def ragChunks(docs: DataFrame, idCol: String, textCol: String,
+                width: Int, stride: Int): DataFrame = {
+    val spark = docs.sparkSession
+    docs.repartition(spark.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        posexplode(graft.functions.OverlapChunkStrings.overlapChunks(
+          spark, col(textCol), width, stride)).as(Seq("ck", "chunk")))
+      .withColumn("n_toks",
+        size(split(col("chunk"), " ")).cast("long"))
+  }
 }

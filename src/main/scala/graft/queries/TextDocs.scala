@@ -403,6 +403,15 @@ object TextDocs {
       Dedup.scrubDuplicateChunks(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    "x_rag_chunks" -> ((s, dir) =>
+      // retrieval-index chunk export: 64-token chunks stepping by 48
+      // (16-token overlap so boundary-straddling facts land whole in
+      // one chunk), tail clipped — the grain an embedding indexer
+      // consumes, emitted as (doc, chunk-index, text, token count)
+      TextAnalysis.ragChunks(docs(s, dir), "doc_id", "text",
+        width = 64, stride = 48)
+        .orderBy("doc_id", "ck")),
+
     "x_span_scrub" -> ((s, dir) =>
       // exact substring-span dedup (Lee et al. 2022): duplicate text
       // repeats at ARBITRARY offsets, so detection runs at every
@@ -1052,6 +1061,25 @@ object TextDocs {
          |  tot.n_chunks - COALESCE(reb.n_kept, 0) AS n_dropped
          |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
          |ORDER BY tot.doc_id""".stripMargin,
+    // overlap-chunk replay: same window starts (k·stride), same clip,
+    // same count rule (≤width tokens → one whole-doc chunk)
+    "x_rag_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(range(
+        |    CASE WHEN len(w) = 0 THEN 0
+        |         WHEN len(w) <= 64 THEN 1
+        |         ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1 END)) AS ck
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(ck AS INTEGER) AS ck,
+        |  array_to_string(
+        |    w[ck * 48 + 1 : LEAST(ck * 48 + 64, CAST(len(w) AS BIGINT))], ' ') AS chunk,
+        |  CAST(LEAST(ck * 48 + 64, CAST(len(w) AS BIGINT)) - ck * 48 AS BIGINT) AS n_toks
+        |FROM idx ORDER BY doc_id, ck""".stripMargin,
     // ---- substring-span dedup: every stride-1 8-token window FNV-
     // replayed, cross-doc dup windows merged into maximal per-doc
     // spans (same window-open rule as the engine: a window starts a

@@ -213,4 +213,20 @@ object GraftProperties extends Properties("graft") {
       }
       tiling && widths && hashes && rolling
     }
+
+  property("overlap chunks: every token covered, k·stride starts, tail clipped") =
+    forAll(genDocText, Gen.choose(1, 12), Gen.choose(1, 12)) { (text, a, b) =>
+      val w = math.max(a, b)
+      val s = math.min(a, b) // stride ≤ width by construction
+      val cs = graft.functions.OverlapChunkStrings.compute(
+        UTF8String.fromString(text), w, s)
+      val chunks = (0 until cs.numElements()).map(cs.getUTF8String(_).toString)
+      val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+      val expected =
+        if (toks.isEmpty) Seq.empty
+        else if (toks.size <= w) Seq(toks.mkString(" "))
+        else (0 to ((toks.size - w + s - 1) / s)).map(k =>
+          toks.slice(k * s, math.min(k * s + w, toks.size)).mkString(" "))
+      chunks == expected
+    }
 }
