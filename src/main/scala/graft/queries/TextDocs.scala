@@ -463,6 +463,27 @@ object TextDocs {
       out
     }),
 
+    "x_compaction" -> ((s, dir) => {
+      // small-files compaction round-trip: fragment the corpus into 64
+      // tiny parquet files (the shape a streaming ingester leaves
+      // behind), compact to ~1 MB targets, read the compacted copy
+      // back and aggregate — equality with the oracle (which reads the
+      // ORIGINAL parquet) proves the rewrite lossless; the file-count
+      // shrink itself is asserted in ScalaTest
+      val d = docs(s, dir)
+      val frag = scratchDir("frag", dir)
+      val comp = scratchDir("compact", dir)
+      d.repartition(64).write.mode("overwrite").parquet(frag.getAbsolutePath)
+      graft.sources.Compaction.compactParquet(
+        s, frag.getAbsolutePath, comp.getAbsolutePath, targetBytes = 1L << 20)
+      graft.sources.Compaction.read(s, comp.getAbsolutePath)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     "x_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL ingest (the LLM-corpus interchange format): write the
       // corpus as line-delimited JSON, read it back with an explicit
@@ -1160,6 +1181,13 @@ object TextDocs {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "x_compaction" ->
+      // oracle reads the ORIGINAL parquet — equality proves the
+      // fragment→compact→read rewrite lossless
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "x_orc_roundtrip" ->
       // oracle reads the ORIGINAL parquet — equality proves the ORC
       // write→partition-discovery-read round trip lossless

@@ -201,6 +201,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(balIds.size < plainIds.size) // balancing actually dropped rows
   }
 
+  test("compaction: fragmented corpus rewritten to few balanced files, lossless") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val frag = Files.createTempDirectory("graft_frag").toString
+    val comp = Files.createTempDirectory("graft_comp").toString + "/out"
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(frag) == 64) // the small-files shape
+    val n = graft.sources.Compaction.compactParquet(spark, frag, comp,
+      targetBytes = 1L << 20)
+    assert(n == parquetFiles(comp)) // reported count is what's on disk
+    assert(n < 64 && n >= 1)        // genuinely compacted
+    val back = graft.sources.Compaction.read(spark, comp)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // in-place compaction is refused (a mid-write failure would destroy
+    // the input)
+    intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compactParquet(spark, frag, frag)
+    }
+  }
+
   test("JDBC extraction path works end-to-end against embedded Derby") {
     val dbDir = Files.createTempDirectory("graft_derby").toString
     val url = s"jdbc:derby:$dbDir/meta;create=true"
