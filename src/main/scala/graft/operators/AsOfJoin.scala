@@ -73,13 +73,17 @@ object AsOfJoin {
     * Mechanics — time-bucket salting preserves as-of semantics because
     * a bucket only ever needs history from strictly-earlier buckets:
     *   1. in-bucket: the same union + running-max trick as [[asOf]],
-    *      windowed by (key, bucket) — the salted shuffle;
-    *   2. carry-in: per-(key, bucket) max of the right rows, unioned
-    *      with the left side's bucket keys (a left bucket where the
-    *      right side is silent still needs older history), running-max
-    *      over strictly-earlier buckets. This summary frame is one row
-    *      per (key, bucket) — collapsed by partial aggregation, tiny
-    *      next to the data — so its per-key window is not a hot spot;
+    *      windowed by (key, bucket) — the salted shuffle. A second
+    *      whole-partition max over the SAME (key, bucket) partitioning
+    *      emits each bucket's right-side max in the same pass (both
+    *      window branches share one exchange via reuse, and left rows
+    *      contribute their null match, so every left bucket owns a
+    *      summary row even where the right side is silent);
+    *   2. carry-in: those per-(key, bucket) summaries — one row per
+    *      bucket after an exchange-free aggregation (the data is
+    *      already (key, bucket)-partitioned), tiny next to the data —
+    *      running-max'd over strictly-earlier buckets and left-joined
+    *      back on (key, bucket);
     *   3. best = greatest(in-bucket, carry-in): struct order compares
     *      rightTime first, and carry-in times are strictly older than
     *      any in-bucket match, so the lexicographic max is exactly
@@ -125,20 +129,17 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k"), col("__b"))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = bucketed
+    val wBucket = Window.partitionBy(col("__k"), col("__b"))
+    val winned = bucketed
       .withColumn("__best0", max(col("__m")).over(w))
-      .filter(col("__tag") === 1)
+      .withColumn("__bm", max(col("__m")).over(wBucket))
+    val inBucket = winned.filter(col("__tag") === 1)
 
-    val mType = r.schema("__m").dataType
-    val rSumm = bucketed.filter(col("__tag") === 0)
-      .groupBy(col("__k"), col("__b")).agg(max(col("__m")).as("__bm"))
-    val lBuckets = bucketed.filter(col("__tag") === 1)
-      .select(col("__k"), col("__b")).distinct()
-      .withColumn("__bm", lit(null).cast(mType))
+    val summ = winned.select(col("__k"), col("__b"), col("__bm"))
+      .groupBy(col("__k"), col("__b")).agg(max(col("__bm")).as("__bm"))
     val wc = Window.partitionBy(col("__k")).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = rSumm.unionByName(lBuckets)
-      .groupBy(col("__k"), col("__b")).agg(max(col("__bm")).as("__bm"))
+    val carry = summ
       .withColumn("__carry", max(col("__bm")).over(wc))
       .select(col("__k"), col("__b"), col("__carry"))
 

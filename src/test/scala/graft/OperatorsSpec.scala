@@ -70,11 +70,13 @@ class OperatorsSpec extends AnyFunSuite {
     // one key holds 90% of both sides (the straggler shape the salt
     // exists for), with cross-bucket gaps: left rows whose bucket has
     // no right rows must still see older history via the carry-in
-    val left = ((1 to 450).map(i => (7L, i * 10L, i.toLong)) ++
-      (1 to 50).map(i => (i.toLong % 5 + 100, i * 97L, 1000L + i)))
+    // negative times included: bucket assignment truncates toward zero
+    // (monotone, not floor) — results must not care
+    val left = ((1 to 450).map(i => (7L, i * 10L - 800L, i.toLong)) ++
+      (1 to 50).map(i => (i.toLong % 5 + 100, i * 97L - 2000L, 1000L + i)))
       .toDF("k", "t", "lid")
-    val right = ((1 to 90).map(i => (7L, i * 49L, i.toLong)) ++
-      (1 to 10).map(i => (i.toLong % 5 + 100, i * 31L, 500L + i)))
+    val right = ((1 to 90).map(i => (7L, i * 49L - 800L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong % 5 + 100, i * 31L - 2000L, 500L + i)))
       .toDF("k", "rt", "rid")
     val plain = AsOfJoin.asOf(left, "k", "t", right, "k", "rt", Seq("rid"))
       .select($"lid", $"rt", $"rid")
@@ -206,6 +208,21 @@ class OperatorsSpec extends AnyFunSuite {
     val (exact, approx) = (row.getLong(0), row.getLong(1))
     assert(math.abs(approx - exact).toDouble / exact < 0.15,
       s"approx=$approx exact=$exact") // 3x the configured rsd as a safe bound
+  }
+
+  test("approx_percentile within its rank-error bound vs the exact percentile") {
+    // the sketch path an exact `percentile` swaps to at 100 TB (exact
+    // needs the whole group's values; the sketch merges in partials).
+    // accuracy=100 bounds rank error by n/100 — assert the approx p50's
+    // true rank lands within 3x that of the target rank.
+    val o = graft.core.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+    val n = o.count()
+    val approxP50 = o.agg(
+      expr("approx_percentile(o_totalprice, 0.5, 100)").as("p")).head().getDouble(0)
+    val rank = o.filter($"o_totalprice" <= approxP50).count()
+    val tolerance = 3.0 * n / 100
+    assert(math.abs(rank - n / 2.0) <= tolerance,
+      s"approx p50=$approxP50 rank=$rank of $n (tolerance $tolerance)")
   }
 
   test("IVF top-k equals brute force when probing all centroids") {
