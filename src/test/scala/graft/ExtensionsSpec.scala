@@ -48,6 +48,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("chunk/rolling/overlap/top-k functions callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_chunk_strings('a b c d e', 2) AS cs,
+        |       graft_chunk_hashes('a b c d e', 2) AS ch,
+        |       graft_rolling_hashes('a b c d e', 2) AS rh,
+        |       graft_overlap_chunks('a b c d e', 3, 2) AS oc""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "c d", "e"))
+    assert(r.getSeq[Long](1).length == 3)
+    assert(r.getSeq[Long](2).length == 4)  // stride-1 full windows
+    assert(r.getSeq[String](3) == Seq("a b c", "c d e"))
+    // aggregate form: top-2 of a grouped value straight from SQL
+    val t = spark.sql(
+      """SELECT g, graft_top_k(v, 2) AS top FROM VALUES
+        |  (0, 5), (0, 9), (0, 1), (1, 4) AS t(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(t(0).getSeq[Int](1) == Seq(9, 5))
+    assert(t(1).getSeq[Int](1) == Seq(4))
+  }
+
   test("optimizer folds cosine(x, x) to a literal") {
     // parquet-backed (a LocalRelation would be eagerly evaluated by
     // ConvertToLocalRelation before the user rule batch runs)
