@@ -26,4 +26,12 @@ class QueriesSmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
+
+  test("every query has an oracle — the 100%-value-oracled bar holds") {
+    // a query without an oracle silently downgrades to the driver's
+    // rows-only check; four rounds at zero rows-only entries is a
+    // regression this spec makes loud
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
 }
