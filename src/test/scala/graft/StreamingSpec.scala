@@ -304,4 +304,23 @@ class StreamingSpec extends AnyFunSuite {
       assert(indexed == Set(1L, 3L))
     } finally q.stop()
   }
+
+  test("trending top-k: leaderboard tracks the running counts across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = graft.streaming.TrendingTopK.start(
+      in.toDF(), "event_type", k = 2, trendingView = "trending_test")
+    try {
+      in.addData(ev(1, 1, "a"), ev(2, 2, "a"), ev(3, 3, "a"), ev(4, 4, "b"))
+      q.processAllAvailable()
+      def board(): Seq[(Int, String, Long)] =
+        spark.table("trending_test").orderBy("rank")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(board() == Seq((1, "a", 3L), (2, "b", 1L)))
+      // b overtakes a; c enters but stays off the k=2 board
+      in.addData(ev(5, 5, "b"), ev(6, 6, "b"), ev(7, 7, "b"), ev(8, 8, "c"))
+      q.processAllAvailable()
+      assert(board() == Seq((1, "b", 4L), (2, "a", 3L)))
+    } finally q.stop()
+  }
 }
