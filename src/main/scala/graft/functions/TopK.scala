@@ -45,9 +45,18 @@ case class TopK(child: Expression, k: Int,
   override def nullable: Boolean = false
   override def prettyName: String = "graft_top_k"
 
+  // fail at analysis time on non-orderable children (e.g. MapType) like
+  // the built-in ordering aggregates, not at executor runtime inside
+  // getInterpretedOrdering
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
   override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
-    // min-heap: the root is the smallest survivor, evicted on overflow
-    new java.util.PriorityQueue[Any](k + 1, ord)
+    // min-heap: the root is the smallest survivor, evicted on overflow.
+    // Small initial capacity — k may be 2^20 and a hash aggregate holds
+    // one buffer PER GROUP; eagerly sizing to k+1 would allocate an
+    // ~8 MB array per tiny group. The queue grows on demand.
+    new java.util.PriorityQueue[Any](math.min(k + 1, 16), ord)
 
   override def update(buf: java.util.PriorityQueue[Any],
                       input: InternalRow): java.util.PriorityQueue[Any] = {

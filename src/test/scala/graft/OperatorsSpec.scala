@@ -473,6 +473,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again == Set(0L, 1L, 3L))
   }
 
+  test("semanticDedupGreedy keeps the chain tail the one-join rule over-drops") {
+    // planted chain a~b, b~c, a≁c: unit directions at 0°, 25°, 50° with
+    // minCosine = 0.866 (= cos 30°) — adjacent pairs are near
+    // (cos 25° ≈ 0.906), the endpoints are not (cos 50° ≈ 0.643)
+    def dir(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val chain = Seq((0L, dir(0)), (1L, dir(25)), (2L, dir(50)))
+      .toDF("vec_id", "embedding")
+    val strict = graft.operators.Dedup.semanticDedup(
+      chain, "vec_id", "embedding", k = 1, iters = 1, minCosine = 0.866)
+      .collect().map(_.getLong(0)).toSet
+    assert(strict == Set(0L)) // the documented over-drop: b AND c gone
+    val greedy = graft.operators.Dedup.semanticDedupGreedy(
+      chain, "vec_id", "embedding", k = 1, iters = 1, minCosine = 0.866)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(greedy.keySet == Set(0L, 2L)) // c survives: its only near neighbor was dropped
+    assert(greedy(0L) == greedy(2L))     // same cluster carried through
+    // general contract: greedy survivors ⊇ one-join survivors
+    val df = Seq(
+      (0L, Array(10.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 10.0f, 0.0f)),
+      (2L, Array(10.0f, 0.0f, 0.0f)),
+      (3L, Array(9.0f, 4.0f, 0.0f)),
+      (4L, Array(0.0f, 10.0f, 0.5f))).toDF("vec_id", "embedding")
+    val s5 = graft.operators.Dedup.semanticDedup(
+      df, "vec_id", "embedding", k = 2, iters = 2, minCosine = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    val g5 = graft.operators.Dedup.semanticDedupGreedy(
+      df, "vec_id", "embedding", k = 2, iters = 2, minCosine = 0.99)
+      .collect().map(_.getLong(0)).toSet
+    assert(s5.subsetOf(g5))
+    assert(g5 == Set(0L, 1L, 3L)) // no chains here: identical survivor sets
+  }
+
   private def round4(d: Double): Double =
     BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
@@ -514,6 +548,27 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "i j k", 1L, 1L),
       (3L, "", 0L, 1L),        // fully-boilerplate doc kept, emptied
       (4L, "x y z w v u", 2L, 0L)))
+  }
+
+  test("chunk/span dedup: shuffle fallback (broadcastDupSet=false) matches the broadcast path") {
+    // the broadcast of the dup-hash set is a fast path, not a bound —
+    // the fallback must be row-identical on a real corpus
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(
+      Dedup.scrubDuplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2),
+      Dedup.scrubDuplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2,
+        broadcastDupSet = false)))
+    assert(same(
+      Dedup.scrubDuplicateSpans(docs, "doc_id", "text", width = 8, minDocs = 2),
+      Dedup.scrubDuplicateSpans(docs, "doc_id", "text", width = 8, minDocs = 2,
+        broadcastDupSet = false)))
+    assert(same(
+      Dedup.duplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2),
+      Dedup.duplicateChunks(docs, "doc_id", "text", width = 4, minDocs = 2,
+        broadcastDupSet = false)))
   }
 
   test("chunk width boundaries: width=1 is per-token scrub; huge width is doc-grain exact dedup") {
@@ -586,6 +641,52 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, "head2", 1L, 10L)))
   }
 
+  test("dedup family survives forced spilling with identical results (100 TB spill proof)") {
+    // the 100 TB story leans on graceful spill: re-run the two
+    // heaviest dedup queries at sf0.01 with every hash aggregation
+    // forced into its spilling sort-based fallback after 1000 keys and
+    // the window/sort-merge buffers capped at 512 rows (the
+    // runtime-settable memory-pressure knobs — executor heap itself is
+    // fixed per JVM), assert completion AND identical results, and
+    // require that spills actually happened (task metrics)
+    val sf = "/root/testdata/sf0.01"
+    val names = Seq("x_dedup_corpus", "x_span_scrub")
+    def snap(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+    val baseline = names.map(n => n -> snap(n)).toMap
+    val confs = Seq(
+      "spark.sql.TungstenAggregate.testFallbackStartsAt" -> "1000,2000",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "512",
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "512",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "512",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "8")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val spilled = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      names.foreach(n => assert(snap(n) == baseline(n), s"$n diverged under spill"))
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      // listener bus is async — give it a moment before detaching
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (spilled.get() == 0 && System.nanoTime() < deadline) Thread.sleep(100)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(spilled.get() > 0, "forced-spill run recorded zero spilled bytes")
+  }
+
   test("TopK aggregate: k largest per group, descending, bounded under shuffle") {
     import graft.functions.TopK
     // 64 partitions force partial buffers through serialize/merge
@@ -622,6 +723,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("knnJoinBatched slices the query set yet matches the single-broadcast join") {
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter($"vec_id" >= 40).select($"vec_id".as("nid"), $"embedding")
+    val queries = e.filter($"vec_id" < 40).select($"vec_id".as("qid"), $"embedding")
+    val whole = graft.operators.Similarity.knnJoin(
+      corpus, "nid", "embedding", queries, "qid", "embedding", k = 5)
+    // batchRows=7 over 40 queries forces 6 hash-sliced batches
+    val batched = graft.operators.Similarity.knnJoinBatched(
+      corpus, "nid", "embedding", queries, "qid", "embedding", k = 5, batchRows = 7)
+    assert(batched.exceptAll(whole).isEmpty && whole.exceptAll(batched).isEmpty)
+    // every query answered exactly once (the hash slices partition Q)
+    assert(batched.groupBy("qid").count().filter($"count" =!= 5).isEmpty)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoinBatched(
+        corpus, "nid", "embedding", queries, "qid", "embedding", k = 5, batchRows = 0)
+    }
+    // the single-broadcast path refuses a query set over the documented
+    // bound BEFORE any corpus work (the count runs on the query side only)
+    val huge = spark.range(graft.operators.Similarity.MaxBroadcastQueries + 1)
+      .select($"id".as("qid"), array(lit(1.0f)).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.knnJoin(
+        corpus, "nid", "embedding", huge, "qid", "embedding", k = 5)
+    }
+    assert(err.getMessage.contains("knnJoinBatched"))
+  }
+
   test("keySkewReport: exact distribution stats on a known key histogram") {
     val df = Seq(1L, 1L, 1L, 1L, 2L, 3L).toDF("k")
     val r = graft.operators.ScaleJoins.keySkewReport(df, "k").head()
@@ -632,6 +760,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("med_cnt") - 1.0) < 1e-12)
     assert(math.abs(r.getAs[Double]("top_share") - 0.6667) < 1e-12)
     assert(math.abs(r.getAs[Double]("skew_ratio") - 2.0) < 1e-12)
+  }
+
+  test("skewStrategy: the executable plain/aqe/salted/asof decision rule") {
+    import graft.operators.ScaleJoins
+    assert(ScaleJoins.skewStrategyFromReport(1.2, 0.05, windowed = false) == "plain")
+    assert(ScaleJoins.skewStrategyFromReport(1.2, 0.05, windowed = true) == "plain")
+    assert(ScaleJoins.skewStrategyFromReport(25.0, 0.10, windowed = false) == "aqe-skew-join")
+    assert(ScaleJoins.skewStrategyFromReport(25.0, 0.45, windowed = false) == "salted-join")
+    assert(ScaleJoins.skewStrategyFromReport(25.0, 0.10, windowed = true) == "asof-salted")
+    // end-to-end over real histograms
+    val uniform = spark.range(0, 1000).select((col("id") % 100).as("k"))
+    assert(ScaleJoins.skewStrategy(uniform, "k", windowed = false) == "plain")
+    val hot = spark.range(0, 1000)
+      .select(when(col("id") < 900, 0L).otherwise(col("id")).as("k"))
+    assert(ScaleJoins.skewStrategy(hot, "k", windowed = false) == "salted-join")
+    assert(ScaleJoins.skewStrategy(hot, "k", windowed = true) == "asof-salted")
   }
 
   test("JSONL round trip preserves rows, schema, and values exactly") {

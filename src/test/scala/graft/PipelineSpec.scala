@@ -222,6 +222,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction preserves hive partitioning with per-partition file sizing") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val frag = Files.createTempDirectory("graft_fragpart").toString
+    val comp = Files.createTempDirectory("graft_comppart").toString + "/out"
+    docs.repartition(16).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    val fs = new org.apache.hadoop.fs.Path(frag)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the layout is auto-detected from the k=v directory levels
+    assert(graft.sources.Compaction.detectPartitionCols(
+      fs, new org.apache.hadoop.fs.Path(frag)) == Seq("lang"))
+    def langDirs(root: String): Seq[java.io.File] =
+      new java.io.File(root).listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    def filesIn(d: java.io.File): Int =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = langDirs(frag).map(d => d.getName -> filesIn(d)).toMap
+    assert(before.values.forall(_ >= 8)) // the fragmented shape
+    val n = graft.sources.Compaction.compactParquet(spark, frag, comp,
+      targetBytes = 1L << 20)
+    // layout preserved — output has the same lang=* dirs, each shrunk
+    assert(langDirs(comp).map(_.getName).sorted == langDirs(frag).map(_.getName).sorted)
+    assert(langDirs(comp).forall(d => filesIn(d) >= 1 && filesIn(d) < before(d.getName)))
+    assert(n == langDirs(comp).map(filesIn).sum) // reported count is on-disk truth
+    // lossless (partitionBy moves lang to the end of the read schema —
+    // realign before the set compare)
+    val back = graft.sources.Compaction.read(spark, comp)
+      .select(docs.columns.map(col): _*)
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // guard: scheme-qualified alias of the input and either nesting
+    // direction are all refused
+    intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compactParquet(spark, frag, "file:" + frag)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compactParquet(spark, frag, frag + "/nested")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Compaction.compactParquet(spark, s"$frag/lang=en", frag)
+    }
+    intercept[IllegalArgumentException] { // dot-dot alias of the input
+      graft.sources.Compaction.compactParquet(
+        spark, frag, frag + "/../" + new java.io.File(frag).getName)
+    }
+  }
+
   test("JDBC extraction path works end-to-end against embedded Derby") {
     val dbDir = Files.createTempDirectory("graft_derby").toString
     val url = s"jdbc:derby:$dbDir/meta;create=true"

@@ -278,6 +278,66 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew asymmetry: the skewed JOIN shuffle splits at runtime, the WINDOW shuffle cannot") {
+    // the executable basis for ScaleJoins.skewStrategy: Spark's
+    // OptimizeSkewedJoin rewrites join shuffle reads only, so an
+    // equi-join tolerates moderate skew for free, while a
+    // window-partitioned operator (the as-of family) must pre-salt —
+    // AQE cannot split a partitionBy(key) without breaking semantics
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one key holds ~83% of the rows, with an incompressible-ish
+      // payload so its shuffle partition crosses the skew threshold
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, lit(0L)).otherwise(col("id") % 50 + 1).as("k"),
+        repeat(md5(col("id").cast("string")), 8).as("pay"))
+      val right = spark.range(0, 51).select(col("id").as("k"), lit("r").as("rv"))
+      val jq = left.join(right, "k").agg(sum(length(col("pay"))).as("s"))
+      jq.collect()
+      val jp = jq.queryExecution.executedPlan.toString
+      assert(jp.contains("skewed"), s"AQE did not split the skewed join:\n$jp")
+      // same skewed shuffle feeding a window: no split is possible —
+      // every row of key 0 must reach one task
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("pay")
+      val wq = left.withColumn("rn", row_number().over(w)).agg(sum(col("rn")).as("s"))
+      wq.collect()
+      val wp = wq.queryExecution.executedPlan.toString
+      assert(wp.contains("Window"), wp)
+      assert(!wp.contains("skewed"), s"a window shuffle can never skew-split:\n$wp")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("compacted partitioned copy still partition-prunes") {
+    // the round-5 compactor flattened hive layouts, killing pruning on
+    // the compacted copy — lock the fix: a lang predicate over the
+    // compacted dir must land in PartitionFilters (directory-level
+    // skip), not in PushedFilters (row-group-level skip)
+    val docs = graft.core.Tables.load(spark, sfDir, "documents")
+    val frag = java.nio.file.Files.createTempDirectory("graft_planfrag").toString
+    val comp = java.nio.file.Files.createTempDirectory("graft_plancomp").toString + "/out"
+    docs.repartition(8).write.mode("overwrite").partitionBy("lang").parquet(frag)
+    graft.sources.Compaction.compactParquet(spark, frag, comp, targetBytes = 1L << 20)
+    val q = graft.sources.Compaction.read(spark, comp).filter(col("lang") === "en")
+    val p = q.queryExecution.explainString(FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"scan does not prune on lang:\n$p")
+    assert(q.count() == docs.filter(col("lang") === "en").count())
+  }
+
   test("x_unpivot: Expand node, no join, no extra shuffle") {
     val p = plan("x_unpivot")
     assert(p.contains("Expand"), p)

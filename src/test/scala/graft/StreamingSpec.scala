@@ -323,4 +323,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(board() == Seq((1, "b", 4L), (2, "a", 3L)))
     } finally q.stop()
   }
+
+  test("windowed trending boards: one append-mode board per finalized window, late rows drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = run("winboard_out", graft.streaming.TrendingTopK.windowedBoards(
+      in.toDF(), "ts", "event_type", k = 2,
+      windowDuration = "10 minutes", delayThreshold = "5 minutes"))
+    try {
+      def boards(): Seq[(String, Int, String, Long)] =
+        spark.table("winboard_out").orderBy("win_start", "rank")
+          .collect().map(r => (r.getTimestamp(0).toString.substring(11, 16),
+            r.getInt(2), r.getString(3), r.getLong(4))).toSeq
+      // window [00:00,00:10): a=3, b=1, c=1 → board (a,3),(b or c,1) —
+      // TopK's struct order breaks the tie to the LARGER key, so c;
+      // window [00:10,00:20): b=2, a=1
+      in.addData(ev(1, 1, "a"), ev(2, 2, "a"), ev(3, 3, "a"), ev(4, 4, "b"),
+        ev(5, 5, "c"), ev(6, 11, "b"), ev(7, 12, "b"), ev(8, 13, "a"))
+      q.processAllAvailable()
+      assert(boards().isEmpty) // append mode: nothing finalizes until the watermark moves
+      in.addData(ev(9, 300, "z")) // watermark → 04:55, both windows finalize
+      q.processAllAvailable()
+      assert(boards() == Seq(
+        ("00:00", 1, "a", 3L), ("00:00", 2, "c", 1L),
+        ("00:10", 1, "b", 2L), ("00:10", 2, "a", 1L)))
+      // a row 5 hours late for the finalized 00:00 window: dropped by
+      // the watermark, the published board is never amended
+      in.addData(ev(10, 7, "b"))
+      q.processAllAvailable()
+      assert(boards() == Seq(
+        ("00:00", 1, "a", 3L), ("00:00", 2, "c", 1L),
+        ("00:10", 1, "b", 2L), ("00:10", 2, "a", 1L)))
+      // state is watermark-bounded: the finalized windows' rows were
+      // evicted — only the open 05:00 window's state remains across
+      // both stateful operators
+      val state = q.lastProgress.stateOperators
+      assert(state.nonEmpty && state.map(_.numRowsTotal).sum <= 2,
+        state.map(s => s.operatorName + "=" + s.numRowsTotal).mkString(","))
+    } finally q.stop()
+  }
 }
