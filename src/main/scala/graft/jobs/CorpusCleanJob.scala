@@ -22,11 +22,14 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *      docs emptied by the cut are dropped, n_chars re-derived);
   *   5. drop near-duplicates (n-gram Jaccard candidates → connected
   *      components → keep min doc_id per cluster);
-  *   6. optionally rebalance the source mixture (deterministic
-  *      md5-bucket downsampling of overrepresented sources toward a
-  *      uniform char share — Sampling.mixtureKeep);
-  *   7. tag the survivors with the stopword-vote language ID;
-  *   8. assign the reproducible md5-bucket train/test split (a pure
+  *   6. optionally cap documents per source (the Common-Crawl "≤ n
+  *      pages per domain" rule — Sampling.capPerGroup, heap-bounded);
+  *   7. optionally rebalance the source mixture: uniform-share
+  *      downsampling (Sampling.mixtureKeep) OR temperature flattening
+  *      (Sampling.temperatureKeep, p_s ∝ n_s^0.5) — both deterministic
+  *      md5-bucket rules, mutually exclusive;
+  *   8. tag the survivors with the stopword-vote language ID;
+  *   9. assign the reproducible md5-bucket train/test split (a pure
   *      function of doc_id — stable across engines and re-runs).
   *
   * Every stage is an engine operator with its own oracle/spec; this
@@ -41,7 +44,11 @@ object CorpusCleanJob {
             blockKeyCol: String = "blocked_id",
             maxRepRatio: Double = 0.95,
             balanceMixture: Boolean = false,
+            temperatureMixture: Boolean = false,
+            capPerSource: Option[Int] = None,
             scrubSpans: Boolean = false, spanWidth: Int = 8): DataFrame = {
+    require(!(balanceMixture && temperatureMixture),
+      "balanceMixture and temperatureMixture are alternative mixing rules")
     val unblocked = blocklist
       .map(bl => Dedup.blocklistSubtract(docs, "doc_id", bl, blockKeyCol))
       .getOrElse(docs)
@@ -67,9 +74,13 @@ object CorpusCleanJob {
       } else unrepetitive
     val pairs = Dedup.ngramJaccardPairs(despanned, "doc_id", "text", jaccardThreshold)
     val deduped = Dedup.dropNearDuplicates(despanned, "doc_id", pairs)
+    val capped = capPerSource
+      .map(n => Sampling.capPerGroup(deduped, "doc_id", "source", n))
+      .getOrElse(deduped)
     val balanced =
-      if (balanceMixture) Sampling.mixtureKeep(deduped, "doc_id", "source", "n_chars")
-      else deduped
+      if (balanceMixture) Sampling.mixtureKeep(capped, "doc_id", "source", "n_chars")
+      else if (temperatureMixture) Sampling.temperatureKeep(capped, "doc_id", "source")
+      else capped
     TextAnalysis.langId(spark, balanced, "doc_id", "text")
       .join(balanced, Seq("doc_id"))
       .withColumn("split", Sampling.splitColumn(col("doc_id"), testBuckets = 2))

@@ -102,6 +102,77 @@ object Sampling {
     * so no real-world label collides with it. */
   private[operators] val NullStratum = "\u0000<null-stratum>"
 
+  /** Per-group document cap (the Common-Crawl "at most n pages per
+    * domain" rule): keep the `n` rows of each group whose ids hash
+    * lowest — a deterministic pseudo-random choice, stable across
+    * engines, partitioning, and re-ingestion, like every sampler here.
+    *
+    * Rank = (first 15 hex nibbles of md5(id) as a 60-bit integer, id).
+    * Hex-char order equals nibble-value order, so any engine can replay
+    * the rank as a plain string compare on substr(md5, 1, 15); the id
+    * tiebreak makes the choice total even on a rank collision.
+    *
+    * Scale shape: the obvious window formulation
+    * (`row_number() over (partition by group order by rank)`) sorts
+    * EVERY row of every group through one exchange. This instead feeds
+    * the bounded-buffer [[graft.functions.TopK]] aggregate — map-side
+    * combine caps the shuffle at n rows per (group, partition) — and
+    * recovers the surviving rows with a semi-join on the (bounded,
+    * n×|groups|-row) keeper set, which AQE turns into a broadcast when
+    * it is small. TopK keeps the LARGEST k, so both rank fields ride
+    * negated. Requires an integral, per-row-unique id column.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= (1 << 20), "n in 1..2^20")
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val kept = df
+      .select(col(groupCol).as("__g"),
+        struct((-rank).as("r"), (-col(idCol).cast("long")).as("i")).as("__key"))
+      .groupBy(col("__g"))
+      .agg(graft.functions.TopK.topK(df.sparkSession, col("__key"), n).as("__top"))
+      .select(explode(col("__top")).as("__k"))
+      .select((-col("__k.i")).as("__kept_id"))
+    df.join(kept, col(idCol).cast("long") === col("__kept_id"), "left_semi")
+  }
+
+  /** Temperature-flattened stratum mixing (the `p_s ∝ n_s^α` rule every
+    * multilingual / multi-source pretraining mix applies, UniMax /
+    * mT5-style): keep rate_s = (n_min / n_s)^α so the rarest stratum is
+    * kept whole and a stratum 4× bigger keeps 4^-α of itself. α is
+    * restricted to 2^-sqrtApplications (0.5, 0.25, …) so the rate is a
+    * chain of IEEE-correctly-rounded sqrt/division ops — bit-identical
+    * on any engine, unlike a general pow(). The rate is quantized to
+    * 16ths (floored, but never below 1/16 — a cap never silently drops
+    * a stratum entirely) and applied through the same md5-bucket rule
+    * as [[stratifiedKeep]]: keep/drop is a pure function of
+    * (id, stratum, corpus counts).
+    *
+    * Scale shape: one partial-aggregated count per stratum, a broadcast
+    * one-row min, a broadcast rate table, then a narrow filter — the
+    * corpus itself never shuffles. NULL strata are sentinel-coalesced
+    * like [[mixtureKeep]].
+    */
+  def temperatureKeep(df: DataFrame, idCol: String, strataCol: String,
+                      sqrtApplications: Int = 1): DataFrame = {
+    require(sqrtApplications >= 1 && sqrtApplications <= 4,
+      "sqrtApplications in 1..4 (α = 0.5 … 0.0625)")
+    val skey = coalesce(col(strataCol).cast("string"), lit(NullStratum))
+    val byStratum = df.groupBy(skey.as("__sk")).agg(count(lit(1)).as("__n"))
+    val mn = byStratum.agg(min(col("__n")).as("__mn"))
+    val rate = (1 to sqrtApplications).foldLeft(
+      col("__mn").cast("double") / col("__n").cast("double"))((c, _) => sqrt(c))
+    val buckets = byStratum.crossJoin(broadcast(mn))
+      .select(col("__sk"),
+        greatest(lit(1L), floor(rate * 16)).cast("int").as("__bkt"))
+      .withColumn("__thresh",
+        expr("substr('0123456789abcdefg', __bkt + 1, 1)"))
+      .select(col("__sk"), col("__thresh"))
+    df.withColumn("__sk", skey).join(broadcast(buckets), Seq("__sk"))
+      .filter(hashBucket(col(idCol)) < col("__thresh"))
+      .drop("__sk", "__thresh")
+  }
+
   /** Deterministic output shard id in [0, nShards): the first eight hex
     * nibbles of md5(id) — 2^32 base buckets — folded mod nShards. The
     * export-side counterpart of [[hashBucket]]: a training-data writer

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -183,6 +183,160 @@ object Similarity {
         CosineSimilarity.cosine(corpus.sparkSession, col(vecCol), col("__qv"))
           .cast("decimal(10,4)").cast("double").as("cos"))
       .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Product-quantization codebook (IVF-PQ's compression half — the
+    * memory move that makes billion-vector ANN fit): the embedding is
+    * split into `numSubspaces` contiguous subvectors and each subspace
+    * gets `codebookSize` codewords, so a d-dim float vector compresses
+    * to `numSubspaces` small codes (32× at d=64, m=8, 16 codewords).
+    *
+    * Codewords here are the subvectors of the first `codebookSize`
+    * training rows (ordered by id) — the same deterministic-seam
+    * convention as [[ivfTopK]]'s coarse centroids: a real deployment
+    * trains per-subspace k-means ([[Clustering]]), the operators below
+    * only need SOME fixed codebook. The collect is bounded
+    * (`codebookSize` ≤ 256 rows — a codebook is definitionally tiny)
+    * and the result rides into every downstream plan as a literal, so
+    * encode/search stay fully narrow.
+    *
+    * Returned as [subspace][codeword][dim] doubles (float→double is
+    * exact, matching any replay that casts to DOUBLE[] first).
+    */
+  def pqCodebook(train: DataFrame, idCol: String, vecCol: String,
+                 numSubspaces: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
+    require(numSubspaces >= 1 && codebookSize >= 1 && codebookSize <= 256,
+      "codebookSize in 1..256 (a PQ codebook is a constant, not data)")
+    val rows = train.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+    require(rows.length == codebookSize,
+      s"need $codebookSize training vectors, got ${rows.length}")
+    val vecs = rows.map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val d = vecs.head.length
+    require(vecs.forall(_.length == d), "ragged training vectors")
+    require(d % numSubspaces == 0,
+      s"dim $d not divisible by $numSubspaces subspaces")
+    val w = d / numSubspaces
+    Array.tabulate(numSubspaces)(m => vecs.map(_.slice(m * w, m * w + w)))
+  }
+
+  /** Per-row PQ code columns (1-based codeword index per subspace):
+    * argmin-L2² against the literal codebook, ties to the lowest
+    * index. Pure whole-stage-codegen HOFs — the sequential left fold
+    * inside `aggregate` keeps the distance engine-replayable
+    * (the kmeansSeqCos convention), and `array_position(d, array_min(d))`
+    * is first-minimum = lowest codeword. */
+  private def pqCodeCols(vecCol: String, cb: Array[Array[Array[Double]]]): Seq[Column] = {
+    val w = cb.head.head.length
+    val vd = col(vecCol).cast("array<double>")
+    cb.indices.map { m =>
+      val cwLit = array(cb(m).map(cw => array(cw.map(lit(_)): _*)): _*)
+      val sub = slice(vd, m * w + 1, w)
+      val dists = transform(cwLit, cwv =>
+        aggregate(zip_with(sub, cwv, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, b) => a + b))
+      array_position(dists, array_min(dists))
+    }
+  }
+
+  /** PQ-encode a corpus: (id, codes) where codes[m] is the 1-based
+    * codeword index of subspace m — the compressed index a 100 TB
+    * vector store persists instead of raw floats. One narrow codegen
+    * pass; the write is the only movement. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col(idCol),
+      array(pqCodeCols(vecCol, codebook).map(_.cast("int")): _*).as("codes"))
+
+  /** PQ top-k via asymmetric distance computation (ADC): the query's
+    * per-subspace distance table to every codeword is computed once
+    * driver-side (same left-to-right fold as the in-plan encode, so
+    * the doubles are replay-identical) and embedded as literals; each
+    * corpus row then costs encode + `numSubspaces` table lookups and
+    * the approximate distance Σ_m table_m[code_m] never touches the
+    * raw query vector. Scan → narrow project → TakeOrderedAndProject:
+    * zero exchanges, the [[bruteForceTopK]] shape with 32×-compressed
+    * arithmetic. Ties break to the lower id; distances are
+    * decimal(10,4)-pinned like every similarity query.
+    */
+  /** Driver-side L2² with the SAME left-to-right fold as the in-plan
+    * encode — qtab entries must be replay-identical doubles. */
+  private def l2Sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The ADC approximate-distance column: Σ_m qtab_m[code_m], where
+    * qtab is the query's per-subspace distance table to every codeword
+    * (computed once here, embedded as literals) and code_m is the
+    * in-plan argmin encode. Fully narrow; the fold order (left-to-right
+    * over m) is pinned for replayability. */
+  private def adcDistCol(vecCol: String, codebook: Array[Array[Array[Double]]],
+                         qv: Array[Double]): Column = {
+    val w = codebook.head.head.length
+    require(qv.length == codebook.length * w,
+      s"query dim ${qv.length} != codebook dim ${codebook.length * w}")
+    val codes = pqCodeCols(vecCol, codebook)
+    codebook.indices.map { m =>
+      val qsub = qv.slice(m * w, m * w + w)
+      val qtab = codebook(m).map(l2Sq(qsub, _))
+      element_at(array(qtab.map(lit(_)): _*), codes(m).cast("int"))
+    }.reduceLeft(_ + _)
+  }
+
+  private def queryVec(query: DataFrame, vecColQ: String): Array[Double] =
+    query.select(col(vecColQ)).head().getSeq[Float](0).toArray.map(_.toDouble)
+
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             codebook: Array[Array[Array[Double]]],
+             query: DataFrame, vecColQ: String, k: Int): DataFrame = {
+    val adist = adcDistCol(vecCol, codebook, queryVec(query, vecColQ))
+    corpus.select(col(idCol),
+      adist.cast("decimal(10,4)").cast("double").as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF-PQ: the canonical billion-vector ANN layout — a coarse
+    * quantizer partitions the corpus into cells, the query probes only
+    * the `nprobe` nearest cells, and candidates inside probed cells are
+    * ranked by the PQ ADC distance, never the raw floats. `coarse` is
+    * the coarse-centroid table ([cell][dim] — obtain one subspace-free
+    * codebook via `pqCodebook(train, …, numSubspaces = 1, n)(0)`, or
+    * train k-means); cell assignment is argmin-L2², the same in-plan
+    * encode machinery as PQ itself, so the whole search stays one
+    * narrow pass: scan → assign → probe filter → ADC project →
+    * TakeOrderedAndProject, zero exchanges.
+    *
+    * At 100 TB the corpus is PRE-partitioned/bucketed by cell id (the
+    * assignment column is deterministic, so it is computed once at
+    * ingest and becomes a partition column) — the probe filter then
+    * becomes partition pruning and a query touches nprobe/|cells| of
+    * the data. With nprobe = |cells| the result is exactly [[pqTopK]]
+    * (spec-locked); recall-vs-cost is the nprobe knob, as in [[ivfTopK]].
+    */
+  def ivfPqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Double]],
+                codebook: Array[Array[Array[Double]]],
+                query: DataFrame, vecColQ: String, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe outside 1..${coarse.length}")
+    val qv = queryVec(query, vecColQ)
+    // probe ranking runs driver-side over the (tiny, literal) centroid
+    // table: nprobe cells by (L2², cell id) — deterministic ties
+    val probed = coarse.indices
+      .map(j => (l2Sq(qv, coarse(j)), j))
+      .sorted.take(nprobe)
+      .map { case (_, j) => (j + 1).toLong } // 1-based like every PQ code
+    val cell = pqCodeCols(vecCol, Array(coarse)).head
+    val adist = adcDistCol(vecCol, codebook, qv)
+    corpus.filter(cell.isin(probed: _*))
+      .select(col(idCol),
+        adist.cast("decimal(10,4)").cast("double").as("adist"))
+      .orderBy(col("adist"), col(idCol))
       .limit(k)
   }
 

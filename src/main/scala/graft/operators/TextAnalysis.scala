@@ -174,4 +174,41 @@ object TextAnalysis {
       .withColumn("n_toks",
         size(split(col("chunk"), " ")).cast("long"))
   }
+
+  /** Per-group vocabulary coverage / out-of-vocabulary rate: build the
+    * top-`vocabSize` corpus vocabulary (by frequency, ties to the
+    * lexicographically smaller word) and report, per `groupCol`, the
+    * token volume and the fraction of tokens outside that vocabulary —
+    * the "will my tokenizer's merges cover this source" audit a
+    * tokenizer-training run does before committing a vocab.
+    *
+    * Scale shape: the token frame feeds two consumers (vocab counts and
+    * the coverage probe), so it is persisted for the query's duration
+    * and released once the small per-group result materializes. The
+    * vocabulary is TakeOrdered'd (no global sort) and rides into the
+    * probe as a broadcast; the probe itself is one partial-aggregated
+    * hash agg — the corpus shuffles only word-count partials, never
+    * token rows.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, groupCol: String,
+                    vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be positive")
+    val toks = docs
+      .select(col(groupCol).as("__grp"),
+        explode(split(col(textCol), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1).as("__in_vocab"))
+    val out = toks.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col("__grp"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("__grp").as(groupCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 4).as("oov_rate"))
+      .localCheckpoint(true)
+    toks.unpersist()
+    out
+  }
 }

@@ -324,24 +324,30 @@ object TextDocs {
 
     "x_pmi" -> ((s, dir) => {
       // bigram PMI collocations (phrase mining / tokenizer-merge
-      // analysis): bigrams come from a positional self-join — adjacency
-      // via (doc, pos+1), all codegen — because the native shingler
-      // dedups per doc and PMI needs occurrence MULTIPLICITY. The token
-      // frame feeds four consumers (unigram counts, unigram total,
-      // both bigram sides), so it is persisted and released after the
-      // small top-k result materializes. Counts are exact integers;
-      // round(4) absorbs cross-engine ln() ulp noise (x_tfidf proved
-      // the pattern).
-      val toks = docs(s, dir)
+      // analysis): bigrams are built NARROWLY inside each row —
+      // adjacent pairs of the filtered token array, occurrence
+      // multiplicity preserved (which the per-doc-deduping native
+      // shingler can't give) — so the only wide ops are the count
+      // aggregations. The earlier positional-self-join formulation
+      // shuffled the entire token stream through a (doc, pos) join
+      // twice; this one never joins at all (round-6 perf pass, same
+      // oracle). The array frame feeds four consumers, so it is
+      // persisted and released after the small top-k materializes.
+      // Counts are exact integers; round(4) absorbs cross-engine ln()
+      // ulp noise (x_tfidf proved the pattern).
+      val arr = docs(s, dir)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), posexplode(split(col("text"), "\\s+")).as(Seq("pos", "word")))
-        .filter(length(col("word")) > 0)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => length(t) > 0).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val uni = toks.groupBy("word").agg(count(lit(1)).as("c"))
-      val tuni = toks.agg(count(lit(1)).as("tu"))
-      val bi = toks.select(col("doc_id"), col("pos"), col("word").as("w1"))
-        .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"), col("word").as("w2")),
-          Seq("doc_id", "pos"))
+      val uni = arr.select(explode(col("w")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val tuni = arr.agg(sum(size(col("w"))).as("tu"))
+      val bi = arr.filter(size(col("w")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("w1"),
+            element_at(col("w"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("cab"))
       val tbi = bi.agg(sum(col("cab")).as("tb"))
       val out = bi.filter(col("cab") >= 5)
@@ -355,7 +361,7 @@ object TextDocs {
         .orderBy(col("pmi").desc, col("w1"), col("w2"))
         .limit(20)
         .localCheckpoint(true)
-      toks.unpersist()
+      arr.unpersist()
       out
     }),
 
@@ -608,7 +614,33 @@ object TextDocs {
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy("lang")
-    })
+    }),
+
+    "x_source_cap" -> ((s, dir) =>
+      // per-source document cap (the Common-Crawl "≤ n pages per
+      // domain" rule): keep the 10 lowest-md5-ranked docs of each
+      // source through the bounded-buffer TopK heap — the shuffle
+      // carries ≤ n rows per (source, partition), never a full
+      // per-group sort (see Sampling.capPerGroup scale notes)
+      Sampling.capPerGroup(docs(s, dir).select("doc_id", "source"),
+        "doc_id", "source", n = 10)
+        .orderBy("doc_id")),
+
+    "x_temperature_mix" -> ((s, dir) =>
+      // temperature-flattened language mixing (p_l ∝ n_l^0.5): the
+      // rarest language keeps everything, a 4×-bigger one keeps half —
+      // rate table derived in-plan, applied via the md5-bucket rule, a
+      // pure function of (doc_id, lang, corpus counts)
+      Sampling.temperatureKeep(docs(s, dir).select("doc_id", "lang"),
+        "doc_id", "lang", sqrtApplications = 1)
+        .orderBy("doc_id")),
+
+    "x_vocab_coverage" -> ((s, dir) =>
+      // tokenizer-vocab audit: top-200 corpus vocabulary, then
+      // per-source token volume and out-of-vocabulary rate
+      TextAnalysis.vocabCoverage(docs(s, dir), "text", "source",
+        vocabSize = 200)
+        .orderBy("source"))
   )
 
   /** The x_text_quality per-row quality expression (4-decimal-rounded),
@@ -696,6 +728,45 @@ object TextDocs {
        |  FROM sig GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x_source_cap" ->
+      // the heap path's rank = (first 15 md5 nibbles as a 60-bit int,
+      // id); hex-char order == nibble-value order, so a plain string
+      // compare on substr(md5, 1, 15) replays it exactly
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY doc_id""".stripMargin,
+    "x_temperature_mix" ->
+      // rate_l = sqrt(n_min/n_l) floored to 16ths (never below 1);
+      // sqrt and / are IEEE-correctly-rounded in both engines, *16 is
+      // a power-of-two scaling — bit-identical buckets, then the same
+      // md5-bucket keep rule as x_stratified_sample ('g' keeps all)
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |mn AS (SELECT MIN(n) AS mn FROM c),
+        |b AS (SELECT lang,
+        |        GREATEST(1, FLOOR(SQRT(CAST(mn AS DOUBLE) / n) * 16)) AS bkt
+        |      FROM c CROSS JOIN mn)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN b ON d.lang = b.lang
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)
+        |      < substr('0123456789abcdefg', CAST(b.bkt AS INT) + 1, 1)
+        |ORDER BY d.doc_id""".stripMargin,
+    "x_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, w LIMIT 200) t
+        |)
+        |SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  ROUND(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.w = v.w
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -192,6 +192,23 @@ object Vectors {
         .orderBy("cluster")
     }),
 
+    "x_pq_topk" -> ((s, dir) => {
+      // product-quantization ANN (the IVF-PQ compression path): 8
+      // subspaces × 16 codewords from the first 16 vectors (the
+      // ivfTopK deterministic-centroid seam — a real deployment trains
+      // per-subspace k-means), then ADC top-20 for query vec 0. Encode
+      // + lookup is one narrow codegen pass over the corpus; the only
+      // "movement" is TakeOrderedAndProject. The oracle replays the
+      // whole pipeline — subvector L2² folds, argmin codes, the
+      // m-ordered ADC sum — bit-for-bit in DuckDB.
+      val e = emb(s, dir)
+      val cb = Similarity.pqCodebook(
+        e.filter(col("vec_id").between(1, pqCodebookRows)), "vec_id", "embedding",
+        numSubspaces = pqSubspaces, codebookSize = pqCodebookRows)
+      Similarity.pqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        cb, e.filter(col("vec_id") === 0), "embedding", k = 20)
+    }),
+
     "x_embed_neardup" -> ((s, dir) => {
       // blocked exact near-dup: same-label blocking keeps the pair join
       // bounded (the LSH-bucketed variant is Similarity.lshNearPairs —
@@ -336,6 +353,54 @@ object Vectors {
        |WHERE a.vec_id NOT IN (SELECT idb FROM dropped)
        |ORDER BY a.vec_id""".stripMargin
 
+  // ---- product-quantization replay (x_pq_topk) ----
+  //
+  // Every step is the proven order-pinned pattern: subvector L2² is a
+  // sequential left fold of exactly-representable double ops (floats
+  // widen exactly), argmin is first-minimum = lowest codeword on both
+  // engines (array_position(d, array_min(d)) vs ROW_NUMBER ORDER BY
+  // dist, j), and the ADC sum folds in subspace order on both sides
+  // (the engine's reduceLeft == list_reduce over an m-ORDERED list;
+  // the leading 0.0 + t0 is exact for non-negative t0).
+  // Shared vals so the query def and the replay SQL cannot drift.
+  private val pqSubspaces = 8
+  private val pqCodebookRows = 16
+
+  private def l2FoldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len($a) + 1),
+       |                     i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |    (x, y) -> x + y)""".stripMargin
+
+  private val pqOracle: String =
+    s"""WITH dv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |w AS (SELECT CAST(MAX(len(e)) // $pqSubspaces AS BIGINT) AS sw FROM dv),
+       |ms AS (SELECT unnest(range($pqSubspaces)) AS m),
+       |cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, e
+       |       FROM dv WHERE vec_id BETWEEN 1 AND $pqCodebookRows),
+       |sub AS (SELECT ms.m, c.j, c.e[(ms.m*w.sw+1):(ms.m*w.sw+w.sw)] AS cs
+       |        FROM cw c CROSS JOIN w CROSS JOIN ms),
+       |qsub AS (SELECT ms.m, q.e[(ms.m*w.sw+1):(ms.m*w.sw+w.sw)] AS qs
+       |         FROM dv q CROSS JOIN w CROSS JOIN ms WHERE q.vec_id = 0),
+       |qtab AS (SELECT s.m, s.j, ${l2FoldSql("qs", "cs")} AS qd
+       |         FROM sub s JOIN qsub USING (m)),
+       |dsub AS (SELECT d.vec_id, ms.m, d.e[(ms.m*w.sw+1):(ms.m*w.sw+w.sw)] AS ds
+       |         FROM dv d CROSS JOIN w CROSS JOIN ms WHERE d.vec_id <> 0),
+       |encd AS (SELECT x.vec_id, x.m, s.j, ${l2FoldSql("ds", "cs")} AS dist
+       |         FROM dsub x JOIN sub s ON s.m = x.m),
+       |enc AS (SELECT vec_id, m, j FROM (
+       |          SELECT vec_id, m, j,
+       |            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+       |          FROM encd) t WHERE rn = 1),
+       |ad AS (SELECT e.vec_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |                                  list(q.qd ORDER BY e.m)),
+       |                     (x, y) -> x + y) AS a
+       |       FROM enc e JOIN qtab q ON q.m = e.m AND q.j = e.j
+       |       GROUP BY e.vec_id)
+       |SELECT vec_id, CAST(CAST(a AS DECIMAL(10,4)) AS DOUBLE) AS adist
+       |FROM ad ORDER BY adist, vec_id LIMIT 20""".stripMargin
+
   private val clusterStatsOracle: String =
     s"""WITH $kmeansCtesBody,
        |j AS (SELECT a.cid, e.label FROM asn2 a JOIN embeddings e USING (vec_id)),
@@ -351,6 +416,7 @@ object Vectors {
        |FROM t JOIN top USING (cid) ORDER BY cluster""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x_pq_topk" -> pqOracle,
     "x_kmeans" -> kmeansOracle,
     "x_semdedup" -> semDedupOracle,
     "x_cluster_stats" -> clusterStatsOracle,

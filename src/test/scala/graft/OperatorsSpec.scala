@@ -902,4 +902,127 @@ class OperatorsSpec extends AnyFunSuite {
       assert(tmp.listFiles().exists(_.getName == "lang=en"))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(tmp)
   }
+
+  test("capPerGroup: heap path matches the window formulation, caps respected") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"source")
+    val n = 2
+    val heap = Sampling.capPerGroup(docs, "doc_id", "source", n)
+    // the reference formulation: full window sort on the same rank
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source")
+      .orderBy(substring(md5($"doc_id".cast("string")), 1, 15), $"doc_id")
+    val win = docs.withColumn("__rn", row_number().over(w))
+      .filter($"__rn" <= n).drop("__rn")
+    assert(heap.exceptAll(win).isEmpty && win.exceptAll(heap).isEmpty)
+    // cap respected, and groups smaller than n survive whole
+    val sizes = heap.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) <= n))
+    val small = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.capPerGroup(small, "id", "g", 5).count() == 3)
+  }
+
+  test("temperatureKeep: rarest stratum kept whole, bigger strata thinned, deterministic") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"lang")
+    val kept = Sampling.temperatureKeep(docs, "doc_id", "lang")
+    // subset of the input, and a pure function (re-run identical)
+    assert(kept.exceptAll(docs).isEmpty)
+    val again = Sampling.temperatureKeep(docs, "doc_id", "lang")
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = before.minBy { case (l, n) => (n, l) }._1
+    assert(after(minLang) == before(minLang)) // bucket 16 = keep-all
+    // the largest stratum must actually be thinned (its rate < 1)
+    val maxLang = before.maxBy { case (l, n) => (n, l) }._1
+    assert(before(maxLang) > before(minLang)) // fixture sanity
+    assert(after.getOrElse(maxLang, 0L) < before(maxLang))
+  }
+
+  test("vocabCoverage: OOV rate is exactly the out-of-top-V token fraction") {
+    val docs = Seq(
+      ("a", "the the the cat"),    // 'the' dominates the vocab
+      ("b", "the zyx wvu")         // two tokens outside a size-2 vocab
+    ).toDF("src", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", "src", vocabSize = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // vocab (by count desc, word asc) = {the(4), cat(1)}
+    assert(out("a") == ((4L, 0L)))
+    assert(out("b") == ((3L, 2L)))
+  }
+
+  test("PQ: vectors built from codewords encode to themselves; ADC equals exact L2²") {
+    import graft.operators.Similarity
+    // 4 training vectors, dim 4, 2 subspaces of width 2
+    val train = Seq(
+      (1L, Array(0f, 0f, 8f, 8f)), (2L, Array(1f, 1f, 4f, 4f)),
+      (3L, Array(2f, 2f, 2f, 2f)), (4L, Array(3f, 3f, 1f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(train, "vec_id", "embedding",
+      numSubspaces = 2, codebookSize = 4)
+    assert(cb.length == 2 && cb.forall(_.length == 4) &&
+      cb.forall(_.forall(_.length == 2)))
+    // corpus = the training vectors themselves → every subvector is ON
+    // a codeword, so PQ distance degrades to EXACT L2² to the query
+    val query = Seq((0L, Array(1f, 0f, 3f, 3f))).toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(train, "vec_id", "embedding", cb,
+      query, "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val q = Array(1f, 0f, 3f, 3f)
+    val want = Seq(
+      1L -> Array(0f, 0f, 8f, 8f), 2L -> Array(1f, 1f, 4f, 4f),
+      3L -> Array(2f, 2f, 2f, 2f), 4L -> Array(3f, 3f, 1f, 1f))
+      .map { case (id, v) => (id, l2(v, q)) }
+      .sortBy { case (id, d) => (d, id) }
+    assert(got.toSeq == want)
+    // codes are 1-based positions within the codebook
+    val codes = Similarity.pqEncode(train, "vec_id", "embedding", cb)
+      .collect().flatMap(_.getSeq[Int](1))
+    assert(codes.forall(c => c >= 1 && c <= 4))
+  }
+
+  test("IVF-PQ: full probe equals plain PQ; reduced probe stays inside probed cells") {
+    import graft.operators.Similarity
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    val cb = Similarity.pqCodebook(e.filter($"vec_id".between(1, 16)),
+      "vec_id", "embedding", numSubspaces = 8, codebookSize = 16)
+    // coarse quantizer = a subspace-free codebook of 4 cells
+    val coarse = Similarity.pqCodebook(e.filter($"vec_id".between(1, 4)),
+      "vec_id", "embedding", numSubspaces = 1, codebookSize = 4)(0)
+    val full = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse, cb,
+      query, "embedding", k = 10, nprobe = 4).collect().toSeq
+    val plain = Similarity.pqTopK(corpus, "vec_id", "embedding", cb,
+      query, "embedding", k = 10).collect().toSeq
+    assert(full == plain) // nprobe = |cells| → identical to unpartitioned PQ
+    val reduced = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", coarse, cb,
+      query, "embedding", k = 10, nprobe = 1)
+    val got = reduced.collect()
+    assert(got.nonEmpty && got.length <= 10)
+    // every returned id must really live in a probed cell: re-derive the
+    // cell assignment and check membership for the single nearest cell
+    val cellOf = Similarity.pqEncode(corpus, "vec_id", "embedding", Array(coarse))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).head).toMap
+    val cells = got.map(r => cellOf(r.getLong(0))).distinct
+    assert(cells.length == 1)
+  }
+
+  test("PQ on the real corpus: deterministic, k rows, nondecreasing distance") {
+    import graft.operators.Similarity
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = Similarity.pqCodebook(e.filter($"vec_id".between(1, 16)),
+      "vec_id", "embedding", numSubspaces = 8, codebookSize = 16)
+    val top = Similarity.pqTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+      cb, e.filter($"vec_id" === 0), "embedding", k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length == 20)
+    assert(top.sliding(2).forall(p => p(0)._2 <= p(1)._2))
+    assert(top.map(_._1).distinct.length == 20)
+  }
 }

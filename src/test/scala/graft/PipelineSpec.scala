@@ -336,4 +336,23 @@ class PipelineSpec extends AnyFunSuite {
       .select("id", "width", "height").collect().toSet
     assert(again == out.select("id", "width", "height").collect().toSet)
   }
+
+  test("corpus-clean pipeline: per-source cap and temperature mixing compose") {
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plain = graft.jobs.CorpusCleanJob.clean(spark, docs).cache()
+    val mixed = graft.jobs.CorpusCleanJob.clean(spark, docs,
+      temperatureMixture = true, capPerSource = Some(2)).cache()
+    // both stages are pure filters over the plain survivor set
+    val plainIds = plain.select("doc_id").collect().map(_.getLong(0)).toSet
+    val mixedIds = mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(mixedIds.subsetOf(plainIds))
+    // the hard cap binds after every upstream stage
+    val perSource = mixed.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) <= 2))
+    // the two mixing rules are mutually exclusive, loudly
+    intercept[IllegalArgumentException] {
+      graft.jobs.CorpusCleanJob.clean(spark, docs,
+        balanceMixture = true, temperatureMixture = true)
+    }
+  }
 }

@@ -344,4 +344,33 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
     assert(exchanges <= 1, s"unpivot is narrow:\n$p")
   }
+
+  test("x_pq_topk: encode+ADC is one narrow pass — zero exchanges, TakeOrdered") {
+    // the PQ codebook and the query's ADC table ride as literals, so
+    // the whole search is scan → project → TakeOrderedAndProject; an
+    // Exchange anywhere means the corpus moved for a map-shaped step
+    val p = plan("x_pq_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.linesIterator.exists(_.trim.matches("""\(\d+\) Exchange.*""")),
+      s"PQ search must not shuffle the corpus:\n$p")
+  }
+
+  test("x_source_cap: the shuffle carries TopK heaps, not per-group row streams") {
+    // the per-group cap must aggregate (partial heaps map-side), never
+    // window-sort the corpus: ObjectHashAggregate with the graft_top_k
+    // partial on the map side, and no Window node anywhere
+    val p = plan("x_source_cap")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("graft_top_k"), p)
+    assert(!p.contains("Window"), s"cap must not window-sort the corpus:\n$p")
+  }
+
+  test("x_temperature_mix: rate table broadcasts; the corpus never wide-shuffles") {
+    // the only exchanges allowed are the tiny per-stratum aggregation
+    // (count partials) and broadcasts — the corpus side must reach its
+    // filter through a BroadcastHashJoin
+    val p = plan("x_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"rate-table join must broadcast:\n$p")
+  }
 }
