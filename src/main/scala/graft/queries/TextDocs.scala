@@ -640,7 +640,52 @@ object TextDocs {
       // per-source token volume and out-of-vocabulary rate
       TextAnalysis.vocabCoverage(docs(s, dir), "text", "source",
         vocabSize = 200)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "x_word_entropy" -> ((s, dir) => {
+      // per-document word-distribution Shannon entropy (the gibberish /
+      // diversity quality signal): H = ln(n) − (Σ c·ln c)/n over the
+      // doc's word counts — exact integer counts through two
+      // partial-aggregated hash aggs, doubles only in the final ln
+      // terms, round(4) absorbing summation-order ulp noise (the
+      // x_unigram_logprob pattern)
+      val pw = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      pw.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("types"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("doc_id"),
+          col("n").cast("bigint").as("n_words"),
+          col("types").cast("bigint").as("n_types"),
+          round(log(col("n").cast("double")) - col("clc") / col("n"), 4)
+            .as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    "x_pad_waste" -> ((s, dir) => {
+      // sequence-length bucketing / padding-waste audit (dynamic
+      // batching design): docs binned to power-of-two length buckets
+      // via an integer CASE chain (no log2 float boundary risk —
+      // identical on any engine), then per-bucket doc count, real
+      // token volume, padded volume (docs × bucket) and the waste
+      // fraction a pad-to-bucket batcher would eat. All integers
+      // except the final exact-input round(4).
+      val n = TextAnalysis.tokenCount(col("text")).cast("long")
+      val bucket = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+        .when(n <= 512, 512L).otherwise(1024L)
+      docs(s, dir).select(bucket.as("bucket"), n.as("n"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("n_docs") * col("bucket")).as("padded_tokens"),
+          round(lit(1.0) - col("sum_tokens").cast("double") /
+            (col("n_docs") * col("bucket")), 4).as("waste_rate"))
+        .orderBy("bucket")
+    })
   )
 
   /** The x_text_quality per-row quality expression (4-decimal-rounded),
@@ -767,6 +812,41 @@ object TextDocs {
         |        / COUNT(*), 4) AS oov_rate
         |FROM toks t LEFT JOIN vocab v ON t.w = v.w
         |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    "x_word_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word
+        |  FROM documents
+        |), pw AS (
+        |  SELECT doc_id, word, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  ROUND(LN(CAST(SUM(c) AS DOUBLE))
+        |        - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / SUM(c), 4)
+        |    AS entropy
+        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x_pad_waste" ->
+      // the engine's tokenCount counts ALL \s+ split pieces (no empty
+      // filter) — mirror len(string_split_regex) exactly, like
+      // x_token_stats
+      """WITH t AS (
+        |  SELECT CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+        |              WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+        |              WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+        |              ELSE 1024 END AS bucket, n
+        |  FROM t
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n) AS BIGINT) AS sum_tokens,
+        |  CAST(COUNT(*) * bucket AS BIGINT) AS padded_tokens,
+        |  ROUND(1.0 - CAST(SUM(n) AS DOUBLE) / (COUNT(*) * bucket), 4)
+        |    AS waste_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
