@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC merge — apply a batch of keyed change rows onto a base snapshot:
+  * the `MERGE INTO` / upsert shape every metadata-catalog and
+  * warehouse-ingest loop needs (the reference's cron re-push job is
+  * exactly a snapshot refresher; this is the incremental form of it).
+  *
+  * Change rows carry the key columns, the new payload, an op column
+  * (`I` insert / `U` update / `D` delete — I and U are both
+  * "upsert wins") and a monotone sequence column; when a batch holds
+  * several changes for one key, the highest sequence wins. The caller
+  * must make (key, seq) unique — `max_by` on a tied seq would be
+  * nondeterministic, so ties are the one contract violation.
+  *
+  * Shape at scale: the change batch (small: one CDC window) collapses
+  * to one row per key with a single partial-aggregated `max_by` hash
+  * agg — the base table is NEVER aggregated or windowed. The base then
+  * anti-joins the touched-key set (AQE broadcasts it when small, the
+  * usual case) and the surviving change payloads union on. Total
+  * movement: one agg of the batch + one join of base against |keys|
+  * rows. No full-outer join, no window over base.
+  */
+object MergeUpsert {
+
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    require(keys.nonEmpty, "applyCdc: need at least one key column")
+    val payload = changes.columns.filterNot(keys.contains).toSeq
+    require(payload.contains(opCol) && payload.contains(seqCol),
+      s"applyCdc: changes must carry '$opCol' and '$seqCol' columns")
+    val latest = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(seqCol)).as("_ch"))
+      .select(keys.map(col) ++ payload.map(p => col(s"_ch.$p").as(p)): _*)
+    val untouched =
+      base.join(latest.select(keys.map(col): _*), keys, "left_anti")
+    val applied = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
+    untouched.unionByName(applied)
+  }
+}

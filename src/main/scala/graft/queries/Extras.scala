@@ -224,6 +224,44 @@ object Extras {
         .orderBy("key")
     }),
 
+    "x_profile" -> ((s, dir) => {
+      // one-pass column-profile report (operators/Profiling): the
+      // exact form — count-distinct plans as a k-way Expand, which is
+      // the oracle-checkable shape; the 100 TB HLL++ variant
+      // (profileApprox, Expand-free) is spec-checked against this one
+      graft.operators.Profiling.profile(t(s, dir, "customer"))
+        .orderBy("col_name")
+    }),
+
+    "x_cdc_merge" -> ((s, dir) => {
+      // CDC merge (operators/MergeUpsert): a deterministic change
+      // batch derived from orders itself — deletes (%10==0), two
+      // competing updates per %10==5 key (latest seq wins; the seq-2
+      // row also flips the status so a wrong winner changes values,
+      // not just provenance), and inserts on shifted keys (%13==0).
+      // Doubles move by +1000/+2000/×0.5 — all IEEE-exact.
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val del = base.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+          lit("D").as("op"), lit(1L).as("seq"))
+      val up1 = base.filter(col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("o_orderstatus"), lit("U").as("op"), lit(1L).as("seq"))
+      val up2 = base.filter(col("o_orderkey") % 10 === 5)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 2000.0).as("o_totalprice"),
+          lit("P").as("o_orderstatus"), lit("U").as("op"), lit(2L).as("seq"))
+      val ins = base.filter(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          (col("o_totalprice") * 0.5).as("o_totalprice"),
+          lit("N").as("o_orderstatus"), lit("I").as("op"), lit(1L).as("seq"))
+      val changes = del.unionByName(up1).unionByName(up2).unionByName(ins)
+      graft.operators.MergeUpsert.applyCdc(base, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     "x_snapshot_diff" -> ((s, dir) => {
       // delta between two catalog snapshots (the push-pattern consumer
       // shape — see operators/SnapshotDiff): previous = orders with
@@ -247,6 +285,45 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_num, CAST(MAX($c) AS DOUBLE) AS max_num,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+           |  CAST(NULL AS DOUBLE) AS avg_len FROM customer""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', COUNT(*), COUNT(*) - COUNT($c), COUNT(DISTINCT $c),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  MIN($c), MAX($c), ROUND(AVG(length($c)), 4) FROM customer""".stripMargin
+      Seq(num("c_custkey"), str("c_name"), num("c_nationkey"),
+        num("c_acctbal"), str("c_mktsegment"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) p ORDER BY col_name")
+    },
+    "x_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus, 'D' AS op, 1 AS seq
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 1000.0, o_orderstatus, 'U', 1
+        |  FROM base WHERE o_orderkey % 10 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 2000.0, 'P', 'U', 2
+        |  FROM base WHERE o_orderkey % 10 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice * 0.5, 'N', 'I', 1
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |latest AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        |    FROM ch) t WHERE rn = 1)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM base
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderstatus FROM latest WHERE op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin,
     "x_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),

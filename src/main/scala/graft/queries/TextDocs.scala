@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -685,6 +686,50 @@ object TextDocs {
           round(lit(1.0) - col("sum_tokens").cast("double") /
             (col("n_docs") * col("bucket")), 4).as("waste_rate"))
         .orderBy("bucket")
+    }),
+
+    "x_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization through the native codegen
+      // expression (functions/UnicodeNormalize): the corpus is ASCII,
+      // so a decomposed accent (e + U+0301 combining acute) is
+      // appended in-plan to make composition non-vacuous — NFC fuses
+      // it to U+00E9 and the code-point length drops by one. DuckDB
+      // replays with its utf8proc nfc_normalize.
+      val raw = concat(substring(col("text"), 1, 24), lit("e\u0301"))
+      docs(s, dir).select(col("doc_id"),
+          length(raw).cast("int").as("len_raw"),
+          graft.functions.UnicodeNormalize.nfc(s, raw).as("norm"))
+        .withColumn("len_norm", length(col("norm")).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    "x_zipf" -> ((s, dir) => {
+      // corpus-scaling law report per source: Zipf slope (log-log
+      // regression of frequency on rank over the top 100 words —
+      // deterministic rank tiebreak by word) and the Heaps exponent
+      // ln(V)/ln(N). The window runs over the aggregated vocabulary
+      // (|V| rows per source), never the corpus; the corpus itself
+      // contributes one partial-aggregated word-count shuffle.
+      val words = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val wc = words.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val tot = wc.groupBy("source")
+        .agg(sum("c").cast("bigint").as("n_tokens"),
+          count(lit(1)).cast("bigint").as("vocab_size"))
+      val ranked = wc.withColumn("rnk",
+        row_number().over(Window.partitionBy("source")
+          .orderBy(col("c").desc, col("w"))))
+      val slope = ranked.filter(col("rnk") <= 100)
+        .groupBy("source")
+        .agg(round(regr_slope(log(col("c").cast("double")),
+          log(col("rnk").cast("double"))), 4).as("zipf_slope"))
+      tot.join(slope, "source")
+        .select(col("source"), col("n_tokens"), col("vocab_size"),
+          col("zipf_slope"),
+          round(log(col("vocab_size").cast("double")) /
+            log(col("n_tokens").cast("double")), 4).as("heaps_beta"))
+        .orderBy("source")
     })
   )
 
@@ -847,6 +892,42 @@ object TextDocs {
         |  ROUND(1.0 - CAST(SUM(n) AS DOUBLE) / (COUNT(*) * bucket), 4)
         |    AS waste_rate
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "x_nfc_normalize" ->
+      // chr(769) = U+0301 combining acute: the same decomposed accent
+      // the Spark plan appends; utf8proc NFC == ICU/JDK NFC here
+      """WITH r AS (
+        |  SELECT doc_id, substr(text, 1, 24) || 'e' || chr(769) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INT) AS len_raw,
+        |  nfc_normalize(raw) AS norm,
+        |  CAST(length(nfc_normalize(raw)) AS INT) AS len_norm
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "x_zipf" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab_size
+        |  FROM wc GROUP BY 1
+        |), ranked AS (
+        |  SELECT source, c,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        |  FROM wc
+        |), slope AS (
+        |  SELECT source,
+        |    ROUND(regr_slope(LN(CAST(c AS DOUBLE)), LN(CAST(rnk AS DOUBLE))), 4)
+        |      AS zipf_slope
+        |  FROM ranked WHERE rnk <= 100 GROUP BY 1
+        |)
+        |SELECT t.source, n_tokens, vocab_size, zipf_slope,
+        |  ROUND(LN(CAST(vocab_size AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)), 4)
+        |    AS heaps_beta
+        |FROM tot t JOIN slope s ON t.source = s.source
+        |ORDER BY t.source""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

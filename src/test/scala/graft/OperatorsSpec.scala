@@ -1025,4 +1025,101 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.sliding(2).forall(p => p(0)._2 <= p(1)._2))
     assert(top.map(_._1).distinct.length == 20)
   }
+
+  test("Profiling.profile: nulls, distincts, numeric/string split") {
+    import graft.operators.Profiling
+    val df = Seq(
+      (Some(1L), Some("aa"), Some(2.5)),
+      (Some(2L), None, Some(-1.0)),
+      (Some(2L), Some("bbbb"), None),
+      (None, Some("aa"), Some(9.0))
+    ).toDF("k", "s", "v")
+    val p = Profiling.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val k = p("k"); val s = p("s"); val v = p("v")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 1 && k.getLong(3) == 2)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 2.0)
+    assert(k.isNullAt(6) && k.isNullAt(8))
+    assert(s.getLong(2) == 1 && s.getLong(3) == 2)
+    assert(s.getString(6) == "aa" && s.getString(7) == "bbbb")
+    // avg_len over non-null strings: (2 + 4 + 2) / 3
+    assert(math.abs(s.getDouble(8) - 8.0 / 3.0) < 1e-3)
+    assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 9.0)
+  }
+
+  test("Profiling.profileApprox: Expand-free plan, counts near exact") {
+    import graft.operators.Profiling
+    val cust = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val exact = Profiling.profile(cust)
+    val approx = Profiling.profileApprox(cust)
+    // the exact path pays a k-way Expand for multi-column COUNT(DISTINCT);
+    // the HLL++ path must not — that's its whole reason to exist at 100 TB
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"))
+    assert(!approx.queryExecution.executedPlan.toString.contains("Expand"))
+    val e = exact.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    approx.collect().foreach { r =>
+      val (name, nd) = (r.getString(0), r.getLong(3))
+      assert(math.abs(nd - e(name)) <= math.max(2L, (e(name) * 0.15).toLong),
+        s"$name: approx $nd vs exact ${e(name)}")
+    }
+  }
+
+  test("MergeUpsert.applyCdc: delete, latest-wins update, insert") {
+    import graft.operators.MergeUpsert
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "val")
+    val changes = Seq(
+      (1L, "a", 10.0, "D", 1L),          // delete key 1
+      (2L, "b1", 21.0, "U", 1L),         // superseded update
+      (2L, "b2", 22.0, "U", 2L),         // winning update
+      (4L, "d", 40.0, "I", 1L)           // insert new key
+    ).toDF("k", "name", "val", "op", "seq")
+    val got = MergeUpsert.applyCdc(base, changes, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("MergeUpsert.applyCdc: empty batch is identity; delete-all empties") {
+    import graft.operators.MergeUpsert
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val none = Seq.empty[(Long, String, String, Long)].toDF("k", "v", "op", "seq")
+    assert(MergeUpsert.applyCdc(base, none, Seq("k")).count() == 2)
+    val delAll = Seq((1L, "a", "D", 1L), (2L, "b", "D", 1L))
+      .toDF("k", "v", "op", "seq")
+    assert(MergeUpsert.applyCdc(base, delAll, Seq("k")).count() == 0)
+  }
+
+  test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms") {
+    import graft.functions.UnicodeNormalize
+    // decomposed e + combining acute -> single composed code point
+    val nfc = Seq("e\u0301").toDF("s")
+      .select(UnicodeNormalize.nfc(spark, $"s").as("n")).head().getString(0)
+    assert(nfc == "\u00e9" && nfc.length == 1)
+    // NFKC folds the fi ligature and fullwidth digits; NFC must not
+    val src = Seq("\ufb01 \uff11\uff12").toDF("s")
+    val nfkc = src.select(UnicodeNormalize.normalized(spark, $"s", "NFKC").as("n"))
+      .head().getString(0)
+    assert(nfkc == "fi 12")
+    val nfcOnly = src.select(UnicodeNormalize.nfc(spark, $"s").as("n"))
+      .head().getString(0)
+    assert(nfcOnly == "\ufb01 \uff11\uff12")
+    // null passthrough + already-normalized ASCII unchanged
+    val rows = Seq(Some("plain"), None).toDF("s")
+      .select(UnicodeNormalize.nfc(spark, $"s").as("n")).collect()
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      == Seq("plain", null))
+  }
+
+  test("UnicodeNormalize: non-string input fails analysis, bad form fails fast") {
+    import graft.functions.UnicodeNormalize
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1).toDF("i").select(UnicodeNormalize.nfc(spark, $"i")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"))
+    intercept[IllegalArgumentException] {
+      graft.functions.UnicodeNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
+    }
+  }
 }
