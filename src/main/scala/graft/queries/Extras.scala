@@ -262,6 +262,30 @@ object Extras {
         .orderBy("o_orderkey")
     }),
 
+    "x_ivm" -> ((s, dir) => {
+      // incremental view maintenance (operators/IncrementalAgg): the
+      // standing per-priority totals of orders before 1995-06-01 are
+      // UPDATED with a delta batch — inserts (the later orders) and
+      // retractions (every fifth early order) — and must equal the
+      // full recompute, which is what the oracle runs. Sums maintained
+      // in DECIMAL so the re-associated IVM arithmetic is exact.
+      val ord = t(s, dir, "orders")
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      val baseFacts = ord.filter(col("o_orderdate") < "1995-06-01")
+      val baseAgg = baseFacts.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), sum(price).as("sum_price"))
+      val inserts = ord.filter(col("o_orderdate") >= "1995-06-01")
+        .select(col("o_orderpriority"), price.as("sum_price"), lit(1).as("sign"))
+      val retracts = baseFacts.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderpriority"), price.as("sum_price"), lit(-1).as("sign"))
+      graft.operators.IncrementalAgg.applyDelta(
+        baseAgg, inserts.unionByName(retracts),
+        Seq("o_orderpriority"), "cnt", Seq("sum_price"))
+        .select(col("o_orderpriority"), col("cnt"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     "x_snapshot_diff" -> ((s, dir) => {
       // delta between two catalog snapshots (the push-pattern consumer
       // shape — see operators/SnapshotDiff): previous = orders with
@@ -324,6 +348,16 @@ object Extras {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, o_orderstatus FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    "x_ivm" ->
+      // the IVM correctness statement IS "equals the recompute": the
+      // maintained view covers all orders except the retracted slice
+      """WITH kept AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE NOT (o_orderdate < TIMESTAMP '1995-06-01 00:00:00'
+        |             AND o_orderkey % 5 = 0))
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0),

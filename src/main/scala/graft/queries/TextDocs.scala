@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis}
 
 /** Declared document/text queries Q15–Q17 plus the mandated
   * training-data extension operators over `documents` (SURVEY §2.B
@@ -730,7 +730,15 @@ object TextDocs {
           round(log(col("vocab_size").cast("double")) /
             log(col("n_tokens").cast("double")), 4).as("heaps_beta"))
         .orderBy("source")
-    })
+    }),
+
+    "x_countmin" -> ((s, dir) =>
+      // count-min sketch heavy hitters (operators/Sketches): exact
+      // top-20 words with the d=4 × w=512 sketch estimate alongside —
+      // est_c >= true_c by construction, equal when collision-free.
+      // The full splitmix64 bucket derivation is replayed in the
+      // oracle through the HashReplay HUGEINT machinery.
+      Sketches.countMinHeavyHitters(docs(s, dir), "text", d = 4, w = 512, k = 20))
   )
 
   /** The x_text_quality per-row quality expression (4-decimal-rounded),
@@ -928,6 +936,31 @@ object TextDocs {
         |    AS heaps_beta
         |FROM tot t JOIN slope s ON t.source = s.source
         |ORDER BY t.source""".stripMargin,
+    "x_countmin" ->
+      // count-min replay: per distinct word, FNV-1a 64 then the d=4
+      // splitmix bucket family (seed_j = mix(j + gamma), bucket =
+      // mix((h ^ seed_j) + gamma) % 512 — w is a power of two, so the
+      // unsigned mod equals the JVM's masked low bits); counters sum
+      // the true counts landing in each (j, bucket), estimate = MIN
+      // over the word's d counters.
+      s"""WITH toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+         |  FROM documents),
+         |wc AS (SELECT word, COUNT(*) AS c FROM toks GROUP BY 1),
+         |wh AS (SELECT word, c, ${HashReplay.fnvFoldSql("word")} AS h FROM wc),
+         |seeds_z AS (SELECT j, (CAST(j AS HUGEINT) + ${HashReplay.SplitmixGamma}) % $M AS z
+         |            FROM range(4) t(j)),
+         |${mixCtes("seeds", "seeds_z", "j")},
+         |hb_z AS (SELECT w.word, w.c, s.j, (xor(w.h, s.z) + ${HashReplay.SplitmixGamma}) % $M AS z
+         |         FROM wh w CROSS JOIN seeds s),
+         |${mixCtes("hb", "hb_z", "word, c, j")},
+         |hbk AS (SELECT word, c, j, CAST(z % 512 AS INT) AS bucket FROM hb),
+         |counters AS (SELECT j, bucket, SUM(c) AS cnt FROM hbk GROUP BY 1, 2),
+         |est AS (SELECT k.word, MAX(k.c) AS true_c, MIN(ct.cnt) AS est_c
+         |        FROM hbk k JOIN counters ct ON k.j = ct.j AND k.bucket = ct.bucket
+         |        GROUP BY k.word)
+         |SELECT word, CAST(true_c AS BIGINT) AS true_c, CAST(est_c AS BIGINT) AS est_c
+         |FROM est ORDER BY true_c DESC, word LIMIT 20""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -1090,6 +1090,68 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeUpsert.applyCdc(base, delAll, Seq("k")).count() == 0)
   }
 
+  test("CountMinBuckets: range, determinism, power-of-two width enforced") {
+    import graft.functions.CountMinBuckets
+    val rows = Seq(1L, -7L, Long.MinValue, 42L).toDF("h")
+      .select(CountMinBuckets.buckets(spark, $"h", 4, 512).as("b"))
+      .collect().map(_.getSeq[Int](0))
+    rows.foreach { b =>
+      assert(b.length == 4)
+      b.foreach(x => assert(x >= 0 && x < 512))
+    }
+    // same input twice -> same buckets (no RNG state)
+    assert(rows(3) == Seq(1L, -7L, Long.MinValue, 42L).toDF("h")
+      .select(CountMinBuckets.buckets(spark, $"h", 4, 512).as("b"))
+      .collect().map(_.getSeq[Int](0)).apply(3))
+    intercept[IllegalArgumentException] {
+      graft.functions.CountMinBuckets(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 4, 500)
+    }
+  }
+
+  test("count-min sketch: estimate is an upper bound; per-row mass conserved") {
+    import graft.operators.Sketches
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val hh = Sketches.countMinHeavyHitters(docs, "text", d = 4, w = 512, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hh.length == 20)
+    hh.foreach { case (w, t, e) => assert(e >= t, s"$w: est $e < true $t") }
+    // each of the d sketch rows holds the whole token mass
+    val wc = docs.select(explode(split($"text", "\\s+")).as("w"))
+      .filter(length($"w") > 0).groupBy("w").agg(count(lit(1)).as("c"))
+    val total = wc.agg(sum($"c")).head().getLong(0)
+    val perRow = Sketches.countMinCounters(wc, "w", "c", d = 4, w = 512)
+      .groupBy("j").agg(sum($"cnt").as("s")).collect()
+    assert(perRow.length == 4)
+    perRow.foreach(r => assert(r.getLong(1) == total))
+  }
+
+  test("IncrementalAgg.applyDelta: update, new group, zero-count drop") {
+    import graft.operators.IncrementalAgg
+    val base = Seq(("a", 2L, BigDecimal("10.00")), ("b", 1L, BigDecimal("5.00")))
+      .toDF("g", "cnt", "s")
+    val delta = Seq(
+      ("a", BigDecimal("3.00"), 1),   // insert into existing group
+      ("b", BigDecimal("5.00"), -1),  // retract b's only row -> group drops
+      ("c", BigDecimal("7.00"), 1)    // brand-new group
+    ).toDF("g", "s", "sign")
+    val got = IncrementalAgg.applyDelta(base, delta, Seq("g"), "cnt", Seq("s"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq(("a", 3L), ("c", 1L)))
+    assert(BigDecimal(got(0)._3) == BigDecimal("13.00"))
+    assert(BigDecimal(got(1)._3) == BigDecimal("7.00"))
+  }
+
+  test("IncrementalAgg.applyDelta: empty delta is identity") {
+    import graft.operators.IncrementalAgg
+    val base = Seq(("a", 2L, BigDecimal("10.00"))).toDF("g", "cnt", "s")
+    val none = Seq.empty[(String, BigDecimal, Int)].toDF("g", "s", "sign")
+    val got = IncrementalAgg.applyDelta(base, none, Seq("g"), "cnt", Seq("s"))
+      .collect()
+    assert(got.length == 1 && got(0).getLong(1) == 2L)
+  }
+
   test("UnicodeNormalize: NFC composes, NFKC folds compatibility forms") {
     import graft.functions.UnicodeNormalize
     // decomposed e + combining acute -> single composed code point
