@@ -373,4 +373,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"rate-table join must broadcast:\n$p")
   }
+
+  test("x_profile: one scan, partial aggs; stack pivot adds no exchange") {
+    val p = plan("x_profile")
+    // exactly one parquet scan feeds the whole report (FormattedMode
+    // prints each scan once in the tree and once in the detail section)
+    assert(p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Scan parquet\s*""")) == 1, p)
+    assert(p.contains("partial"), "per-column aggregates must partial-aggregate map-side")
+    // the stack generator runs on the single agg row — no exchange after
+    // the final aggregate beyond the 1-row plan tail
+    assert(p.contains("Generate"), p)
+  }
+
+  test("x_cdc_merge: base is anti-joined, never aggregated or windowed") {
+    val p = plan("x_cdc_merge")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("Window"), s"CDC merge must not window the base:\n$p")
+    // the only aggregate is the batch's latest-wins max_by (planned as
+    // a sort aggregate over the struct payload)
+    assert(p.contains("max_by"), p)
+  }
+
+  test("x_countmin: corpus shuffles only word-count partials; sketch math is vocab-sized") {
+    val p = plan("x_countmin")
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    // the bucket expansion (Generate) must sit ABOVE the word-count
+    // aggregate — the corpus itself is never exploded d ways
+    val gen = p.linesIterator.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+  }
+
+  test("x_ivm: delta aggregates partially; no rescan-shaped extra exchanges") {
+    val p = plan("x_ivm")
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("partial"), "delta agg must partial-aggregate map-side")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
