@@ -262,6 +262,35 @@ object Extras {
         .orderBy("o_orderkey")
     }),
 
+    "x_range_join" -> ((s, dir) => {
+      // point-in-range join at scale (operators/RangeJoin): customers
+      // matched to OVERLAPPING balance bands (each point can hit 2-3
+      // bands, so containment is non-trivial) through the chunked
+      // equi-join — never a nested-loop theta join. The oracle is the
+      // plain theta join: bucketing changes the plan, not the result.
+      val bands = s.range(40).select(col("id").as("band"),
+        (lit(-1000.0) + col("id") * 300.0).as("lo"),
+        (lit(-1000.0) + col("id") * 300.0 + 700.0).as("hi"))
+      val pts = t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      graft.operators.RangeJoin.pointInRange(pts, "c_acctbal",
+          bands, "lo", "hi", bucketWidth = 700.0)
+        .groupBy("band").agg(count(lit(1)).as("n_cust"))
+        .orderBy("band")
+    }),
+
+    "x_zorder" -> ((s, dir) => {
+      // Z-order (Morton) clustering key through the native codegen
+      // expression (functions/ZOrder2): nation ordinal × balance
+      // bucket interleaved bit-by-bit — the layout key that makes
+      // parquet min/max footers tight on BOTH dims (the layout spec
+      // proves the skipping win; this query oracles the bit math).
+      val a = col("c_nationkey").cast("long")
+      val b = floor((col("c_acctbal") + 1000.0) / 100.0).cast("long")
+      t(s, dir, "customer").select(col("c_custkey"), a.as("a"), b.as("b"),
+          graft.functions.ZOrder2.zorder(s, a, b).as("z"))
+        .orderBy("c_custkey")
+    }),
+
     "x_ivm" -> ((s, dir) => {
       // incremental view maintenance (operators/IncrementalAgg): the
       // standing per-priority totals of orders before 1995-06-01 are
@@ -348,6 +377,27 @@ object Extras {
         |UNION ALL
         |SELECT o_orderkey, o_totalprice, o_orderstatus FROM latest WHERE op <> 'D'
         |ORDER BY o_orderkey""".stripMargin,
+    "x_range_join" ->
+      """WITH bands AS (
+        |  SELECT b, -1000.0 + b * 300.0 AS lo, -1000.0 + b * 300.0 + 700.0 AS hi
+        |  FROM (SELECT unnest(range(40)) AS b))
+        |SELECT b AS band, CAST(COUNT(*) AS BIGINT) AS n_cust
+        |FROM customer JOIN bands
+        |  ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_zorder" ->
+      // bit-exact Morton replay: a's bit i -> position 2i, b's -> 2i+1;
+      // ordinals are < 2^16 so no shift reaches the sign bit
+      """SELECT c_custkey,
+        |  CAST(c_nationkey AS BIGINT) AS a,
+        |  CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) AS b,
+        |  CAST(
+        |    list_sum(list_transform(range(16),
+        |      i -> ((CAST(c_nationkey AS BIGINT) >> i) & 1) << (2 * i)))
+        |    + list_sum(list_transform(range(16),
+        |      i -> ((CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) >> i) & 1) << (2 * i + 1)))
+        |    AS BIGINT) AS z
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "x_ivm" ->
       // the IVM correctness statement IS "equals the recompute": the
       // maintained view covers all orders except the retracted slice

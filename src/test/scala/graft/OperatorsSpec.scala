@@ -1090,6 +1090,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeUpsert.applyCdc(base, delAll, Seq("k")).count() == 0)
   }
 
+  test("RangeJoin.pointInRange: equals the theta join; boundaries half-open; exactly-once") {
+    import graft.operators.RangeJoin
+    val points = Seq((1L, -5.0), (2L, 0.0), (3L, 7.5), (4L, 10.0), (5L, 23.0))
+      .toDF("pid", "v")
+    // overlapping ranges incl. one spanning many chunks at width 2
+    val ranges = Seq((10L, 0.0, 10.0), (11L, 5.0, 8.0), (12L, -100.0, 100.0))
+      .toDF("rid", "lo", "hi")
+    val got = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", 2.0)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val want = (for {
+      (p, v) <- Seq((1L, -5.0), (2L, 0.0), (3L, 7.5), (4L, 10.0), (5L, 23.0))
+      (r, lo, hi) <- Seq((10L, 0.0, 10.0), (11L, 5.0, 8.0), (12L, -100.0, 100.0))
+      if v >= lo && v < hi
+    } yield (p, r)).sorted
+    assert(got == want)
+    // v == lo in (pid 2 -> rid 10), v == hi excluded (pid 4 -> rid 10 absent)
+    assert(got.contains((2L, 10L)) && !got.contains((4L, 10L)))
+    // the wide range matched every point exactly once despite 100 chunk copies
+    assert(got.count(_._2 == 12L) == 5)
+  }
+
+  test("ZOrder2: known interleaves, out-of-range rejected") {
+    import graft.functions.ZOrder2
+    assert(ZOrder2.interleave(0xffffL, 0L) == 0x55555555L)
+    assert(ZOrder2.interleave(0L, 0xffffL) == 0xaaaaaaaaL)
+    assert(ZOrder2.interleave(3L, 1L) == 7L)
+    assert(ZOrder2.interleave(2L, 2L) == 12L)
+    intercept[IllegalArgumentException] { ZOrder2.interleave(65536L, 0L) }
+    intercept[IllegalArgumentException] { ZOrder2.interleave(0L, -1L) }
+    // through the engine (codegen path)
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(ZOrder2.zorder(spark, $"a", $"b").as("z")).head().getLong(0)
+    assert(z == 7L)
+  }
+
+  test("Z-order layout: per-file spans tighten on the second dimension") {
+    import graft.functions.ZOrder2
+    val cust = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "customer")
+      .select($"c_custkey",
+        $"c_nationkey".cast("long").as("a"),
+        floor(($"c_acctbal" + lit(1000.0)) / 100.0).cast("long").as("b"))
+    val zed = cust.withColumn("z", ZOrder2.zorder(spark, $"a", $"b"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    zed.repartitionByRange(4, $"z").sortWithinPartitions($"z")
+      .write.parquet(s"$base/zsort")
+    zed.repartitionByRange(4, $"a").sortWithinPartitions($"a")
+      .write.parquet(s"$base/asort")
+    def meanSpanB(path: String): Double = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max($"b") - min($"b")).as("span"))
+        .collect().map(_.getLong(1).toDouble)
+      rows.sum / rows.length
+    }
+    val (zs, as) = (meanSpanB(s"$base/zsort"), meanSpanB(s"$base/asort"))
+    // sorting by a alone leaves b unconstrained per file; z-order must
+    // tighten it materially (footer min/max then prunes b-filters too)
+    assert(zs < as * 0.8, s"z-layout b-span $zs vs a-layout $as")
+  }
+
   test("CountMinBuckets: range, determinism, power-of-two width enforced") {
     import graft.functions.CountMinBuckets
     val rows = Seq(1L, -7L, Long.MinValue, 42L).toDF("h")

@@ -406,6 +406,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("x_range_join: chunked EQUI join — never a nested-loop theta join") {
+    val p = plan("x_range_join")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"point-in-range must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_zorder: one narrow codegen pass — no exchange except the output sort") {
+    val p = plan("x_zorder")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"), p)
+    // the only exchange is the output sort's range partitioning — the
+    // zorder2 projection itself is narrow over the scan
+    assert(p.linesIterator.count(l =>
+      l.trim.matches("""\(\d+\) Exchange\s*""")) == 1, p)
+  }
+
   test("x_ivm: delta aggregates partially; no rescan-shaped extra exchanges") {
     val p = plan("x_ivm")
     assert(p.contains("FullOuter"), p)

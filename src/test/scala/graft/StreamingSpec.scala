@@ -128,6 +128,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC upsert: foreachBatch maintains a snapshot across micro-batches") {
+    import graft.operators.MergeUpsert
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Long)]
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // versioned snapshot dirs: each batch reads the current version and
+    // writes the next (never overwrites what it is reading)
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$base/v0")
+    @volatile var current = s"$base/v0"
+    val q = in.toDF().toDF("k", "v", "op", "seq").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val next = s"$base/v${id + 1}"
+        MergeUpsert.applyCdc(spark.read.parquet(current), batch, Seq("k"))
+          .write.parquet(next)
+        current = next
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString)
+      .start()
+    try {
+      in.addData((3L, "c", "I", 1L), (2L, "b2", "U", 1L))
+      q.processAllAvailable()
+      in.addData((1L, "x", "D", 1L), (3L, "c2", "U", 2L))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(current).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(snap == Seq((2L, "b2"), (3L, "c2")))
+    } finally q.stop()
+  }
+
   test("foreachBatch publishes each micro-batch through the chunked publisher") {
     import graft.sources.SqsPublisher
     import graft.streaming.StreamPublish
