@@ -93,6 +93,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_quant_stats(vec) - int8 quantization stats struct(scale, qsum, qmin, qmax)"),
       (exprs: Seq[Expression]) => graft.functions.QuantStats(exprs.head)))
 
+    e.injectFunction((FunctionIdentifier("graft_hll_register"),
+      info("graft_hll_register",
+        "graft_hll_register(hash, p) - HyperLogLog register coords [bucket, rho] of a bigint key"),
+      (exprs: Seq[Expression]) => graft.functions.HllRegister(exprs.head,
+        graft.functions.LitArgs.litInt(exprs(1), "p"))))
+
     e.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Hll, Multimodal, Sampling, Sketches, TextAnalysis}
 
 /** Declared document/text queries Q15–Q17 plus the mandated
   * training-data extension operators over `documents` (SURVEY §2.B
@@ -738,7 +738,26 @@ object TextDocs {
       // est_c >= true_c by construction, equal when collision-free.
       // The full splitmix64 bucket derivation is replayed in the
       // oracle through the HashReplay HUGEINT machinery.
-      Sketches.countMinHeavyHitters(docs(s, dir), "text", d = 4, w = 512, k = 20))
+      Sketches.countMinHeavyHitters(docs(s, dir), "text", d = 4, w = 512, k = 20)),
+
+    "x_hll" -> ((s, dir) => {
+      // HyperLogLog distinct words per source (operators/Hll, p=9 →
+      // 512 registers): the register table builds straight off the
+      // token stream — map-side partial max collapses every partition
+      // to ≤ |sources|·512 rows, so the distinct-count shuffle is
+      // CONSTANT-size in the corpus (exact COUNT DISTINCT, computed
+      // alongside for comparison, shuffles the whole vocabulary). The
+      // register sum is exact scaled-integer DECIMAL math, so the
+      // whole estimate replays bit-level in the oracle.
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val est = Hll.estimateDistinct(toks, Seq("source"),
+        graft.functions.Fnv1a64.fnv64(s, col("w")), p = 9)
+      val exact = toks.groupBy("source")
+        .agg(countDistinct(col("w")).as("exact_distinct"))
+      est.join(exact, Seq("source")).orderBy("source")
+    })
   )
 
   /** The x_text_quality per-row quality expression (4-decimal-rounded),
@@ -961,6 +980,40 @@ object TextDocs {
          |        GROUP BY k.word)
          |SELECT word, CAST(true_c AS BIGINT) AS true_c, CAST(est_c AS BIGINT) AS est_c
          |FROM est ORDER BY true_c DESC, word LIMIT 20""".stripMargin,
+    "x_hll" ->
+      // HyperLogLog replay: FNV-1a 64 per distinct (source, word), one
+      // splitmix64 step (gamma add + finalizer, the same HUGEINT chain
+      // as x_countmin), bucket = low 9 bits (unsigned % 512), rho =
+      // 56 - bit_length(high 55 bits) via bin() — integer-exact. The
+      // register sum is scaled by 2^56 to DECIMAL(38,0), so both
+      // engines divide the same integer; ln() ulp in the small-range
+      // branch is absorbed by round(4).
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT source, w FROM toks),
+         |wh AS (SELECT source, ${HashReplay.fnvFoldSql("w")} AS h FROM dw),
+         |u_z AS (SELECT source, (h + ${HashReplay.SplitmixGamma}) % $M AS z FROM wh),
+         |${mixCtes("u", "u_z", "source")},
+         |regs AS (SELECT source, CAST(z % 512 AS INT) AS bucket,
+         |           MAX(CASE WHEN z // 512 = 0 THEN 56
+         |                    ELSE 56 - length(bin(z // 512)) END) AS rho
+         |         FROM u GROUP BY 1, 2),
+         |agg AS (SELECT source, COUNT(*) AS cnt,
+         |          SUM(CAST(pow(2, 56 - rho) AS DECIMAL(38,0))) AS sreg
+         |        FROM regs GROUP BY 1),
+         |est AS (SELECT source, cnt,
+         |          ${Hll.numerator(9)} / CAST(sreg +
+         |            (512 - cnt) * CAST(72057594037927936 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+         |        FROM agg),
+         |fin AS (SELECT source,
+         |          CASE WHEN raw <= 1280.0 AND cnt < 512
+         |               THEN 512.0 * ln(512.0 / (512 - cnt)) ELSE raw END AS e
+         |        FROM est),
+         |ex AS (SELECT source, COUNT(DISTINCT w) AS exact_distinct FROM toks GROUP BY 1)
+         |SELECT f.source, round(f.e, 4) AS est_distinct, ex.exact_distinct
+         |FROM fin f JOIN ex USING (source) ORDER BY 1""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

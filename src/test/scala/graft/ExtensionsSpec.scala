@@ -42,10 +42,14 @@ class ExtensionsSpec extends AnyFunSuite {
       """SELECT graft_fnv64('a') AS h,
         |       graft_simhash64(graft_shingle_hashes('a b c d e', 3)) AS sh,
         |       size(graft_minhash_sig(graft_shingle_hashes('a b c d e', 3), 16)) AS k,
-        |       graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin).head()
+        |       graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_hll_register(graft_fnv64('a'), 9) AS reg""".stripMargin).head()
     assert(r.getLong(0) == 0xaf63dc4c8601ec8cL)
     assert(r.getInt(2) == 16)
     assert(r.getDouble(3) == 1.0)
+    val reg = r.getSeq[Int](4)
+    assert(reg == Seq(graft.functions.HllRegister.compute(0xaf63dc4c8601ec8cL, 9).getInt(0),
+      graft.functions.HllRegister.compute(0xaf63dc4c8601ec8cL, 9).getInt(1)))
   }
 
   test("chunk/rolling/overlap/top-k functions callable from SQL") {

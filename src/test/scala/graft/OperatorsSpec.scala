@@ -1150,6 +1150,63 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zs < as * 0.8, s"z-layout b-span $zs vs a-layout $as")
   }
 
+  test("HllRegister: coords match the BigInt replay; bad type fails analysis") {
+    import graft.functions.HllRegister
+    import graft.queries.HashReplay
+    for (h <- Seq(0L, 42L, -1L, Long.MinValue, 0xdeadbeefL)) {
+      val arr = HllRegister.compute(h, 9)
+      val (bucket, rho) = (arr.getInt(0), arr.getInt(1))
+      val u = HashReplay.mixWithGamma(HashReplay.unsigned(h))
+      assert(bucket == (u % 512).toInt, s"bucket h=$h")
+      val w = u / 512
+      val wantRho = if (w == 0) 56 else 56 - w.bitLength
+      assert(rho == wantRho, s"rho h=$h")
+      assert(rho >= 1 && rho <= 56 && bucket >= 0 && bucket < 512)
+    }
+    // engine path (codegen) agrees with compute()
+    val viaEngine = Seq(42L).toDF("h")
+      .select(HllRegister.registerCoords(spark, $"h", 9).as("c"))
+      .head().getSeq[Int](0)
+    val direct = HllRegister.compute(42L, 9)
+    assert(viaEngine == Seq(direct.getInt(0), direct.getInt(1)))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s")
+        .select(HllRegister.registerCoords(spark, $"s", 9)).collect()
+    }
+  }
+
+  test("Hll: merge == whole-corpus registers; estimate inside the error bound") {
+    import graft.operators.Hll
+    val toks = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", explode(split($"text", "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .withColumn("g", lit("all"))
+    val key = Fnv1a64.fnv64(spark, $"w")
+    // sharding is arbitrary: registers of two halves merge to exactly
+    // the whole-corpus register table (max is associative/commutative)
+    val ra = Hll.registers(toks.filter($"doc_id" % 2 === 0), Seq("g"), key, 9)
+    val rb = Hll.registers(toks.filter($"doc_id" % 2 === 1), Seq("g"), key, 9)
+    val merged = Hll.merge(ra, rb, Seq("g"))
+    val whole = Hll.registers(toks, Seq("g"), key, 9)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // estimate vs exact: 3 sigma at p=9 is ~4.7%; allow slack
+    val est = Hll.estimate(whole, Seq("g"), 9).head().getDouble(1)
+    val exact = toks.select("w").distinct().count().toDouble
+    assert(math.abs(est - exact) / exact < 0.15, s"est=$est exact=$exact")
+    // duplicates never move a register: doubling the corpus is a no-op
+    val doubled = Hll.estimateDistinct(toks.unionAll(toks), Seq("g"), key, 9)
+      .head().getDouble(1)
+    assert(doubled == est)
+  }
+
+  test("Hll small-range correction: linear counting on tiny cardinalities") {
+    import graft.operators.Hll
+    val ten = spark.range(10).select(lit("g").as("g"), $"id")
+    val est = Hll.estimateDistinct(ten, Seq("g"), $"id", 9).head().getDouble(1)
+    // raw HLL over-corrects tiny sets; linear counting lands close
+    assert(est > 7.0 && est < 13.0, s"est=$est")
+  }
+
   test("CountMinBuckets: range, determinism, power-of-two width enforced") {
     import graft.functions.CountMinBuckets
     val rows = Seq(1L, -7L, Long.MinValue, 42L).toDF("h")

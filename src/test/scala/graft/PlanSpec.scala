@@ -406,6 +406,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
   }
 
+  test("x_hll: registers collapse map-side; sketch shuffle is constant-size") {
+    val p = plan("x_hll")
+    // partial_max over (source, bucket) BEFORE the exchange: every map
+    // task emits at most |sources|·512 register rows, so the
+    // distinct-count shuffle is constant in the corpus size
+    assert(p.contains("partial_max"), p)
+    // hll_register is a native codegen projection, not a UDF
+    assert(p.contains("hll_register"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the est-vs-exact comparison join broadcasts (both sides tiny)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x_range_join: chunked EQUI join — never a nested-loop theta join") {
     val p = plan("x_range_join")
     assert(p.contains("HashJoin"), p)
