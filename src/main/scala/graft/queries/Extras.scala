@@ -291,6 +291,24 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    "x_pagerank" -> ((s, dir) => {
+      // PageRank centrality (operators/PageRank) over the
+      // who-buys-from-whom graph: customer -> supplier edges from
+      // orders×lineitem. Suppliers never buy, so every supplier is a
+      // dangling node and the dangling-mass redistribution path is
+      // live in the oracle comparison. 3 rounds, each one hash join +
+      // one partial-agged contribution sum, rounds cut by checkpoints.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.PageRank.relativeRanks(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("rel_rank"), 6).as("rel_rank"))
+        .orderBy("node")
+    }),
+
     "x_ivm" -> ((s, dir) => {
       // incremental view maintenance (operators/IncrementalAgg): the
       // standing per-priority totals of orders before 1995-06-01 are
@@ -398,6 +416,38 @@ object Extras {
         |      i -> ((CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) >> i) & 1) << (2 * i + 1)))
         |    AS BIGINT) AS z
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x_pagerank" -> {
+      // unrolled 3-iteration replay; float constants are interpolated
+      // from the SAME Scala doubles the operator uses (DuckDB's
+      // "1.0 - 0.85" is exact decimal, Scala's is 0.15000000000000002
+      // — the e0 suffix forces double literals), and every formula has
+      // the operator's exact shape so only summation order differs,
+      // absorbed by round(6).
+      val iters = 3
+      val d = 0.85
+      val iterCtes = (1 to iters).map { k =>
+        s"""dang$k AS (SELECT COALESCE(SUM(r), 0.0e0) AS dm
+           |  FROM r${k - 1} p LEFT JOIN deg ON p.node = deg.src
+           |  WHERE deg.src IS NULL),
+           |contrib$k AS (SELECT e.dst AS node, SUM(p.r / deg.od) AS c
+           |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src GROUP BY 1),
+           |r$k AS (SELECT n.node,
+           |    ${1.0 - d}e0 / (SELECT n FROM nn) + ${d}e0 * (COALESCE(c.c, 0.0e0) +
+           |      (SELECT dm FROM dang$k) / (SELECT n FROM nn)) AS r
+           |  FROM nodes n LEFT JOIN contrib$k c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS r FROM nodes),
+         |$iterCtes
+         |SELECT node, round(r * (SELECT n FROM nn), 6) AS rel_rank
+         |FROM r$iters ORDER BY node""".stripMargin
+    },
     "x_ivm" ->
       // the IVM correctness statement IS "equals the recompute": the
       // maintained view covers all orders except the retracted slice

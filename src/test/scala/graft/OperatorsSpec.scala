@@ -1150,6 +1150,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zs < as * 0.8, s"z-layout b-span $zs vs a-layout $as")
   }
 
+  test("PageRank: ring is uniform, dangling redistributes, mass conserved") {
+    import graft.operators.PageRank
+    // 3-cycle: every node keeps exactly the uniform rank at any depth
+    val ring = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "d")
+    PageRank.ranks(ring, "s", "d", iters = 4).collect().foreach { row =>
+      assert(math.abs(row.getDouble(1) - 1.0 / 3) < 1e-12, row)
+    }
+    // hand-computed single edge a->b after 1 round (b is dangling):
+    // D = r(b) = 1/2; r'(a) = .15/2 + .85*(0 + .25) = .2875
+    //            r'(b) = .15/2 + .85*(.5 + .25)     = .7125
+    val one = PageRank.ranks(Seq(("a", "b")).toDF("s", "d"), "s", "d", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(one("a") - 0.2875) < 1e-12)
+    assert(math.abs(one("b") - 0.7125) < 1e-12)
+    // mass conservation on a real graph (dangling suppliers live)
+    val edges = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .join(graft.core.Tables.load(spark, "/root/testdata/sf0.001", "lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+      .distinct()
+    val mass = PageRank.ranks(edges, "src", "dst", iters = 3)
+      .agg(sum($"r")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass=$mass")
+  }
+
+  test("PageRank: reliable-checkpoint path equals the local path") {
+    import graft.operators.PageRank
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "a")).toDF("s", "d")
+    val local = PageRank.ranks(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val rel = PageRank.ranks(edges, "s", "d", iters = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(rel == local)
+    } finally {
+      sc.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
   test("HllRegister: coords match the BigInt replay; bad type fails analysis") {
     import graft.functions.HllRegister
     import graft.queries.HashReplay
