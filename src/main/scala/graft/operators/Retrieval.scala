@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a tokenized corpus: inverted-index postings
+  * and BM25 ranked search — the lexical half of a training-data search
+  * stack (the embedding half is [[Similarity]]).
+  *
+  * Tokenization is the corpus-wide whitespace split every text operator
+  * here shares (TextAnalysis.tokens semantics: `\s+`, zero-length
+  * tokens dropped), so postings/df/tf agree with the tf-idf and n-gram
+  * machinery.
+  *
+  * Scale notes (100 TB): the query term set is a handful of strings —
+  * it compiles into an `isin` literal filter that runs INSIDE the scan
+  * projection, so the tf shuffle carries O(matching doc × query term)
+  * rows, never the corpus vocabulary. Document-length stats are a
+  * second corpus pass but aggregate partially (map-side combine) down
+  * to one row per doc; for a standing corpus you'd persist
+  * `docLengths` once and pass it in — `bm25` takes it as an optional
+  * precomputed table for exactly that. df and the (N, avgdl) scalars
+  * ride as broadcast one-row/tiny joins. Nothing collects to the
+  * driver.
+  */
+object Retrieval {
+
+  /** `\s+` split, zero-length dropped — one (docId, term) row per
+    * occurrence. */
+  private def tokenRows(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("__id"),
+        explode(split(col(textCol), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** Per-document token count (BM25's length normalizer). One partial-
+    * agged hash agg; persist this for a standing corpus and hand it to
+    * [[bm25]] so repeated queries skip the second corpus pass. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenRows(docs, idCol, textCol)
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("dl"))
+
+  /** Inverted index: term → df + postings (doc ids sorted ascending).
+    *
+    * `maxDf` is the stop-list cut: terms appearing in more than that
+    * many documents are dropped BEFORE their postings array
+    * materializes (df is a separate tiny agg; the array agg happens
+    * only for surviving terms), so one stopword can never build a
+    * corpus-sized list in a single aggregation buffer. At 100 TB,
+    * df-capped postings are the difference between an index and an OOM.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDf: Long = 1000000L): DataFrame = {
+    val posting = tokenRows(docs, idCol, textCol)
+      .select(col("term"), col("__id")).distinct()
+    val df = posting.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    posting.join(df, Seq("term"))
+      .groupBy("term", "df")
+      .agg(sort_array(collect_list(col("__id"))).as("postings"))
+  }
+
+  /** BM25 (the Lucene `k1`/`b` variant with the always-positive idf,
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))`): top-k documents for a bag of
+    * query terms. Repeated query terms are deduplicated (set-of-terms
+    * semantics).
+    *
+    * N counts ALL corpus docs and avgdl = total tokens / N (empty docs
+    * count as length 0) so the stats don't shift when empty docs churn.
+    * Output: (idCol, score) — score rounded to 4 decimals (absorbs
+    * cross-engine ln()/summation ulp), ties broken by id, so the top-k
+    * cut is total-ordered and engine-deterministic.
+    *
+    * `lengths`: pass a persisted [[docLengths]] table to skip the
+    * second corpus pass; defaults to computing it inline.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+           lengths: Option[DataFrame] = None): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = tokenRows(docs, idCol, textCol)
+    val dl = lengths.map(_.select(col(idCol).as("__id"), col("dl")))
+      .getOrElse(docLengths(docs, idCol, textCol)
+        .select(col(idCol).as("__id"), col("dl")))
+    // one-row corpus stats: N over docs (not dl — empty docs count),
+    // avgdl = token total / N
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"))
+      .crossJoin(toks.agg(count(lit(1)).cast("double").as("__ntok")))
+      .select(col("__n"), (col("__ntok") / col("__n")).as("__avgdl"))
+    val qTerms = terms.distinct
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("__id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = col("tf") * (lit(k1) + lit(1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    tf.join(dl, "__id")
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("__id").as(idCol))
+      .agg(round(sum(idf * norm), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Hll, Multimodal, Sampling, Sketches, TextAnalysis}
+import graft.operators.{Dedup, Hll, Multimodal, Retrieval, Sampling, Sketches, TextAnalysis}
 
 /** Declared document/text queries Q15–Q17 plus the mandated
   * training-data extension operators over `documents` (SURVEY §2.B
@@ -178,6 +178,30 @@ object TextDocs {
         .select(col("doc_id"), col("word"),
           round(col("tf") * log(col("n").cast("double") / col("df")), 4).as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+        .limit(20)
+    }),
+
+    "x_bm25" -> ((s, dir) => {
+      // BM25 ranked keyword retrieval (operators/Retrieval): top-20
+      // docs for a 4-term query. The term filter compiles into the
+      // scan, df/stats broadcast, and the only corpus-sized work is
+      // the doc-length agg (precomputable via Retrieval.docLengths).
+      // round(4) + id tie-break make the cut engine-deterministic.
+      Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("vector", "stream", "merge", "window"), k = 20)
+    }),
+
+    "x_inverted" -> ((s, dir) => {
+      // inverted-index build (operators/Retrieval): term -> sorted
+      // postings, df-capped. The oracle checks a digest (md5 of the
+      // space-joined posting list) so the full posting ORDER and
+      // CONTENT are hash-verified without shipping arrays through the
+      // compare.
+      Retrieval.invertedIndex(docs(s, dir), "doc_id", "text")
+        .select(col("term"), col("df"),
+          md5(array_join(transform(col("postings"),
+            x => x.cast("string")), " ")).as("postings_md5"))
+        .orderBy(col("df").desc, col("term"))
         .limit(20)
     }),
 
@@ -1193,6 +1217,44 @@ object TextDocs {
         |  ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
         |FROM tf JOIN df USING (word) CROSS JOIN n
         |ORDER BY tfidf DESC, tf.doc_id, tf.word LIMIT 20""".stripMargin,
+    "x_bm25" ->
+      // mirror of Retrieval.bm25's exact formula shape (Lucene idf,
+      // k1=1.2 b=0.75); only per-doc summation order differs between
+      // engines, absorbed by round(4)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+        |         (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks) /
+        |           (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS avgdl
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('vector', 'stream', 'merge', 'window') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT tf.doc_id,
+        |  ROUND(SUM(ln(1.0e0 + (s.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+        |    (tf.tf * (1.2e0 + 1.0e0) /
+        |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
+        |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_inverted" ->
+      """WITH posting AS (
+        |  SELECT DISTINCT term, doc_id FROM (
+        |    SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+        |    FROM documents)
+        |), df AS (
+        |  SELECT term, COUNT(*) AS df FROM posting GROUP BY 1
+        |  HAVING COUNT(*) <= 1000000
+        |)
+        |SELECT p.term, df.df,
+        |  md5(array_to_string(list(p.doc_id ORDER BY p.doc_id), ' ')) AS postings_md5
+        |FROM posting p JOIN df USING (term)
+        |GROUP BY p.term, df.df ORDER BY df.df DESC, p.term LIMIT 20""".stripMargin,
     "x_ngram_freq" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w

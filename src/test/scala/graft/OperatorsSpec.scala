@@ -1194,6 +1194,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("BM25: hand-computed score, term-set semantics, precomputed lengths") {
+    import graft.operators.Retrieval
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=8/3, df(a)=2, idf=ln(1.6); d1 tf=2 dl=3, d2 tf=1 dl=2
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    def norm(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (8.0 / 3.0)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(1L -> r4(idf * norm(2, 3)), 2L -> r4(idf * norm(1, 2))))
+    // repeated query terms are set-semantics: no double counting
+    val dup = Retrieval.bm25(docs, "doc_id", "text", Seq("a", "a"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dup == got)
+    // precomputed docLengths path is plan-equivalent
+    val pre = Retrieval.bm25(docs, "doc_id", "text", Seq("a"), k = 10,
+      lengths = Some(Retrieval.docLengths(docs, "doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pre == got)
+  }
+
+  test("invertedIndex: sorted postings, df = posting count, maxDf stop-cut") {
+    import graft.operators.Retrieval
+    val docs = Seq((3L, "x y"), (1L, "x y x"), (2L, "y")).toDF("doc_id", "text")
+    val idx = Retrieval.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    // per-occurrence rows collapse to per-doc postings, ascending ids
+    assert(idx == Map("x" -> ((2L, Seq(1L, 3L))), "y" -> ((3L, Seq(1L, 2L, 3L)))))
+    // stop-list cut: df-2 term survives, df-3 term drops before its array builds
+    val capped = Retrieval.invertedIndex(docs, "doc_id", "text", maxDf = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(capped == Set("x"))
+  }
+
   test("HllRegister: coords match the BigInt replay; bad type fails analysis") {
     import graft.functions.HllRegister
     import graft.queries.HashReplay

@@ -443,4 +443,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("x_bm25: df/stats broadcast back; top-k is TakeOrdered; aggs partial") {
+    val p = plan("x_bm25")
+    // the tiny df table and the 1-row stats row must come back as
+    // broadcasts — the match-set side never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), "1-row stats must BNLJ") // cross of stats
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("partial"), "tf/dl aggs must partial-aggregate map-side")
+  }
+
+  test("x_inverted: postings digest never shuffles arrays for the df join") {
+    val p = plan("x_inverted")
+    // df is an agg OF the posting set — it must broadcast back to the
+    // posting rows, not force a second corpus-wide sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
