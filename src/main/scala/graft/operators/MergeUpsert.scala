@@ -39,4 +39,38 @@ object MergeUpsert {
     val applied = latest.filter(col(opCol) =!= "D").drop(opCol, seqCol)
     untouched.unionByName(applied)
   }
+
+  /** SCD Type-2 history build — turn an append-only keyed change log
+    * into versioned dimension rows with validity intervals: one row per
+    * EFFECTIVE state change, `[valid_from_seq, valid_to_seq)` half-open
+    * on the change sequence, `valid_to_seq` null + `is_current` true on
+    * the latest version. Consecutive changes that repeat the previous
+    * state (CDC echoes, full-row re-pushes — the reference's cron
+    * re-push emits exactly these) collapse into the earlier version.
+    *
+    * Contract: (keys, seqCol) unique, seqCol monotone in change order
+    * (a CDC LSN / commit timestamp).
+    *
+    * Shape at scale: one shuffle on the key, then lag (drop no-ops) and
+    * lead (close intervals) run over the SAME (key, seq) sort — the
+    * filter between them preserves partitioning and order, so Spark
+    * plans one Exchange + one Sort for both windows (PlanSpec-locked).
+    * Per-key state is the window row buffer, never the history.
+    */
+  def scd2History(changes: DataFrame, keys: Seq[String], seqCol: String,
+                  stateCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "scd2History: need at least one key column")
+    require(stateCols.nonEmpty, "scd2History: need at least one state column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(seqCol))
+    val state = struct(stateCols.map(col): _*)
+    changes
+      .withColumn("__prev", lag(state, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> state))
+      .withColumn("valid_from_seq", col(seqCol))
+      .withColumn("valid_to_seq", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to_seq").isNull)
+      .select((keys ++ stateCols).map(col) ++
+        Seq(col("valid_from_seq"), col("valid_to_seq"), col("is_current")): _*)
+  }
 }

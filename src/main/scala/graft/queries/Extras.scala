@@ -291,6 +291,21 @@ object Extras {
         .orderBy("c_custkey")
     }),
 
+    "x_scd2" -> ((s, dir) => {
+      // SCD Type-2 history build (operators/MergeUpsert.scd2History):
+      // orders as a per-customer change log (seq = orderkey as the CDC
+      // LSN, state = status+priority). Repeated states collapse — the
+      // no-op-drop lag path is live because priorities repeat heavily
+      // per customer. One key shuffle, both windows share the sort.
+      val changes = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 300)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      graft.operators.MergeUpsert.scd2History(
+          changes, Seq("custkey"), "seq", Seq("status", "priority"))
+        .orderBy("custkey", "valid_from_seq")
+    }),
+
     "x_pagerank" -> ((s, dir) => {
       // PageRank centrality (operators/PageRank) over the
       // who-buys-from-whom graph: customer -> supplier edges from
@@ -416,6 +431,23 @@ object Extras {
         |      i -> ((CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) >> i) & 1) << (2 * i + 1)))
         |    AS BIGINT) AS z
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |         o_orderstatus AS status, o_orderpriority AS priority
+        |  FROM orders WHERE o_custkey <= 300),
+        |eff AS (
+        |  SELECT custkey, seq, status, priority FROM (
+        |    SELECT custkey, seq, status, priority,
+        |           lag(status) OVER w AS ps, lag(priority) OVER w AS pp,
+        |           (lag(seq) OVER w IS NULL) AS first
+        |    FROM ch WINDOW w AS (PARTITION BY custkey ORDER BY seq))
+        |  WHERE first OR status IS DISTINCT FROM ps OR priority IS DISTINCT FROM pp)
+        |SELECT custkey, status, priority, seq AS valid_from_seq,
+        |       lead(seq) OVER w AS valid_to_seq,
+        |       (lead(seq) OVER w IS NULL) AS is_current
+        |FROM eff WINDOW w AS (PARTITION BY custkey ORDER BY seq)
+        |ORDER BY custkey, valid_from_seq""".stripMargin,
     "x_pagerank" -> {
       // unrolled 3-iteration replay; float constants are interpolated
       // from the SAME Scala doubles the operator uses (DuckDB's

@@ -540,6 +540,27 @@ object TextDocs {
         .orderBy("lang")
     }),
 
+    "x_zone_scan" -> ((s, dir) => {
+      // zone-map data skipping (sources/ZoneMaps): cluster the corpus
+      // into doc_id-bucketed files, build the min/max-per-file stats
+      // table in one pass, then answer a range scan opening ONLY files
+      // the zone map can't rule out. Equality with the oracle (plain
+      // range filter on the ORIGINAL parquet) proves pruning lossless;
+      // the file-count shrink itself is asserted in ScalaTest.
+      val d = docs(s, dir)
+      val dirF = scratchDir("zones", dir)
+      d.withColumn("bucket", floor(col("doc_id") / 64).cast("int"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(dirF.getAbsolutePath)
+      val clustered = s.read.parquet(dirF.getAbsolutePath)
+      val stats = graft.sources.ZoneMaps.fileStats(clustered, Seq("doc_id"))
+      graft.sources.ZoneMaps.skipScan(
+          s, dirF.getAbsolutePath, stats, "doc_id", 100L, 199L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "x_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL ingest (the LLM-corpus interchange format): write the
       // corpus as line-delimited JSON, read it back with an explicit
@@ -1242,6 +1263,11 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_zone_scan" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id BETWEEN 100 AND 199
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "x_inverted" ->
       """WITH posting AS (
         |  SELECT DISTINCT term, doc_id FROM (

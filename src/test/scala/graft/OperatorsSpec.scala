@@ -1194,6 +1194,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ZoneMaps: stats are per-file, pruning skips out-of-range files, scan lossless") {
+    import graft.sources.ZoneMaps
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm").toString
+    try {
+      val d = spark.range(0, 1000).select($"id",
+        ($"id" % 7).as("v"), floor($"id" / 100).cast("int").as("bucket"))
+      d.write.mode("overwrite").partitionBy("bucket").parquet(dir)
+      val clustered = spark.read.parquet(dir)
+      val stats = ZoneMaps.fileStats(clustered, Seq("id")).collect()
+      val nFiles = stats.length
+      assert(nFiles >= 10, s"expected >=10 files, got $nFiles") // 10 buckets
+      assert(stats.map(_.getAs[Long]("rows")).sum == 1000)
+      // range [250, 449] touches buckets 2..4 only
+      val statsDf = ZoneMaps.fileStats(clustered, Seq("id"))
+      val pruned = ZoneMaps.pruneFiles(statsDf, "id", 250L, 449L)
+      assert(pruned.length < nFiles, s"pruned ${pruned.length} of $nFiles")
+      assert(pruned.forall { f =>
+        val b = f.split("bucket=")(1).split("/")(0).toInt; b >= 2 && b <= 4
+      }, pruned.mkString(","))
+      // lossless: pruned scan == full-scan filter, partition col intact
+      val got = ZoneMaps.skipScan(spark, dir, statsDf, "id", 250L, 449L)
+        .select($"id", $"v", $"bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = clustered.filter($"id".between(250, 449))
+        .select($"id", $"v", $"bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want && got.size == 200)
+      // all-pruned range: empty result, schema anchored by basePath
+      val none = ZoneMaps.skipScan(spark, dir, statsDf, "id", 5000L, 6000L)
+      assert(none.count() == 0)
+      assert(none.columns.toSet == clustered.columns.toSet)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+    }
+  }
+
+  test("scd2History: echoes collapse (null-safe), intervals close, current flagged") {
+    import graft.operators.MergeUpsert
+    val log = Seq(
+      ("A", 1L, Some("x")), ("A", 2L, Some("x")), // echo: collapses
+      ("A", 3L, Some("y")), ("A", 4L, Some("y")), // echo
+      ("A", 5L, Some("x")),                       // back to x = NEW version
+      ("B", 1L, None), ("B", 2L, None),           // null state echo: null-safe collapse
+      ("B", 3L, Some("z"))
+    ).toDF("k", "seq", "st")
+    val got = MergeUpsert.scd2History(log, Seq("k"), "seq", Seq("st"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(got == Set(
+      ("A", Some("x"), 1L, Some(3L), false),
+      ("A", Some("y"), 3L, Some(5L), false),
+      ("A", Some("x"), 5L, None, true),
+      ("B", None, 1L, Some(3L), false),
+      ("B", Some("z"), 3L, None, true)))
+  }
+
   test("BM25: hand-computed score, term-set semantics, precomputed lengths") {
     import graft.operators.Retrieval
     val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "c c c")).toDF("doc_id", "text")

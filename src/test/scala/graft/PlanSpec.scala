@@ -444,6 +444,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("x_scd2: both windows share one exchange and one sort") {
+    val p = plan("x_scd2")
+    // lag (no-op drop) and lead (interval close) partition+order the
+    // same way; the filter between them preserves both, so the plan
+    // must hold exactly one shuffle and one sort for the two Window ops
+    // 2 exchanges total: the window hash shuffle + the output orderBy's
+    // range partitioning; 2 sorts: the shared window sort + the output
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Window\s*""")) == 2, p)
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange\s*""")) == 2, p)
+    assert(p.linesIterator.count(_.trim.matches("""\(\d+\) Sort\s*""")) == 2, p)
+  }
+
   test("x_bm25: df/stats broadcast back; top-k is TakeOrdered; aggs partial") {
     val p = plan("x_bm25")
     // the tiny df table and the 1-row stats row must come back as
