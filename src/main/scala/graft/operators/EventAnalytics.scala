@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over an event log (SURVEY §2.B event
+  * family): ordered funnel conversion, cohort retention, and time-series
+  * resampling with forward fill. All three are shapes every large event
+  * warehouse query engine ships natively; here they compose from
+  * hash aggregation + higher-order array functions so the heavy pass
+  * stays inside whole-stage codegen.
+  */
+object EventAnalytics {
+
+  /** Ordered funnel: for each user, the earliest chain of `steps`
+    * events where step i+1 happens at-or-after the reached step i and
+    * (optionally) within `maxGap` of it; output is users reached per
+    * step.
+    *
+    * Shape at scale: filter to the step set (pushed to the scan),
+    * ONE shuffle on the user key into a hash aggregate whose value is
+    * the user's sorted (ts, step) array, then the chain fold runs as a
+    * higher-order `aggregate` over that array — a narrow codegen pass,
+    * no window, no per-step self-join (the naive form is k-1 joins over
+    * the full log). The final per-step counts are a two-row global agg.
+    * Equal timestamps break ties by step order, so a step-i and step-i+1
+    * event on the same instant chain in order.
+    */
+  def funnelReach(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  maxGap: Option[String] = None): DataFrame = {
+    require(steps.size >= 2, "funnelReach: need at least 2 steps")
+    require(steps.distinct.size == steps.size, "funnelReach: steps must be distinct")
+    val k = steps.size
+    // 0-based step index; array_position is 1-based and 0 = absent
+    val idxOf = (array_position(lit(steps.toArray), col(typeCol)) - 1).cast("int")
+    val perUser = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("u"),
+        struct(col(tsCol).as("ts"), idxOf.as("idx")).as("e"))
+      .groupBy(col("u"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    val init = array((0 until k).map(_ => lit(null).cast("timestamp")): _*)
+    val reach = aggregate(col("evs"), init, (acc: Column, e: Column) => {
+      val idx = e.getField("idx")
+      val ets = e.getField("ts")
+      // previous step reached, and (if gapped) this event inside its
+      // window. element_at is 1-based, so element_at(acc, idx) IS the
+      // 0-based predecessor; the CASE keeps it unevaluated when idx=0
+      // (ANSI element_at(_, 0) would throw).
+      val prevOk = when(idx === 0, lit(true)).otherwise(maxGap match {
+        case None      => element_at(acc, idx).isNotNull
+        case Some(gap) => element_at(acc, idx).isNotNull &&
+          ets <= element_at(acc, idx) + expr(s"INTERVAL $gap")
+      })
+      // events arrive in (ts, idx) order, so the first qualifying event
+      // per step is the minimal one — greedy fold == per-step min chain
+      transform(acc, (t: Column, i: Column) =>
+        when(i === idx && t.isNull && prevOk, ets).otherwise(t))
+    })
+    val cnts = (0 until k).map(i =>
+      sum(when(col("reach").getItem(i).isNotNull, 1L).otherwise(0L)).as(s"s$i"))
+    perUser.select(reach.as("reach"))
+      .agg(cnts.head, cnts.tail: _*)
+      .select(explode(array((0 until k).map(i => struct(
+        lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+        col(s"s$i").as("users"))): _*)).as("r"))
+      .select(col("r.step"), col("r.event_type"), col("r.users"))
+      .orderBy("step")
+  }
+
+  /** Cohort retention: cohort = the day of a user's first qualifying
+    * event; for each (cohort, day offset), how many of that cohort's
+    * users were active. Two hash aggregates plus one join whose right
+    * side is one row per user — tiny next to the event log, so at scale
+    * the join is on pre-aggregated data, never raw events; countDistinct
+    * is avoided because (user, day) is distinct by construction.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .groupBy("u", "d").agg(count(lit(1)).as("_n")).drop("_n")
+    val first = days.groupBy("u").agg(min(col("d")).as("cohort"))
+    days.join(first, "u")
+      .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Resample + forward fill: aggregate per (key, time bucket), build
+    * the complete bucket grid between the global min and max bucket,
+    * and forward-fill (LOCF) empty buckets from the last observed value
+    * per key. Buckets before a key's first observation stay null.
+    *
+    * Shape at scale: the ONLY pass over raw events is the partial-agged
+    * bucket aggregate; the grid is |keys| × |buckets| rows (tiny by
+    * comparison), built from a 1-row bounds agg cross-joined with the
+    * distinct keys, and the fill window runs per key over that grid.
+    */
+  def resampleFill(events: DataFrame, keyCol: String, tsCol: String,
+                   valCol: Column, bucket: String = "hour"): DataFrame = {
+    val actual = events
+      .groupBy(col(keyCol).as("k"), date_trunc(bucket, col(tsCol)).as("h"))
+      .agg(valCol.as("v"))
+    val bounds = actual.agg(min(col("h")).as("mn"), max(col("h")).as("mx"))
+    val grid = actual.select(col("k")).distinct()
+      .crossJoin(bounds)
+      .select(col("k"),
+        explode(sequence(col("mn"), col("mx"), expr(s"INTERVAL 1 $bucket"))).as("h"))
+    grid.join(actual, Seq("k", "h"), "left")
+      .withColumn("filled", col("v").isNull)
+      .withColumn("v", last(col("v"), ignoreNulls = true).over(
+        Window.partitionBy("k").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("k", "h")
+  }
+}

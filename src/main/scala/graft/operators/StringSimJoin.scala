@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String-similarity self-join under edit distance (SURVEY §2.B dedup
+  * family sibling): find all pairs within Levenshtein distance 1 via
+  * deletion-neighborhood blocking (the SymSpell scheme), then verify
+  * exactly.
+  *
+  * Why not q-gram blocking: on key-like corpora sharing a long common
+  * prefix (ids, urls, near-identical records — the realistic dedup
+  * input) every string shares every prefix q-gram, so q-gram buckets
+  * degenerate to a cross join. Deletion neighborhoods don't: two
+  * strings are within edit distance 1 **iff** their {self} ∪
+  * {1-deletions} key sets intersect (substitution at i → both delete i;
+  * insertion → the longer string deletes the inserted char; equality →
+  * self key), so the bucket join is lossless by construction and bucket
+  * size is bounded by the alphabet, not the corpus.
+  */
+object StringSimJoin {
+
+  /** All pairs (id_a < id_b) whose strings are within Levenshtein
+    * distance 1.
+    *
+    * Shape at scale: each string emits len+1 keys in one narrow
+    * higher-order pass (no UDF), candidates meet in an equi-join on the
+    * key — never a cartesian — duplicate candidates collapse in one
+    * hash aggregate, and the codegen'd `levenshtein` verifies. Empty
+    * strings are excluded (an empty string's only key is itself).
+    */
+  def editDistance1Join(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(length(col("s")) >= 1)
+    // keys: the string itself + every single-character deletion,
+    // deduped per string (repeated chars give identical deletions)
+    val delKeys = transform(sequence(lit(1), length(col("s"))), (i: Column) =>
+      concat(col("s").substr(lit(1), i - 1),
+        col("s").substr(i + 1, length(col("s")) - i)))
+    val keyed = base.select(col("id"), col("s"),
+      explode(array_union(array(col("s")), delKeys)).as("key"))
+    keyed.as("a").join(keyed.as("b"), Seq("key"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("s_a"), col("b.s").as("s_b"))
+      .agg(count(lit(1)).as("_k")).drop("_k")
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, EventAnalytics}
 import graft.streaming.EventStreams
 
 /** Event-stream queries: declared Q19 (JSON extraction), Q21 (tumbling
@@ -134,7 +134,30 @@ object Events {
       // join-key skew diagnostic on the stream's natural join key —
       // the report run before choosing plain vs salted vs AQE-split
       // joins at scale (one row: count distribution over keys)
-      graft.operators.ScaleJoins.keySkewReport(ev(s, dir), "user_id"))
+      graft.operators.ScaleJoins.keySkewReport(ev(s, dir), "user_id")),
+
+    "x_funnel" -> ((s, dir) =>
+      // ordered funnel signup→view→purchase, each step within 12 h of
+      // the previous (operators/EventAnalytics.funnelReach): one
+      // user-key shuffle, the chain fold is a higher-order aggregate
+      // over each user's sorted step events — no per-step self-joins
+      EventAnalytics.funnelReach(ev(s, dir), "user_id", "event_type", "ts",
+        Seq("signup", "view", "purchase"), maxGap = Some("12 hours"))),
+
+    "x_retention" -> ((s, dir) =>
+      // day-granularity purchase retention cohorts
+      // (operators/EventAnalytics.retentionCohorts): cohort = first
+      // purchase day, offset = active purchase days after it
+      EventAnalytics.retentionCohorts(
+        ev(s, dir).filter(col("event_type") === "purchase"), "user_id", "ts")),
+
+    "x_gap_fill" -> ((s, dir) =>
+      // hourly resample + forward fill (EventAnalytics.resampleFill):
+      // the 215 empty (type, hour) grid cells at sf0.01 take the last
+      // observed hourly sum (LOCF); decimal-exact sum → double output
+      EventAnalytics.resampleFill(ev(s, dir), "event_type", "ts",
+          sum(col("value").cast(D)).cast("double"))
+        .select(col("k").as("event_type"), col("h"), col("v").as("sv"), col("filled")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -207,6 +230,57 @@ object Events {
         |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
         |  ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 4) AS top_share,
         |  ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4) AS skew_ratio
-        |FROM k""".stripMargin
+        |FROM k""".stripMargin,
+    // the greedy sorted fold == the per-step min chain: step i's reach
+    // is the minimal step-i event at-or-after step i-1's reach and
+    // inside its 12 h window, which is exactly this CTE ladder
+    "x_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+        |  JOIN t1 ON e.user_id = t1.user_id AND e.event_type = 'view'
+        |         AND e.ts >= t1.ts AND e.ts <= t1.ts + INTERVAL '12 hours'
+        |  GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS ts FROM events e
+        |  JOIN t2 ON e.user_id = t2.user_id AND e.event_type = 'purchase'
+        |         AND e.ts >= t2.ts AND e.ts <= t2.ts + INTERVAL '12 hours'
+        |  GROUP BY 1)
+        |SELECT * FROM (VALUES
+        |  (1, 'signup',   (SELECT CAST(COUNT(*) AS BIGINT) FROM t1)),
+        |  (2, 'view',     (SELECT CAST(COUNT(*) AS BIGINT) FROM t2)),
+        |  (3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM t3)))
+        |  v(step, event_type, users)
+        |ORDER BY step""".stripMargin,
+    "x_retention" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |  WHERE event_type = 'purchase'),
+        |fs AS (SELECT user_id, MIN(d) AS cohort FROM d GROUP BY 1)
+        |SELECT cohort, CAST(datediff('day', cohort, d.d) AS INT) AS day_offset,
+        |  COUNT(*) AS users
+        |FROM d JOIN fs USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "x_gap_fill" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM a),
+        |grid AS (
+        |  SELECT et AS event_type, CAST(t.h AS TIMESTAMP) AS h
+        |  FROM (SELECT DISTINCT event_type AS et FROM events), b,
+        |       unnest(generate_series(b.mn, b.mx, INTERVAL '1 hour')) AS t(h)),
+        |j AS (
+        |  SELECT g.event_type, g.h, a.sv, a.sv IS NULL AS filled
+        |  FROM grid g LEFT JOIN a ON a.event_type = g.event_type AND a.h = g.h)
+        |SELECT event_type, h,
+        |  last_value(sv IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv,
+        |  filled
+        |FROM j ORDER BY event_type, h""".stripMargin
   )
 }

@@ -306,6 +306,43 @@ object Extras {
         .orderBy("custkey", "valid_from_seq")
     }),
 
+    "x_copurchase" -> ((s, dir) => {
+      // market-basket co-occurrence (operators/CoOccurrence
+      // .basketPairs): top-20 part pairs by shared-order count. One
+      // basket shuffle + narrow HOF pair expansion + partial-agged pair
+      // counts; top-k is TakeOrdered, never a global sort.
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      graft.operators.CoOccurrence.basketPairs(li, "basket", "item")
+        .orderBy(col("cnt").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
+    "x_triangles" -> ((s, dir) => {
+      // triangle count + clustering coefficient (CoOccurrence
+      // .triangleStats) on the part co-purchase graph (pairs sharing
+      // >= 2 orders): degree-oriented wedge join, each triangle counted
+      // once at its lowest-rank vertex, no cartesian anywhere
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      val edges = graft.operators.CoOccurrence.basketPairs(li, "basket", "item")
+        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      graft.operators.CoOccurrence.triangleStats(edges)
+    }),
+
+    "x_editdist_join" -> ((s, dir) =>
+      // edit-distance<=1 self-join over customer names (operators/
+      // StringSimJoin): SymSpell deletion-neighborhood blocking — the
+      // shared "Customer#" prefix makes q-gram blocking a cross join,
+      // deletion keys stay alphabet-bounded — then exact levenshtein
+      // verify. The oracle is the brute-force quadratic join; equality
+      // proves the blocking lossless.
+      graft.operators.StringSimJoin.editDistance1Join(
+          t(s, dir, "customer"), "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"), col("s_a").as("name_a"),
+          col("s_b").as("name_b"), col("dist"))
+        .orderBy("id_a", "id_b")),
+
     "x_pagerank" -> ((s, dir) => {
       // PageRank centrality (operators/PageRank) over the
       // who-buys-from-whom graph: customer -> supplier edges from
@@ -448,6 +485,42 @@ object Extras {
         |       (lead(seq) OVER w IS NULL) AS is_current
         |FROM eff WINDOW w AS (PARTITION BY custkey ORDER BY seq)
         |ORDER BY custkey, valid_from_seq""".stripMargin,
+    "x_copurchase" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |p AS (
+        |  SELECT a.i AS u, b.i AS v, COUNT(*) AS cnt
+        |  FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2)
+        |SELECT u, v, cnt FROM p
+        |ORDER BY cnt DESC, u, v LIMIT 20""".stripMargin,
+    // undirected-canonical triple join (x < y < z) counts each triangle
+    // once, same as the operator's single-orientation count
+    "x_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS u, b.i AS v
+        |  FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT COUNT(*) AS triangles
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT (SELECT COUNT(*) FROM e) AS edges, tri.triangles,
+        |  ROUND(CAST(3.0 * tri.triangles AS DOUBLE) /
+        |    CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE), 4) AS clustering
+        |FROM tri""".stripMargin,
+    "x_editdist_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_name AS name_a, b.c_name AS name_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND abs(length(a.c_name) - length(b.c_name)) <= 1
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_pagerank" -> {
       // unrolled 3-iteration replay; float constants are interpolated
       // from the SAME Scala doubles the operator uses (DuckDB's

@@ -1436,4 +1436,110 @@ class OperatorsSpec extends AnyFunSuite {
         org.apache.spark.sql.catalyst.expressions.Literal("x"), "NFX")
     }
   }
+
+  test("funnelReach: ordered chain, gap window, same-instant tie, out-of-order steps") {
+    import graft.operators.EventAnalytics
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      // u1: clean a->b->c inside gaps
+      (1L, "a", ts(0)), (1L, "b", ts(5)), (1L, "c", ts(10)),
+      // u2: b BEFORE a — must not count for step 2; later b qualifies
+      (2L, "b", ts(0)), (2L, "a", ts(1)), (2L, "b", ts(2)),
+      // u3: b outside the 10-minute gap -> chain stops at a
+      (3L, "a", ts(0)), (3L, "b", ts(20)),
+      // u4: a and b at the SAME instant chain in step order; c next tick
+      (4L, "a", ts(3)), (4L, "b", ts(3)), (4L, "c", ts(4)),
+      // u5: never does step a at all (c alone counts nothing)
+      (5L, "c", ts(0))
+    ).toDF("u", "t", "ts")
+    val got = EventAnalytics.funnelReach(ev, "u", "t", "ts",
+        Seq("a", "b", "c"), maxGap = Some("10 minutes"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 2L)))
+    // ungapped: u3's late b now chains
+    val open = EventAnalytics.funnelReach(ev, "u", "t", "ts", Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(2)).toSeq
+    assert(open == Seq(4L, 4L, 2L))
+  }
+
+  test("retentionCohorts: cohort = first day, offsets count distinct active days") {
+    import graft.operators.EventAnalytics
+    def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    val ev = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 17)), (1L, ts(3, 9)),  // cohort 3/1, days 0 and 2
+      (2L, ts(1, 12)),                                  // cohort 3/1, day 0 only
+      (3L, ts(2, 8)), (3L, ts(3, 8))                    // cohort 3/2, days 0 and 1
+    ).toDF("u", "ts")
+    val got = EventAnalytics.retentionCohorts(ev, "u", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("2024-03-01", 0, 2L), ("2024-03-01", 2, 1L),
+      ("2024-03-02", 0, 1L), ("2024-03-02", 1, 1L)))
+  }
+
+  test("resampleFill: holes forward-fill per key, leading holes stay null") {
+    import graft.operators.EventAnalytics
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ev = Seq(
+      ("x", ts(0, 10), 1.0), ("x", ts(0, 40), 2.0), // hour 0: sum 3
+      ("x", ts(3, 0), 5.0),                         // hours 1,2 are holes
+      ("y", ts(2, 0), 7.0)                          // y starts at hour 2: 0,1 leading-null
+    ).toDF("k", "ts", "value")
+    val got = EventAnalytics.resampleFill(ev, "k", "ts",
+        sum(col("value").cast("decimal(18,2)")).cast("double"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getHours,
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("x", 0, 3.0, false), ("x", 1, 3.0, true), ("x", 2, 3.0, true), ("x", 3, 5.0, false),
+      ("y", 0, null, true), ("y", 1, null, true), ("y", 2, 7.0, false), ("y", 3, 7.0, true)))
+  }
+
+  test("basketPairs: per-basket dedup, canonical u<v, cross-basket counts") {
+    import graft.operators.CoOccurrence
+    val df = Seq(
+      (1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L), // dup item collapses
+      (2L, 20L), (2L, 10L),                       // order within basket irrelevant
+      (3L, 30L)                                   // singleton: no pairs
+    ).toDF("b", "i")
+    val got = CoOccurrence.basketPairs(df, "b", "i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
+
+  test("triangleStats: K4 has 4 triangles; planted graph matches brute force") {
+    import graft.operators.CoOccurrence
+    val k4 = (for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)).toDF("u", "v")
+    val r1 = CoOccurrence.triangleStats(k4).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) == ((6L, 4L, 1.0)))
+    // planted: one triangle + a pendant + a square (no triangle)
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (5L, 8L)).toDF("u", "v")
+    val r2 = CoOccurrence.triangleStats(g).head()
+    assert(r2.getLong(0) == 8L && r2.getLong(1) == 1L)
+  }
+
+  test("editDistance1Join: equals brute-force levenshtein<=1 incl. ins/del/sub") {
+    import graft.operators.StringSimJoin
+    val strs = Seq("abcd", "abed", "abd", "abcde", "abcd", "zzzz", "ab",
+      "ba", "a", "b", "", "xabcd", "abxcd").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    val got = StringSimJoin.editDistance1Join(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    val brute = (for {
+      (ia, a) <- strs; (ib, b) <- strs
+      if ia < ib && a.nonEmpty && b.nonEmpty
+      d = {
+        val dp = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      if d <= 1
+    } yield (ia.toLong, ib.toLong, d)).toSet
+    assert(got == brute)
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1)) // non-vacuous
+  }
 }

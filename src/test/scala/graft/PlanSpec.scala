@@ -444,6 +444,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("x_funnel: step filter pushed to scan, chain fold is HOF — no Window, no self-joins") {
+    val p = plan("x_funnel")
+    // the naive funnel is k-1 self-joins or a window scan; ours is one
+    // user-key aggregate + an array fold inside project
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("PushedFilters"))
+    assert(p.linesIterator.exists(l => l.contains("In(event_type") ||
+      l.contains("In(event_type,")), p)
+  }
+
+  test("x_copurchase: pair counts partial-agg, top-20 is TakeOrdered, no join") {
+    val p = plan("x_copurchase")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    // pair expansion is a narrow generate over basket arrays, not the
+    // naive lineitem self-join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate") && p.contains("explode(flatten(transform"), p)
+  }
+
+  test("x_editdist_join/x_triangles: blocked equi-joins only, never a cartesian") {
+    val pe = plan("x_editdist_join")
+    assert(!pe.contains("CartesianProduct") && !pe.contains("BroadcastNestedLoop"), pe)
+    val pt = plan("x_triangles")
+    // (the 1-row totals crossJoins plan as BNLJ over single rows; the
+    // data-sized wedge/closure joins must be hash/merge equi-joins)
+    assert(!pt.contains("CartesianProduct"), pt)
+  }
+
   test("x_scd2: both windows share one exchange and one sort") {
     val p = plan("x_scd2")
     // lag (no-op drop) and lead (interval close) partition+order the
