@@ -85,4 +85,61 @@ object Profiling {
         col("n_distinct"), col("min_num"), col("max_num"),
         col("min_str"), col("max_str"), col("avg_len"))
   }
+
+  /** Robust outlier report per group: median, MAD (median absolute
+    * deviation), and how many values sit outside
+    * `median ± cut · 1.4826 · MAD` (1.4826 scales MAD to σ under
+    * normality — the standard robust z-score). Unlike mean/stddev
+    * outlier rules, one huge corrupt value cannot drag the threshold.
+    *
+    * Shape: two exact-`percentile` aggregation passes (the second over
+    * deviations from the first's broadcast-back medians) + one
+    * conditional-count pass — three scans, each partial-aggregated,
+    * with only |groups|-sized tables moving between them. Exact
+    * percentile holds a per-group value buffer; at 100 TB swap
+    * `percentile` for `approx_percentile` (same plan shape, bounded
+    * state — the X2 trade documented on the profile report).
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  cut: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val dev = df.join(med, groupCol)
+      .select(col(groupCol), col(valCol), col("med"),
+        abs(col(valCol) - col("med")).as("adev"))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(col("adev") > lit(cut) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 4))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: the statistic Σ (observed − expected)² / expected over
+    * the contingency table, plus degrees of freedom. The cell counts
+    * are one partial-aggregated hash agg over the data; marginals and
+    * the statistic derive from the |cells|-sized table (broadcast-back
+    * joins), so the data is scanned exactly once at any scale.
+    */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val rowM = cells.groupBy("a").agg(sum(col("c")).as("ra"))
+    val colM = cells.groupBy("b").agg(sum(col("c")).as("cb"))
+    val tot = cells.agg(sum(col("c")).as("t"))
+    cells.join(rowM, "a").join(colM, "b").crossJoin(tot)
+      .select((col("ra") * col("cb") / col("t")).as("e"), col("c"))
+      .agg(round(sum((col("c") - col("e")) * (col("c") - col("e")) / col("e")), 4)
+        .as("chi2"))
+      .crossJoin(rowM.agg(count(lit(1)).as("nr"))
+        .crossJoin(colM.agg(count(lit(1)).as("nc")))
+        .select(((col("nr") - 1) * (col("nc") - 1)).as("dof")))
+      .select(col("chi2"), col("dof"))
+  }
 }

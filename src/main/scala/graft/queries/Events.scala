@@ -157,7 +157,15 @@ object Events {
       // observed hourly sum (LOCF); decimal-exact sum → double output
       EventAnalytics.resampleFill(ev(s, dir), "event_type", "ts",
           sum(col("value").cast(D)).cast("double"))
-        .select(col("k").as("event_type"), col("h"), col("v").as("sv"), col("filled")))
+        .select(col("k").as("event_type"), col("h"), col("v").as("sv"), col("filled"))),
+
+    "x_outliers" -> ((s, dir) =>
+      // robust MAD outlier report (operators/Profiling.madOutliers):
+      // median ± 3·1.4826·MAD per type. Cross-engine safe: the nearest
+      // value sits 0.03 from the threshold (checked), 13 orders above
+      // any percentile-interpolation ulp divergence
+      graft.operators.Profiling.madOutliers(ev(s, dir), "event_type", "value")
+        .orderBy("event_type"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -281,6 +289,23 @@ object Events {
         |    PARTITION BY event_type ORDER BY h
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv,
         |  filled
-        |FROM j ORDER BY event_type, h""".stripMargin
+        |FROM j ORDER BY event_type, h""".stripMargin,
+    "x_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS md FROM dev GROUP BY 1)
+        |SELECT d.event_type,
+        |  ROUND(ANY_VALUE(d.m), 4) AS med, ROUND(ANY_VALUE(mad.md), 4) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * mad.md THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  COUNT(*) AS n,
+        |  ROUND(CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * mad.md THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 4) AS outlier_rate
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -343,6 +343,13 @@ object Extras {
           col("s_b").as("name_b"), col("dist"))
         .orderBy("id_a", "id_b")),
 
+    "x_chisq" -> ((s, dir) =>
+      // chi-square independence test (Profiling.chiSquare) between
+      // order status and priority: one partial-agged cell count over
+      // the data, marginals/statistic on the |cells| table only
+      graft.operators.Profiling.chiSquare(
+        t(s, dir, "orders"), "o_orderstatus", "o_orderpriority")),
+
     "x_pagerank" -> ((s, dir) => {
       // PageRank centrality (operators/PageRank) over the
       // who-buys-from-whom graph: customer -> supplier edges from
@@ -521,6 +528,23 @@ object Extras {
         | AND abs(length(a.c_name) - length(b.c_name)) <= 1
         | AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+    // all counts go through DOUBLE before any arithmetic on both sides
+    // (exact for contingency counts), so only the final 15-addend sum
+    // is order-sensitive — absorbed by ROUND(4)
+    "x_chisq" ->
+      """WITH o AS (
+        |  SELECT o_orderstatus AS s, o_orderpriority AS p,
+        |    CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT s, SUM(c) AS ra FROM o GROUP BY 1),
+        |ct AS (SELECT p, SUM(c) AS cb FROM o GROUP BY 1),
+        |tot AS (SELECT SUM(c) AS t FROM o)
+        |SELECT
+        |  ROUND(SUM((o.c - rt.ra * ct.cb / tot.t) * (o.c - rt.ra * ct.cb / tot.t)
+        |    / (rt.ra * ct.cb / tot.t)), 4) AS chi2,
+        |  CAST((SELECT COUNT(DISTINCT s) - 1 FROM o)
+        |     * (SELECT COUNT(DISTINCT p) - 1 FROM o) AS BIGINT) AS dof
+        |FROM o JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN tot""".stripMargin,
     "x_pagerank" -> {
       // unrolled 3-iteration replay; float constants are interpolated
       // from the SAME Scala doubles the operator uses (DuckDB's

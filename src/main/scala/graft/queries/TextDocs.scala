@@ -561,6 +561,27 @@ object TextDocs {
         .orderBy("lang")
     }),
 
+    "x_evolve_read" -> ((s, dir) => {
+      // schema-evolution read: v1-era files lack `source` (early
+      // ingest), v2 files carry it; option("mergeSchema") unions the
+      // footers and null-pads v1 rows — the corpus-grows-a-column
+      // scenario every long-lived ingest directory hits. coalesce keeps
+      // the group key non-null (engines disagree on null sort order).
+      val d = docs(s, dir)
+      val v1 = scratchDir("evo1", dir)
+      val v2 = scratchDir("evo2", dir)
+      d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(v1.getAbsolutePath)
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(v2.getAbsolutePath)
+      s.read.option("mergeSchema", "true")
+        .parquet(v1.getAbsolutePath, v2.getAbsolutePath)
+        .groupBy(col("lang"), coalesce(col("source"), lit("<v1>")).as("source_v"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy("lang", "source_v")
+    }),
+
     "x_jsonl_roundtrip" -> ((s, dir) => {
       // JSONL ingest (the LLM-corpus interchange format): write the
       // corpus as line-delimited JSON, read it back with an explicit
@@ -1263,6 +1284,11 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_evolve_read" ->
+      """SELECT lang,
+        |  CASE WHEN doc_id % 2 = 1 THEN source ELSE '<v1>' END AS source_v,
+        |  COUNT(*) AS docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_zone_scan" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

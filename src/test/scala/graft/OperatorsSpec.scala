@@ -1437,6 +1437,36 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: robust to a planted corrupt value; mean/stddev rule is not") {
+    import graft.operators.Profiling
+    // 9 values near 10 + one corrupt 1e6: median/MAD flag exactly the
+    // corrupt row; a 3-sigma mean rule would flag nothing (the outlier
+    // drags sigma past itself)
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.5, 11.0, 9.8, 10.2, 9.9, 1e6)
+    val df = vals.map(("g", _)).toDF("k", "v")
+    val r = Profiling.madOutliers(df, "k", "v").head()
+    assert(r.getDouble(1) == 10.0)              // median
+    assert(r.getLong(3) == 1L && r.getLong(4) == 10L)
+    assert(r.getDouble(5) == 0.1)               // outlier_rate
+    val meanCut = {
+      val m = vals.sum / vals.size
+      val sd = math.sqrt(vals.map(v => (v - m) * (v - m)).sum / vals.size)
+      vals.count(v => math.abs(v - m) > 3 * sd)
+    }
+    assert(meanCut == 0) // the non-robust rule misses it entirely
+  }
+
+  test("chiSquare: hand-computed 2x2 statistic and dof") {
+    import graft.operators.Profiling
+    // contingency: (x,a)=30 (x,b)=10 (y,a)=10 (y,b)=30
+    // marginals 40/40, 40/40, total 80 -> every expected cell = 20
+    // chi2 = 4 * (10^2/20) = 20, dof = 1
+    val rows = Seq.fill(30)(("x", "a")) ++ Seq.fill(10)(("x", "b")) ++
+      Seq.fill(10)(("y", "a")) ++ Seq.fill(30)(("y", "b"))
+    val r = Profiling.chiSquare(rows.toDF("u", "w"), "u", "w").head()
+    assert(r.getDouble(0) == 20.0 && r.getLong(1) == 1L)
+  }
+
   test("funnelReach: ordered chain, gap window, same-instant tie, out-of-order steps") {
     import graft.operators.EventAnalytics
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
