@@ -228,4 +228,31 @@ object Sampling {
       .withColumn("bin", expr(s"(${quoted(cum)} - ${quoted(tokensCol)}) div $budget"))
       .drop(cum)
   }
+
+  /** Weight-proportional sample without replacement of size k —
+    * sequential Poisson sampling (Ohlsson 1998; the πps estimator
+    * statistical offices use, also known as priority sampling): each
+    * row gets priority u/w where u is uniform and w its weight, and the
+    * k SMALLEST priorities win — heavier rows draw smaller priorities,
+    * so inclusion probability is ≈ proportional to weight. The
+    * importance-weighted corpus subsample (by length, quality score,
+    * domain weight…) in one pass.
+    *
+    * Deterministic and engine-portable by construction: u = first 13
+    * md5 hex nibbles of the id — a 52-bit integer, exact in a double —
+    * and IEEE division is correctly rounded, so any engine computes
+    * bit-identical priorities (no RNG state, stable under
+    * re-partitioning and re-runs). Top-k by (priority, id) plans as
+    * TakeOrdered: O(k) per partition carried to the driver, never a
+    * global sort.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k > 0, "weightedSample: k must be positive")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    df.withColumn("priority", u / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

@@ -561,6 +561,17 @@ object TextDocs {
         .orderBy("lang")
     }),
 
+    "x_weighted_sample" -> ((s, dir) =>
+      // length-weighted corpus sample (Sampling.weightedSample):
+      // sequential Poisson — priority u/n_chars, u = 52-bit md5 int
+      // (exact in a double, so priorities are bit-identical on any
+      // engine), 500 smallest win via TakeOrdered. The importance-
+      // weighted subsample shape (by quality/domain weight) at 100 TB.
+      Sampling.weightedSample(
+          docs(s, dir).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", k = 500)
+        .orderBy("doc_id")),
+
     "x_evolve_read" -> ((s, dir) => {
       // schema-evolution read: v1-era files lack `source` (early
       // ingest), v2 files carry it; option("mergeSchema") unions the
@@ -1284,6 +1295,24 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_weighted_sample" -> {
+      // replay of Sampling.weightedSample: first THIRTEEN md5 nibbles
+      // (2^52 — exact in a double) via the strpos positional sum, then
+      // the same correctly-rounded double division. Priorities are
+      // bit-identical, so the top-500 set and the raw priority column
+      // both hash-match.
+      val nibbleSum = (1 to 13).map { i =>
+        val mult = BigInt(16).pow(13 - i)
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1) * $mult"
+      }.mkString("\n        + ")
+      s"""WITH p AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST(($nibbleSum) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS priority
+         |  FROM documents),
+         |top AS (SELECT * FROM p ORDER BY priority, doc_id LIMIT 500)
+         |SELECT doc_id, source, n_chars, priority
+         |FROM top ORDER BY doc_id""".stripMargin
+    },
     "x_evolve_read" ->
       """SELECT lang,
         |  CASE WHEN doc_id % 2 = 1 THEN source ELSE '<v1>' END AS source_v,

@@ -66,6 +66,25 @@ object Vectors {
         k = 20, nprobe = 1000)
     }),
 
+    "x_embed_norms" -> ((s, dir) => {
+      // per-label embedding-norm profile — the vector-corpus health
+      // check (un-normalized rows wreck dot-product ANN) before any
+      // index build. Norm = the order-pinned sequential double fold
+      // (left→right, exact cross-engine); min/max compare exactly, the
+      // cross-row avg absorbs shuffle-order jitter under ROUND(4). One
+      // narrow codegen pass + one partial-agged hash agg.
+      val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double")))
+      emb(s, dir)
+        .select(col("label"), norm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(max(col("nrm")), 4).as("max_norm"))
+        .orderBy("label")
+    }),
+
     "x_quantize" -> ((s, dir) => {
       // int8 scalar quantization audit — the 4× embedding-storage
       // shrink every 100 TB vector corpus applies before indexing.
@@ -469,6 +488,16 @@ object Vectors {
          |)
          |SELECT qid, rank, nid, cos FROM r WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    "x_embed_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+        |      (x, y) -> x + y)) AS nrm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, ROUND(AVG(nrm), 4) AS avg_norm,
+        |  ROUND(MIN(nrm), 4) AS min_norm, ROUND(MAX(nrm), 4) AS max_norm
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_quantize" ->
       // identical expression shapes → bit-identical doubles → identical
       // floor; integer outputs are exact

@@ -1437,6 +1437,24 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: weight-proportional inclusion, deterministic, k>=n = all") {
+    import graft.operators.Sampling
+    // 500 light rows (w=1) vs 500 heavy rows (w=50): a 200-row sample
+    // must lean heavily toward the heavy half (E[heavy] ≈ 196)
+    val df = (0L until 1000L).map(i => (i, if (i < 500) 1.0 else 50.0)).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 200)
+      .collect().map(_.getLong(0))
+    assert(picked.length == 200)
+    val heavy = picked.count(_ >= 500)
+    assert(heavy > 150, s"heavy=$heavy of 200 — weighting not proportional")
+    // deterministic under re-partitioning (no RNG state)
+    val again = Sampling.weightedSample(df.repartition(7), "id", "w", 200)
+      .collect().map(_.getLong(0))
+    assert(picked.sorted.toSeq == again.sorted.toSeq)
+    // k >= n keeps everything
+    assert(Sampling.weightedSample(df, "id", "w", 5000).count() == 1000)
+  }
+
   test("madOutliers: robust to a planted corrupt value; mean/stddev rule is not") {
     import graft.operators.Profiling
     // 9 values near 10 + one corrupt 1e6: median/MAD flag exactly the

@@ -392,4 +392,43 @@ class StreamingSpec extends AnyFunSuite {
         state.map(s => s.operatorName + "=" + s.numRowsTotal).mkString(","))
     } finally q.stop()
   }
+
+  test("streaming funnel: cross-batch chain, gap stops the chain, lapsed state expires") {
+    import graft.streaming.StreamingFunnel
+    implicit val sqlCtx = spark.sqlContext
+    def fev(minute: Int, user: Long, typ: String) = StreamingFunnel.Event(
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, typ)
+    val in = MemoryStream[StreamingFunnel.Event]
+    val q = StreamingFunnel.advances(
+        in.toDS().withWatermark("ts", "5 minutes"),
+        Seq("a", "b", "c"), maxGapMinutes = Some(30))
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    try {
+      // batch 1: u1 starts; u2's b without an a does nothing
+      in.addData(fev(0, 1, "a"), fev(0, 2, "b"))
+      q.processAllAvailable()
+      // batch 2: u1 advances b (cross-batch chain); a repeat 'a' is a no-op
+      in.addData(fev(10, 1, "b"), fev(11, 1, "a"))
+      q.processAllAvailable()
+      // batch 3: u1's c at minute 50 is 40 min past b's reach — outside
+      // the 30-min gap, no advance; u3 starts a chain
+      in.addData(fev(50, 1, "c"), fev(50, 3, "a"))
+      q.processAllAvailable()
+      // batch 4: watermark jumps far ahead → u3's lapsed state times out
+      in.addData(fev(600, 4, "a"))
+      q.processAllAvailable()
+      // batch 5: u3's b arrives after expiry (and past its gap) — nothing
+      in.addData(fev(610, 3, "b"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out")
+        .select("user_id", "step", "event_type").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(rows == Set((1L, 1, "a"), (1L, 2, "b"), (3L, 1, "a"), (4L, 1, "a")))
+      // u1 expired at batch 4 (timeout 0:40 < watermark 0:45); state
+      // holds at most u4's fresh chain + u3's late-data-touched record
+      val state = q.lastProgress.stateOperators
+      assert(state.map(_.numRowsTotal).sum <= 2,
+        state.map(s => s.operatorName + "=" + s.numRowsTotal).mkString(","))
+    } finally q.stop()
+  }
 }
