@@ -159,6 +159,24 @@ object Events {
           sum(col("value").cast(D)).cast("double"))
         .select(col("k").as("event_type"), col("h"), col("v").as("sv"), col("filled"))),
 
+    "x_trending_batch" -> ((s, dir) => {
+      // per-hour top-3 event types — the batch (fully oracled) sibling
+      // of streaming/TrendingTopK: hour×type counts partial-agg, then
+      // the bounded TopK heap per hour carries 3 rows per (hour,
+      // partition) — never a per-hour sort of the full count table
+      val counts = ev(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy(col("h"))
+        .agg(graft.functions.TopK.topK(s,
+          struct(col("cnt"), col("event_type")), 3).as("top"))
+        .select(col("h"), posexplode(col("top")))
+        .select(col("h"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.event_type").as("event_type"), col("col.cnt").as("cnt"))
+        .orderBy("h", "rn")
+    }),
+
     "x_outliers" -> ((s, dir) =>
       // robust MAD outlier report (operators/Profiling.madOutliers):
       // median ± 3·1.4826·MAD per type. Cross-engine safe: the nearest
@@ -290,6 +308,17 @@ object Events {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sv,
         |  filled
         |FROM j ORDER BY event_type, h""".stripMargin,
+    "x_trending_batch" ->
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT h, event_type, cnt, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY h ORDER BY cnt DESC, event_type DESC) AS INT) AS rn
+        |  FROM c)
+        |SELECT h, rn, event_type, cnt FROM r
+        |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
     "x_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS m

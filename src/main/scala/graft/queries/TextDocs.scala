@@ -561,6 +561,26 @@ object TextDocs {
         .orderBy("lang")
     }),
 
+    "x_source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: the minhash-LSH near-dup
+      // pairs rolled up by (source, source) — which corpus sources copy
+      // from each other, and how close. est_jaccard values are exact
+      // 16ths (binary-exact doubles), so the cross-row avg is exact in
+      // any order. Reuses the persisted-signature band join; the rollup
+      // adds two joins against the tiny (doc_id, source) projection.
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", minJaccard = 0.5)
+      val src = d.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("ida"), col("source").as("sa")), "ida")
+        .join(src.select(col("doc_id").as("idb"), col("source").as("sb")), "idb")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("pairs"),
+          round(avg(col("est_jaccard")), 4).as("avg_sim"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "x_weighted_sample" -> ((s, dir) =>
       // length-weighted corpus sample (Sampling.weightedSample):
       // sequential Poisson — priority u/n_chars, u = 52-bit md5 int
@@ -1295,6 +1315,27 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_source_overlap" ->
+      s"""WITH $minhashSigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.ida, c.idb,
+         |    ROUND(CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.ida
+         |  JOIN sig sb ON sb.doc_id = c.idb AND sb.j = sa.j
+         |  GROUP BY 1, 2),
+         |p AS (SELECT * FROM est WHERE est_jaccard >= 0.5)
+         |SELECT LEAST(da.source, db.source) AS source_a,
+         |  GREATEST(da.source, db.source) AS source_b,
+         |  COUNT(*) AS pairs, ROUND(AVG(est_jaccard), 4) AS avg_sim
+         |FROM p JOIN documents da ON da.doc_id = p.ida
+         |       JOIN documents db ON db.doc_id = p.idb
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_weighted_sample" -> {
       // replay of Sampling.weightedSample: first THIRTEEN md5 nibbles
       // (2^52 — exact in a double) via the strpos positional sum, then

@@ -278,6 +278,43 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom filter: a selective dim filter gates the fact scan of a shuffle join") {
+    // the third leg of the scale-join toolkit next to broadcast + DPP:
+    // when the dim side is filtered but the join must shuffle (fact too
+    // big to broadcast the dim, not partitioned for DPP), Spark's
+    // InjectRuntimeFilter plants a bloom of the dim keys on the fact
+    // side, so most fact rows die at the scan instead of crossing the
+    // exchange. Thresholds are tuned down only because the fixture is
+    // tiny; at 100 TB the defaults (10 GB application side) fire on
+    // their own.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 400000.0) // selective dim filter
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(p.toLowerCase.contains("bloomfilter"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // and the probe lands on the fact (lineitem) scan's filter stage
+      val probeLine = p.linesIterator.find(_.toLowerCase.contains("might_contain"))
+      assert(probeLine.exists(_.contains("l_orderkey")), p)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("AQE skew asymmetry: the skewed JOIN shuffle splits at runtime, the WINDOW shuffle cannot") {
     // the executable basis for ScaleJoins.skewStrategy: Spark's
     // OptimizeSkewedJoin rewrites join shuffle reads only, so an
