@@ -80,7 +80,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
       }
     }
@@ -101,7 +101,12 @@ object Bench {
       val t = timeOnce(sentinelName, fn)
       if (t >= 0) noiseFloor += t
     }
-    val slow = firstPass.filter { case (_, _, t) => t > rerunThreshold }
+    // failed (-1) queries join the re-measure set: a deterministic
+    // break stays -1 under the any-sample-failed rule below, but the
+    // artifact then carries [-1, t2, t3] evidence distinguishing a
+    // transient crash (e.g. load-induced OOM) from a broken query —
+    // round 6 recorded three -1s with no second sample to adjudicate.
+    val slow = firstPass.filter { case (_, _, t) => t > rerunThreshold || t < 0 }
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]() ++
       firstPass.map { case (name, _, t) => name -> Vector(t) }
     if (slow.nonEmpty) {

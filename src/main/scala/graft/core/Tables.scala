@@ -21,10 +21,15 @@ object Tables {
     if (name == "events") normalizeEvents(df) else df
   }
 
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark's reader only
-    * surfaces as a nanosecond long (spark.sql.legacy.parquet.nanosAsLong,
-    * set in [[Sessions]]). Convert to a microsecond TimestampType column
-    * so downstream window/date logic is engine-idiomatic.
+  /** events.ts arrives in whatever physical form the data generator
+    * chose — TIMESTAMP(NANOS) (surfaced as a nanosecond long under
+    * spark.sql.legacy.parquet.nanosAsLong, set in [[Sessions]]) or a
+    * no-timezone timestamp[us] (surfaced as TIMESTAMP_NTZ). Normalize
+    * both to a microsecond TimestampType column so downstream epoch
+    * arithmetic (unix_micros/unix_seconds, watermark builders) sees one
+    * type. The NTZ→TZ cast is value-exact here: the session timezone is
+    * pinned to UTC ([[Sessions.configure]]), so the wall-clock reading
+    * IS the UTC instant.
     */
   private def normalizeEvents(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
@@ -32,7 +37,9 @@ object Tables {
         // integer `div`, NOT `/`: epoch-ns exceeds double's 2^53 exact
         // range, so float division would be off by ±1 µs.
         df.withColumn("ts", timestamp_micros(expr("ts div 1000L")))
-      case _ => df // reader understood nanos natively (newer Spark)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TimestampType
     }
 
   /** Register every table as a temp view named after itself. */

@@ -119,6 +119,11 @@ object AsOfJoin {
     val u = r.unionByName(l)
     val tLong = u.schema("__t").dataType match {
       case org.apache.spark.sql.types.TimestampType => unix_seconds(col("__t"))
+      // NTZ first re-reads as an instant (session tz is UTC under
+      // Sessions.configure, so the wall clock IS the epoch reading) —
+      // a direct NTZ→long cast is not a valid Spark cast.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_seconds(col("__t").cast(org.apache.spark.sql.types.TimestampType))
       case org.apache.spark.sql.types.DateType =>
         datediff(col("__t"), lit("1970-01-01").cast("date")).cast("long")
       case _ => col("__t").cast("long")
