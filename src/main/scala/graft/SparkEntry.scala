@@ -20,7 +20,8 @@ object SparkEntry {
       (Events.defs, Events.oracle),
       (GraphQ.defs, GraphQ.oracle),
       (Extras.defs, Extras.oracle),
-      (SqlPath.defs, SqlPath.oracle)
+      (SqlPath.defs, SqlPath.oracle),
+      (StatsQ.defs, StatsQ.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

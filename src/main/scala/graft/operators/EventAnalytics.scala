@@ -115,4 +115,31 @@ object EventAnalytics {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy("k", "h")
   }
+
+  /** First-order Markov transition matrix of the event-type sequence:
+    * per (from, to) pair, the transition count and probability
+    * P(to | from) — the behavioral-model summary (next-step
+    * prediction, anomalous-path detection) of an event log.
+    *
+    * Shape at scale: ONE shuffle on the entity key into a per-entity
+    * window (`lag`), then the (from, to) counts partial-agg map-side;
+    * the probability normalizer is a broadcast-joined per-`from` total
+    * over the |types|² count table — never a second pass over events.
+    * `tieCol` breaks equal-timestamp ordering so the sequence is
+    * deterministic.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(entityCol), col(typeCol).as("to_type"), col(tsCol), col(tieCol))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("cnt")).as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("cnt"),
+        (col("cnt").cast("double") / col("tot")).as("p"))
+  }
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical analysis operators: per-group OLS regression, pairwise
+  * correlation matrices, and a two-sample Kolmogorov-Smirnov test —
+  * the model-the-data half of a profiling suite (distribution drift,
+  * linear trend extraction, feature redundancy checks before a
+  * training run).
+  *
+  * Scale notes:
+  *   - [[olsByGroup]] and [[corrMatrix]] are single hash-aggregation
+  *     passes built from Spark's declarative regr_* / corr aggregates —
+  *     map-side partials, no second scan, no windows.
+  *   - [[ksTest]] needs a GLOBAL cumulative distribution, which the
+  *     naive `Window.orderBy(value)` form serializes through ONE task.
+  *     Here the CDF is computed with a bucketed prefix sum
+  *     ([[bucketedCdf]]): approx-quantile boundaries split the value
+  *     line into ~`buckets` ranges, each bucket cumsums locally
+  *     (shuffle keyed on bucket id), and the per-bucket totals — one
+  *     row per bucket — cascade through a tiny single-partition window
+  *     whose output broadcasts back. Exact results (bucket imbalance
+  *     only skews task sizes, never sums), no single-task scan of the
+  *     data.
+  */
+object Stats {
+
+  /** Per-group simple linear regression y = a·x + b via Spark's
+    * declarative regression aggregates (one codegen hash-agg pass):
+    * slope, intercept, Pearson r², and the point count per group.
+    * Rows where either side is null are excluded (regr_* semantics).
+    */
+  def olsByGroup(df: DataFrame, groupCol: String, yCol: String,
+                 xCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val x = col(xCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(
+        regr_count(y, x).as("n"),
+        regr_slope(y, x).as("slope"),
+        regr_intercept(y, x).as("intercept"),
+        regr_r2(y, x).as("r2"))
+  }
+
+  /** Pairwise Pearson correlations for every unordered column pair, in
+    * long form `(col_a, col_b, r)` with col_a < col_b. ONE aggregation
+    * pass computes all C(n,2) coefficients as separate agg columns;
+    * the unpivot to long form runs over the single result row.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
+  }
+
+  /** Exact global CDF of both samples at every distinct value, via the
+    * bucketed prefix sum described in the object scaladoc. Returns one
+    * row per distinct value of `valueCol` with cumulative counts
+    * `ca`/`cb` of rows in sample A (`sampleACond` true) and sample B.
+    */
+  private[operators] def bucketedCdf(df: DataFrame, valueCol: String,
+      sampleACond: org.apache.spark.sql.Column,
+      buckets: Int): DataFrame = {
+    val v = col(valueCol).cast("double")
+    // per-distinct-value counts: collapses ties BEFORE any ordering, so
+    // tie handling is exact and the cumsum input is |distinct values|
+    val counts = df
+      .groupBy(v.as("v"))
+      .agg(sum(when(sampleACond, 1L).otherwise(0L)).as("na"),
+        sum(when(sampleACond, 0L).otherwise(1L)).as("nb"))
+    // approx bucket boundaries — correctness does not depend on them
+    // (an empty or lopsided boundary set only skews task sizes);
+    // bucket id = count of boundaries <= v, monotone in v
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = if (qs.isEmpty) Array.empty[Double]
+                 else counts.stat.approxQuantile("v", qs, 0.01)
+    val withB =
+      if (bounds.isEmpty) counts.withColumn("b", lit(0))
+      else counts.withColumn("b",
+        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
+          (acc, bd) => acc + when(bd <= col("v"), 1).otherwise(0)))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB
+      .withColumn("la", sum(col("na")).over(inBucket))
+      .withColumn("lb", sum(col("nb")).over(inBucket))
+    // per-bucket totals: tiny (≤ buckets rows) → strictly-earlier-
+    // bucket offsets through a single-partition window over that tiny
+    // frame, broadcast back
+    val offs = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("b"))
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      .select(col("b"),
+        coalesce(sum(col("ta")).over(offs), lit(0L)).as("oa"),
+        coalesce(sum(col("tb")).over(offs), lit(0L)).as("ob"))
+    local.join(broadcast(offsets), Seq("b"))
+      .select(col("v"), (col("la") + col("oa")).as("ca"),
+        (col("lb") + col("ob")).as("cb"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic between the rows where
+    * `sampleACond` holds and the rest: D = sup_x |F_A(x) - F_B(x)|,
+    * evaluated at every distinct value (where the sup is attained).
+    * One row out: (n_a, n_b, d). The caller rounds for cross-engine
+    * comparison; D is a ratio of exact integer counts.
+    */
+  def ksTest(df: DataFrame, valueCol: String,
+             sampleACond: org.apache.spark.sql.Column,
+             buckets: Int = 32): DataFrame = {
+    val cdf = bucketedCdf(df, valueCol, sampleACond, buckets)
+    val totals = broadcast(cdf.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b")))
+    cdf.crossJoin(totals)
+      .select(col("n_a"), col("n_b"),
+        abs(col("ca") / col("n_a") - col("cb") / col("n_b")).as("diff"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(col("diff")).as("d"))
+  }
+
+  /** Equi-depth binning (NTILE semantics, but no single-task global
+    * window): every row's global rank ordered by (`valueCol`,
+    * `tieCol`) comes from the same bucketed prefix sum as [[ksTest]],
+    * and bin k of `bins` gets the NTILE row counts (the first
+    * n mod bins bins take one extra row). Returns per-bin count, min
+    * and max of `valueCol`. `tieCol` must make (value, tie) unique.
+    */
+  def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
+                    bins: Int, buckets: Int = 32): DataFrame = {
+    require(bins >= 1, "equiDepthBins: bins must be >= 1")
+    // global rank without a global window: the bucketed CDF gives the
+    // cumulative row count at each distinct v (= the rank of the LAST
+    // row of v's tie group); ties inside one v resolve by tieCol
+    // through a per-v window (tie groups of a continuous value column
+    // are tiny — the window never sees a whole partition's data)
+    val keyed = df.select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    val cdf = bucketedCdf(keyed, "v", lit(true), buckets)
+      .select(col("v"), col("ca").as("vend"))
+    val ranks = keyed.join(cdf, Seq("v"))
+    val inV = Window.partitionBy(col("v")).orderBy(col("t"))
+    val withRank = ranks.withColumn(
+      "rn", col("vend") - count(lit(1)).over(
+        inV.rowsBetween(Window.currentRow, Window.unboundedFollowing)) + 1)
+    val n = broadcast(withRank.agg(count(lit(1)).as("n")))
+    // NTILE semantics: first (n mod bins) bins take base+1 rows.
+    // Integral div throughout — `/` on longs is double division in
+    // Spark SQL and mangles ranks past 2^53.
+    withRank.crossJoin(n)
+      .withColumn("base", expr(s"n div $bins"))
+      .withColumn("rem", expr(s"n % $bins"))
+      .withColumn("cut", col("rem") * (col("base") + 1))
+      .withColumn("bin",
+        when(col("rn") <= col("cut"), expr("(rn - 1) div (base + 1)"))
+          .otherwise(col("rem") + expr("(rn - cut - 1) div base")))
+      .groupBy((col("bin") + 1).cast("int").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+}

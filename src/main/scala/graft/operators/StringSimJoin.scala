@@ -48,4 +48,42 @@ object StringSimJoin {
       .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
   }
+
+  /** Sorted-neighborhood candidate generation — the classic entity-
+    * resolution blocking scheme (Hernández & Stolfo): sort records by a
+    * key, emit every pair within `window` sort positions. Used when the
+    * match signal is "nearby after sorting" (names, addresses, near-
+    * identical records) rather than a fixed token overlap.
+    *
+    * This is the BLOCKED form: records are partitioned by `blockExpr`
+    * (default: first character of the key) and neighborhoods only span
+    * one block — the standard scale variant, because a global sort rank
+    * serializes through one task while per-block windows shuffle once
+    * on the block key. Pairs crossing a block boundary are the scheme's
+    * documented recall trade-off (multi-pass with a second blocking key
+    * is the standard mitigation, composable by a second call).
+    *
+    * One shuffle on the block key; each record then pairs with its next
+    * `window` successors via `lead` — narrow, no self-join on data.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+                         window: Int,
+                         blockExpr: Column = null): DataFrame = {
+    require(window >= 1, "sortedNeighborhood: window must be >= 1")
+    val blk = Option(blockExpr).getOrElse(upper(substring(col(strCol), 1, 1)))
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"), blk.as("blk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk")).orderBy(col("s"), col("id"))
+    val withNext = base.select(col("blk"), col("id"), col("s"),
+      array((1 to window).map(i =>
+        struct(lead(col("id"), i).over(w).as("id"),
+          lead(col("s"), i).over(w).as("s"),
+          lit(i).as("gap"))): _*).as("nbrs"))
+    withNext
+      .select(col("id").as("id_a"), col("s").as("s_a"),
+        explode(col("nbrs")).as("nb"))
+      .filter(col("nb.id").isNotNull)
+      .select(col("id_a"), col("nb.id").as("id_b"),
+        col("s_a"), col("nb.s").as("s_b"), col("nb.gap").cast("int").as("gap"))
+  }
 }

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{EventAnalytics, GraphTraversal, Stats, StringSimJoin}
+
+/** Statistical-modeling and graph-traversal coverage queries (round 7):
+  * per-group OLS regression, correlation matrix, two-sample KS test,
+  * equi-depth binning, Markov transition matrix, bounded-depth BFS,
+  * and sorted-neighborhood blocking. Each pairs a Spark-first operator
+  * (operators/Stats, GraphTraversal, EventAnalytics, StringSimJoin)
+  * with a value-exact DuckDB oracle.
+  */
+object StatsQ {
+  private type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
+
+  val defs: Map[String, Q] = Map(
+    "x_ols" -> ((s, dir) =>
+      // per-returnflag OLS of extended price on quantity: Spark's
+      // declarative regr_* aggregates — one codegen hash-agg pass,
+      // map-side partials, no second scan
+      Stats.olsByGroup(t(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice", "l_quantity")
+        .select(col("l_returnflag"), col("n"),
+          round(col("slope"), 4).as("slope"),
+          round(col("intercept"), 4).as("intercept"),
+          round(col("r2"), 6).as("r2"))
+        .orderBy("l_returnflag")),
+
+    "x_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson matrix in ONE aggregation pass (all C(4,2)
+      // coefficients as agg columns, long form via stack over 1 row)
+      Stats.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .select(col("col_a"), col("col_b"), round(col("r"), 6).as("r"))
+        .orderBy("col_a", "col_b")),
+
+    "x_ks_test" -> ((s, dir) =>
+      // two-sample Kolmogorov-Smirnov over the value distributions of
+      // view vs purchase events; the global CDF runs on the bucketed
+      // prefix sum (Stats.bucketedCdf) — no single-task global window
+      Stats.ksTest(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "view")
+        .select(col("n_a"), col("n_b"), round(col("d"), 6).as("d"))),
+
+    "x_eqdepth" -> ((s, dir) =>
+      // equi-depth deciles of order totals with exact NTILE semantics,
+      // rank from the same bucketed prefix sum — scale-safe binning
+      Stats.equiDepthBins(t(s, dir, "orders"),
+          "o_totalprice", "o_orderkey", bins = 10)
+        .orderBy("bin")),
+
+    "x_markov" -> ((s, dir) =>
+      // first-order event-type transition matrix per user: one shuffle
+      // on user_id (lag window), then partial-agged pair counts with a
+      // broadcast normalizer
+      EventAnalytics.transitionMatrix(t(s, dir, "events"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("from_type"), col("to_type"), col("cnt"),
+          round(col("p"), 6).as("prob"))
+        .orderBy("from_type", "to_type")),
+
+    "x_bfs_hops" -> ((s, dir) => {
+      // hop distance from one nation's customers over the undirected
+      // customer—supplier trade graph (the PageRank edge set): BFS
+      // layering via per-hop join + anti-join, checkpoint-cut rounds
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 7)
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      GraphTraversal.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+        .orderBy("node")
+    }),
+
+    "x_sorted_neighborhood" -> ((s, dir) =>
+      // sorted-neighborhood blocking on part names (window 3, blocked
+      // by first letter): per-block sort + lead — one shuffle on the
+      // block key, no global rank, no self-join on data
+      StringSimJoin.sortedNeighborhood(t(s, dir, "part"),
+          "p_partkey", "p_name", window = 3)
+        .orderBy("id_a", "id_b"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x_ols" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(CAST(l_extendedprice AS DOUBLE),
+        |                  CAST(l_quantity AS DOUBLE)) AS BIGINT) AS n,
+        |  ROUND(regr_slope(CAST(l_extendedprice AS DOUBLE),
+        |                   CAST(l_quantity AS DOUBLE)), 4) AS slope,
+        |  ROUND(regr_intercept(CAST(l_extendedprice AS DOUBLE),
+        |                       CAST(l_quantity AS DOUBLE)), 4) AS intercept,
+        |  ROUND(regr_r2(CAST(l_extendedprice AS DOUBLE),
+        |                CAST(l_quantity AS DOUBLE)), 6) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_corr_matrix" ->
+      """WITH pairs(col_a, col_b) AS (VALUES
+        |  ('l_quantity', 'l_extendedprice'), ('l_quantity', 'l_discount'),
+        |  ('l_quantity', 'l_tax'), ('l_extendedprice', 'l_discount'),
+        |  ('l_extendedprice', 'l_tax'), ('l_discount', 'l_tax')),
+        |c AS (SELECT
+        |  corr(CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE)) AS qe,
+        |  corr(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE)) AS qd,
+        |  corr(CAST(l_quantity AS DOUBLE), CAST(l_tax AS DOUBLE)) AS qt,
+        |  corr(CAST(l_extendedprice AS DOUBLE), CAST(l_discount AS DOUBLE)) AS ed,
+        |  corr(CAST(l_extendedprice AS DOUBLE), CAST(l_tax AS DOUBLE)) AS et,
+        |  corr(CAST(l_discount AS DOUBLE), CAST(l_tax AS DOUBLE)) AS dt
+        |  FROM lineitem)
+        |SELECT p.col_a, p.col_b, ROUND(CASE
+        |    WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_extendedprice' THEN c.qe
+        |    WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_discount' THEN c.qd
+        |    WHEN p.col_a = 'l_quantity' AND p.col_b = 'l_tax' THEN c.qt
+        |    WHEN p.col_a = 'l_extendedprice' AND p.col_b = 'l_discount' THEN c.ed
+        |    WHEN p.col_a = 'l_extendedprice' AND p.col_b = 'l_tax' THEN c.et
+        |    ELSE c.dt END, 6) AS r
+        |FROM pairs p CROSS JOIN c ORDER BY col_a, col_b""".stripMargin,
+    "x_ks_test" ->
+      """WITH pts AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS na,
+        |             CAST(SUM(1 - ia) AS BIGINT) AS nb FROM pts GROUP BY 1),
+        |cum AS (SELECT v,
+        |  SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |  SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM c),
+        |tot AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+        |               CAST(MAX(cb) AS BIGINT) AS n_b FROM cum)
+        |SELECT t.n_a, t.n_b,
+        |  ROUND(MAX(ABS(CAST(ca AS DOUBLE) / t.n_a
+        |            - CAST(cb AS DOUBLE) / t.n_b)), 6) AS d
+        |FROM cum CROSS JOIN tot t GROUP BY 1, 2""".stripMargin,
+    "x_eqdepth" ->
+      """WITH r AS (
+        |  SELECT CAST(o_totalprice AS DOUBLE) AS v,
+        |    NTILE(10) OVER (ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey)
+        |      AS bin
+        |  FROM orders)
+        |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS cnt,
+        |  MIN(v) AS lo, MAX(v) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_markov" ->
+      """WITH seq AS (
+        |  SELECT event_type AS to_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |p AS (SELECT from_type, to_type, COUNT(*) AS cnt FROM seq
+        |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.cnt,
+        |  ROUND(CAST(p.cnt AS DOUBLE) / t.tot, 6) AS prob
+        |FROM p JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+    "x_bfs_hops" ->
+      """WITH RECURSIVE fwd AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |adj AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+        |walk(node, d) AS (
+        |  SELECT 'c' || c_custkey, 0 FROM customer WHERE c_nationkey = 7
+        |  UNION
+        |  SELECT a.dst, w.d + 1 FROM walk w JOIN adj a ON a.src = w.node
+        |  WHERE w.d < 3)
+        |SELECT node, CAST(MIN(d) AS INT) AS hops
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_sorted_neighborhood" ->
+      """WITH rk AS (
+        |  SELECT p_partkey AS id, p_name AS s,
+        |    upper(substring(p_name, 1, 1)) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY upper(substring(p_name, 1, 1))
+        |                       ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  CAST(b.rn - a.rn AS INT) AS gap
+        |FROM rk a JOIN rk b
+        |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues}
+
+/** Sessionization on Spark 4's `transformWithState` operator — the
+  * successor API to flatMapGroupsWithState (SPARK-46815, "arbitrary
+  * stateful processing v2"). Same session contract as
+  * [[StatefulSessions.closedSessions]]: one output row per CLOSED
+  * session (gap exceeded mid-stream, or the event-time watermark
+  * passing last-event + gap), so the two APIs are directly
+  * spec-comparable on one input.
+  *
+  * What the new API buys at scale, demonstrated here:
+  *   - typed, named state slots ([[org.apache.spark.sql.streaming.ValueState]])
+  *     backed by the RocksDB state store with per-slot TTL support —
+  *     state layout is declared, not smuggled through one case class;
+  *   - EXPLICIT event-time timers (`registerTimer`/`handleExpiredTimer`)
+  *     instead of one implicit timeout per key — a processor can keep
+  *     several live deadlines;
+  *   - the processor object is reusable across queries, and state
+  *     schema evolution is supported by the store.
+  *
+  * State stays watermark-bounded exactly like the v1 operator: each
+  * key holds one SessionState row and one timer; the timer fires and
+  * clears both once the watermark passes last + gap.
+  */
+object TwsSessions {
+  import StatefulSessions.{ClosedSession, Event, SessionState}
+
+  /** One live deadline per key: the session's close timer. Stored next
+    * to the session so a mid-batch restart can delete the stale timer.
+    */
+  private case class TimerAt(atMs: Long)
+
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    @transient private var session: org.apache.spark.sql.streaming.ValueState[SessionState] = _
+    @transient private var timer: org.apache.spark.sql.streaming.ValueState[TimerAt] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+      timer = getHandle.getValueState[TimerAt](
+        "timer", Encoders.product[TimerAt], TTLConfig.NONE)
+    }
+
+    private def close(userId: Long, s: SessionState) = ClosedSession(
+      userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.nEvents)
+
+    private def rearm(s: SessionState): Unit = {
+      if (timer.exists()) getHandle.deleteTimer(timer.get().atMs)
+      getHandle.registerTimer(s.lastMs + gapMs)
+      timer.update(TimerAt(s.lastMs + gapMs))
+      session.update(s)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (session.exists()) Some(session.get()) else None
+      val closed = Seq.newBuilder[ClosedSession]
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastMs <= gapMs =>
+            cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+          case Some(s) =>
+            closed += close(userId, s)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach(rearm)
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // the watermark passed last + gap: the session is closed for good
+      val out = if (session.exists()) Iterator.single(close(userId, session.get()))
+                else Iterator.empty
+      session.clear(); timer.clear()
+      out
+    }
+  }
+
+  /** events must carry a watermark on `ts` (event-time timers require
+    * it). Emits one row per CLOSED session — same contract as
+    * [[StatefulSessions.closedSessions]]. */
+  def closedSessions(events: Dataset[Event], gapMinutes: Int): Dataset[ClosedSession] = {
+    implicit val outEnc = Encoders.product[ClosedSession]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}

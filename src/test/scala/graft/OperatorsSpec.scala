@@ -1590,4 +1590,158 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == brute)
     assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1)) // non-vacuous
   }
+
+  test("olsByGroup recovers a planted line exactly (slope/intercept/r2)") {
+    import graft.operators.Stats
+    // y = 3x + 7 exactly in group a; group b has noise so r2 < 1
+    // group b noise (+1,-1,-1,+1 per block of 4) is orthogonal to both
+    // the constant and the linear term, so slope/intercept stay exact
+    val rows = (1 to 20).map(i => ("a", i.toDouble, 3.0 * i + 7.0)) ++
+      (1 to 20).map(i => ("b", i.toDouble,
+        2.0 * i + (if (i % 4 == 1 || i % 4 == 0) 1.0 else -1.0)))
+    val got = Stats.olsByGroup(rows.toDF("g", "x", "y"), "g", "y", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (na, sa, ia, ra) = got("a")
+    assert(na == 20L && math.abs(sa - 3.0) < 1e-9 && math.abs(ia - 7.0) < 1e-9)
+    assert(math.abs(ra - 1.0) < 1e-9)
+    val (_, sb, _, rb) = got("b")
+    assert(math.abs(sb - 2.0) < 1e-9) // symmetric noise cancels in slope
+    assert(rb < 1.0)                  // but costs fit quality
+  }
+
+  test("ksTest: identical samples give D=0, disjoint samples give D=1") {
+    import graft.operators.Stats
+    val same = ((1 to 50).map(i => (i.toDouble, "a")) ++
+      (1 to 50).map(i => (i.toDouble, "b"))).toDF("v", "s")
+    val d0 = Stats.ksTest(same, "v", col("s") === "a", buckets = 4)
+      .head().getDouble(2)
+    assert(d0 == 0.0)
+    val disjoint = ((1 to 50).map(i => (i.toDouble, "a")) ++
+      (1 to 50).map(i => (i.toDouble + 1000, "b"))).toDF("v", "s")
+    val d1 = Stats.ksTest(disjoint, "v", col("s") === "a", buckets = 4)
+      .head().getDouble(2)
+    assert(d1 == 1.0)
+    // and the bucketed CDF equals the naive global-window CDF on a
+    // mixed sample, for every bucket count (bucket boundaries must
+    // never change the result)
+    val mixed = ((1 to 40).map(i => ((i * 7 % 23).toDouble, "a")) ++
+      (1 to 60).map(i => ((i * 5 % 19).toDouble, "b"))).toDF("v", "s")
+    val naive = {
+      val c = mixed.groupBy($"v")
+        .agg(sum(when($"s" === "a", 1L).otherwise(0L)).as("na"),
+          sum(when($"s" === "a", 0L).otherwise(1L)).as("nb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      c.select(sum($"na").over(w).as("ca"), sum($"nb").over(w).as("cb"))
+        .agg(max(abs($"ca" / 40.0 - $"cb" / 60.0))).head().getDouble(0)
+    }
+    for (b <- Seq(1, 2, 8, 64)) {
+      val d = Stats.ksTest(mixed, "v", col("s") === "a", buckets = b)
+        .head().getDouble(2)
+      assert(math.abs(d - naive) < 1e-12, s"buckets=$b: $d != $naive")
+    }
+  }
+
+  test("equiDepthBins matches NTILE semantics incl. the uneven remainder") {
+    import graft.operators.Stats
+    // 23 rows into 5 bins: NTILE gives sizes 5,5,5,4,4
+    val df = (1 to 23).map(i => (i.toLong, (i * 13 % 29).toDouble + i * 1e-3))
+      .toDF("id", "v")
+    val got = Stats.equiDepthBins(df, "v", "id", bins = 5, buckets = 3)
+      .orderBy("bin").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(5L, 5L, 5L, 4L, 4L))
+    // replay with Spark's own ntile for exact bin membership
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")
+    val want = df.withColumn("bin", ntile(5).over(w))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("bin").collect()
+    got.zip(want).foreach { case (g, w2) =>
+      assert(g.getInt(0) == w2.getInt(0) && g.getLong(1) == w2.getLong(1))
+      assert(g.getDouble(2) == w2.getDouble(2) && g.getDouble(3) == w2.getDouble(3))
+    }
+  }
+
+  test("bfsHops: layered distances, undirected reach, maxHops bound") {
+    import graft.operators.GraphTraversal
+    // path graph 1-2-3-4-5 plus island 9; seed at 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 9L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val got = GraphTraversal.bfsHops(edges, "s", "d", seeds, "n", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)) // 5 is 4 hops: cut
+    // directed: edges only go low→high, so seeding at 3 reaches {3,4,5}
+    val dirGot = GraphTraversal.bfsHops(edges, "s", "d", Seq(3L).toDF("n"), "n",
+      maxHops = 3, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dirGot == Map(3L -> 0, 4L -> 1, 5L -> 2))
+    // undirected from 3 also walks back to 1
+    val undirGot = GraphTraversal.bfsHops(edges, "s", "d", Seq(3L).toDF("n"), "n",
+      maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
+  }
+
+  test("sortedNeighborhood: pairs within window, blocked, gap exact") {
+    import graft.operators.StringSimJoin
+    val df = Seq((1L, "apple"), (2L, "apricot"), (3L, "avocado"), (4L, "almond"),
+      (5L, "banana"), (6L, "blueberry")).toDF("id", "s")
+    val got = StringSimJoin.sortedNeighborhood(df, "id", "s", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // block A sorted: almond(4) apple(1) apricot(2) avocado(3)
+    // block B sorted: banana(5) blueberry(6)
+    assert(got == Set((4L, 1L, 1), (4L, 2L, 2), (1L, 2L, 1), (1L, 3L, 2),
+      (2L, 3L, 1), (5L, 6L, 1)))
+  }
+
+  test("transitionMatrix: counts and conditional probabilities") {
+    import graft.operators.EventAnalytics
+    // user 1: a→b→a→b ; user 2: a→a→b — ordered by ts
+    val rows = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b"))
+      .map { case (u, t, ty) => (u, t, ty, u * 10 + t) }
+      .toDF("u", "t", "ty", "eid")
+    val got = EventAnalytics.transitionMatrix(rows, "u", "ty", "t", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // from a: a→b ×3, a→a ×1; from b: b→a ×1
+    assert(got(("a", "b")) == (3L, 0.75))
+    assert(got(("a", "a")) == (1L, 0.25))
+    assert(got(("b", "a")) == (1L, 1.0))
+    assert(got.size == 3)
+  }
+
+  test("Tables.load normalizes events.ts to TimestampType at every SF") {
+    // regression lock for the round-6 outage: the data generator
+    // switched events.ts from TIMESTAMP(NANOS) to a no-timezone
+    // timestamp[us] (read as TIMESTAMP_NTZ), and every query doing
+    // epoch arithmetic on ts (x_sessionize, x_interval_join,
+    // x_asof_salted) threw DATATYPE_MISMATCH. The loader must present
+    // one type regardless of the physical encoding.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = graft.core.Tables.load(spark, s"/root/testdata/$sf", "events")
+      assert(e.schema("ts").dataType == org.apache.spark.sql.types.TimestampType,
+        s"$sf events.ts must normalize to TimestampType")
+    }
+    // and the three formerly-broken queries analyze + execute
+    for (q <- Seq("x_sessionize", "x_interval_join", "x_asof_salted"))
+      assert(SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() > 0,
+        s"$q must run on the current testdata")
+  }
+
+  test("asOfSalted accepts a TIMESTAMP_NTZ time column directly") {
+    // the operator itself (not just the Tables path) must handle NTZ:
+    // a user handing it raw no-timezone parquet gets the same answer
+    // as the plain as-of.
+    val l = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-03T10:00:00"))
+      .toDF("k", "t")
+      .select($"k", $"t".cast("timestamp_ntz").as("t"))
+    val r = Seq((1L, "2024-01-01T09:00:00", 100L), (1L, "2024-01-02T09:00:00", 200L))
+      .toDF("k", "t", "p")
+      .select($"k", $"t".cast("timestamp_ntz").as("t"), $"p")
+    val got = AsOfJoin.asOfSalted(l, "k", "t", r, "k", "t", Seq("p"),
+        bucketWidth = 86400L)
+      .select($"p").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(100L, 200L))
+  }
 }

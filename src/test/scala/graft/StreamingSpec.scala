@@ -291,6 +291,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState contract") {
+    // Spark 4's arbitrary-state v2 (transformWithState: typed state
+    // slots + explicit event-time timers) driven through the same
+    // session scenario as the v1 operator above — same closed-session
+    // rows must come out. Requires the RocksDB state store provider.
+    import graft.streaming.{StatefulSessions, TwsSessions}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatefulSessions.Event]
+    def sev(id: Long, minute: Int, user: Long) = StatefulSessions.Event(
+      id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), user, "a", 1.0)
+    val withWm = in.toDS().withWatermark("ts", "10 minutes")
+      .as[StatefulSessions.Event]
+    val q = TwsSessions.closedSessions(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("tws_out").outputMode("append").start()
+    try {
+      in.addData(sev(1, 10, 1), sev(2, 12, 1)) // burst 1
+      q.processAllAvailable()
+      in.addData(sev(3, 50, 1)) // gap 38 min > 30 → closes burst 1 in-stream
+      q.processAllAvailable()
+      in.addData(sev(9, 600, 9)) // watermark advance → timer for burst 2 fires
+      q.processAllAvailable()
+      in.addData(sev(10, 660, 9)) // one more batch so the timer batch runs
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .select("user_id", "n_events").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(rows.contains((1L, 2)), rows.toString)  // burst 1: closed by gap
+      assert(rows.contains((1L, 1)), rows.toString)  // burst 2: closed by timer
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding window assigns each event to 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
