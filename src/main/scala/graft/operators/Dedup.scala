@@ -176,6 +176,52 @@ object Dedup {
     materialized
   }
 
+  /** LSH calibration report: for every minhash candidate pair at or
+    * above `minEst`, the minhash ESTIMATE next to the EXACT shingle
+    * Jaccard and their absolute error — the tuning loop for
+    * bands/rows/numHashes (an estimator whose error is biased high at
+    * the threshold silently over-deletes; this is the query that shows
+    * it before a production dedup run does).
+    *
+    * Cost discipline at scale: the exact Jaccard — the expensive half —
+    * is computed ONLY for candidate docs (shingle table semi-joined to
+    * the candidate id set) and only candidate pairs are kept, so the
+    * exact pass costs O(candidate neighborhood), never O(corpus²).
+    */
+  def lshCalibration(docs: DataFrame, idCol: String, textCol: String,
+                     minEst: Double, numHashes: Int = 16,
+                     bands: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val cands = minhashPairs(docs, idCol, textCol, minEst, numHashes, bands)
+    val ids = cands.select(col("ida").as("id"))
+      .unionByName(cands.select(col("idb").as("id"))).distinct()
+    val sh = docs
+      .select(col(idCol).as("id"),
+        explode(ShingleHashes.shingleHashes(spark, col(textCol))).as("sh"))
+      .join(ids, Seq("id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+    val inter = sh.select(col("sh"), col("id").as("ida"))
+      .join(sh.select(col("sh"), col("id").as("idb")), Seq("sh"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("inter"))
+    val out = cands
+      .join(inter, Seq("ida", "idb"), "left")
+      .join(counts.select(col("id").as("ida"), col("nsh").as("na")), Seq("ida"))
+      .join(counts.select(col("id").as("idb"), col("nsh").as("nb")), Seq("idb"))
+      .withColumn("__i", coalesce(col("inter"), lit(0L)))
+      .withColumn("__x", col("__i").cast("double") /
+        (col("na") + col("nb") - col("__i")).cast("double"))
+      .select(col("ida"), col("idb"), col("est_jaccard"),
+        round(col("__x"), 4).as("exact_jaccard"),
+        // err from the PRE-rounded exact value: both engines compute
+        // the identical IEEE ratio, so the rounded difference matches
+        round(abs(col("est_jaccard") - col("__x")), 4).as("abs_err"))
+    val materialized = out.localCheckpoint(true)
+    sh.unpersist()
+    materialized
+  }
+
   /** MinHash signature table for a corpus: (id, mh ARRAY(LONG)). At
     * 100 TB this is the PERSISTED dedup index — computed once per
     * corpus snapshot, stored (bucketed by band keys) so incremental

@@ -73,4 +73,18 @@ object MergeUpsert {
       .select((keys ++ stateCols).map(col) ++
         Seq(col("valid_from_seq"), col("valid_to_seq"), col("is_current")): _*)
   }
+
+  /** Point-in-time (time-travel) read of an [[scd2History]] table: the
+    * state of every key AS OF sequence point `atSeq` — the row whose
+    * validity interval covers it. Keys whose first change is later
+    * than `atSeq` are absent (they did not exist yet). A plain
+    * predicate on the two interval columns: pushes to the history
+    * table's scan, prunes partitions if the history is stored
+    * partitioned by a validity-derived column, costs one filtered
+    * read — the query shape every warehouse time-travel feature
+    * compiles to. */
+  def scd2AsOf(history: DataFrame, atSeq: Long): DataFrame =
+    history.filter(col("valid_from_seq") <= atSeq &&
+        (col("valid_to_seq").isNull || col("valid_to_seq") > atSeq))
+      .drop("valid_from_seq", "valid_to_seq", "is_current")
 }

@@ -142,4 +142,29 @@ object Profiling {
         .select(((col("nr") - 1) * (col("nc") - 1)).as("dof")))
       .select(col("chi2"), col("dof"))
   }
+
+  /** Benford first-digit audit over a positive numeric column — the
+    * fabricated-data / unit-mixing smell test (naturally occurring
+    * multiplicative quantities follow P(d) = log10(1 + 1/d); keyed-in
+    * or unit-mangled values don't). Rows with value < 1 are excluded
+    * (their leading digit is scale-dependent).
+    *
+    * The digit is read from the DECIMAL(18,4) string rendering, NOT
+    * from floor(v / 10^floor(log10 v)): libm log10 is not guaranteed
+    * exact at powers of ten, and one ulp under 3.0 silently yields
+    * "digit 10" — the decimal rendering is engine-portable and exact.
+    * One partial-agged count by digit + a broadcast total; expected
+    * shares are constants.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val d = df.filter(col(valueCol) >= 1)
+      .select(substring(col(valueCol).cast("decimal(18,4)").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(d.agg(sum(col("cnt")).as("t")))
+    d.crossJoin(tot)
+      .select(col("digit"), col("cnt"),
+        (col("cnt").cast("double") / col("t")).as("share"),
+        log10(lit(1.0) + lit(1.0) / col("digit")).as("expected"))
+  }
 }

@@ -193,6 +193,29 @@ object Sampling {
       % nShards).cast("int")
   }
 
+  /** Leakage-safe train/val/test split: the split is a pure function
+    * of the GROUP key (source, domain, author…), so every row of a
+    * group lands in the same split by construction — the grouped-split
+    * discipline that stops eval contamination when near-identical rows
+    * cluster inside a group (same crawl domain, same paper's sections).
+    * Buckets come from [[shardId]] over the group key: deterministic
+    * across engines/partitioning/re-runs, no RNG state. `valBuckets` /
+    * `testBuckets` of `nBuckets` pick the split shares (e.g. 1 and 1 of
+    * 10 ≈ 80/10/10 in expectation over groups). Narrow — one hash
+    * expression per row, no shuffle. */
+  def groupSplit(df: DataFrame, groupCol: String, nBuckets: Int,
+                 valBuckets: Set[Int], testBuckets: Set[Int]): DataFrame = {
+    require(valBuckets.intersect(testBuckets).isEmpty,
+      "groupSplit: val and test buckets overlap")
+    require((valBuckets ++ testBuckets).forall(b => b >= 0 && b < nBuckets),
+      "groupSplit: bucket ids outside 0..nBuckets-1")
+    val b = shardId(col(groupCol), nBuckets)
+    df.withColumn("split",
+      when(b.isInCollection(valBuckets), "val")
+        .when(b.isInCollection(testBuckets), "test")
+        .otherwise("train"))
+  }
+
   /** Sequence-packing bin assignment (training-batch construction):
     * rows are packed in `orderCol` order into fixed token-budget bins
     * via a running token total — `bin = floor(tokens-before-this-row /

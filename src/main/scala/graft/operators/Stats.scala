@@ -128,6 +128,51 @@ object Stats {
       .agg(max(col("diff")).as("d"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) between the rows where
+    * `sampleACond` holds and the rest — the nonparametric "did the
+    * distribution shift" test that pairs with [[ksTest]] (KS sees
+    * shape, U sees location). Midranks handle ties exactly: a tie
+    * group's rank is the average of the positions it spans, derived
+    * from the same bucketed CDF — cumulative count at the value gives
+    * the group's END position, the group size its extent, so
+    * midrank = end - (size-1)/2 with no global window anywhere.
+    * Output: n_a, n_b, u_a (U statistic of sample A), r_a (A's
+    * rank-sum), and the normal-approximation z with tie correction.
+    */
+  def mannWhitneyU(df: DataFrame, valueCol: String,
+                   sampleACond: org.apache.spark.sql.Column,
+                   buckets: Int = 32): DataFrame = {
+    val cdf = bucketedCdf(df, valueCol, sampleACond, buckets)
+    // a tie group's SIZE comes from a second per-value aggregation
+    // (same shuffle key as the CDF's), not from a lag over a global
+    // window — the operator stays free of single-task scans
+    val counts = df
+      .groupBy(col(valueCol).cast("double").as("v"))
+      .agg(sum(when(sampleACond, 1L).otherwise(0L)).as("gna"),
+        sum(when(sampleACond, 0L).otherwise(1L)).as("gnb"))
+    val ranks = cdf.join(counts, Seq("v"))
+      .withColumn("sz", col("gna") + col("gnb"))
+      .withColumn("midrank",
+        (col("ca") + col("cb")).cast("double") - (col("sz") - 1).cast("double") / 2.0)
+    val totals = broadcast(ranks.agg(
+      max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
+      // tie correction term Σ (t³ - t) over tie groups
+      sum(col("sz") * col("sz") * col("sz") - col("sz")).as("tie3")))
+    val n = col("n_a") + col("n_b")
+    val mu = col("n_a").cast("double") * col("n_b").cast("double") / 2.0
+    val tieAdj = lit(1.0) - col("tie3").cast("double") /
+      (n.cast("double") * (n - 1).cast("double") * (n + 1).cast("double"))
+    val sigma = sqrt(col("n_a").cast("double") * col("n_b").cast("double")
+      * (n + 1).cast("double") / 12.0 * tieAdj)
+    ranks.crossJoin(totals)
+      .groupBy(col("n_a"), col("n_b"), col("tie3"))
+      .agg(sum(col("midrank") * col("gna")).as("r_a"))
+      .withColumn("u_a",
+        col("r_a") - col("n_a").cast("double") * (col("n_a") + 1).cast("double") / 2.0)
+      .withColumn("z", (col("u_a") - mu) / sigma)
+      .select(col("n_a"), col("n_b"), col("r_a"), col("u_a"), col("z"))
+  }
+
   /** Equi-depth binning (NTILE semantics, but no single-task global
     * window): every row's global rank ordered by (`valueCol`,
     * `tieCol`) comes from the same bucketed prefix sum as [[ksTest]],
@@ -138,19 +183,28 @@ object Stats {
   def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
                     bins: Int, buckets: Int = 32): DataFrame = {
     require(bins >= 1, "equiDepthBins: bins must be >= 1")
-    // global rank without a global window: the bucketed CDF gives the
-    // cumulative row count at each distinct v (= the rank of the LAST
-    // row of v's tie group); ties inside one v resolve by tieCol
-    // through a per-v window (tie groups of a continuous value column
-    // are tiny — the window never sees a whole partition's data)
+    // global rank without a global window, in ONE bucketed pass:
+    // bucket id is a function of v alone (so a tie group never
+    // straddles buckets), per-bucket row_number over (v, tie) after
+    // one shuffle on the bucket id, then strictly-earlier-bucket row
+    // totals (≤ buckets rows, tiny window) broadcast back as offsets
     val keyed = df.select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    val cdf = bucketedCdf(keyed, "v", lit(true), buckets)
-      .select(col("v"), col("ca").as("vend"))
-    val ranks = keyed.join(cdf, Seq("v"))
-    val inV = Window.partitionBy(col("v")).orderBy(col("t"))
-    val withRank = ranks.withColumn(
-      "rn", col("vend") - count(lit(1)).over(
-        inV.rowsBetween(Window.currentRow, Window.unboundedFollowing)) + 1)
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds = if (qs.isEmpty) Array.empty[Double]
+                 else keyed.stat.approxQuantile("v", qs, 0.01)
+    val withB =
+      if (bounds.isEmpty) keyed.withColumn("b", lit(0))
+      else keyed.withColumn("b",
+        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
+          (acc, bd) => acc + when(bd <= col("v"), 1).otherwise(0)))
+    val inB = Window.partitionBy(col("b")).orderBy(col("v"), col("t"))
+    val local = withB.withColumn("lr", row_number().over(inB).cast("long"))
+    val offs = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      .select(col("b"), coalesce(sum(col("tc")).over(offs), lit(0L)).as("off"))
+    val withRank = local.join(broadcast(offsets), Seq("b"))
+      .withColumn("rn", col("off") + col("lr"))
     val n = broadcast(withRank.agg(count(lit(1)).as("n")))
     // NTILE semantics: first (n mod bins) bins take base+1 rows.
     // Integral div throughout — `/` on longs is double division in

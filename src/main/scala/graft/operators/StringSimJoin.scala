@@ -34,19 +34,25 @@ object StringSimJoin {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 1)
     // keys: the string itself + every single-character deletion,
-    // deduped per string (repeated chars give identical deletions)
+    // deduped per string (repeated chars give identical deletions),
+    // then HASHED to 64 bits — the join shuffles longs instead of
+    // near-full-length string keys (on an 18-char key corpus that
+    // halves the exchange). A hash collision only ever creates a
+    // FALSE candidate, which the exact levenshtein verify removes;
+    // equal strings always share the hash, so no pair is lost.
     val delKeys = transform(sequence(lit(1), length(col("s"))), (i: Column) =>
       concat(col("s").substr(lit(1), i - 1),
         col("s").substr(i + 1, length(col("s")) - i)))
     val keyed = base.select(col("id"), col("s"),
-      explode(array_union(array(col("s")), delKeys)).as("key"))
+      explode(array_union(array(col("s")), delKeys)).as("keyStr"))
+      .select(col("id"), col("s"), xxhash64(col("keyStr")).as("key"))
     keyed.as("a").join(keyed.as("b"), Seq("key"))
       .filter(col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.s").as("s_a"), col("b.s").as("s_b"))
       .agg(count(lit(1)).as("_k")).drop("_k")
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
       .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("int"))
+      .filter(col("dist") <= 1)
   }
 
   /** Sorted-neighborhood candidate generation — the classic entity-

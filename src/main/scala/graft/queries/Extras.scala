@@ -306,6 +306,24 @@ object Extras {
         .orderBy("custkey", "valid_from_seq")
     }),
 
+    "x_scd2_asof" -> ((s, dir) => {
+      // point-in-time (time-travel) read over the SCD2 history built
+      // by x_scd2's operator: each customer's state AS OF order-seq
+      // 15000 — one interval predicate on the history (pushes to its
+      // scan when the history is a stored table). The oracle derives
+      // the same answer INDEPENDENTLY from the raw change log
+      // (latest change at-or-before the seq point), so equality
+      // proves the interval semantics, not just replays the build.
+      val changes = t(s, dir, "orders")
+        .filter(col("o_custkey") <= 300)
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("seq"),
+          col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      val hist = graft.operators.MergeUpsert.scd2History(
+        changes, Seq("custkey"), "seq", Seq("status", "priority"))
+      graft.operators.MergeUpsert.scd2AsOf(hist, atSeq = 15000L)
+        .orderBy("custkey")
+    }),
+
     "x_copurchase" -> ((s, dir) => {
       // market-basket co-occurrence (operators/CoOccurrence
       // .basketPairs): top-20 part pairs by shared-order count. One
@@ -357,14 +375,20 @@ object Extras {
       // dangling node and the dangling-mass redistribution path is
       // live in the oracle comparison. 3 rounds, each one hash join +
       // one partial-agged contribution sum, rounds cut by checkpoints.
+      // Node ids stay NUMERIC (even=customer, odd=supplier) through
+      // every shuffle — the oracle's display strings are attached to
+      // the |V|-row result only, never to the |E|-row edge traffic.
       val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       graft.operators.PageRank.relativeRanks(edges, "src", "dst", iters = 3)
-        .select(col("node"), round(col("rel_rank"), 6).as("rel_rank"))
+        .select(
+          concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            expr("node div 2")).as("node"),
+          round(col("rel_rank"), 6).as("rel_rank"))
         .orderBy("node")
     }),
 
@@ -475,6 +499,20 @@ object Extras {
         |      i -> ((CAST(floor((c_acctbal + 1000.0) / 100.0) AS BIGINT) >> i) & 1) << (2 * i + 1)))
         |    AS BIGINT) AS z
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x_scd2_asof" ->
+      // independent derivation: the state AS OF seq 15000 is the
+      // latest change at-or-before it, per key — no SCD2 interval
+      // machinery on the oracle side
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |         o_orderstatus AS status, o_orderpriority AS priority
+        |  FROM orders WHERE o_custkey <= 300),
+        |latest AS (
+        |  SELECT custkey, status, priority,
+        |         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY seq DESC) AS rn
+        |  FROM ch WHERE seq <= 15000)
+        |SELECT custkey, status, priority FROM latest
+        |WHERE rn = 1 ORDER BY custkey""".stripMargin,
     "x_scd2" ->
       """WITH ch AS (
         |  SELECT o_custkey AS custkey, o_orderkey AS seq,

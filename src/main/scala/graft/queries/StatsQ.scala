@@ -47,6 +47,27 @@ object StatsQ {
           "value", col("event_type") === "view")
         .select(col("n_a"), col("n_b"), round(col("d"), 6).as("d"))),
 
+    "x_mannwhitney" -> ((s, dir) =>
+      // Mann-Whitney U with exact midranks (tie groups ranked at the
+      // average of their span) from the same bucketed prefix sum as
+      // x_ks_test — rank-sum terms are exact multiples of 0.5, so the
+      // double aggregation is order-independent-exact
+      Stats.mannWhitneyU(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "view")
+        .select(col("n_a"), col("n_b"), col("r_a"), col("u_a"),
+          round(col("z"), 6).as("z"))),
+
+    "x_benford" -> ((s, dir) =>
+      // Benford first-digit audit of order totals: digit from the
+      // decimal rendering (libm-proof), one count pass + broadcast
+      // total; the uniform-ish TPC-H prices WON'T follow Benford —
+      // the report showing that divergence is the point
+      graft.operators.Profiling.benford(t(s, dir, "orders"), "o_totalprice")
+        .select(col("digit"), col("cnt"), round(col("share"), 6).as("share"),
+          round(col("expected"), 6).as("expected"))
+        .orderBy("digit")),
+
     "x_eqdepth" -> ((s, dir) =>
       // equi-depth deciles of order totals with exact NTILE semantics,
       // rank from the same bucketed prefix sum — scale-safe binning
@@ -67,16 +88,23 @@ object StatsQ {
     "x_bfs_hops" -> ((s, dir) => {
       // hop distance from one nation's customers over the undirected
       // customer—supplier trade graph (the PageRank edge set): BFS
-      // layering via per-hop join + anti-join, checkpoint-cut rounds
+      // layering via per-hop join + anti-join, checkpoint-cut rounds.
+      // Numeric node ids (even=customer, odd=supplier) through every
+      // shuffle; the oracle's display strings attach to the |V|-row
+      // result only.
       val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
         .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       val seeds = t(s, dir, "customer").filter(col("c_nationkey") === 7)
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
+        .select((col("c_custkey") * 2).as("node"))
       GraphTraversal.bfsHops(edges, "src", "dst", seeds, "node", maxHops = 3)
+        .select(
+          concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            expr("node div 2")).as("node"),
+          col("hops"))
         .orderBy("node")
     }),
 
@@ -138,6 +166,46 @@ object StatsQ {
         |  ROUND(MAX(ABS(CAST(ca AS DOUBLE) / t.n_a
         |            - CAST(cb AS DOUBLE) / t.n_b)), 6) AS d
         |FROM cum CROSS JOIN tot t GROUP BY 1, 2""".stripMargin,
+    "x_mannwhitney" ->
+      """WITH pts AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS gna,
+        |             CAST(SUM(1 - ia) AS BIGINT) AS gnb FROM pts GROUP BY 1),
+        |cum AS (SELECT v, gna, gnb,
+        |  SUM(gna) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |  SUM(gnb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM g),
+        |r AS (SELECT v, gna, gnb, ca, cb, gna + gnb AS sz,
+        |  CAST(ca + cb AS DOUBLE) - CAST(gna + gnb - 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM cum),
+        |tot AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+        |               CAST(MAX(cb) AS BIGINT) AS n_b,
+        |               CAST(SUM(sz * sz * sz - sz) AS BIGINT) AS tie3 FROM r),
+        |s AS (SELECT t.n_a, t.n_b, t.tie3,
+        |        SUM(r.midrank * r.gna) AS r_a
+        |      FROM r CROSS JOIN tot t GROUP BY 1, 2, 3)
+        |SELECT n_a, n_b, r_a,
+        |  r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0 AS u_a,
+        |  ROUND(((r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0)
+        |          - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+        |           * CAST(n_a + n_b + 1 AS DOUBLE) / 12.0
+        |           * (1.0 - CAST(tie3 AS DOUBLE)
+        |              / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE)
+        |                 * CAST(n_a + n_b + 1 AS DOUBLE)))), 6) AS z
+        |FROM s""".stripMargin,
+    "x_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), 1, 1)
+        |           AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |c AS (SELECT digit, COUNT(*) AS cnt FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM c)
+        |SELECT digit, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / t.t, 6) AS share,
+        |  ROUND(log10(1.0 + 1.0 / digit), 6) AS expected
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
     "x_eqdepth" ->
       """WITH r AS (
         |  SELECT CAST(o_totalprice AS DOUBLE) AS v,

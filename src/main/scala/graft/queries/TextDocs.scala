@@ -274,6 +274,26 @@ object TextDocs {
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy("ida", "idb")),
 
+    "x_lsh_calibration" -> ((s, dir) =>
+      // estimate-vs-exact error per minhash candidate pair — the
+      // bands/rows tuning report; the exact half runs only on the
+      // candidate neighborhood (semi-joined shingles), never corpus²
+      Dedup.lshCalibration(docs(s, dir), "doc_id", "text", minEst = 0.25)
+        .orderBy("ida", "idb")),
+
+    "x_group_split" -> ((s, dir) =>
+      // leakage-safe grouped train/val/test: split is a pure md5
+      // function of SOURCE, so a group can never straddle splits;
+      // report proves both the assignment and the no-straddle property
+      // (n_sources sums to the distinct source count)
+      graft.operators.Sampling.groupSplit(docs(s, dir), "source",
+          nBuckets = 10, valBuckets = Set(0), testBuckets = Set(1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")),
+
     "x_incremental_dedup" -> ((s, dir) => {
       // the daily-ingest dedup path under the oracle (round-2 verdict
       // listed it spec-only): even doc_ids play the INDEXED history
@@ -1407,6 +1427,63 @@ object TextDocs {
          |  GROUP BY 1, 2)
          |SELECT ida, idb, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY ida, idb""".stripMargin,
+    "x_lsh_calibration" ->
+      // the same signature/band replay as x_minhash_pairs at a lower
+      // threshold, joined with the EXACT shingle Jaccard from the fnv
+      // CTE (distinct 64-bit shingle hashes per doc — the engine's
+      // intersection key); err is computed from the pre-rounded exact
+      // ratio, mirroring the operator
+      s"""WITH $minhashSigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.ida, c.idb,
+         |    ROUND(CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.ida
+         |  JOIN sig sb ON sb.doc_id = c.idb AND sb.j = sa.j
+         |  GROUP BY 1, 2),
+         |kept AS (SELECT * FROM est WHERE est_jaccard >= 0.25),
+         |szs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nsh FROM fnv GROUP BY 1),
+         |ints AS (
+         |  SELECT k.ida, k.idb, CAST(COUNT(*) AS BIGINT) AS i
+         |  FROM kept k
+         |  JOIN fnv fa ON fa.doc_id = k.ida
+         |  JOIN fnv fb ON fb.doc_id = k.idb AND fb.h = fa.h
+         |  GROUP BY 1, 2),
+         |x AS (
+         |  SELECT k.ida, k.idb, k.est_jaccard,
+         |    CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |      / CAST(sa.nsh + sb.nsh - COALESCE(i.i, 0) AS DOUBLE) AS xr
+         |  FROM kept k
+         |  LEFT JOIN ints i ON i.ida = k.ida AND i.idb = k.idb
+         |  JOIN szs sa ON sa.doc_id = k.ida
+         |  JOIN szs sb ON sb.doc_id = k.idb)
+         |SELECT ida, idb, est_jaccard, ROUND(xr, 4) AS exact_jaccard,
+         |  ROUND(ABS(est_jaccard - xr), 4) AS abs_err
+         |FROM x ORDER BY ida, idb""".stripMargin,
+    "x_group_split" -> {
+      // Sampling.shardId replay on the SOURCE string (md5 of a string
+      // column is the identity cast in both engines), buckets 0/1/rest
+      // → val/test/train
+      val nibbleSum = (1 to 8).map { i =>
+        val mult = BigInt(16).pow(8 - i)
+        s"(strpos('0123456789abcdef', substr(md5(source), $i, 1)) - 1) * $mult"
+      }.mkString("\n        + ")
+      s"""WITH b AS (
+         |  SELECT *, CAST(($nibbleSum) % 10 AS INTEGER) AS bucket
+         |  FROM documents),
+         |s AS (SELECT *, CASE WHEN bucket = 0 THEN 'val'
+         |                     WHEN bucket = 1 THEN 'test'
+         |                     ELSE 'train' END AS split FROM b)
+         |SELECT split, COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "x_incremental_dedup" ->
       // the same signature/band machinery, but candidates pair a BATCH
       // doc (odd id) with an INDEX doc (even id) only — the daily-

@@ -1711,6 +1711,103 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("groupSplit: a group never straddles splits; bad buckets rejected") {
+    import graft.operators.Sampling
+    val df = (1 to 200).map(i => (i.toLong, s"src${i % 20}")).toDF("id", "g")
+    val split = Sampling.groupSplit(df, "g", nBuckets = 10,
+      valBuckets = Set(0), testBuckets = Set(1))
+    // every group maps to exactly one split (the no-leakage property)
+    val straddlers = split.groupBy("g")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1).count()
+    assert(straddlers == 0)
+    // split of a group == split of its bucket, replayed via shardId
+    val byHash = df.select($"g").distinct()
+      .withColumn("b", Sampling.shardId($"g", 10))
+      .withColumn("want",
+        when($"b" === 0, "val").when($"b" === 1, "test").otherwise("train"))
+    val joined = split.select("g", "split").distinct()
+      .join(byHash, Seq("g"))
+      .filter($"split" =!= $"want").count()
+    assert(joined == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(df, "g", 10, Set(0, 1), Set(1, 2))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.groupSplit(df, "g", 10, Set(0), Set(10))
+    }
+  }
+
+  test("lshCalibration: exact duplicates read est=exact=1, err=0; exact matches brute force") {
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val variant = "the quick brown fox jumps over the lazy cat again and again"
+    val docs = Seq((1L, base), (2L, base), (3L, variant),
+      (4L, "completely unrelated text about distributed query engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.lshCalibration(docs, "doc_id", "text", minEst = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (e12, x12, er12) = got((1L, 2L))
+    assert(e12 == 1.0 && x12 == 1.0 && er12 == 0.0)
+    // brute-force 3-gram shingle jaccard for the (base, variant) pair
+    def shingles(s: String) = s.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    val a = shingles(base); val b = shingles(variant)
+    val brute = a.intersect(b).size.toDouble / a.union(b).size
+    got.get((1L, 3L)).foreach { case (_, x13, _) =>
+      assert(math.abs(x13 - math.rint(brute * 1e4) / 1e4) < 1e-9)
+    }
+    // the unrelated doc never becomes a candidate
+    assert(!got.keySet.exists { case (p, q) => p == 4L || q == 4L })
+  }
+
+  test("mannWhitneyU: textbook example with ties matches hand computation") {
+    import graft.operators.Stats
+    // A = {1, 2, 2, 5}, B = {2, 3, 4}: pooled midranks
+    // 1→1, 2,2,2→(2+3+4)/3=3, 3→5, 4→6, 5→7
+    // R_A = 1 + 3 + 3 + 7 = 14; U_A = 14 - 4·5/2 = 4
+    val df = (Seq(1.0, 2.0, 2.0, 5.0).map(("a", _)) ++
+      Seq(2.0, 3.0, 4.0).map(("b", _))).toDF("s", "v")
+    val r = Stats.mannWhitneyU(df, "v", col("s") === "a", buckets = 2).head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 14.0) // rank sum
+    assert(r.getDouble(3) == 4.0)  // U
+    // z: mu = 6, tie3 = 3³-3 = 24, n = 7
+    // sigma = sqrt(4·3·8/12 · (1 - 24/(7·6·8))) = sqrt(8 · 13/14)
+    val sigma = math.sqrt(8.0 * (1.0 - 24.0 / 336.0))
+    assert(math.abs(r.getDouble(4) - (4.0 - 6.0) / sigma) < 1e-12)
+  }
+
+  test("benford: digits from decimal rendering, shares sum to 1, v<1 excluded") {
+    import graft.operators.Profiling
+    // powers of ten land EXACTLY on digit 1 (the libm log10 trap);
+    // 0.5 is excluded
+    val df = Seq(1.0, 10.0, 100.0, 1000.0, 9999.0, 2.5, 0.5).toDF("v")
+    val rows = Profiling.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1)._1 == 4L) // 1, 10, 100, 1000
+    assert(rows(9)._1 == 1L && rows(2)._1 == 1L)
+    assert(rows.values.map(_._1).sum == 6L) // 0.5 excluded
+    assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("scd2AsOf: interval read equals latest-change-at-or-before, keys born later absent") {
+    import graft.operators.MergeUpsert
+    val changes = Seq(
+      (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"), // key 1 evolves
+      (2L, 25L, "X"),                                 // key 2 born at 25
+      (3L, 5L, "P"), (3L, 6L, "P")                    // key 3: no-op collapse
+    ).toDF("k", "seq", "st")
+    val hist = MergeUpsert.scd2History(changes, Seq("k"), "seq", Seq("st"))
+    def at(t: Long) = MergeUpsert.scd2AsOf(hist, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(at(22L) == Map(1L -> "B", 3L -> "P")) // 2 not born yet
+    assert(at(30L) == Map(1L -> "C", 2L -> "X", 3L -> "P"))
+    assert(at(4L) == Map.empty[Long, String])
+    // schema: interval/bookkeeping columns dropped
+    assert(MergeUpsert.scd2AsOf(hist, 30L).columns.toSeq == Seq("k", "st"))
+  }
+
   test("Tables.load normalizes events.ts to TimestampType at every SF") {
     // regression lock for the round-6 outage: the data generator
     // switched events.ts from TIMESTAMP(NANOS) to a no-timezone

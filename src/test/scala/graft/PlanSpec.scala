@@ -543,4 +543,55 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("x_ols/x_corr_matrix: one partial-agged pass, no window, no join") {
+    for (q <- Seq("x_ols", "x_corr_matrix")) {
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), p)
+      assert(p.contains("partial_regr_slope") || p.contains("partial_corr"),
+        s"$q: aggregates must partial-agg map-side")
+      assert(!p.contains("Window"), s"$q must not window")
+      assert(!p.contains("Join"), s"$q is a single-pass aggregation")
+    }
+  }
+
+  test("x_ks_test/x_eqdepth: every data-side window is bucket-partitioned, offsets broadcast back") {
+    for (q <- Seq("x_ks_test", "x_eqdepth")) {
+      val p = plan(q)
+      // the CDF windows must carry a partition spec (the bucket id) —
+      // an unpartitioned window over the data is the single-task global
+      // scan this operator exists to avoid. The only unpartitioned
+      // window allowed is the per-bucket-TOTALS cascade, which runs
+      // over <= buckets rows behind a tiny aggregate.
+      val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(winSpecs.nonEmpty, p)
+      // a partitioned Window's Arguments carry three bracket groups:
+      // [exprs], [partition], [order] — the data-side cumsum must show
+      // the bucket id `b` as its partition group
+      assert(winSpecs.exists(_.matches(""".*\], \[b#\d+\], \[.*""")),
+        s"$q: the data-side CDF window must partition on the bucket id\n" +
+          winSpecs.mkString("\n"))
+      // offsets re-enter through a broadcast, never a sort-merge join
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("x_sorted_neighborhood: block-keyed window + lead, no self-join on data") {
+    val p = plan("x_sorted_neighborhood")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // pairs come from lead(), not a join: no join node at all
+    assert(!p.linesIterator.exists(l => l.contains("Join")), p)
+  }
+
+  test("x_markov: lag window shuffles once on the entity key; normalizer broadcasts") {
+    val p = plan("x_markov")
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_count"), "pair counts must partial-agg")
+    assert(p.contains("BroadcastHashJoin"), "per-from totals must broadcast back")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
