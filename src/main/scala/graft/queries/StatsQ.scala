@@ -108,6 +108,55 @@ object StatsQ {
         .orderBy("node")
     }),
 
+    "x_dq_rules" -> ((s, dir) => {
+      // declarative data-quality gate (operators/QualityRules): four
+      // row predicates in ONE agg pass, two uniqueness checks, one FK
+      // anti-join — a mixed pass/fail report (the price bound and the
+      // custkey-uniqueness rule fail by design, proving the failure
+      // path is live)
+      import graft.operators.QualityRules._
+      val o = t(s, dir, "orders")
+      report(
+        rowRules(o, Seq(
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "orderdate_not_null" -> col("o_orderdate").isNotNull,
+          "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "totalprice_below_400k" -> (col("o_totalprice") <= 400000))),
+        uniqueRule(o, "orderkey_unique", Seq("o_orderkey")),
+        uniqueRule(o, "custkey_unique", Seq("o_custkey")),
+        fkRule(o, "custkey_fk", Seq("o_custkey"),
+          t(s, dir, "customer"), Seq("c_custkey")))
+        .orderBy("rule")
+    }),
+
+    "x_linkage" -> ((s, dir) => {
+      // record-linkage scoring (Fellegi-Sunter-style linear weights)
+      // over sorted-neighborhood blocking: candidates from the blocked
+      // sort (never corpus²), then a composite agreement score — name
+      // edit similarity, nation and segment agreement — with the
+      // top-50 as TakeOrdered. Ordering is fully deterministic
+      // (score, then ids), so the LIMIT cutoff is engine-stable.
+      val c = t(s, dir, "customer")
+      val cand = StringSimJoin.sortedNeighborhood(c, "c_custkey", "c_name",
+        window = 2)
+      val attrs = c.select(col("c_custkey"), col("c_nationkey"),
+        col("c_mktsegment"))
+      val scored = cand
+        .join(attrs.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("nat_a"), col("c_mktsegment").as("seg_a")), Seq("id_a"))
+        .join(attrs.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nat_b"), col("c_mktsegment").as("seg_b")), Seq("id_b"))
+        .withColumn("score",
+          lit(3.0) * (lit(1.0) - levenshtein(col("s_a"), col("s_b")).cast("double")
+            / greatest(length(col("s_a")), length(col("s_b"))).cast("double"))
+            + when(col("nat_a") === col("nat_b"), 1.0).otherwise(0.0)
+            + when(col("seg_a") === col("seg_b"), 0.5).otherwise(0.0))
+      scored
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+        .limit(50)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score"))
+    }),
+
     "x_sorted_neighborhood" -> ((s, dir) =>
       // sorted-neighborhood blocking on part names (window 3, blocked
       // by first letter): per-block sort + lead — one shuffle on the
@@ -239,6 +288,64 @@ object StatsQ {
         |  WHERE w.d < 3)
         |SELECT node, CAST(MIN(d) AS INT) AS hops
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_dq_rules" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+        |rows_f AS (
+        |  SELECT * FROM (VALUES
+        |    ('totalprice_positive',
+        |      (SELECT COUNT(*) FROM orders
+        |       WHERE NOT COALESCE(o_totalprice > 0, FALSE))),
+        |    ('orderdate_not_null',
+        |      (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)),
+        |    ('status_in_domain',
+        |      (SELECT COUNT(*) FROM orders
+        |       WHERE NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE))),
+        |    ('totalprice_below_400k',
+        |      (SELECT COUNT(*) FROM orders
+        |       WHERE NOT COALESCE(o_totalprice <= 400000, FALSE)))) v(rule, n_fail)),
+        |uniq AS (
+        |  SELECT 'orderkey_unique' AS rule,
+        |    (SELECT COALESCE(SUM(c), 0) FROM (
+        |       SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+        |       HAVING COUNT(*) > 1) t) AS n_fail
+        |  UNION ALL
+        |  SELECT 'custkey_unique',
+        |    (SELECT COALESCE(SUM(c), 0) FROM (
+        |       SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey
+        |       HAVING COUNT(*) > 1) t)),
+        |fk AS (
+        |  SELECT 'custkey_fk' AS rule,
+        |    (SELECT COUNT(*) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)) AS n_fail),
+        |allr AS (SELECT rule, n_fail FROM rows_f
+        |         UNION ALL SELECT rule, n_fail FROM uniq
+        |         UNION ALL SELECT rule, n_fail FROM fk)
+        |SELECT rule, n.n_rows, CAST(n_fail AS BIGINT) AS n_fail,
+        |  n_fail = 0 AS pass
+        |FROM allr CROSS JOIN n ORDER BY rule""".stripMargin,
+    "x_linkage" ->
+      """WITH rk AS (
+        |  SELECT c_custkey AS id, c_name AS s, c_nationkey AS nat,
+        |    c_mktsegment AS seg,
+        |    upper(substring(c_name, 1, 1)) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY upper(substring(c_name, 1, 1))
+        |                       ORDER BY c_name, c_custkey) AS rn
+        |  FROM customer),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |    a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b
+        |  FROM rk a JOIN rk b
+        |    ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 2),
+        |scored AS (
+        |  SELECT id_a, id_b,
+        |    3.0 * (1.0 - CAST(levenshtein(s_a, s_b) AS DOUBLE)
+        |           / CAST(greatest(length(s_a), length(s_b)) AS DOUBLE))
+        |    + CASE WHEN nat_a = nat_b THEN 1.0 ELSE 0.0 END
+        |    + CASE WHEN seg_a = seg_b THEN 0.5 ELSE 0.0 END AS score
+        |  FROM cand)
+        |SELECT id_a, id_b, ROUND(score, 4) AS score
+        |FROM scored ORDER BY score DESC, id_a, id_b LIMIT 50""".stripMargin,
     "x_sorted_neighborhood" ->
       """WITH rk AS (
         |  SELECT p_partkey AS id, p_name AS s,

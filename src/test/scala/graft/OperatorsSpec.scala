@@ -1808,6 +1808,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeUpsert.scd2AsOf(hist, 30L).columns.toSeq == Seq("k", "st"))
   }
 
+  test("QualityRules: planted violations counted exactly, null predicates fail") {
+    import graft.operators.QualityRules._
+    val child = Seq(
+      (1L, Some(10.0), 100L), (2L, Some(-5.0), 100L), (3L, None, 200L),
+      (4L, Some(7.0), 999L), (4L, Some(8.0), 100L) // dup id 4; 999 missing parent
+    ).toDF("id", "amt", "fk")
+    val parent = Seq(100L, 200L).toDF("pk")
+    val rep = report(
+      rowRules(child, Seq(
+        "amt_positive" -> (col("amt") > 0),      // -5 fails, NULL fails
+        "id_not_null" -> col("id").isNotNull)),  // passes
+      uniqueRule(child, "id_unique", Seq("id")), // both id-4 rows fail
+      fkRule(child, "fk_valid", Seq("fk"), parent, Seq("pk")))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rep("amt_positive") == (5L, 2L, false))
+    assert(rep("id_not_null") == (5L, 0L, true))
+    assert(rep("id_unique") == (5L, 2L, false))
+    assert(rep("fk_valid") == (5L, 1L, false))
+  }
+
   test("Tables.load normalizes events.ts to TimestampType at every SF") {
     // regression lock for the round-6 outage: the data generator
     // switched events.ts from TIMESTAMP(NANOS) to a no-timezone

@@ -332,6 +332,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState rolling distinct: MapState prunes to the watermark horizon") {
+    import graft.streaming.{StatefulSessions, TwsRollingDistinct}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatefulSessions.Event]
+    def sev(id: Long, minute: Int, user: Long, ty: String) = StatefulSessions.Event(
+      id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      user, ty, 1.0)
+    val withWm = in.toDS().withWatermark("ts", "10 minutes")
+      .as[StatefulSessions.Event]
+    val q = TwsRollingDistinct.distinctTypes(withWm, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("twsrd_out").outputMode("append").start()
+    try {
+      in.addData(sev(1, 10, 1, "a"), sev(2, 12, 1, "b"))
+      q.processAllAvailable() // 2 distinct within horizon
+      in.addData(sev(3, 560, 1, "a"))
+      q.processAllAvailable() // watermark still at 2min: b not yet pruned
+      in.addData(sev(9, 600, 9, "x")) // watermark → 590; timer for user 1 fires
+      q.processAllAvailable()
+      in.addData(sev(10, 660, 9, "x")) // one more batch so the timer batch runs
+      q.processAllAvailable()
+      val rows = spark.table("twsrd_out")
+        .select("user_id", "n_distinct").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(rows.count(_ == (1L, 2)) >= 2, rows.toString) // both pre-prune emissions
+      assert(rows.contains((1L, 1)), rows.toString) // post-prune: only a@560 lives
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding window assigns each event to 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
