@@ -116,6 +116,34 @@ object EventAnalytics {
       .orderBy("k", "h")
   }
 
+  /** Exponentially weighted moving average per entity — the recency-
+    * biased smoothing a metrics pipeline keeps per user/device
+    * (y_i = α·x_i + (1−α)·y_{i−1}, y_1 = x_1). A linear RECURRENCE,
+    * not a frame aggregate, so no window frame expresses it; instead
+    * each entity's series is gathered once (one hash-agg shuffle into
+    * a sorted array — same per-key-sequence shape as the funnel fold)
+    * and the recurrence folds left inside codegen via the higher-order
+    * `aggregate`. Per-key series must fit one row — the same
+    * documented bound as funnel/sequence operators; α and 1−α are
+    * passed as two separate literals (deriving one from the other at
+    * SQL-text level risks a one-ulp constant mismatch cross-engine).
+    *
+    * Returns (key, n, ewma) — the series length and the final
+    * smoothed value. */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+           valCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"ewma: alpha $alpha outside (0,1]")
+    val a = lit(alpha)
+    val b = lit(1.0 - alpha)
+    events.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("v")))).as("seq"))
+      .select(col(keyCol), size(col("seq")).as("n"),
+        aggregate(transform(col("seq"), x => x.getField("v")),
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x).otherwise(a * x + b * acc)).as("ewma"))
+  }
+
   /** First-order Markov transition matrix of the event-type sequence:
     * per (from, to) pair, the transition count and probability
     * P(to | from) — the behavioral-model summary (next-step

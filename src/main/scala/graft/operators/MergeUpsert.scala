@@ -87,4 +87,33 @@ object MergeUpsert {
     history.filter(col("valid_from_seq") <= atSeq &&
         (col("valid_to_seq").isNull || col("valid_to_seq") > atSeq))
       .drop("valid_from_seq", "valid_to_seq", "is_current")
+
+  /** Structural invariant audit of an SCD2 history — the check a
+    * pipeline runs after every merge into a hand-maintained history
+    * table (a [[scd2History]] build satisfies it by construction; a
+    * concurrent writer or a botched backfill breaks it silently):
+    * per key, exactly ONE open (is_current) row, and the validity
+    * intervals CHAIN — each row's valid_to equals the next row's
+    * valid_from, with only the last row open. One key-windowed pass;
+    * output is a single row of violation counts (all zero = healthy).
+    */
+  def scd2Audit(history: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("valid_from_seq"))
+    val chained = history
+      .withColumn("__next_from", lead(col("valid_from_seq"), 1).over(w))
+      .withColumn("__chain_bad",
+        when(col("__next_from").isNull, // last row: must be open
+          when(col("valid_to_seq").isNotNull, 1L).otherwise(0L))
+        .otherwise( // interior row: must close exactly at the next open
+          when(!(col("valid_to_seq") <=> col("__next_from")), 1L).otherwise(0L)))
+    val perKey = chained
+      .groupBy(keys.map(col): _*)
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("__n_cur"),
+        sum(col("__chain_bad")).as("__n_chain"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(when(col("__n_cur") =!= 1L, 1L).otherwise(0L)).as("bad_current_keys"),
+      coalesce(sum(col("__n_chain")), lit(0L)).as("broken_chain_rows"))
+  }
 }

@@ -177,6 +177,17 @@ object Events {
         .orderBy("h", "rn")
     }),
 
+    "x_ewma" -> ((s, dir) =>
+      // per-user EWMA of event values (α=0.3): the fold-left
+      // recurrence runs in codegen over each user's sorted series
+      // (EventAnalytics.ewma) — identical fold shape replayed by
+      // DuckDB's list_reduce, so the doubles match bit-for-bit
+      // before the display rounding
+      EventAnalytics.ewma(ev(s, dir), "user_id", "ts", "event_id",
+          "value", alpha = 0.3)
+        .select(col("user_id"), col("n"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id")),
+
     "x_outliers" -> ((s, dir) =>
       // robust MAD outlier report (operators/Profiling.madOutliers):
       // median ± 3·1.4826·MAD per type. Cross-engine safe: the nearest
@@ -319,6 +330,19 @@ object Events {
         |  FROM c)
         |SELECT h, rn, event_type, cnt FROM r
         |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+    "x_ewma" -> {
+      // α and 1−α interpolated from the SAME Scala doubles the
+      // operator uses (toString/parse round-trips exactly)
+      val alpha = 0.3
+      s"""WITH s AS (
+         |  SELECT user_id,
+         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, CAST(len(seq) AS INT) AS n,
+         |  ROUND(list_reduce(seq,
+         |    (acc, x) -> $alpha * x + ${1.0 - alpha} * acc), 6) AS ewma
+         |FROM s ORDER BY user_id""".stripMargin
+    },
     "x_outliers" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS m

@@ -1808,6 +1808,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeUpsert.scd2AsOf(hist, 30L).columns.toSeq == Seq("k", "st"))
   }
 
+  test("scd2Audit: built history is clean; planted overlap and double-current caught") {
+    import graft.operators.MergeUpsert
+    val changes = Seq((1L, 10L, "A"), (1L, 20L, "B"), (2L, 5L, "X")).toDF("k", "seq", "st")
+    val hist = MergeUpsert.scd2History(changes, Seq("k"), "seq", Seq("st"))
+    val clean = MergeUpsert.scd2Audit(hist, Seq("k")).head()
+    assert(clean.getLong(0) == 2L && clean.getLong(1) == 0L && clean.getLong(2) == 0L)
+    // corrupt copy: key 1's first row closes at 15 (gap to next open at
+    // 20) and both rows claim is_current
+    val bad = Seq(
+      (1L, "A", 10L, Some(15L), true), (1L, "B", 20L, None, true),
+      (2L, "X", 5L, None, true)
+    ).toDF("k", "st", "valid_from_seq", "valid_to_seq", "is_current")
+    val r = MergeUpsert.scd2Audit(bad, Seq("k")).head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == 1L) // key 1 has two current rows
+    assert(r.getLong(2) == 1L) // the 15-vs-20 chain break
+  }
+
+  test("native session_window equals the manual gap-sessionize off gap boundaries") {
+    // cross-API lock: Spark's built-in session_window and the
+    // lag/break/running-sum sessionize (x_sessionize's shape) must
+    // agree whenever no gap is EXACTLY the threshold (at exactly-gap
+    // the two differ by contract: the manual break is `> gap`, the
+    // native merge is `< window end`)
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+    val df = Seq((1L, ts(0)), (1L, ts(29)), (1L, ts(61)), // 29 joins, 32-min gap splits
+      (2L, ts(10)), (2L, ts(100))) // both solo sessions
+      .toDF("u", "t")
+    val native = df.groupBy(session_window(col("t"), "30 minutes"), col("u"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("start"))
+      .select(col("u"), col("n"), col("start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    val byU = org.apache.spark.sql.expressions.Window.partitionBy(col("u")).orderBy(col("t"))
+    val manual = df
+      .withColumn("prev", lag(col("t"), 1).over(byU))
+      .withColumn("brk", when(col("prev").isNull ||
+        (unix_micros(col("t")) - unix_micros(col("prev"))) > 30L * 60 * 1000000, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byU.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("u"), col("sid"))
+      .agg(count(lit(1)).as("n"), min(col("t")).as("start"))
+      .select(col("u"), col("n"), col("start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(native == manual, s"native=$native manual=$manual")
+  }
+
+  test("ewma: hand-computed recurrence, order by (ts, tie), single-point identity") {
+    import graft.operators.EventAnalytics
+    // user 1 out-of-order input: sorted series is 10, 20, 40
+    // y = 10; 0.5·20+0.5·10 = 15; 0.5·40+0.5·15 = 27.5
+    val df = Seq((1L, 3L, 1L, 40.0), (1L, 1L, 1L, 10.0), (1L, 2L, 1L, 20.0),
+      (2L, 1L, 1L, 7.0), // single point: ewma == the value
+      (3L, 1L, 1L, 1.0), (3L, 1L, 2L, 2.0)) // equal ts: tie column orders
+      .toDF("u", "t", "tie", "v")
+    val got = EventAnalytics.ewma(df, "u", "t", "tie", "v", alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got(1L) == (3, 27.5))
+    assert(got(2L) == (1, 7.0))
+    assert(got(3L) == (2, 0.5 * 2.0 + 0.5 * 1.0))
+  }
+
   test("QualityRules: planted violations counted exactly, null predicates fail") {
     import graft.operators.QualityRules._
     val child = Seq(
