@@ -30,6 +30,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(relsBack.collect().toSet == rels.collect().toSet)
   }
 
+  test("QuarantineCsv: malformed rows land in quarantine with the raw line, clean rows parse") {
+    import graft.sources.QuarantineCsv
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_quar").toString
+    // two good rows, one type-bad (abc as int), one arity-bad
+    Files.writeString(java.nio.file.Path.of(s"$dir/part1.csv"),
+      "id,name,score\n1,alpha,10\n2,beta,20\nx3,gamma,abc\n")
+    Files.writeString(java.nio.file.Path.of(s"$dir/part2.csv"),
+      "id,name,score\n4,delta,40\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", IntegerType)))
+    val parsed = QuarantineCsv.readWithQuarantine(spark, dir, schema).cache()
+    try {
+      val (clean, quar) = QuarantineCsv.split(parsed)
+      assert(clean.columns.toSeq == Seq("id", "name", "score"))
+      assert(clean.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+        Set((1L, "alpha", 10), (2L, "beta", 20), (4L, "delta", 40)))
+      val raw = quar.collect().map(_.getString(0)).toSet
+      assert(raw == Set("x3,gamma,abc"), raw.toString) // raw line preserved for replay
+      // schema guard: declaring the corrupt column yourself is rejected
+      intercept[IllegalArgumentException] {
+        QuarantineCsv.readWithQuarantine(spark, dir, StructType(schema.fields :+
+          StructField(QuarantineCsv.CorruptCol, StringType)))
+      }
+    } finally parsed.unpersist()
+  }
+
   test("MetadataJob full lifecycle publishes one parity envelope") {
     val dir = Files.createTempDirectory("graft_job").toString
     val conf = ScopedConf(
