@@ -66,12 +66,19 @@ object EventStreams {
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
                    interval: String = "10 minutes",
-                   watermark: String = "10 minutes"): DataFrame = {
+                   watermark: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // "left_outer" emits the unmatched left row (right columns null)
+    // once the watermark proves no in-interval partner can still
+    // arrive — the attribution-with-timeout shape ("view that never
+    // converted"). Spark requires the time bound on BOTH sides for
+    // outer stream-stream joins; this condition provides it.
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"))
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $interval"),
+      joinType)
   }
 }

@@ -594,4 +594,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "per-from totals must broadcast back")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x_ewma: fold in one hash-agg pass — no window, no join") {
+    val p = plan("x_ewma")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "collect_list needs an object/sort aggregate\n" + p)
+    assert(!p.contains("Window"), p)
+    assert(!p.linesIterator.exists(_.contains("Join")), p)
+  }
+
+  test("x_dq_rules: row rules share ONE scan; FK anti-join broadcasts") {
+    val p = plan("x_dq_rules")
+    // 4 row predicates must NOT mean 4 scans: the whole report's scan
+    // budget is rowRules(1) + unique(2) + fk anti-join(1) + fk
+    // total(1, column-pruned to zero fields) + customer(1) — counted
+    // on the detail-block headers so tree + detail don't double-count
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*"""))
+    assert(scans <= 6, s"expected <= 6 scans (one per rule family leg), got $scans\n" + p)
+    assert(p.contains("BroadcastHashJoin LeftAnti"), "FK check must broadcast the parent")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x_linkage: blocked candidates only — no cartesian, top-50 is TakeOrdered") {
+    val p = plan("x_linkage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), "sorted-neighborhood blocking must drive candidates")
+  }
 }

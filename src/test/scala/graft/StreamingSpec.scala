@@ -263,6 +263,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched view emits with nulls after the watermark closes it") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventStreams.intervalJoin(
+      views.toDF().select($"user_id".as("v_user"), $"ts".as("v_ts"), $"event_id".as("v_id")),
+      clicks.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id")),
+      "v_user", "c_user", "v_ts", "c_ts", interval = "10 minutes",
+      watermark = "10 minutes", joinType = "left_outer")
+    val q = run("ivjo_out", joined.select("v_id", "c_id"))
+    try {
+      views.addData(ev(1, 0, user = 7), ev(2, 0, user = 8))
+      clicks.addData(ev(100, 5, user = 7)) // user 7 converts; user 8 never does
+      q.processAllAvailable()
+      // push both watermarks far past view-time + interval so the
+      // unmatched row finalizes (outer results wait for the watermark)
+      views.addData(ev(3, 240, user = 1))
+      clicks.addData(ev(101, 240, user = 1))
+      q.processAllAvailable()
+      views.addData(ev(4, 300, user = 1))
+      clicks.addData(ev(102, 300, user = 1))
+      q.processAllAvailable()
+      val rows = spark.table("ivjo_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(rows.contains((1L, 100L)), rows.toString)  // matched pair
+      assert(rows.contains((2L, -1L)), rows.toString)   // null-completed after watermark
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits sessions as they close, state times out") {
     import graft.streaming.StatefulSessions
     implicit val sqlCtx = spark.sqlContext
