@@ -195,4 +195,34 @@ object ScaleJoins {
     else if (windowed) "asof-salted"
     else if (topShare >= topShareThreshold) "salted-join"
     else "aqe-skew-join"
+
+  /** Pre-join cardinality profile — the diagnostic run BEFORE a big
+    * join ships: per-side row/key counts, key overlap, the worst
+    * per-key fanout on each side, and the EXACT join output size
+    * (Σ over matched keys of cl·cr) — the number that says "this join
+    * explodes 40×" while it is still one tiny report row instead of a
+    * 3-hour stage. Cost: one partial-agged count per side (shuffles
+    * carry (key, count) rows), a full-outer join of the two KEY-COUNT
+    * tables (|keys|-sized, tiny next to the data), one final agg.
+    */
+  def joinProfile(left: DataFrame, leftKey: String,
+                  right: DataFrame, rightKey: String): DataFrame = {
+    val lc = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    lc.join(rc, Seq("k"), "full_outer")
+      .agg(
+        coalesce(sum(col("cl")), lit(0L)).as("l_rows"),
+        coalesce(sum(col("cr")), lit(0L)).as("r_rows"),
+        sum(when(col("cl").isNotNull, 1L).otherwise(0L)).as("l_keys"),
+        sum(when(col("cr").isNotNull, 1L).otherwise(0L)).as("r_keys"),
+        sum(when(col("cl").isNotNull && col("cr").isNotNull, 1L).otherwise(0L))
+          .as("matched_keys"),
+        sum(when(col("cl").isNotNull && col("cr").isNull, 1L).otherwise(0L))
+          .as("l_only_keys"),
+        sum(when(col("cl").isNull && col("cr").isNotNull, 1L).otherwise(0L))
+          .as("r_only_keys"),
+        coalesce(max(col("cl")), lit(0L)).as("max_l_fanout"),
+        coalesce(max(col("cr")), lit(0L)).as("max_r_fanout"),
+        coalesce(sum(col("cl") * col("cr")), lit(0L)).as("join_rows"))
+  }
 }

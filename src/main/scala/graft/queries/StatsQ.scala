@@ -108,6 +108,14 @@ object StatsQ {
         .orderBy("node")
     }),
 
+    "x_join_profile" -> ((s, dir) =>
+      // pre-join cardinality diagnostic for customer⋈orders: exact
+      // join output size and per-side fanout from the |keys|-sized
+      // count tables — never from the join itself
+      graft.operators.ScaleJoins.joinProfile(
+        t(s, dir, "customer"), "c_custkey",
+        t(s, dir, "orders"), "o_custkey")),
+
     "x_dq_rules" -> ((s, dir) => {
       // declarative data-quality gate (operators/QualityRules): four
       // row predicates in ONE agg pass, two uniqueness checks, one FK
@@ -288,6 +296,25 @@ object StatsQ {
         |  WHERE w.d < 3)
         |SELECT node, CAST(MIN(d) AS INT) AS hops
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_join_profile" ->
+      """WITH lc AS (SELECT c_custkey AS k, COUNT(*) AS cl FROM customer GROUP BY 1),
+        |rc AS (SELECT o_custkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),
+        |j AS (SELECT lc.cl, rc.cr FROM lc FULL OUTER JOIN rc USING (k))
+        |SELECT
+        |  CAST(COALESCE(SUM(cl), 0) AS BIGINT) AS l_rows,
+        |  CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS r_rows,
+        |  CAST(SUM(CASE WHEN cl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_keys,
+        |  CAST(SUM(CASE WHEN cr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_keys,
+        |  CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS matched_keys,
+        |  CAST(SUM(CASE WHEN cl IS NOT NULL AND cr IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS l_only_keys,
+        |  CAST(SUM(CASE WHEN cl IS NULL AND cr IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS r_only_keys,
+        |  CAST(COALESCE(MAX(cl), 0) AS BIGINT) AS max_l_fanout,
+        |  CAST(COALESCE(MAX(cr), 0) AS BIGINT) AS max_r_fanout,
+        |  CAST(COALESCE(SUM(cl * cr), 0) AS BIGINT) AS join_rows
+        |FROM j""".stripMargin,
     "x_dq_rules" ->
       """WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
         |rows_f AS (

@@ -54,4 +54,60 @@ object ZoneMaps {
       else spark.read.option("basePath", basePath).parquet(files.toIndexedSeq: _*)
     scan.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
+
+  /** Targeted delete (the GDPR-erasure / right-to-be-forgotten shape):
+    * remove every row with `keyCol == key`, rewriting ONLY the files
+    * whose zone-map range can contain the key — on a 100 TB table
+    * clustered by the key family this touches a handful of files while
+    * every other file keeps its exact bytes (object-store etags, cache
+    * entries, downstream manifests stay valid). Returns one report row
+    * `(files_total, files_rewritten, files_dropped, rows_deleted)`.
+    *
+    * Mechanics per hit file: read THAT file, filter the key out,
+    * rewrite in place via temp-and-rename (a file that loses all its
+    * rows is deleted, not rewritten empty). The driver loop is over
+    * the pruned file list — O(hit files), which is exactly the
+    * quantity the zone map minimizes; the rewrites themselves are
+    * distributed reads/writes. NOT transactional across files (that is
+    * a table format's job); callers needing atomicity stage into a new
+    * directory instead.
+    */
+  def targetedDelete(spark: SparkSession, stats: DataFrame,
+                     keyCol: String, key: Any): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val allFiles = stats.select(col("file")).as(org.apache.spark.sql.Encoders.STRING)
+      .collect()
+    val hits = pruneFiles(stats, keyCol, key, key)
+    val conf = spark.sparkContext.hadoopConfiguration
+    var rewritten = 0L
+    var dropped = 0L
+    var rowsDeleted = 0L
+    hits.foreach { f =>
+      val path = new Path(f)
+      val fs = path.getFileSystem(conf)
+      val in = spark.read.parquet(f)
+      val keep = in.filter(!(col(keyCol) <=> lit(key))).cache()
+      try {
+        val before = in.count()
+        val after = keep.count()
+        if (after == before) () // zone-map false positive: leave the file alone
+        else if (after == 0L) { fs.delete(path, false); dropped += 1; rowsDeleted += before }
+        else {
+          val tmp = new Path(path.getParent, s".rewrite_${path.getName}")
+          keep.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(throw new IllegalStateException(s"no parquet part under $tmp"))
+          fs.delete(path, false)
+          fs.rename(part, path)
+          fs.delete(tmp, true)
+          rewritten += 1
+          rowsDeleted += before - after
+        }
+      } finally keep.unpersist()
+    }
+    import spark.implicits._
+    Seq((allFiles.length.toLong, rewritten, dropped, rowsDeleted))
+      .toDF("files_total", "files_rewritten", "files_dropped", "rows_deleted")
+  }
 }

@@ -1808,6 +1808,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(MergeUpsert.scd2AsOf(hist, 30L).columns.toSeq == Seq("k", "st"))
   }
 
+  test("targetedDelete rewrites only zone-map-hit files; others keep their bytes") {
+    import graft.sources.ZoneMaps
+    val dir = java.nio.file.Files.createTempDirectory("graft_erase").toString
+    // 4 range-clustered files over id 1..400 → tight zone maps
+    (1 to 400).map(i => (i.toLong, s"payload$i")).toDF("id", "payload")
+      .repartitionByRange(4, $"id")
+      .write.mode("overwrite").parquet(dir)
+    val statsBefore = ZoneMaps.fileStats(spark.read.parquet(dir), Seq("id")).cache()
+    val fileOf = statsBefore.collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("min_id"), r.getAs[Long]("max_id"))).toMap
+    val untouched = fileOf.filter { case (_, (lo, hi)) => !(lo <= 250L && 250L <= hi) }.keys
+    val sizesBefore = untouched.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      f -> p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+    }.toMap
+    val report = ZoneMaps.targetedDelete(spark, statsBefore, "id", 250L).head()
+    statsBefore.unpersist()
+    assert(report.getLong(0) == 4L)                      // files_total
+    assert(report.getLong(1) + report.getLong(2) == 1L)  // exactly one file touched
+    assert(report.getLong(3) == 1L)                      // one row deleted
+    // survivors: identical byte lengths (same files, untouched)
+    sizesBefore.foreach { case (f, len) =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p) && fs.getFileStatus(p).getLen == len, s"$f changed")
+    }
+    // data: everything except id 250
+    val ids = spark.read.parquet(dir).select($"id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1 to 400).map(_.toLong).toSet - 250L)
+  }
+
+  test("joinProfile: exact fanout and join-size math on a planted N:M overlap") {
+    import graft.operators.ScaleJoins
+    val l = Seq(1L, 1L, 2L, 3L).toDF("k")   // key 1 ×2, key 2, key 3
+    val r = Seq(1L, 1L, 1L, 2L, 9L).toDF("k") // key 1 ×3, key 2, key 9
+    val p = ScaleJoins.joinProfile(l, "k", r, "k").head()
+    assert(p.getLong(0) == 4L && p.getLong(1) == 5L)   // rows
+    assert(p.getLong(2) == 3L && p.getLong(3) == 3L)   // keys
+    assert(p.getLong(4) == 2L)                         // matched: 1, 2
+    assert(p.getLong(5) == 1L && p.getLong(6) == 1L)   // only: 3 / 9
+    assert(p.getLong(7) == 2L && p.getLong(8) == 3L)   // max fanouts
+    assert(p.getLong(9) == 2L * 3L + 1L * 1L)          // exact join size 7
+    // cross-check against the actual join
+    assert(l.join(r, Seq("k")).count() == 7L)
+  }
+
   test("scd2Audit: built history is clean; planted overlap and double-current caught") {
     import graft.operators.MergeUpsert
     val changes = Seq((1L, 10L, "A"), (1L, 20L, "B"), (2L, 5L, "X")).toDF("k", "seq", "st")
