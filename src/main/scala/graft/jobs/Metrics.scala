@@ -14,6 +14,15 @@ import java.util.concurrent.atomic.AtomicLong
   */
 trait MetricsSink extends Serializable {
   def incr(metric: String): Unit
+
+  /** Counter add (statsd `count`). Default: n repeated incrs is wrong
+    * for real transports, so sinks carrying volume should override;
+    * the default keeps one-method implementations source-compatible. */
+  def count(metric: String, n: Long): Unit = { var i = 0L; while (i < n) { incr(metric); i += 1 } }
+
+  /** Point-in-time gauge (statsd `gauge`). Default: dropped — a
+    * counter-only transport has no meaningful gauge semantics. */
+  def gauge(metric: String, value: Double): Unit = ()
 }
 
 object MetricsSink {
@@ -21,15 +30,24 @@ object MetricsSink {
   /** Disabled metrics (the reference's statsd=None path). */
   object Noop extends MetricsSink {
     override def incr(metric: String): Unit = ()
+    override def count(metric: String, n: Long): Unit = ()
   }
 
-  /** Thread-safe in-memory counters for tests and dry runs. */
+  /** Thread-safe in-memory counters + last-value gauges for tests and
+    * dry runs. */
   final class InMemory extends MetricsSink {
     private val counters = new ConcurrentHashMap[String, AtomicLong]
+    private val gauges = new ConcurrentHashMap[String, java.lang.Double]
     override def incr(metric: String): Unit =
       counters.computeIfAbsent(metric, _ => new AtomicLong).incrementAndGet()
+    override def count(metric: String, n: Long): Unit =
+      counters.computeIfAbsent(metric, _ => new AtomicLong).addAndGet(n)
+    override def gauge(metric: String, value: Double): Unit =
+      gauges.put(metric, value)
     def value(metric: String): Long =
       Option(counters.get(metric)).map(_.get()).getOrElse(0L)
+    def gaugeValue(metric: String): Option[Double] =
+      Option(gauges.get(metric)).map(_.doubleValue())
     def all: Map[String, Long] = {
       import scala.jdk.CollectionConverters._
       counters.asScala.map { case (k, v) => k -> v.get() }.toMap

@@ -857,6 +857,28 @@ object TextDocs {
       // oracle through the HashReplay HUGEINT machinery.
       Sketches.countMinHeavyHitters(docs(s, dir), "text", d = 4, w = 512, k = 20)),
 
+    "x_hll_merge" -> ((s, dir) => {
+      // the sketch property that matters operationally: MERGEABILITY.
+      // Registers built from two disjoint corpus halves (odd/even
+      // doc_id — "yesterday's snapshot" + "today's batch") merge by
+      // union+re-max and estimate IDENTICALLY to a single pass over
+      // the whole corpus — the oracle is the single-pass replay, so a
+      // hash match PROVES merge associativity end-to-end. Daily
+      // register tables (≤ |groups|·512 rows) roll up to any horizon
+      // without ever rescanning history.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+      val key = graft.functions.Fnv1a64.fnv64(s, col("w"))
+      val day1 = Hll.registers(toks.filter(col("doc_id") % 2 === 0),
+        Seq("source"), key, p = 9)
+      val day2 = Hll.registers(toks.filter(col("doc_id") % 2 =!= 0),
+        Seq("source"), key, p = 9)
+      Hll.estimate(Hll.merge(day1, day2, Seq("source")), Seq("source"), p = 9)
+        .orderBy("source")
+    }),
+
     "x_hll" -> ((s, dir) => {
       // HyperLogLog distinct words per source (operators/Hll, p=9 →
       // 512 registers): the register table builds straight off the
@@ -1131,6 +1153,36 @@ object TextDocs {
          |ex AS (SELECT source, COUNT(DISTINCT w) AS exact_distinct FROM toks GROUP BY 1)
          |SELECT f.source, round(f.e, 4) AS est_distinct, ex.exact_distinct
          |FROM fin f JOIN ex USING (source) ORDER BY 1""".stripMargin,
+    "x_hll_merge" ->
+      // SINGLE-PASS replay (identical to x_hll's estimate chain): the
+      // engine computes the estimate from a union+re-max MERGE of two
+      // half-corpus register tables — a hash match against this
+      // single-pass oracle proves merge associativity end-to-end
+      s"""WITH toks AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+         |  FROM documents),
+         |dw AS (SELECT DISTINCT source, w FROM toks),
+         |wh AS (SELECT source, ${HashReplay.fnvFoldSql("w")} AS h FROM dw),
+         |u_z AS (SELECT source, (h + ${HashReplay.SplitmixGamma}) % $M AS z FROM wh),
+         |${mixCtes("u", "u_z", "source")},
+         |regs AS (SELECT source, CAST(z % 512 AS INT) AS bucket,
+         |           MAX(CASE WHEN z // 512 = 0 THEN 56
+         |                    ELSE 56 - length(bin(z // 512)) END) AS rho
+         |         FROM u GROUP BY 1, 2),
+         |agg AS (SELECT source, COUNT(*) AS cnt,
+         |          SUM(CAST(pow(2, 56 - rho) AS DECIMAL(38,0))) AS sreg
+         |        FROM regs GROUP BY 1),
+         |est AS (SELECT source, cnt,
+         |          ${Hll.numerator(9)} / CAST(sreg +
+         |            (512 - cnt) * CAST(72057594037927936 AS DECIMAL(38,0)) AS DOUBLE) AS raw
+         |        FROM agg),
+         |fin AS (SELECT source,
+         |          CASE WHEN raw <= 1280.0 AND cnt < 512
+         |               THEN 512.0 * ln(512.0 / (512 - cnt)) ELSE raw END AS e
+         |        FROM est)
+         |SELECT source, round(e, 4) AS est_distinct
+         |FROM fin ORDER BY 1""".stripMargin,
     "x_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

@@ -416,6 +416,42 @@ class StreamingSpec extends AnyFunSuite {
 
   case class Doc(doc_id: Long, text: String)
 
+  test("StreamMetrics listener: batches/input_rows/state_rows reach the sink under one key") {
+    import graft.jobs.MetricsSink
+    import graft.streaming.StreamMetrics
+    implicit val sqlCtx = spark.sqlContext
+    val sink = new MetricsSink.InMemory
+    val listener = new StreamMetrics(sink, prefix = "t")
+    spark.streams.addListener(listener)
+    val in = MemoryStream[Ev]
+    val q = run("smx_out", EventStreams.tumblingCounts(in.toDF(), "10 minutes"))
+    try {
+      in.addData(ev(1, 5), ev(2, 7))
+      q.processAllAvailable()
+      in.addData(ev(3, 300, "b"))
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination()
+      spark.streams.removeListener(listener)
+      // MemoryStream query name comes from the sink queryName
+      assert(sink.value("t.smx_out.started") == 1L)
+      assert(sink.value("t.smx_out.batches") >= 2L, sink.all.toString)
+      assert(sink.value("t.smx_out.input_rows") == 3L, sink.all.toString)
+      assert(sink.gaugeValue("t.smx_out.batch_ms").exists(_ >= 0.0))
+      assert(sink.gaugeValue("t.smx_out.state_rows").exists(_ >= 1.0), // windowed agg keeps state
+        sink.all.toString)
+      // terminated lands under the remembered NAME, not the bare id
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (sink.value("t.smx_out.terminated") == 0L && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(sink.value("t.smx_out.terminated") == 1L, sink.all.toString)
+      assert(sink.value("t.smx_out.failed") == 0L)
+    } finally {
+      spark.streams.removeListener(listener)
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("streaming dedup filter: index grows per batch, cross- and within-batch dups drop") {
     import graft.streaming.StreamDedup
     implicit val sqlCtx = spark.sqlContext
