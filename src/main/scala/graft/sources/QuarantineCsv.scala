@@ -49,6 +49,24 @@ object QuarantineCsv {
       .withColumn("is_corrupt", col(CorruptCol).isNotNull)
   }
 
+  /** JSONL sibling: PERMISSIVE line-JSON scan with the same corrupt
+    * side-channel and flag. JSON has an extra failure class CSV lacks
+    * — a syntactically valid object whose field fails the declared
+    * type — which also lands in quarantine with the raw line. */
+  def readJsonlWithQuarantine(spark: SparkSession, dir: String,
+                              schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not declare $CorruptCol — it is appended by the reader")
+    val withCorrupt = StructType(schema.fields :+
+      StructField(CorruptCol, StringType, nullable = true))
+    spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(withCorrupt)
+      .json(dir)
+      .withColumn("is_corrupt", col(CorruptCol).isNotNull)
+  }
+
   /** Split helper for callers who want the two frames: (clean rows
     * with data columns only, quarantined raw lines). Both filters read
     * the SAME scan — pair with `.cache()` or a single partitioned

@@ -58,6 +58,28 @@ class PipelineSpec extends AnyFunSuite {
     } finally parsed.unpersist()
   }
 
+  test("QuarantineCsv JSONL path: broken syntax AND type-bad valid JSON both quarantine") {
+    import graft.sources.QuarantineCsv
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft_jquar").toString
+    Files.writeString(java.nio.file.Path.of(s"$dir/a.jsonl"),
+      """{"id": 1, "name": "alpha"}
+        |{"id": "oops", "name": "beta"}
+        |{broken json
+        |{"id": 4, "name": "delta"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val parsed = QuarantineCsv.readJsonlWithQuarantine(spark, dir, schema).cache()
+    try {
+      val (clean, quar) = QuarantineCsv.split(parsed)
+      assert(clean.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "alpha"), (4L, "delta")))
+      val raw = quar.collect().map(_.getString(0)).toSet
+      assert(raw == Set("""{"id": "oops", "name": "beta"}""", "{broken json"), raw)
+    } finally parsed.unpersist()
+  }
+
   test("MetadataJob full lifecycle publishes one parity envelope") {
     val dir = Files.createTempDirectory("graft_job").toString
     val conf = ScopedConf(
