@@ -416,6 +416,52 @@ class StreamingSpec extends AnyFunSuite {
 
   case class Doc(doc_id: Long, text: String)
 
+  test("stream-static join dimension refresh: frozen file list pinned, foreachBatch re-read is the fix") {
+    // Operational trap, pinned empirically: a static parquet frame
+    // captures its FILE LIST when the DataFrame is created — dimension
+    // files appended while the stream runs are invisible to
+    // EventStreams.enriched (slowly-changing dims silently go stale).
+    // The supported refresh pattern is re-reading the dimension INSIDE
+    // foreachBatch (per-batch plan → fresh listing). Both halves
+    // asserted here so the behavior is documented, not folklore.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq((1L, "dimA")).toDF("k", "label").write.mode("overwrite").parquet(dir)
+    val staticFrozen = spark.read.parquet(dir)
+    val in = MemoryStream[Long]
+    val joined = EventStreams.enriched(in.toDF().toDF("ek"), staticFrozen, "ek", "k")
+    val q = joined.select($"ek", $"label").writeStream
+      .format("memory").queryName("dimref_out").outputMode("append").start()
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Option[String])]()
+    val q2 = in.toDF().toDF("k").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = batch.sparkSession.read.parquet(dir) // re-listed per batch
+        seen.synchronized {
+          seen ++= batch.join(fresh, Seq("k"), "left")
+            .collect().map(r => (r.getLong(0),
+              if (r.isNullAt(1)) None else Some(r.getString(1))))
+        }
+        ()
+      }.start()
+    try {
+      in.addData(2L)
+      q.processAllAvailable(); q2.processAllAvailable()
+      Seq((2L, "dimB")).toDF("k", "label").write.mode("append").parquet(dir)
+      in.addData(2L)
+      q.processAllAvailable(); q2.processAllAvailable()
+      // frozen static: key 2 NEVER enriches, even after dimB landed
+      val frozen = spark.table("dimref_out").collect()
+        .map(r => (r.getLong(0), r.isNullAt(1))).toSeq
+      assert(frozen.isEmpty || frozen.forall(_ == (2L, true)),
+        s"frozen static must not see appended files: $frozen")
+      // foreachBatch re-read: first batch misses, the batch after the
+      // append sees dimB
+      val got = seen.synchronized(seen.toList)
+      assert(got.contains((2L, None)), got.toString)
+      assert(got.contains((2L, Some("dimB"))), got.toString)
+    } finally { q.stop(); q2.stop() }
+  }
+
   test("StreamMetrics listener: batches/input_rows/state_rows reach the sink under one key") {
     import graft.jobs.MetricsSink
     import graft.streaming.StreamMetrics
