@@ -116,6 +116,35 @@ object EventAnalytics {
       .orderBy("k", "h")
   }
 
+  /** Time-weighted average per key (TWAP) — the metrics/finance mean
+    * that weights each observation by how long it REMAINED the current
+    * value: Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the micros to the next
+    * observation (the last observation has no interval and drops;
+    * single-observation keys produce no row). One shuffle on the key
+    * (lead window), then a partial-agged sum.
+    *
+    * Exactness: vᵢ·Δtᵢ terms are DECIMAL(18,4)·DECIMAL(14,0) products
+    * (µs gaps to ~3 years fit 14 digits) summed as decimal — exact in
+    * any aggregation order, so the one final double division is the
+    * only float op and the result replays cross-engine.
+    */
+  def timeWeightedAvg(events: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(valCol).cast("decimal(18,4)").as("__v"),
+        unix_micros(col(tsCol)).as("__t"))
+      .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__v") * col("__dt").cast("decimal(14,0)")).as("__sw"),
+        sum(col("__dt")).as("__tw"))
+      .select(col(keyCol), col("n_intervals"),
+        (col("__sw").cast("double") / col("__tw").cast("double")).as("twap"))
+  }
+
   /** Exponentially weighted moving average per entity — the recency-
     * biased smoothing a metrics pipeline keeps per user/device
     * (y_i = α·x_i + (1−α)·y_{i−1}, y_1 = x_1). A linear RECURRENCE,

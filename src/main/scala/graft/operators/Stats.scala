@@ -128,6 +128,74 @@ object Stats {
       .agg(max(col("diff")).as("d"))
   }
 
+  /** Pareto concentration curve — "the top X% of keys hold Y% of the
+    * value" (revenue concentration, corpus-source dominance, hot-key
+    * share). Keys are ranked by DESCENDING per-key value and cut into
+    * `bins` equal-count bins (NTILE semantics); each bin reports its
+    * key count and the CUMULATIVE value share through that bin.
+    *
+    * Scale shape: the per-key totals come from one partial-agged hash
+    * agg (DECIMAL sums — exact in any order); the global descending
+    * cumulative sum then runs on the same bucketed prefix-sum pattern
+    * as [[ksTest]] — approx boundaries split the value line, buckets
+    * cumsum locally, per-bucket totals cascade through a tiny window
+    * and broadcast back. No single-task window over the key table at
+    * any size. Bucket assignment casts the decimal to double ONLY for
+    * boundary comparison (monotone, and ties stay inside one bucket),
+    * so the sums themselves remain exact.
+    */
+  def paretoCurve(df: DataFrame, keyCol: String, valueCol: String,
+                  bins: Int = 10, buckets: Int = 32): DataFrame = {
+    require(bins >= 1, "paretoCurve: bins must be >= 1")
+    val perKey = df.groupBy(col(keyCol).as("k"))
+      .agg(sum(col(valueCol).cast("decimal(18,2)")).as("rev"))
+      // descending rank = ascending rank of the NEGATED value (exact
+      // for decimals); key breaks ties deterministically
+      .withColumn("ord", expr("-rev"))
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val ordD = col("ord").cast("double")
+    val bounds = if (qs.isEmpty) Array.empty[Double]
+                 else perKey.select(ordD.as("od")).stat.approxQuantile("od", qs, 0.01)
+    val withB =
+      if (bounds.isEmpty) perKey.withColumn("b", lit(0))
+      else perKey.withColumn("b",
+        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
+          (acc, bd) => acc + when(bd <= ordD, 1).otherwise(0)))
+    val inB = Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))).cast("long"))
+      .withColumn("lrev", sum(col("rev")).over(inB))
+    val offs = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("b"))
+      .agg(count(lit(1)).as("tc"), sum(col("rev")).as("trev"))
+      .select(col("b"),
+        coalesce(sum(col("tc")).over(offs), lit(0L)).as("offN"),
+        coalesce(sum(col("trev")).over(offs),
+          lit(0).cast("decimal(38,2)")).as("offRev"))
+    val tot = broadcast(perKey.agg(count(lit(1)).as("n"),
+      sum(col("rev")).as("totRev")))
+    local.join(broadcast(offsets), Seq("b")).crossJoin(tot)
+      .withColumn("rn", col("offN") + col("lr"))
+      .withColumn("cumRev", col("offRev") + col("lrev"))
+      // NTILE bin of rank rn over n keys in `bins` bins
+      .withColumn("base", expr(s"n div $bins"))
+      .withColumn("rem", expr(s"n % $bins"))
+      .withColumn("cut", col("rem") * (col("base") + 1))
+      .withColumn("bin",
+        (when(col("rn") <= col("cut"), expr("(rn - 1) div (base + 1)"))
+          .otherwise(col("rem") + expr("(rn - cut - 1) div base")) + 1).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_keys"),
+        max(struct(col("rn"), col("cumRev"))).getField("cumRev").as("binCum"),
+        first(col("totRev")).as("totRev"))
+      .select(col("bin"), col("n_keys"),
+        (col("binCum").cast("double") / col("totRev").cast("double"))
+          .as("cum_share"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) between the rows where
     * `sampleACond` holds and the rest — the nonparametric "did the
     * distribution shift" test that pairs with [[ksTest]] (KS sees

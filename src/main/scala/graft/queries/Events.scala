@@ -177,6 +177,15 @@ object Events {
         .orderBy("h", "rn")
     }),
 
+    "x_twap" -> ((s, dir) =>
+      // time-weighted average value per event type: decimal-exact
+      // v·Δt sums (order-free), one key shuffle + partial agg
+      EventAnalytics.timeWeightedAvg(ev(s, dir), "event_type", "ts",
+          "event_id", "value")
+        .select(col("event_type"), col("n_intervals"),
+          round(col("twap"), 6).as("twap"))
+        .orderBy("event_type")),
+
     "x_ewma" -> ((s, dir) =>
       // per-user EWMA of event values (α=0.3): the fold-left
       // recurrence runs in codegen over each user's sorted series
@@ -330,6 +339,18 @@ object Events {
         |  FROM c)
         |SELECT h, rn, event_type, cnt FROM r
         |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+    "x_twap" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(value AS DECIMAL(18,4)) AS v,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        |  FROM events),
+        |k AS (SELECT * FROM d WHERE dt IS NOT NULL)
+        |SELECT event_type, COUNT(*) AS n_intervals,
+        |  ROUND(CAST(SUM(v * CAST(dt AS DECIMAL(14,0))) AS DOUBLE)
+        |    / CAST(SUM(dt) AS DOUBLE), 6) AS twap
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_ewma" -> {
       // α and 1−α interpolated from the SAME Scala doubles the
       // operator uses (toString/parse round-trips exactly)

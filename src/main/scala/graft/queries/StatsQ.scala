@@ -108,6 +108,17 @@ object StatsQ {
         .orderBy("node")
     }),
 
+    "x_pareto" -> ((s, dir) =>
+      // revenue concentration: customers ranked by total order value
+      // DESC into deciles, cumulative revenue share per decile — the
+      // global descending cumsum runs on the bucketed prefix sum
+      // (decimal-exact), never a single-task window over the key table
+      Stats.paretoCurve(t(s, dir, "orders"), "o_custkey", "o_totalprice",
+          bins = 10)
+        .select(col("bin"), col("n_keys"),
+          round(col("cum_share"), 6).as("cum_share"))
+        .orderBy("bin")),
+
     "x_join_profile" -> ((s, dir) =>
       // pre-join cardinality diagnostic for customer⋈orders: exact
       // join output size and per-side fanout from the |keys|-sized
@@ -296,6 +307,19 @@ object StatsQ {
         |  WHERE w.d < 3)
         |SELECT node, CAST(MIN(d) AS INT) AS hops
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT k, rev,
+        |    NTILE(10) OVER (ORDER BY rev DESC, k) AS bin,
+        |    SUM(rev) OVER (ORDER BY rev DESC, k ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM rev),
+        |t AS (SELECT SUM(rev) AS tot FROM rev)
+        |SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n_keys,
+        |  ROUND(CAST(MAX(cum) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS cum_share
+        |FROM r CROSS JOIN t GROUP BY 1, t.tot ORDER BY 1""".stripMargin,
     "x_join_profile" ->
       """WITH lc AS (SELECT c_custkey AS k, COUNT(*) AS cl FROM customer GROUP BY 1),
         |rc AS (SELECT o_custkey AS k, COUNT(*) AS cr FROM orders GROUP BY 1),

@@ -1761,6 +1761,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (p, q) => p == 4L || q == 4L })
   }
 
+  test("paretoCurve matches the global-window NTILE replay; shares end at 1") {
+    import graft.operators.Stats
+    val df = (1 to 97).map(i => (i.toLong, ((i * 37) % 50 + 1) * 10.0))
+      .toDF("k", "v")
+    val got = Stats.paretoCurve(df, "k", "v", bins = 5, buckets = 3)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // replay with actual global windows
+    val byRev = df.groupBy($"k")
+      .agg(sum($"v".cast("decimal(18,2)")).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"rev".desc, $"k")
+    val want = byRev
+      .withColumn("bin", ntile(5).over(w))
+      .withColumn("cum", sum($"rev").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), max($"cum").as("cum"))
+      .crossJoin(byRev.agg(sum($"rev").as("tot")))
+      .select($"bin", $"n",
+        ($"cum".cast("double") / $"tot".cast("double")).as("share"))
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(math.abs(got.last._3 - 1.0) < 1e-12)
+    assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1))) // monotone
+  }
+
+  test("timeWeightedAvg: hand-computed weights, last point dropped, singles excluded") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:${s / 60}%02d:${s % 60}%02d")
+    // key a: v=10 for 60s, v=20 for 30s → (600+600)/90 = 13.333…
+    val df = Seq(("a", ts(0), 1L, 10.0), ("a", ts(60), 2L, 20.0),
+      ("a", ts(90), 3L, 99.0), // last point: no interval
+      ("b", ts(0), 1L, 5.0))   // single point: excluded
+      .toDF("k", "t", "tie", "v")
+    val got = EventAnalytics.timeWeightedAvg(df, "k", "t", "tie", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set("a"))
+    val (n, tw) = got("a")
+    assert(n == 2L)
+    assert(math.abs(tw - (10.0 * 60 + 20.0 * 30) / 90.0) < 1e-9)
+  }
+
   test("mannWhitneyU: textbook example with ties matches hand computation") {
     import graft.operators.Stats
     // A = {1, 2, 2, 5}, B = {2, 3, 4}: pooled midranks
