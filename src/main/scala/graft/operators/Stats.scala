@@ -128,6 +128,43 @@ object Stats {
       .agg(max(col("diff")).as("d"))
   }
 
+  /** Population Stability Index between the rows where `sampleACond`
+    * holds (reference) and the rest (current) — the drift score model
+    * monitoring pages on (rule of thumb: <0.1 stable, >0.25 shifted).
+    * PSI = Σ_bins (pA − pB)·ln(pA/pB) over `bins` equal-width bins of
+    * the pooled [min, max]; Laplace-smoothed bin shares
+    * ((c+1)/(n+bins)) keep empty bins finite. One aggregation pass for
+    * the bounds, one for the bin counts (both partial-agged); the PSI
+    * sum runs over ≤ bins rows. Equal-width (not quantile) bins keep
+    * the bin function an exact closed form of (min, max) — replayable
+    * bit-for-bit cross-engine, where approx-quantile edges would not
+    * be.
+    */
+  def psi(df: DataFrame, valueCol: String,
+          sampleACond: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "psi: need at least two bins")
+    val v = col(valueCol).cast("double")
+    val pts = df.select(v.as("v"),
+      when(sampleACond, 1L).otherwise(0L).as("ia"))
+    val bounds = broadcast(pts.agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    val binned = pts.crossJoin(bounds)
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0)) // degenerate range: one bin
+          .otherwise(least(
+            floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / bins)),
+            lit(bins - 1))).cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
+    val totals = broadcast(binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
+    binned.crossJoin(totals)
+      .select(col("n_a"), col("n_b"),
+        ((col("ca") + 1).cast("double") / (col("n_a") + bins).cast("double")).as("pa"),
+        ((col("cb") + 1).cast("double") / (col("n_b") + bins).cast("double")).as("pb"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("psi"))
+      .select(col("n_a"), col("n_b"), col("psi"))
+  }
+
   /** Pareto concentration curve — "the top X% of keys hold Y% of the
     * value" (revenue concentration, corpus-source dominance, hot-key
     * share). Keys are ranked by DESCENDING per-key value and cut into

@@ -108,6 +108,16 @@ object StatsQ {
         .orderBy("node")
     }),
 
+    "x_psi" -> ((s, dir) =>
+      // population-stability drift score between view and purchase
+      // value distributions: equal-width bins over the pooled range
+      // (closed-form bin function — exactly replayable, unlike
+      // quantile edges), Laplace-smoothed shares, ≤10-term sum
+      Stats.psi(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "view")
+        .select(col("n_a"), col("n_b"), round(col("psi"), 6).as("psi"))),
+
     "x_pareto" -> ((s, dir) =>
       // revenue concentration: customers ranked by total order value
       // DESC into deciles, cumulative revenue share per decile — the
@@ -307,6 +317,27 @@ object StatsQ {
         |  WHERE w.d < 3)
         |SELECT node, CAST(MIN(d) AS INT) AS hops
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_psi" ->
+      """WITH pts AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |bd AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM pts),
+        |b AS (
+        |  SELECT CAST(CASE WHEN bd.mx = bd.mn THEN 0
+        |    ELSE LEAST(FLOOR((v - bd.mn) / ((bd.mx - bd.mn) / 10)), 9)
+        |    END AS INT) AS bin, ia
+        |  FROM pts CROSS JOIN bd),
+        |c AS (SELECT bin, CAST(SUM(ia) AS BIGINT) AS ca,
+        |             CAST(SUM(1 - ia) AS BIGINT) AS cb FROM b GROUP BY 1),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |             CAST(SUM(cb) AS BIGINT) AS n_b FROM c)
+        |SELECT t.n_a, t.n_b,
+        |  ROUND(SUM((CAST(ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE)
+        |           - CAST(cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / CAST(t.n_a + 10 AS DOUBLE))
+        |       / (CAST(cb + 1 AS DOUBLE) / CAST(t.n_b + 10 AS DOUBLE)))), 6) AS psi
+        |FROM c CROSS JOIN t GROUP BY 1, 2""".stripMargin,
     "x_pareto" ->
       """WITH rev AS (
         |  SELECT o_custkey AS k, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev

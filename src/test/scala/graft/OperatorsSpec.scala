@@ -1761,6 +1761,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (p, q) => p == 4L || q == 4L })
   }
 
+  test("psi: identical distributions score ~0, disjoint score large; empty bins finite") {
+    import graft.operators.Stats
+    val same = ((1 to 100).map(i => (i % 10 * 1.0, "a")) ++
+      (1 to 100).map(i => (i % 10 * 1.0, "b"))).toDF("v", "s")
+    val p0 = Stats.psi(same, "v", col("s") === "a").head().getDouble(2)
+    assert(math.abs(p0) < 1e-12) // equal counts in every bin
+    val shifted = ((1 to 100).map(i => (i % 10 * 1.0, "a")) ++
+      (1 to 100).map(i => (90.0 + i % 10, "b"))).toDF("v", "s")
+    val p1 = Stats.psi(shifted, "v", col("s") === "a").head().getDouble(2)
+    assert(p1 > 1.0, s"disjoint ranges must score large, got $p1") // far past 0.25
+    assert(!p1.isInfinite && !p1.isNaN) // Laplace smoothing keeps empty bins finite
+  }
+
   test("paretoCurve matches the global-window NTILE replay; shares end at 1") {
     import graft.operators.Stats
     val df = (1 to 97).map(i => (i.toLong, ((i * 37) % 50 + 1) * 10.0))
