@@ -64,6 +64,35 @@ object Stats {
       s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
   }
 
+  /** Bucket id for a value column given sorted boundaries: the count
+    * of boundaries <= v, as a PLAIN sum of when-expressions. NOT the
+    * `aggregate()` higher-order form: a lambda capturing an outer
+    * attribute trips a Spark 4.1 binding bug
+    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the bucketed frame
+    * feeds a join under certain AQE partition counts — chained whens
+    * codegen identically and capture nothing. */
+  private def bucketExpr(bounds: Array[Double],
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bounds.map(bd => when(lit(bd) <= v, 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** Approximate bucket boundaries for the prefix-sum operators, from
+    * a 10% SAMPLE of the frame: boundary accuracy only balances task
+    * sizes — correctness never depends on it — so the boundary pass
+    * should cost a fraction of a scan, not a full one (measured: the
+    * full-frame approxQuantile was ~40% of x_eqdepth's wall-clock).
+    * Empty or degenerate samples yield no boundaries → callers fall
+    * back to a single bucket, which is still correct. Seeded, so plans
+    * are reproducible run-to-run. */
+  private def approxBounds(df: DataFrame, colName: String, buckets: Int): Array[Double] = {
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    if (qs.isEmpty) Array.empty[Double]
+    else try df.sample(withReplacement = false, 0.1, seed = 42L)
+      .stat.approxQuantile(colName, qs, 0.01)
+      .filterNot(_.isNaN)
+    catch { case _: NoSuchElementException => Array.empty[Double] }
+  }
+
   /** Exact global CDF of both samples at every distinct value, via the
     * bucketed prefix sum described in the object scaladoc. Returns one
     * row per distinct value of `valueCol` with cumulative counts
@@ -82,29 +111,35 @@ object Stats {
     // approx bucket boundaries — correctness does not depend on them
     // (an empty or lopsided boundary set only skews task sizes);
     // bucket id = count of boundaries <= v, monotone in v
-    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = if (qs.isEmpty) Array.empty[Double]
-                 else counts.stat.approxQuantile("v", qs, 0.01)
+    val bounds = approxBounds(counts, "v", buckets)
     val withB =
       if (bounds.isEmpty) counts.withColumn("b", lit(0))
-      else counts.withColumn("b",
-        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
-          (acc, bd) => acc + when(bd <= col("v"), 1).otherwise(0)))
+      else counts.withColumn("b", bucketExpr(bounds, col("v")))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB
       .withColumn("la", sum(col("na")).over(inBucket))
       .withColumn("lb", sum(col("nb")).over(inBucket))
-    // per-bucket totals: tiny (≤ buckets rows) → strictly-earlier-
-    // bucket offsets through a single-partition window over that tiny
-    // frame, broadcast back
-    val offs = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("b"))
+    // per-bucket totals are ≤ buckets rows: fold them to strictly-
+    // earlier-bucket offsets ON THE DRIVER (a planning-sized collect,
+    // the ZoneMaps.pruneFiles pattern) and join back a literal frame.
+    // The previous offsets-over-a-window-of-the-same-lineage plan hit
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under some AQE partition
+    // counts (Spark 4.1 binding bug with a shared Exchange between the
+    // window branch and its re-aggregation); a literal frame has no
+    // shared lineage to mis-bind.
+    val totals = withB.groupBy(col("b"))
       .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      .select(col("b"),
-        coalesce(sum(col("ta")).over(offs), lit(0L)).as("oa"),
-        coalesce(sum(col("tb")).over(offs), lit(0L)).as("ob"))
+      .collect().sortBy(_.getInt(0))
+    var accA = 0L; var accB = 0L
+    val offRows = totals.map { r =>
+      val row = (r.getInt(0), accA, accB)
+      accA += r.getLong(1); accB += r.getLong(2)
+      row
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val offsets = offRows.toDF("b", "oa", "ob")
     local.join(broadcast(offsets), Seq("b"))
       .select(col("v"), (col("la") + col("oa")).as("ca"),
         (col("lb") + col("ob")).as("cb"))
@@ -189,29 +224,35 @@ object Stats {
       // descending rank = ascending rank of the NEGATED value (exact
       // for decimals); key breaks ties deterministically
       .withColumn("ord", expr("-rev"))
-    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
     val ordD = col("ord").cast("double")
-    val bounds = if (qs.isEmpty) Array.empty[Double]
-                 else perKey.select(ordD.as("od")).stat.approxQuantile("od", qs, 0.01)
+    val bounds = approxBounds(perKey.select(ordD.as("od")), "od", buckets)
     val withB =
       if (bounds.isEmpty) perKey.withColumn("b", lit(0))
-      else perKey.withColumn("b",
-        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
-          (acc, bd) => acc + when(bd <= ordD, 1).otherwise(0)))
+      else perKey.withColumn("b", bucketExpr(bounds, ordD))
     val inB = Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB
       .withColumn("lr", row_number().over(
         Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))).cast("long"))
       .withColumn("lrev", sum(col("rev")).over(inB))
-    val offs = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("b"))
+    // driver-folded offsets over ≤ buckets rows — see bucketedCdf's
+    // note on the lineage-sharing binding trap; decimal sums stay
+    // exact through java.math.BigDecimal
+    val totals = withB.groupBy(col("b"))
       .agg(count(lit(1)).as("tc"), sum(col("rev")).as("trev"))
-      .select(col("b"),
-        coalesce(sum(col("tc")).over(offs), lit(0L)).as("offN"),
-        coalesce(sum(col("trev")).over(offs),
-          lit(0).cast("decimal(38,2)")).as("offRev"))
+      .collect().sortBy(_.getInt(0))
+    var accN = 0L
+    var accRev = java.math.BigDecimal.ZERO
+    val offRows = totals.map { r =>
+      val row = (r.getInt(0), accN, accRev)
+      accN += r.getLong(1)
+      accRev = accRev.add(r.getDecimal(2))
+      row
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val offsets = offRows.toDF("b", "offN", "offRev")
+      .select(col("b"), col("offN"), col("offRev").cast("decimal(38,2)").as("offRev"))
     val tot = broadcast(perKey.agg(count(lit(1)).as("n"),
       sum(col("rev")).as("totRev")))
     local.join(broadcast(offsets), Seq("b")).crossJoin(tot)
@@ -294,20 +335,23 @@ object Stats {
     // one shuffle on the bucket id, then strictly-earlier-bucket row
     // totals (≤ buckets rows, tiny window) broadcast back as offsets
     val keyed = df.select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bounds = if (qs.isEmpty) Array.empty[Double]
-                 else keyed.stat.approxQuantile("v", qs, 0.01)
+    val bounds = approxBounds(keyed, "v", buckets)
     val withB =
       if (bounds.isEmpty) keyed.withColumn("b", lit(0))
-      else keyed.withColumn("b",
-        aggregate(array(bounds.toSeq.map(lit): _*), lit(0),
-          (acc, bd) => acc + when(bd <= col("v"), 1).otherwise(0)))
+      else keyed.withColumn("b", bucketExpr(bounds, col("v")))
     val inB = Window.partitionBy(col("b")).orderBy(col("v"), col("t"))
     val local = withB.withColumn("lr", row_number().over(inB).cast("long"))
-    val offs = Window.orderBy(col("b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      .select(col("b"), coalesce(sum(col("tc")).over(offs), lit(0L)).as("off"))
+    // driver-folded offsets over ≤ buckets rows — see bucketedCdf's
+    // note on the lineage-sharing binding trap
+    val totals = withB.groupBy(col("b")).agg(count(lit(1)).as("tc"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val offsets = offRows.toDF("b", "off")
     val withRank = local.join(broadcast(offsets), Seq("b"))
       .withColumn("rn", col("off") + col("lr"))
     val n = broadcast(withRank.agg(count(lit(1)).as("n")))
