@@ -116,6 +116,40 @@ object EventAnalytics {
       .orderBy("k", "h")
   }
 
+  /** CUSUM change-point detection per key: bucket the series (hourly
+    * by default, decimal-exact sums), then the classic cumulative-sum
+    * statistic S_k = Σ_{i≤k} (x_i − x̄) — the bucket where |S| peaks is
+    * the most likely single change point, and the peak magnitude is
+    * the shift evidence (flat series ⇒ S wanders near 0). The raw
+    * pass is ONE partial-agged bucket aggregate; the CUSUM window runs
+    * over the |keys|×|buckets| series table, tiny by comparison.
+    * Returns (key, change_at, peak_s, n_buckets).
+    *
+    * Determinism: bucket sums are exact decimals; the mean and the
+    * prefix sums are computed in FIXED bucket order, so both engines
+    * fold the identical doubles in the identical order — replayable
+    * without tolerance.
+    */
+  def cusumChangePoint(events: DataFrame, keyCol: String, tsCol: String,
+                       valCol: String, bucket: String = "hour"): DataFrame = {
+    val series = events
+      .groupBy(col(keyCol).as("k"), date_trunc(bucket, col(tsCol)).as("h"))
+      .agg(sum(col(valCol).cast("decimal(18,4)")).cast("double").as("x"))
+    val means = series.groupBy(col("k"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
+        count(lit(1))).as("mean"), count(lit(1)).as("n_buckets"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("h"))
+    val cusum = series.join(broadcast(means), Seq("k"))
+      .withColumn("s", sum(col("x") - col("mean")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val best = Window.partitionBy(col("k"))
+      .orderBy(abs(col("s")).desc, col("h"))
+    cusum.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("k"), col("h").as("change_at"),
+        abs(col("s")).as("peak_s"), col("n_buckets"))
+  }
+
   /** Time-weighted average per key (TWAP) — the metrics/finance mean
     * that weights each observation by how long it REMAINED the current
     * value: Σ vᵢ·Δtᵢ / Σ Δtᵢ with Δtᵢ the micros to the next

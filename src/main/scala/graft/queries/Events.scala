@@ -177,6 +177,15 @@ object Events {
         .orderBy("h", "rn")
     }),
 
+    "x_cusum" -> ((s, dir) =>
+      // CUSUM change-point per event type over hourly value sums:
+      // decimal-exact buckets, fixed-order prefix sums — the |S| peak
+      // locates the most likely level shift
+      EventAnalytics.cusumChangePoint(ev(s, dir), "event_type", "ts", "value")
+        .select(col("k").as("event_type"), col("change_at"),
+          round(col("peak_s"), 4).as("peak_s"), col("n_buckets"))
+        .orderBy("event_type")),
+
     "x_twap" -> ((s, dir) =>
       // time-weighted average value per event type: decimal-exact
       // v·Δt sums (order-free), one key shuffle + partial agg
@@ -339,6 +348,26 @@ object Events {
         |  FROM c)
         |SELECT h, rn, event_type, cnt FROM r
         |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+    "x_cusum" ->
+      """WITH series AS (
+        |  SELECT event_type AS k, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT k,
+        |        CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS mean,
+        |        COUNT(*) AS n_buckets
+        |      FROM series GROUP BY 1),
+        |c AS (
+        |  SELECT s.k, s.h, m.n_buckets,
+        |    SUM(s.x - m.mean) OVER (PARTITION BY s.k ORDER BY s.h
+        |      ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM series s JOIN m USING (k)),
+        |r AS (SELECT k, h, n_buckets, ABS(s) AS a,
+        |        ROW_NUMBER() OVER (PARTITION BY k ORDER BY ABS(s) DESC, h) AS rn
+        |      FROM c)
+        |SELECT k AS event_type, h AS change_at, ROUND(a, 4) AS peak_s,
+        |  CAST(n_buckets AS BIGINT) AS n_buckets
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "x_twap" ->
       """WITH d AS (
         |  SELECT event_type,

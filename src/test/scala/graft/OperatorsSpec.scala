@@ -1801,6 +1801,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1))) // monotone
   }
 
+  test("cusumChangePoint finds the planted level shift at the right bucket") {
+    import graft.operators.EventAnalytics
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    // key a: level 10 for hours 0-9, level 30 for hours 10-19 → the
+    // |S| peak sits at the last pre-shift bucket (hour 9):
+    // S_9 = 10·(10-20) = -100, drifting back to 0 afterwards
+    val rows = (0 until 20).map(h => ("a", ts(h), if (h < 10) 10.0 else 30.0)) ++
+      (0 until 20).map(h => ("b", ts(h), 7.0)) // flat: S ≡ 0
+    val got = EventAnalytics.cusumChangePoint(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getTimestamp(1), r.getDouble(2), r.getLong(3))).toMap
+    val (at, peak, n) = got("a")
+    assert(n == 20L && at == Timestamp.valueOf("2024-01-01 09:00:00"))
+    assert(math.abs(peak - 100.0) < 1e-9)
+    assert(got("b")._2 == 0.0) // flat series: no signal
+  }
+
   test("timeWeightedAvg: hand-computed weights, last point dropped, singles excluded") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
