@@ -177,6 +177,24 @@ object Events {
         .orderBy("h", "rn")
     }),
 
+    "x_autocorr" -> ((s, dir) => {
+      // lag-1 autocorrelation of each type's hourly value series —
+      // the "is this metric momentum or noise" diagnostic. Bucket
+      // sums decimal-exact; corr is a declarative aggregate (partial
+      // map-side); ROUND(4) absorbs accumulation-order ulp, the only
+      // float divergence surface
+      val series = ev(s, dir)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      series.withColumn("xl", lag(col("x"), 1).over(w))
+        .filter(col("xl").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(corr(col("x"), col("xl")), 4).as("r1"))
+        .orderBy("event_type")
+    }),
+
     "x_cusum" -> ((s, dir) =>
       // CUSUM change-point per event type over hourly value sums:
       // decimal-exact buckets, fixed-order prefix sums — the |S| peak
@@ -348,6 +366,18 @@ object Events {
         |  FROM c)
         |SELECT h, rn, event_type, cnt FROM r
         |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+    "x_autocorr" ->
+      """WITH series AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, x,
+        |    LAG(x) OVER (PARTITION BY event_type ORDER BY h) AS xl
+        |  FROM series)
+        |SELECT event_type, COUNT(*) AS n_pairs,
+        |  ROUND(corr(x, xl), 4) AS r1
+        |FROM l WHERE xl IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_cusum" ->
       """WITH series AS (
         |  SELECT event_type AS k, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
