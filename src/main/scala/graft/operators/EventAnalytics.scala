@@ -132,9 +132,15 @@ object EventAnalytics {
     */
   def cusumChangePoint(events: DataFrame, keyCol: String, tsCol: String,
                        valCol: String, bucket: String = "hour"): DataFrame = {
+    // persist the series: it feeds BOTH the means and the CUSUM branch
+    // — without it Spark recomputes the raw bucket pass twice (two
+    // full scans of events at 100 TB). The tiny result materializes
+    // via localCheckpoint so the cache is released on return (the
+    // minhashPairs lifecycle pattern).
     val series = events
       .groupBy(col(keyCol).as("k"), date_trunc(bucket, col(tsCol)).as("h"))
       .agg(sum(col(valCol).cast("decimal(18,4)")).cast("double").as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val means = series.groupBy(col("k"))
       .agg((sum(col("x").cast("decimal(28,10)")).cast("double") /
         count(lit(1))).as("mean"), count(lit(1)).as("n_buckets"))
@@ -144,10 +150,13 @@ object EventAnalytics {
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val best = Window.partitionBy(col("k"))
       .orderBy(abs(col("s")).desc, col("h"))
-    cusum.withColumn("rn", row_number().over(best))
+    val out = cusum.withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
       .select(col("k"), col("h").as("change_at"),
         abs(col("s")).as("peak_s"), col("n_buckets"))
+    val materialized = out.localCheckpoint(true)
+    series.unpersist()
+    materialized
   }
 
   /** Time-weighted average per key (TWAP) — the metrics/finance mean

@@ -190,14 +190,22 @@ object Stats {
             lit(bins - 1))).cast("int"))
       .groupBy(col("bin"))
       .agg(sum(col("ia")).as("ca"), sum(lit(1L) - col("ia")).as("cb"))
-    val totals = broadcast(binned.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b")))
-    binned.crossJoin(totals)
-      .select(col("n_a"), col("n_b"),
-        ((col("ca") + 1).cast("double") / (col("n_a") + bins).cast("double")).as("pa"),
-        ((col("cb") + 1).cast("double") / (col("n_b") + bins).cast("double")).as("pb"))
-      .groupBy(col("n_a"), col("n_b"))
-      .agg(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))).as("psi"))
-      .select(col("n_a"), col("n_b"), col("psi"))
+    // the binned table is ≤ bins rows: collect it once and finish the
+    // statistic on the driver (planning-sized, like the prefix-sum
+    // offsets) — re-deriving totals as a second Spark aggregation
+    // would recompute the whole binning subtree (4 scans instead of 2)
+    val rows = binned.collect()
+    val nA = rows.map(_.getLong(1)).sum
+    val nB = rows.map(_.getLong(2)).sum
+    // fixed bin order so the float sum is reproducible
+    val psiVal = rows.sortBy(_.getInt(0)).map { r =>
+      val pa = (r.getLong(1) + 1).toDouble / (nA + bins)
+      val pb = (r.getLong(2) + 1).toDouble / (nB + bins)
+      (pa - pb) * math.log(pa / pb)
+    }.sum
+    val session = df.sparkSession
+    import session.implicits._
+    Seq((nA, nB, psiVal)).toDF("n_a", "n_b", "psi")
   }
 
   /** Pareto concentration curve — "the top X% of keys hold Y% of the

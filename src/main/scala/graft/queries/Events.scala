@@ -177,6 +177,32 @@ object Events {
         .orderBy("h", "rn")
     }),
 
+    "x_season" -> ((s, dir) => {
+      // hour-of-day seasonality fingerprint per event type: event
+      // share and mean value by hour slot — the profile a forecasting
+      // or anomaly job subtracts before looking at residuals. One
+      // partial-agged pass; shares divide exact counts, means divide
+      // exact decimal sums
+      // slotted feeds both the totals and the output join: persist so
+      // the raw pass runs once (Spark has no subplan sharing), release
+      // the tiny cache via the materialize-then-unpersist pattern
+      val slotted = ev(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,4)")).as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = slotted.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("tot"))
+      val out = slotted.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("cnt"),
+          round(col("cnt").cast("double") / col("tot"), 6).as("share"),
+          round(col("sv").cast("double") / col("cnt"), 4).as("mean_value"))
+        .orderBy("event_type", "hod")
+      val materialized = out.localCheckpoint(true)
+      slotted.unpersist()
+      materialized
+    }),
+
     "x_autocorr" -> ((s, dir) => {
       // lag-1 autocorrelation of each type's hourly value series —
       // the "is this metric momentum or noise" diagnostic. Bucket
@@ -366,6 +392,17 @@ object Events {
         |  FROM c)
         |SELECT h, rn, event_type, cnt FROM r
         |WHERE rn <= 3 ORDER BY h, rn""".stripMargin,
+    "x_season" ->
+      """WITH s AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+        |    COUNT(*) AS cnt,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM s GROUP BY 1)
+        |SELECT s.event_type, s.hod, s.cnt,
+        |  ROUND(CAST(s.cnt AS DOUBLE) / t.tot, 6) AS share,
+        |  ROUND(CAST(s.sv AS DOUBLE) / s.cnt, 4) AS mean_value
+        |FROM s JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin,
     "x_autocorr" ->
       """WITH series AS (
         |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,

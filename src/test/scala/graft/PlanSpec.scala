@@ -621,4 +621,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), "sorted-neighborhood blocking must drive candidates")
   }
+
+  test("x_autocorr: one partial-agged raw scan; materialized stats ops scan raw data once") {
+    // x_autocorr is the lazy single-chain representative of the
+    // time-series family — its plan is lockable end-to-end.
+    val p = plan("x_autocorr")
+    assert(p.contains("partial_"), "the raw pass must partial-agg\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet.*"""))
+    assert(scans <= 1, s"expected 1 raw scan, got $scans")
+    // x_cusum / x_season / x_psi return MATERIALIZED results (their
+    // series table feeds two branches, so they persist it, run once,
+    // and release the cache — Spark has no subplan sharing); the
+    // single-raw-scan property is therefore structural, and the
+    // returned plan is a LogicalRDD/LocalTableScan with nothing left
+    // to lock. Assert exactly that, so a regression back to a lazy
+    // double-scan plan (Scan parquet reappearing) is caught.
+    for (q <- Seq("x_cusum", "x_season", "x_psi")) {
+      val pm = plan(q)
+      assert(!pm.contains("Scan parquet"),
+        s"$q must return a materialized result, not re-derive raw scans\n" + pm)
+    }
+  }
 }
