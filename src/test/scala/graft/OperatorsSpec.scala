@@ -1761,6 +1761,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.keySet.exists { case (p, q) => p == 4L || q == 4L })
   }
 
+  test("prefix-sum machinery: randomized equivalence with the global-window forms") {
+    // seeded pseudo-property sweep: for random datasets (with heavy
+    // ties) and random bin/bucket counts, the windowless operators
+    // must equal their single-partition global-window replays exactly
+    import graft.operators.Stats
+    val rng = new scala.util.Random(0xC0FFEE)
+    for (trial <- 1 to 3) {
+      val n = 50 + rng.nextInt(150)
+      val mod = 5 + rng.nextInt(40) // small mod → many exact ties
+      val rows = (1 to n).map(i => (i.toLong, (rng.nextInt(mod) * 2).toDouble,
+        if (rng.nextBoolean()) "a" else "b"))
+      val df = rows.toDF("id", "v", "s")
+      val bins = 2 + rng.nextInt(9)
+      val buckets = 1 + rng.nextInt(6)
+      // equi-depth vs Spark's own global ntile
+      val got = Stats.equiDepthBins(df, "v", "id", bins, buckets)
+        .orderBy("bin").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")
+      val want = df.withColumn("bin", ntile(bins).over(w))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("cnt"), min($"v").as("lo"), max($"v").as("hi"))
+        .orderBy("bin").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(got == want, s"trial $trial (n=$n bins=$bins buckets=$buckets)")
+      // KS vs the naive global-window CDF
+      val d = Stats.ksTest(df, "v", col("s") === "a", buckets).head().getDouble(2)
+      val na = rows.count(_._3 == "a").toDouble
+      val nb = n - na
+      val naive =
+        if (na == 0 || nb == 0) Double.NaN
+        else {
+          val byV = rows.groupBy(_._2).toSeq.sortBy(_._1)
+          var ca = 0.0; var cb = 0.0
+          byV.map { case (_, g) =>
+            ca += g.count(_._3 == "a"); cb += g.count(_._3 == "b")
+            math.abs(ca / na - cb / nb)
+          }.max
+        }
+      if (!naive.isNaN)
+        assert(math.abs(d - naive) < 1e-12, s"trial $trial KS: $d != $naive")
+    }
+  }
+
   test("psi: identical distributions score ~0, disjoint score large; empty bins finite") {
     import graft.operators.Stats
     val same = ((1 to 100).map(i => (i % 10 * 1.0, "a")) ++
