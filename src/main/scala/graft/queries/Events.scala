@@ -193,10 +193,16 @@ object Events {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val totals = slotted.groupBy(col("event_type"))
         .agg(sum(col("cnt")).as("tot"))
+      // NO rounding on the two ratios: both engines perform the one
+      // identical IEEE division on identical operands, so the raw
+      // doubles are bit-identical — a fixed-decimal round would
+      // REINTRODUCE divergence at exact .5 midpoints (sf0.001 hit
+      // 68.92875: Spark HALF_UP on the decimal rendering vs DuckDB on
+      // the binary double disagree by 1 ulp of display)
       val out = slotted.join(broadcast(totals), Seq("event_type"))
         .select(col("event_type"), col("hod"), col("cnt"),
-          round(col("cnt").cast("double") / col("tot"), 6).as("share"),
-          round(col("sv").cast("double") / col("cnt"), 4).as("mean_value"))
+          (col("cnt").cast("double") / col("tot")).as("share"),
+          (col("sv").cast("double") / col("cnt")).as("mean_value"))
         .orderBy("event_type", "hod")
       val materialized = out.localCheckpoint(true)
       slotted.unpersist()
@@ -400,8 +406,8 @@ object Events {
         |  FROM events GROUP BY 1, 2),
         |t AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS tot FROM s GROUP BY 1)
         |SELECT s.event_type, s.hod, s.cnt,
-        |  ROUND(CAST(s.cnt AS DOUBLE) / t.tot, 6) AS share,
-        |  ROUND(CAST(s.sv AS DOUBLE) / s.cnt, 4) AS mean_value
+        |  CAST(s.cnt AS DOUBLE) / t.tot AS share,
+        |  CAST(s.sv AS DOUBLE) / s.cnt AS mean_value
         |FROM s JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin,
     "x_autocorr" ->
       """WITH series AS (
