@@ -216,6 +216,54 @@ object EventAnalytics {
           (acc, x) => when(acc.isNull, x).otherwise(a * x + b * acc)).as("ewma"))
   }
 
+  /** Holt double-exponential smoothing per entity — EWMA plus a TREND
+    * state, the classic short-horizon forecaster:
+    *   l' = α·x + (1−α)(l + b);  b' = β(l' − l) + (1−β)b
+    * with l₁ = x₁, b₁ = 0. Same per-key sorted-array fold shape as
+    * [[ewma]] (one hash-agg shuffle, the recurrence runs in codegen),
+    * with a STRUCT accumulator carrying (level, trend). The lambda
+    * references only the accumulator, the element and LITERAL
+    * constants — never an outer attribute (the binding-bug class
+    * adjudicated in INCIDENTS.md R7-1). All four α/β constants pass as
+    * separate literals; outputs ship UNROUNDED (both engines fold the
+    * identical doubles in the identical order — bit-identical, and a
+    * display round would reintroduce midpoint divergence).
+    *
+    * Returns (key, n, level, trend, forecast = level + trend). */
+  def holtSmoothing(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valCol: String,
+                    alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"holt: alpha $alpha outside (0,1]")
+    require(beta >= 0 && beta <= 1, s"holt: beta $beta outside [0,1]")
+    val a = lit(alpha); val oa = lit(1.0 - alpha)
+    val bb = lit(beta); val ob = lit(1.0 - beta)
+    val stT = "struct<l:double,b:double>"
+    events.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("v")))).as("seq"))
+      .select(col(keyCol), size(col("seq")).as("n"),
+        aggregate(transform(col("seq"), x => x.getField("v")),
+          lit(null).cast(stT),
+          (acc, x) => when(acc.isNull,
+            struct(x.as("l"), lit(0.0).as("b")))
+            .otherwise {
+              // b' in the ALGEBRAIC form β·(α·(x−l)+(1−α)·b)+(1−β)·b —
+              // equal to β(l'−l)+(1−β)b in the reals but with no
+              // reference to l': DuckDB's struct-literal lambda
+              // rebinds acc.l to the new field before evaluating b
+              // (sequential-update semantics, adjudicated in
+              // INCIDENTS.md R7-2), so the oracle folds LIST state and
+              // both engines must run these exact double ops
+              struct(
+                (a * x + oa * (acc.getField("l") + acc.getField("b"))).as("l"),
+                (bb * (a * (x - acc.getField("l")) + oa * acc.getField("b"))
+                  + ob * acc.getField("b")).as("b"))
+            }).as("st"))
+      .select(col(keyCol), col("n"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast"))
+  }
+
   /** First-order Markov transition matrix of the event-type sequence:
     * per (from, to) pair, the transition count and probability
     * P(to | from) — the behavioral-model summary (next-step

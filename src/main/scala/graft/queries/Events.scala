@@ -245,6 +245,14 @@ object Events {
           round(col("twap"), 6).as("twap"))
         .orderBy("event_type")),
 
+    "x_holt" -> ((s, dir) =>
+      // Holt level+trend smoothing per user (α=0.3, β=0.2): the struct
+      // fold runs in codegen over each user's sorted series; outputs
+      // unrounded — both engines fold identical doubles identically
+      EventAnalytics.holtSmoothing(ev(s, dir), "user_id", "ts", "event_id",
+          "value", alpha = 0.3, beta = 0.2)
+        .orderBy("user_id")),
+
     "x_ewma" -> ((s, dir) =>
       // per-user EWMA of event values (α=0.3): the fold-left
       // recurrence runs in codegen over each user's sorted series
@@ -453,6 +461,33 @@ object Events {
         |  ROUND(CAST(SUM(v * CAST(dt AS DECIMAL(14,0))) AS DOUBLE)
         |    / CAST(SUM(dt) AS DOUBLE), 6) AS twap
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_holt" -> {
+      // constants interpolated from the SAME Scala doubles the
+      // operator uses; l' recomputed inside the b' term exactly as the
+      // engine does, so every intermediate double matches
+      val alpha = 0.3
+      val beta = 0.2
+      val (a, oa) = (alpha.toString, (1.0 - alpha).toString)
+      val (b, ob) = (beta.toString, (1.0 - beta).toString)
+      s"""WITH s AS (
+         |  SELECT user_id,
+         |    list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY 1),
+         |f AS (
+         |  SELECT user_id, CAST(len(seq) AS INT) AS n,
+         |    -- LIST state, not a struct: DuckDB struct-literal lambdas
+         |    -- rebind acc fields sequentially (acc.l is already the NEW
+         |    -- level when 'b' evaluates) — lists evaluate both elements
+         |    -- from the original accumulator
+         |    list_reduce(list_transform(seq, v -> [v, 0.0e0]),
+         |      (acc, x) -> [$a * x[1] + $oa * (acc[1] + acc[2]),
+         |                   $b * ($a * (x[1] - acc[1]) + $oa * acc[2])
+         |                   + $ob * acc[2]]) AS st
+         |  FROM s)
+         |SELECT user_id, n, st[1] AS level, st[2] AS trend,
+         |  st[1] + st[2] AS forecast
+         |FROM f ORDER BY user_id""".stripMargin
+    },
     "x_ewma" -> {
       // α and 1−α interpolated from the SAME Scala doubles the
       // operator uses (toString/parse round-trips exactly)

@@ -1863,6 +1863,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("b")._2 == 0.0) // flat series: no signal
   }
 
+  test("holtSmoothing: hand-computed level/trend recurrence, single point = (x, 0)") {
+    import graft.operators.EventAnalytics
+    // series 1, 5, 9 with α=β=0.5:
+    //   l1=1 b1=0 → l2=0.5·5+0.5·1=3, b2=0.5·2=1
+    //   → l3=0.5·9+0.5·4=6.5, b3=0.5·3.5+0.5·1=2.25, forecast 8.75
+    val df = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 1L, 5.0), (1L, 3L, 1L, 9.0),
+      (2L, 1L, 1L, 42.0)).toDF("k", "t", "tie", "v")
+    val got = EventAnalytics.holtSmoothing(df, "k", "t", "tie", "v", 0.5, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == (3, 6.5, 2.25, 8.75))
+    assert(got(2L) == (1, 42.0, 0.0, 42.0))
+  }
+
   test("timeWeightedAvg: hand-computed weights, last point dropped, singles excluded") {
     import graft.operators.EventAnalytics
     import java.sql.Timestamp
