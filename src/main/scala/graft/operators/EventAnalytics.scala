@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Default per-key series-length bound for the sequence-fold family
+    * (funnel/ewma/holt). A gathered series lives in ONE aggregation-
+    * buffer row; at ~24–32 bytes/element 1M elements is a ~30 MB row —
+    * near the practical per-row ceiling before a task OOMs. Operators
+    * take this as a parameter so callers with known-hot keys can raise
+    * or lower it deliberately. */
+  val DefaultMaxSeriesLength: Int = 1000000
+
+  /** ENFORCED series-fits-one-row bound (round-7 verdict #1): every
+    * per-key sequence fold gathers a key's full series via
+    * `sort_array(collect_list(...))` — the right shape for a linear
+    * recurrence, but a hot key (a bot user at 100 TB) would otherwise
+    * silently build a giant row and OOM the task. This guard turns that
+    * silent death into a loud, actionable analysis error naming the key
+    * and the fix — the same fail-fast protocol as the minhash-index
+    * width guard (Dedup.incrementalNearDups). One `size` comparison per
+    * key, evaluated inside the same codegen stage as the fold. */
+  private def boundedSeries(seq: Column, keyC: Column, maxLen: Int,
+                            op: String): Column = {
+    require(maxLen > 0, s"$op: maxSeriesLength must be positive, got $maxLen")
+    when(size(seq) <= maxLen, seq).otherwise(raise_error(concat(
+      lit(s"$op: per-key series for key "), keyC.cast("string"),
+      lit(" has "), size(seq).cast("string"),
+      lit(s" events, exceeding maxSeriesLength=$maxLen — raise the bound, " +
+        "pre-aggregate the series into buckets, or drop/sample the hot key"))))
+  }
+
   /** Ordered funnel: for each user, the earliest chain of `steps`
     * events where step i+1 happens at-or-after the reached step i and
     * (optionally) within `maxGap` of it; output is users reached per
@@ -29,7 +56,8 @@ object EventAnalytics {
     */
   def funnelReach(events: DataFrame, userCol: String, typeCol: String,
                   tsCol: String, steps: Seq[String],
-                  maxGap: Option[String] = None): DataFrame = {
+                  maxGap: Option[String] = None,
+                  maxSeriesLength: Int = DefaultMaxSeriesLength): DataFrame = {
     require(steps.size >= 2, "funnelReach: need at least 2 steps")
     require(steps.distinct.size == steps.size, "funnelReach: steps must be distinct")
     val k = steps.size
@@ -40,7 +68,8 @@ object EventAnalytics {
       .select(col(userCol).as("u"),
         struct(col(tsCol).as("ts"), idxOf.as("idx")).as("e"))
       .groupBy(col("u"))
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .agg(boundedSeries(sort_array(collect_list(col("e"))), col("u"),
+        maxSeriesLength, "funnelReach").as("evs"))
     val init = array((0 until k).map(_ => lit(null).cast("timestamp")): _*)
     val reach = aggregate(col("evs"), init, (acc: Column, e: Column) => {
       val idx = e.getField("idx")
@@ -195,21 +224,23 @@ object EventAnalytics {
     * each entity's series is gathered once (one hash-agg shuffle into
     * a sorted array — same per-key-sequence shape as the funnel fold)
     * and the recurrence folds left inside codegen via the higher-order
-    * `aggregate`. Per-key series must fit one row — the same
-    * documented bound as funnel/sequence operators; α and 1−α are
+    * `aggregate`. Per-key series must fit one row — ENFORCED by the
+    * [[boundedSeries]] fail-fast guard (`maxSeriesLength`); α and 1−α are
     * passed as two separate literals (deriving one from the other at
     * SQL-text level risks a one-ulp constant mismatch cross-engine).
     *
     * Returns (key, n, ewma) — the series length and the final
     * smoothed value. */
   def ewma(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
-           valCol: String, alpha: Double): DataFrame = {
+           valCol: String, alpha: Double,
+           maxSeriesLength: Int = DefaultMaxSeriesLength): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"ewma: alpha $alpha outside (0,1]")
     val a = lit(alpha)
     val b = lit(1.0 - alpha)
     events.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col(tsCol), col(tieCol),
-        col(valCol).cast("double").as("v")))).as("seq"))
+      .agg(boundedSeries(sort_array(collect_list(struct(col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("v")))), col(keyCol),
+        maxSeriesLength, "ewma").as("seq"))
       .select(col(keyCol), size(col("seq")).as("n"),
         aggregate(transform(col("seq"), x => x.getField("v")),
           lit(null).cast("double"),
@@ -232,15 +263,17 @@ object EventAnalytics {
     * Returns (key, n, level, trend, forecast = level + trend). */
   def holtSmoothing(events: DataFrame, keyCol: String, tsCol: String,
                     tieCol: String, valCol: String,
-                    alpha: Double, beta: Double): DataFrame = {
+                    alpha: Double, beta: Double,
+                    maxSeriesLength: Int = DefaultMaxSeriesLength): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"holt: alpha $alpha outside (0,1]")
     require(beta >= 0 && beta <= 1, s"holt: beta $beta outside [0,1]")
     val a = lit(alpha); val oa = lit(1.0 - alpha)
     val bb = lit(beta); val ob = lit(1.0 - beta)
     val stT = "struct<l:double,b:double>"
     events.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col(tsCol), col(tieCol),
-        col(valCol).cast("double").as("v")))).as("seq"))
+      .agg(boundedSeries(sort_array(collect_list(struct(col(tsCol), col(tieCol),
+        col(valCol).cast("double").as("v")))), col(keyCol),
+        maxSeriesLength, "holtSmoothing").as("seq"))
       .select(col(keyCol), size(col("seq")).as("n"),
         aggregate(transform(col("seq"), x => x.getField("v")),
           lit(null).cast(stT),

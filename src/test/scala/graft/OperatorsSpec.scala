@@ -2051,6 +2051,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3L) == (2, 0.5 * 2.0 + 0.5 * 1.0))
   }
 
+  test("sequence-fold width guard: over-length key fails loud, at-bound passes") {
+    import graft.operators.EventAnalytics
+    // 4-event hot key + a 1-event key; bound of 3 must name key and fix
+    val df = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 1L, 2.0), (1L, 3L, 1L, 3.0),
+      (1L, 4L, 1L, 4.0), (2L, 1L, 1L, 7.0)).toDF("u", "t", "tie", "v")
+    val ex = intercept[Exception] {
+      EventAnalytics.ewma(df, "u", "t", "tie", "v", 0.5, maxSeriesLength = 3)
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("exceeding maxSeriesLength=3"), s"msg was: $msg")
+    assert(msg.contains("ewma"), s"msg was: $msg")
+    val ex2 = intercept[Exception] {
+      EventAnalytics.holtSmoothing(df, "u", "t", "tie", "v", 0.5, 0.5,
+        maxSeriesLength = 3).collect()
+    }
+    val msg2 = Option(ex2.getMessage).getOrElse("") +
+      Option(ex2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("holtSmoothing"), s"msg was: $msg2")
+    // at the bound exactly: identical result to unguarded
+    val ok = EventAnalytics.ewma(df, "u", "t", "tie", "v", 0.5,
+      maxSeriesLength = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ok(2L) == 7.0)
+    // funnel guard: ts must be a timestamp for the gap arithmetic
+    val fv = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:01")),
+      (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:02")),
+      (1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:03")),
+      (1L, "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:04")))
+      .toDF("u", "ty", "ts")
+    val ex3 = intercept[Exception] {
+      EventAnalytics.funnelReach(fv, "u", "ty", "ts", Seq("a", "b"),
+        maxSeriesLength = 2).collect()
+    }
+    val msg3 = Option(ex3.getMessage).getOrElse("") +
+      Option(ex3.getCause).map(_.getMessage).getOrElse("")
+    assert(msg3.contains("funnelReach"), s"msg was: $msg3")
+    // and at-bound the funnel still reaches both steps
+    val reach = EventAnalytics.funnelReach(fv, "u", "ty", "ts", Seq("a", "b"),
+      maxSeriesLength = 4).collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(reach == Map(1 -> 1L, 2 -> 1L))
+  }
+
   test("QualityRules: planted violations counted exactly, null predicates fail") {
     import graft.operators.QualityRules._
     val child = Seq(
