@@ -15,10 +15,13 @@ import java.util.concurrent.atomic.AtomicLong
 trait MetricsSink extends Serializable {
   def incr(metric: String): Unit
 
-  /** Counter add (statsd `count`). Default: n repeated incrs is wrong
-    * for real transports, so sinks carrying volume should override;
-    * the default keeps one-method implementations source-compatible. */
-  def count(metric: String, n: Long): Unit = { var i = 0L; while (i < n) { incr(metric); i += 1 } }
+  /** Counter add (statsd `count`). ABSTRACT on purpose: the obvious
+    * default (n repeated incrs) is O(n), and [[graft.streaming.StreamMetrics]]
+    * passes per-micro-batch row counts (can be millions) on the shared
+    * driver listener-bus thread — a looping default would stall every
+    * streaming listener. Real statsd/OTel clients all have a native
+    * add-n; implement it in O(1). */
+  def count(metric: String, n: Long): Unit
 
   /** Point-in-time gauge (statsd `gauge`). Default: dropped — a
     * counter-only transport has no meaningful gauge semantics. */

@@ -24,6 +24,21 @@ import org.apache.spark.sql.functions._
   *     whose output broadcasts back. Exact results (bucket imbalance
   *     only skews task sizes, never sums), no single-task scan of the
   *     data.
+  *
+  * EAGER-MATERIALIZATION CONTRACT (bucketed prefix-sum family: ksTest /
+  * mannWhitneyU / psi / paretoCurve / equiDepthBins): these methods run
+  * Spark jobs AT CALL TIME (a sampled approxQuantile for boundaries
+  * and/or a planning-sized collect of per-bucket totals), and the
+  * DataFrame they return re-scans the input at action time. The input
+  * must therefore be STABLE between the call and the action — true for
+  * the immutable parquet snapshots this engine reads; for a mutable or
+  * churning source, `localCheckpoint()` the input first so the frozen
+  * offsets and the re-scan see identical data.
+  *
+  * NULL POLICY: KS / Mann-Whitney / PSI are statistics of OBSERVED
+  * values — rows whose value column is NULL are excluded up front
+  * (also keeps both engines agnostic to NULLS FIRST/LAST ordering,
+  * which differs between Spark and DuckDB).
   */
 object Stats {
 
@@ -102,9 +117,13 @@ object Stats {
       sampleACond: org.apache.spark.sql.Column,
       buckets: Int): DataFrame = {
     val v = col(valueCol).cast("double")
+    // observed values only (object scaladoc NULL POLICY): a NULL would
+    // otherwise become its own CDF point whose position depends on the
+    // engine's null-ordering convention
+    val observed = df.filter(col(valueCol).isNotNull)
     // per-distinct-value counts: collapses ties BEFORE any ordering, so
     // tie handling is exact and the cumsum input is |distinct values|
-    val counts = df
+    val counts = observed
       .groupBy(v.as("v"))
       .agg(sum(when(sampleACond, 1L).otherwise(0L)).as("na"),
         sum(when(sampleACond, 0L).otherwise(1L)).as("nb"))
@@ -179,7 +198,10 @@ object Stats {
           sampleACond: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "psi: need at least two bins")
     val v = col(valueCol).cast("double")
-    val pts = df.select(v.as("v"),
+    // observed values only: floor(null)=null and least(null, bins-1)
+    // skips nulls, so an unfiltered NULL would silently land in the top
+    // bin and count as an extreme-high value
+    val pts = df.filter(col(valueCol).isNotNull).select(v.as("v"),
       when(sampleACond, 1L).otherwise(0L).as("ia"))
     val bounds = broadcast(pts.agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
     val binned = pts.crossJoin(bounds)

@@ -232,7 +232,8 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
         |c AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS na,
         |             CAST(SUM(1 - ia) AS BIGINT) AS nb FROM pts GROUP BY 1),
         |cum AS (SELECT v,
@@ -248,7 +249,8 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
         |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS gna,
         |             CAST(SUM(1 - ia) AS BIGINT) AS gnb FROM pts GROUP BY 1),
         |cum AS (SELECT v, gna, gnb,
@@ -321,7 +323,8 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(value AS DOUBLE) AS v,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
         |bd AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM pts),
         |b AS (
         |  SELECT CAST(CASE WHEN bd.mx = bd.mn THEN 0

@@ -71,6 +71,13 @@ object ZoneMaps {
     * distributed reads/writes. NOT transactional across files (that is
     * a table format's job); callers needing atomicity stage into a new
     * directory instead.
+    *
+    * STATS INVALIDATION: the caller's `stats` frame is STALE after this
+    * returns — dropped files still appear in it (a later pruneFiles /
+    * skipScan would try to open them and fail) and rewritten files keep
+    * their pre-delete min/max (safe for pruning — ranges only widened —
+    * but imprecise). Recompute the zone map over the directory
+    * ([[fileStats]]) after any delete before reusing it.
     */
   def targetedDelete(spark: SparkSession, stats: DataFrame,
                      keyCol: String, key: Any): DataFrame = {
