@@ -50,8 +50,12 @@ object GraphTraversal {
 
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+    // local mode: LAZY mark — the count() every layer already needs is
+    // the materializing action, so each hop runs ONE job instead of a
+    // checkpoint job plus a count job. Reliable mode stays eager (the
+    // files must hit stable storage before the hop is declared done).
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(false)
 
     // layers are checkpointed individually; `visited` is their UNION —
     // re-checkpointing the growing union every hop would rewrite all

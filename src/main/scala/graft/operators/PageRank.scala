@@ -14,8 +14,10 @@ import org.apache.spark.sql.{Column, DataFrame}
   *   r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)/outdeg(u)  +  D/N )
   *
   * where D is the total rank mass sitting on dangling nodes (no
-  * out-edges) — a 1-row broadcast aggregate over the materialized rank
-  * frame, redistributed uniformly (the standard dangling-node fix).
+  * out-edges), redistributed uniformly (the standard dangling-node
+  * fix). D is NOT a separate pass: the contribution aggregation runs
+  * as ROLLUP(dst), whose grand-total row gives Σc, and D = 1 − Σc by
+  * the Σr = 1 loop invariant — one aggregation job per iteration.
   *
   * Scale shape: each iteration shuffles |E| contribution rows keyed on
   * dst plus |V| rank rows — never materializing anything quadratic.
@@ -59,6 +61,11 @@ object PageRank {
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     var prevCached: Option[DataFrame] = None
+    // local mode: LAZY lineage cut — the mark is what stops the 2^n
+    // plan blowup, and the next iteration's dangling-mass action is the
+    // materializer, so each round runs exactly ONE job. Reliable mode
+    // keeps eager checkpoints (executor-loss recovery needs the files
+    // on stable storage before the round is declared done).
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) {
         df.persist(lvl)
@@ -66,29 +73,47 @@ object PageRank {
         prevCached.foreach(_.unpersist())
         prevCached = Some(df)
         out
-      } else df.localCheckpoint(true)
+      } else df.localCheckpoint(false)
 
     var r = ckpt(nodes.select(col("node"), lit(1.0 / nNodes).as("r")))
+    // previous round's contribution cache: released only after the NEXT
+    // round's action has materialized the rank frame built from it
+    var prevCAll: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       // Σ_{u→v} r(u)/outdeg(u), keyed on dst — partial agg map-side;
-      // rank and degree frames are |V|-sized → broadcast when small
-      val contrib = e
+      // rank and degree frames are |V|-sized → broadcast when small.
+      // ROLLUP(dst) fuses the dangling-mass reduction into this same
+      // aggregation: the grand-total row (dst NULL — edge dsts are
+      // never null) carries Σc = the rank mass on NON-dangling nodes,
+      // so D = Σr − Σc = 1 − Σc (the loop invariant Σr = 1 holds to
+      // float residue, which this identity actively re-normalizes
+      // instead of letting it drift). Replaces the former per-iteration
+      // anti-join-over-ranks job; the Expand doubling |E| rows is
+      // map-side-combined before any shuffle.
+      val cAll = e
         .join(hint(r.select(col("node").as("src"), col("r"))), Seq("src"))
         .join(hint(deg), Seq("src"))
-        .groupBy(col("dst").as("node"))
+        .rollup(col("dst"))
         .agg(sum(col("r") / col("od")).as("c"))
-      // dangling mass D: rank sitting on nodes with no out-edges
-      val dang = broadcast(
-        r.join(hint(deg), r("node") === deg("src"), "left_anti")
-          .agg(coalesce(sum(col("r")), lit(0.0)).as("dm")))
+        .persist(lvl)
+      // ONE row (planning-sized, the Stats offsets pattern): fold the
+      // dangling mass into a literal so the rank-update job carries no
+      // broadcast subquery. This head() is the round's single job: it
+      // materializes cAll AND the lazily-marked previous rank frame.
+      val dm = 1.0 - cAll.filter(col("dst").isNull)
+        .select(coalesce(col("c"), lit(0.0))).head().getDouble(0)
+      prevCAll.foreach(_.unpersist()) // prev rank frame is now stored
+      prevCAll = Some(cAll)
       r = ckpt(nodes
-        .join(hint(contrib), Seq("node"), "left")
-        .crossJoin(dang)
+        .join(hint(cAll.filter(col("dst").isNotNull)
+          .select(col("dst").as("node"), col("c"))), Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / nNodes) +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / nNodes)).as("r")))
+              lit(dm / nNodes))).as("r")))
     }
+    if (!reliable) r.count() // materialize the last frame before its inputs go
+    prevCAll.foreach(_.unpersist())
     prevCached.foreach(_.unpersist())
     e.unpersist(); nodes.unpersist(); deg.unpersist()
     r

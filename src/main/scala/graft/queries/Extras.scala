@@ -593,12 +593,13 @@ object Extras {
       val iters = 3
       val d = 0.85
       val iterCtes = (1 to iters).map { k =>
-        s"""dang$k AS (SELECT COALESCE(SUM(r), 0.0e0) AS dm
-           |  FROM r${k - 1} p LEFT JOIN deg ON p.node = deg.src
-           |  WHERE deg.src IS NULL),
-           |contrib$k AS (SELECT e.dst AS node, SUM(p.r / deg.od) AS c
+        // dangling mass via the operator's fused identity D = 1 − Σc
+        // (rollup grand total): only summation order differs from the
+        // engine's edge-row fold, absorbed by round(6)
+        s"""contrib$k AS (SELECT e.dst AS node, SUM(p.r / deg.od) AS c
            |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
            |  JOIN deg ON e.src = deg.src GROUP BY 1),
+           |dang$k AS (SELECT 1.0e0 - COALESCE((SELECT SUM(c) FROM contrib$k), 0.0e0) AS dm),
            |r$k AS (SELECT n.node,
            |    ${1.0 - d}e0 / (SELECT n FROM nn) + ${d}e0 * (COALESCE(c.c, 0.0e0) +
            |      (SELECT dm FROM dang$k) / (SELECT n FROM nn)) AS r
