@@ -33,6 +33,16 @@ object SqsPublisher {
 
   trait Transport extends Serializable {
     def send(queueUrl: String, messageBody: String, messageGroupId: String): Unit
+
+    /** FIFO send with an explicit `MessageDeduplicationId` (the SQS
+      * server drops a second message with the same id inside the 5-min
+      * dedup window — the exactly-once half of the streaming sink).
+      * Default forwards to the 3-arg send so non-FIFO transports stay
+      * one-method implementations; an AWS-SDK FIFO transport overrides
+      * this to set the attribute on the request. */
+    def send(queueUrl: String, messageBody: String, messageGroupId: String,
+             dedupId: Option[String]): Unit =
+      send(queueUrl, messageBody, messageGroupId)
   }
 
   /** In-memory transport for tests / dry runs. Messages land in a
@@ -42,19 +52,34 @@ object SqsPublisher {
     * The id is public so string-option-configured writers (the DSv2
     * sink) can address the same buffer: `new Recording(sameId)`. */
   final class Recording(val id: String = java.util.UUID.randomUUID().toString) extends Transport {
-    Recording.registry.putIfAbsent(id, new ArrayBuffer[(String, String, String)])
-    override def send(q: String, body: String, gid: String): Unit = {
+    Recording.registry.putIfAbsent(id, new ArrayBuffer[(String, String, String, Option[String])])
+    override def send(q: String, body: String, gid: String): Unit =
+      send(q, body, gid, None)
+    override def send(q: String, body: String, gid: String, dedupId: Option[String]): Unit = {
       val buf = Recording.registry.computeIfAbsent(id, _ => new ArrayBuffer)
-      buf.synchronized { buf += ((q, body, gid)) }
+      buf.synchronized { buf += ((q, body, gid, dedupId)) }
     }
-    def sent: Seq[(String, String, String)] = {
+    def sent: Seq[(String, String, String)] =
+      sentDedup.map { case (q, b, g, _) => (q, b, g) }
+    def sentDedup: Seq[(String, String, String, Option[String])] = {
       val buf = Recording.registry.computeIfAbsent(id, _ => new ArrayBuffer)
       buf.synchronized { buf.toSeq }
     }
+    /** What a FIFO queue would actually DELIVER: first send wins per
+      * (queue, dedupId); id-less sends always deliver. Test-side
+      * emulation of the server's dedup window. */
+    def delivered: Seq[(String, String, String)] = {
+      val seen = scala.collection.mutable.Set.empty[(String, String)]
+      sentDedup.flatMap {
+        case (q, b, g, Some(d)) =>
+          if (seen.add((q, d))) Some((q, b, g)) else None
+        case (q, b, g, None) => Some((q, b, g))
+      }
+    }
   }
   object Recording {
-    private val registry =
-      new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[(String, String, String)]]
+    private val registry = new java.util.concurrent.ConcurrentHashMap[
+      String, ArrayBuffer[(String, String, String, Option[String])]]
   }
 
   final case class MessageTooLarge(bytes: Int) extends RuntimeException(

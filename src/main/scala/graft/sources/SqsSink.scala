@@ -87,17 +87,23 @@ object SqsSink {
             case "relations" => false
             case other => throw new IllegalArgumentException(s"kind must be nodes|relations, got $other")
           },
-          info.options.getInt("max_bytes", SqsPublisher.MaxMessageBytes))
+          info.options.getInt("max_bytes", SqsPublisher.MaxMessageBytes),
+          info.options.getBoolean("fifo_dedup", false))
         override def toBatch: BatchWrite = {
-          val (q, g, t, n, m) = cfg
+          val (q, g, t, n, m, _) = cfg
           new SqsBatchWrite(info.schema(), q, g, t, n, m)
         }
-        // micro-batch streaming: same per-task chunking; epoch commit is
-        // bookkeeping only (at-least-once, like the batch path — a
-        // retried epoch may resend, consumers dedup on KEY)
+        // micro-batch streaming: per-task chunking as in batch. Default
+        // is at-least-once (epoch commit is bookkeeping; a retried
+        // epoch may resend, consumers dedup on KEY). With
+        // option("fifo_dedup", "true") each envelope carries a
+        // content-derived MessageDeduplicationId (sha-256 of
+        // epoch + body), so a FIFO queue drops a replayed micro-batch's
+        // resends server-side inside the 5-minute dedup window —
+        // exactly-once delivery for deterministic epochs.
         override def toStreaming: StreamingWrite = {
-          val (q, g, t, n, m) = cfg
-          new SqsStreamingWrite(info.schema(), q, g, t, n, m)
+          val (q, g, t, n, m, d) = cfg
+          new SqsStreamingWrite(info.schema(), q, g, t, n, m, d)
         }
       }
     }
@@ -119,21 +125,26 @@ object SqsSink {
   }
 
   private final class SqsWriterFactory(schema: StructType, queueUrl: String, groupId: String,
-                                       transportSpec: String, isNodes: Boolean, maxBytes: Int)
+                                       transportSpec: String, isNodes: Boolean, maxBytes: Int,
+                                       fifoDedup: Boolean = false)
       extends DataWriterFactory with StreamingDataWriterFactory {
     override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
       new SqsDataWriter(schema, resolveTransport(transportSpec),
-        queueUrl, groupId, isNodes, maxBytes)
-    // streaming variant: epoch id doesn't change the chunking discipline
+        queueUrl, groupId, isNodes, maxBytes, dedupEpoch = None)
+    // streaming variant: same chunking; the epoch id keys the optional
+    // server-side dedup
     override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-      createWriter(partitionId, taskId)
+      new SqsDataWriter(schema, resolveTransport(transportSpec),
+        queueUrl, groupId, isNodes, maxBytes,
+        dedupEpoch = if (fifoDedup) Some(epochId) else None)
   }
 
   private final class SqsStreamingWrite(schema: StructType, queueUrl: String, groupId: String,
-                                        transportSpec: String, isNodes: Boolean, maxBytes: Int)
+                                        transportSpec: String, isNodes: Boolean, maxBytes: Int,
+                                        fifoDedup: Boolean)
       extends StreamingWrite {
     override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-      new SqsWriterFactory(schema, queueUrl, groupId, transportSpec, isNodes, maxBytes)
+      new SqsWriterFactory(schema, queueUrl, groupId, transportSpec, isNodes, maxBytes, fifoDedup)
     override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   }
@@ -151,7 +162,8 @@ object SqsSink {
     * SqsPublisher.publishChunked (which receives external Rows). */
   private final class SqsDataWriter(schema: StructType, transport: SqsPublisher.Transport,
                                     queueUrl: String, groupId: String,
-                                    isNodes: Boolean, maxBytes: Int)
+                                    isNodes: Boolean, maxBytes: Int,
+                                    dedupEpoch: Option[Long])
       extends DataWriter[InternalRow] {
     private val cols: Seq[String] = schema.fieldNames.toSeq
     private val toExternal =
@@ -162,7 +174,20 @@ object SqsSink {
     private def flush(): Unit = if (buf.nonEmpty) {
       val body = if (isNodes) SqsPublisher.envelope(buf.toSeq, Nil)
                  else SqsPublisher.envelope(Nil, buf.toSeq)
-      transport.send(queueUrl, body, groupId)
+      // CONTENT-derived dedup id (sha-256 of epoch + body, 64 hex chars,
+      // inside SQS's 128-char attribute bound): a replayed epoch that
+      // re-produces the same envelopes maps to the same ids regardless
+      // of task ids or partition placement, so the FIFO server drops
+      // the resends. The epoch prefix keeps legitimately identical
+      // payloads in DIFFERENT epochs deliverable. Two byte-identical
+      // envelopes within one epoch would collapse to one delivery —
+      // acceptable for keyed metadata (consumers upsert on KEY).
+      val dedupId = dedupEpoch.map { ep =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.update(java.nio.ByteBuffer.allocate(8).putLong(ep).array())
+        md.digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      transport.send(queueUrl, body, groupId, dedupId)
       buf.clear(); size = 30
     }
 
