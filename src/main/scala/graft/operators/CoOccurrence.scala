@@ -35,6 +35,50 @@ object CoOccurrence {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Association rules A → B over baskets (the market-basket trio of
+    * support / confidence / lift for single-item antecedents): rule
+    * quality from nothing but the pair counts [[basketPairs]] already
+    * produces, per-item basket counts, and the basket total —
+    *
+    *   support(A→B)    = |A∧B| / N
+    *   confidence(A→B) = |A∧B| / |A|
+    *   lift(A→B)       = confidence / (|B| / N)
+    *
+    * Both directions of each unordered pair are emitted (confidence and
+    * lift are asymmetric). All three metrics are ratios of exact
+    * integer counts — replayable bit-for-bit cross-engine.
+    *
+    * Shape at scale: pair counts via the basket-bounded HOF expansion
+    * (one shuffle, no self-join of the item table); per-item counts are
+    * a second aggregate over the SAME deduped (basket, item) rows; the
+    * final joins attach |items|-sized tables to the pair table (AQE
+    * broadcasts them when small); the basket total is a 1-row cross
+    * join. `minPairCount` prunes the long tail BEFORE the metric math.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+                       minPairCount: Long = 1L): DataFrame = {
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = basketPairs(bi, "b", "i").filter(col("cnt") >= minPairCount)
+    val itemCnt = bi.groupBy(col("i")).agg(count(lit(1)).as("ic"))
+    val nBaskets = broadcast(bi.select(col("b")).distinct()
+      .agg(count(lit(1)).as("nb")))
+    val directed = pairs.select(col("u").as("ante"), col("v").as("cons"), col("cnt"))
+      .unionByName(pairs.select(col("v").as("ante"), col("u").as("cons"), col("cnt")))
+    val out = directed
+      .join(itemCnt.select(col("i").as("ante"), col("ic").as("ca")), Seq("ante"))
+      .join(itemCnt.select(col("i").as("cons"), col("ic").as("cc")), Seq("cons"))
+      .crossJoin(nBaskets)
+      .select(col("ante"), col("cons"), col("cnt"),
+        round(col("cnt").cast("double") / col("nb"), 6).as("support"),
+        round(col("cnt").cast("double") / col("ca"), 6).as("confidence"),
+        round(col("cnt").cast("double") * col("nb") /
+          (col("ca") * col("cc")), 6).as("lift"))
+    val materialized = out.localCheckpoint(true)
+    bi.unpersist()
+    materialized
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * edge list (`u < v` canonical, distinct).
     *

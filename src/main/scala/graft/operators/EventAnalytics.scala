@@ -297,6 +297,48 @@ object EventAnalytics {
         (col("st.l") + col("st.b")).as("forecast"))
   }
 
+  /** Rolling z-score anomaly detection per key: bucket the series
+    * (hourly by default, decimal-exact sums), then score each bucket
+    * against the mean/stddev of its TRAILING `lookback` buckets
+    * (current bucket excluded — the score is "how far from my own
+    * recent history", the on-call metrics-page statistic). Only buckets
+    * with a FULL lookback window and positive variance are scored;
+    * returned is each key's single most anomalous bucket
+    * (key, bucket_ts, z, n_scored) — peak-selection like
+    * [[cusumChangePoint]], threshold-free so the output carries no
+    * boundary sensitivity.
+    *
+    * Shape at scale: the only pass over raw events is the partial-agged
+    * bucket aggregate; the rolling window runs over the
+    * |keys|×|buckets| series table (tiny by comparison) with a
+    * bounded ROWS frame. z is rounded to 4 (absorbs the window
+    * aggregate's cross-engine summation-order ulp).
+    */
+  def rollingAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                     valCol: String, bucket: String = "hour",
+                     lookback: Int = 24): DataFrame = {
+    require(lookback >= 2, s"rollingAnomaly: lookback $lookback must be >= 2")
+    val series = events
+      .groupBy(col(keyCol).as("k"), date_trunc(bucket, col(tsCol)).as("h"))
+      .agg(sum(col(valCol).cast("decimal(18,4)")).cast("double").as("x"))
+    val wOrd = Window.partitionBy(col("k")).orderBy(col("h"))
+    val trail = wOrd.rowsBetween(-lookback, -1)
+    val scored = series
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("mu", avg(col("x")).over(trail))
+      .withColumn("sd", stddev_samp(col("x")).over(trail))
+      .filter(col("rn") > lookback && col("sd") > 0)
+      .withColumn("z", (col("x") - col("mu")) / col("sd"))
+    val best = Window.partitionBy(col("k"))
+      .orderBy(abs(col("z")).desc, col("h"))
+    scored
+      .withColumn("n_scored", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("pick", row_number().over(best))
+      .filter(col("pick") === 1)
+      .select(col("k"), col("h").as("bucket_ts"),
+        round(col("z"), 4).as("z"), col("n_scored"))
+  }
+
   /** First-order Markov transition matrix of the event-type sequence:
     * per (from, to) pair, the transition count and probability
     * P(to | from) — the behavioral-model summary (next-step

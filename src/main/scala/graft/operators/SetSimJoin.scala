@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact set-similarity join via PREFIX FILTERING (the AllPairs /
+  * PPJoin family, Bayardo et al. WWW'07; also the blocking behind many
+  * entity-resolution engines): all unordered pairs of sets whose
+  * Jaccard similarity meets a threshold, WITHOUT the all-pairs join.
+  *
+  * Principle: order every set by one GLOBAL total order (rarest item
+  * first); if J(A,B) >= t, the two sets must share at least one item
+  * inside their first |s| - ceil(t*|s|) + 1 items under that order —
+  * so an equi-join on PREFIX items finds every qualifying pair, and
+  * rarest-first ordering makes those prefix items the least frequent
+  * ones, keeping the candidate join's key fan-out minimal. Candidates
+  * are then verified exactly.
+  *
+  * Scale shape: one shuffle builds the per-set sorted arrays (reused by
+  * the prefix pass AND verification), the candidate join is keyed on
+  * prefix items (never a cartesian), a size-compatibility filter
+  * (t*|A| <= |B| <= |A|/t) prunes before dedup, and verification is a
+  * narrow array_intersect over the two bounded arrays. Like MinHash
+  * banding this never materializes all pairs — unlike MinHash it is
+  * EXACT (no estimation error), the right tool when the threshold is a
+  * contract rather than a heuristic.
+  */
+object SetSimJoin {
+
+  /** All pairs with Jaccard >= `minJaccard` over the sets formed by
+    * grouping `itemCol` by `idCol` (duplicates collapse). Output
+    * `(id_a, id_b, n_a, n_b, inter, jaccard)` with id_a < id_b,
+    * jaccard rounded to 6 (a ratio of exact integer counts).
+    *
+    * `maxSetSize`: a set lives in ONE aggregation-buffer row for the
+    * verify pass — the same enforced fail-fast bound as the sequence
+    * folds (EventAnalytics.boundedSeries): a hot id fails loud with
+    * the fix named instead of OOMing a task.
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, itemCol: String,
+                  minJaccard: Double, maxSetSize: Int = 1000000): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"jaccardJoin: minJaccard $minJaccard outside (0,1]")
+    require(maxSetSize > 0, s"jaccardJoin: maxSetSize must be positive")
+    val s = df.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    // global item frequency — the total order (f asc, item asc) every
+    // set is sorted by; rarest-first puts the most selective items in
+    // the prefixes. Plain join: AQE broadcasts the frequency side when
+    // it is small, and at vocabulary scale a shuffle join is correct.
+    val freq = s.groupBy(col("item")).agg(count(lit(1)).as("f"))
+    val sets = s.join(freq, Seq("item"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("item")))).as("fi"))
+      .select(col("id"),
+        when(size(col("fi")) <= maxSetSize,
+          transform(col("fi"), x => x.getField("item")))
+          .otherwise(raise_error(concat(
+            lit("jaccardJoin: set for id "), col("id").cast("string"),
+            lit(" has "), size(col("fi")).cast("string"),
+            lit(s" items, exceeding maxSetSize=$maxSetSize — raise the bound " +
+              "or pre-filter the hot id")))).as("items"),
+        size(col("fi")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // prefix length |s| - ceil(t*|s|) + 1 (Jaccard prefix bound)
+    val plen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    val prefixes = sets.select(col("id"), col("n"),
+      explode(slice(col("items"), lit(1), plen)).as("item"))
+    val cand = prefixes.select(col("item"), col("id").as("id_a"), col("n").as("na"))
+      .join(prefixes.select(col("item"), col("id").as("id_b"), col("n").as("nb")),
+        Seq("item"))
+      .filter(col("id_a") < col("id_b"))
+      // J >= t forces t*|A| <= |B| and t*|B| <= |A|
+      .filter(col("na") >= lit(minJaccard) * col("nb") &&
+        col("nb") >= lit(minJaccard) * col("na"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("items").as("ia"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("items").as("ib"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ia"), col("ib"))).cast("long"))
+      // threshold on the UNROUNDED ratio (identical int-division doubles
+      // on any engine); round only for display
+      .withColumn("jac", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("inter"),
+        round(col("jac"), 6).as("jaccard"))
+    // small verified output materializes; the heavy set cache releases
+    // on return (the minhashPairs lifecycle pattern)
+    val materialized = out.localCheckpoint(true)
+    sets.unpersist()
+    materialized
+  }
+}

@@ -349,6 +349,46 @@ object Stats {
       .select(col("n_a"), col("n_b"), col("r_a"), col("u_a"), col("z"))
   }
 
+  /** Per-group winsorized and trimmed means — the outlier-robust
+    * aggregates a metrics/feature pipeline uses where a plain mean is
+    * hostage to a single fat-finger value: winsorizing CLIPS values to
+    * the group's exact [lo, hi] percentiles, trimming DROPS values
+    * outside them.
+    *
+    * Two aggregation passes, both partial-agged: pass 1 computes the
+    * exact interpolated percentiles per group (Spark `percentile` ==
+    * DuckDB `quantile_cont`, parity pinned by x_percentiles); pass 2
+    * re-scans with the |groups|-row bound table joined back (AQE
+    * broadcasts it) and aggregates the clipped/filtered values. Sums
+    * run in DECIMAL(28,6) so they are exact in any aggregation order —
+    * the single final double division is the only float op. NULL
+    * values are excluded (observed-values policy, object scaladoc).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"winsorizedStats: bad bounds [$lo, $hi]")
+    val v = col(valCol).cast("double")
+    val obs = df.filter(col(valCol).isNotNull)
+    // bounds rounded to 6 dp BEFORE clipping: the decimal cast of a
+    // clipped-to-bound value is then exact on both engines (no
+    // double->decimal midpoint rule in play for the bound values)
+    val bounds = obs.groupBy(col(groupCol).as("g"))
+      .agg(round(expr(s"percentile($valCol, $lo)"), 6).as("p_lo"),
+        round(expr(s"percentile($valCol, $hi)"), 6).as("p_hi"))
+    val clipped = least(greatest(v, col("p_lo")), col("p_hi"))
+    obs.join(bounds, col(groupCol) === col("g")).drop("g")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("p_lo")).as("p_lo"),
+        first(col("p_hi")).as("p_hi"),
+        (sum(clipped.cast("decimal(28,6)")).cast("double") / count(lit(1)))
+          .as("winsor_mean"),
+        (sum(when(v >= col("p_lo") && v <= col("p_hi"),
+          v.cast("decimal(28,6)"))).cast("double") /
+          sum(when(v >= col("p_lo") && v <= col("p_hi"), 1L).otherwise(0L)))
+          .as("trimmed_mean"))
+  }
+
   /** Equi-depth binning (NTILE semantics, but no single-task global
     * window): every row's global rank ordered by (`valueCol`,
     * `tieCol`) comes from the same bucketed prefix sum as [[ksTest]],

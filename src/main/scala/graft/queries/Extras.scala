@@ -336,6 +336,21 @@ object Extras {
         .limit(20)
     }),
 
+    "x_assoc_rules" -> ((s, dir) => {
+      // association rules over order baskets of part BRANDS
+      // (operators/CoOccurrence.associationRules): support/confidence/
+      // lift from one basket-bounded pair expansion + per-item counts —
+      // ratios of exact integer counts, no float accumulation. Top 30
+      // by lift (rounded sort key, deterministic tie-break).
+      val items = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.operators.CoOccurrence.associationRules(items, "basket", "item",
+        minPairCount = 5L)
+        .orderBy(col("lift").desc, col("ante"), col("cons"))
+        .limit(30)
+    }),
+
     "x_triangles" -> ((s, dir) => {
       // triangle count + clustering coefficient (CoOccurrence
       // .triangleStats) on the part co-purchase graph (pairs sharing
@@ -538,6 +553,29 @@ object Extras {
         |  GROUP BY 1, 2)
         |SELECT u, v, cnt FROM p
         |ORDER BY cnt DESC, u, v LIMIT 20""".stripMargin,
+    "x_assoc_rules" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS i
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |p AS (
+        |  SELECT a.i AS u, b.i AS v, COUNT(*) AS cnt
+        |  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+        |ic AS (SELECT i, COUNT(*) AS ic FROM bi GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS nb FROM bi),
+        |d AS (
+        |  SELECT u AS ante, v AS cons, cnt FROM p
+        |  UNION ALL
+        |  SELECT v, u, cnt FROM p)
+        |SELECT d.ante, d.cons, d.cnt,
+        |  ROUND(CAST(d.cnt AS DOUBLE) / nb.nb, 6) AS support,
+        |  ROUND(CAST(d.cnt AS DOUBLE) / ca.ic, 6) AS confidence,
+        |  ROUND(CAST(d.cnt AS DOUBLE) * nb.nb / (ca.ic * cc.ic), 6) AS lift
+        |FROM d
+        |JOIN ic ca ON ca.i = d.ante
+        |JOIN ic cc ON cc.i = d.cons
+        |CROSS JOIN nb
+        |ORDER BY lift DESC, ante, cons LIMIT 30""".stripMargin,
     // undirected-canonical triple join (x < y < z) counts each triangle
     // once, same as the operator's single-orientation count
     "x_triangles" ->

@@ -192,7 +192,32 @@ object StatsQ {
       // block key, no global rank, no self-join on data
       StringSimJoin.sortedNeighborhood(t(s, dir, "part"),
           "p_partkey", "p_name", window = 3)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    "x_rolling_z" -> ((s, dir) =>
+      // rolling z-score anomaly peak per event type
+      // (EventAnalytics.rollingAnomaly): hourly decimal-exact bucket
+      // sums, each bucket scored against its trailing-24h mean/stddev
+      // (current excluded), peak-|z| bucket per key — threshold-free,
+      // so no boundary sensitivity; one raw-event pass, windows over
+      // the tiny series table only
+      graft.operators.EventAnalytics.rollingAnomaly(
+          t(s, dir, "events"), "event_type", "ts", "value", lookback = 24)
+        .select(col("k").as("event_type"), col("bucket_ts"),
+          col("z"), col("n_scored"))
+        .orderBy("event_type")),
+
+    "x_winsorize" -> ((s, dir) =>
+      // outlier-robust group means (Stats.winsorizedStats): exact
+      // p05/p95 clip + trim of l_quantity per return flag; decimal
+      // sums → order-independent, percentile parity pinned by
+      // x_percentiles
+      Stats.winsorizedStats(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity")
+        .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
+          round(col("winsor_mean"), 6).as("winsor_mean"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -442,6 +467,47 @@ object StatsQ {
         |  CAST(b.rn - a.rn AS INT) AS gap
         |FROM rk a JOIN rk b
         |  ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_rolling_z" ->
+      """WITH series AS (
+        |  SELECT event_type AS k, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT k, h, x,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY h) AS rn,
+        |    AVG(x) OVER (PARTITION BY k ORDER BY h
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+        |    STDDEV_SAMP(x) OVER (PARTITION BY k ORDER BY h
+        |                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
+        |  FROM series),
+        |scored AS (
+        |  SELECT k, h, (x - mu) / sd AS z FROM w WHERE rn > 24 AND sd > 0),
+        |n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_scored FROM scored GROUP BY 1),
+        |best AS (
+        |  SELECT k, h, z,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY ABS(z) DESC, h) AS pick
+        |  FROM scored)
+        |SELECT b.k AS event_type, b.h AS bucket_ts, ROUND(b.z, 4) AS z, n.n_scored
+        |FROM best b JOIN n USING (k)
+        |WHERE pick = 1 ORDER BY event_type""".stripMargin,
+    "x_winsorize" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    ROUND(quantile_cont(l_quantity, 0.05), 6) AS p_lo,
+        |    ROUND(quantile_cont(l_quantity, 0.95), 6) AS p_hi
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, p_lo, p_hi
+        |  FROM lineitem JOIN b ON l_returnflag = b.g)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ANY_VALUE(p_lo) AS p_lo, ANY_VALUE(p_hi) AS p_hi,
+        |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(v, p_lo), p_hi)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS winsor_mean,
+        |  ROUND(CAST(SUM(CASE WHEN v >= p_lo AND v <= p_hi
+        |      THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN v >= p_lo AND v <= p_hi THEN 1 ELSE 0 END), 6)
+        |    AS trimmed_mean
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -75,6 +75,22 @@ object TextDocs {
         .orderBy("ida", "idb")
     }),
 
+    "x_setsim_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join via prefix filtering
+      // (operators/SetSimJoin — the AllPairs/PPJoin family): documents
+      // whose TOKEN SETS overlap >= 0.95. Complements x_ngram_jaccard
+      // (shingle multisets, hash-bucket counting) with the
+      // threshold-as-contract algorithm: a global rarest-first item
+      // order, length-law prefixes, candidate equi-join on prefix
+      // tokens only, exact array_intersect verify — never all pairs,
+      // no estimation error.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.SetSimJoin.jaccardJoin(toks, "doc_id", "tok", minJaccard = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_text_quality" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -1266,6 +1282,30 @@ object TextDocs {
         |JOIN counts cb ON cb.doc_id = idb
         |WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
         |ORDER BY ida, idb""".stripMargin,
+    "x_setsim_join" ->
+      // the oracle is the DEFINITION (exact all-pairs token-set
+      // Jaccard >= 0.95) — prefix filtering must reproduce it exactly;
+      // the unrounded-ratio threshold mirrors the engine
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        |  FROM documents
+        |), sz AS (
+        |  SELECT id, COUNT(*) AS n FROM s GROUP BY 1
+        |), inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |  FROM s a JOIN s b ON a.tok = b.tok AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+        |FROM inter
+        |JOIN sz na ON na.id = id_a
+        |JOIN sz nb ON nb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_corpus" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w

@@ -2095,6 +2095,105 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reach == Map(1 -> 1L, 2 -> 1L))
   }
 
+  test("SetSimJoin: prefix filter finds exactly the brute-force pairs, guard fails loud") {
+    import graft.operators.SetSimJoin
+    // sets: A={a,b,c,d}, B={a,b,c,e} (J=3/5=0.6), C={a,b} (J(A,C)=2/4=0.5,
+    // J(B,C)=0.5), D={x,y,z} (disjoint), E={a,b,c,d} (J(A,E)=1.0)
+    val rows = Seq(
+      1 -> "a", 1 -> "b", 1 -> "c", 1 -> "d",
+      2 -> "a", 2 -> "b", 2 -> "c", 2 -> "e",
+      3 -> "a", 3 -> "b",
+      4 -> "x", 4 -> "y", 4 -> "z",
+      5 -> "a", 5 -> "b", 5 -> "c", 5 -> "d",
+      5 -> "d" // duplicate item must collapse
+    ).toDF("id", "item")
+    def got(t: Double): Set[(Int, Int, Double)] =
+      SetSimJoin.jaccardJoin(rows, "id", "item", t)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(5))).toSet
+    assert(got(0.6) == Set((1, 2, 0.6), (1, 5, 1.0), (2, 5, 0.6)))
+    assert(got(0.5) == Set((1, 2, 0.6), (1, 5, 1.0), (2, 5, 0.6),
+      (1, 3, 0.5), (2, 3, 0.5), (3, 5, 0.5)))
+    assert(got(0.95) == Set((1, 5, 1.0)))
+    // n_a/n_b/inter carried correctly
+    val full = SetSimJoin.jaccardJoin(rows, "id", "item", 0.6)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(full((1, 2)) == (4L, 4L, 3L))
+    assert(full((1, 5)) == (4L, 4L, 4L))
+    // hot-set width guard (same protocol as the sequence folds)
+    val ex = intercept[Exception] {
+      SetSimJoin.jaccardJoin(rows, "id", "item", 0.5, maxSetSize = 3).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("maxSetSize=3"), s"msg was: $msg")
+  }
+
+  test("associationRules: hand-computed support/confidence/lift, both directions") {
+    import graft.operators.CoOccurrence
+    // baskets: {m,b}, {m,b}, {m}, {b,d} — N=4; |m|=3, |b|=3, |d|=1
+    // pair (b,m): cnt=2 → support .5; conf(m→b)=2/3; conf(b→m)=2/3;
+    // lift both ways = (2*4)/(3*3)
+    val rows = Seq(1 -> "m", 1 -> "b", 2 -> "m", 2 -> "b", 3 -> "m",
+      4 -> "b", 4 -> "d").toDF("b", "i")
+    val got = CoOccurrence.associationRules(rows, "b", "i")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got(("m", "b")) == (2L, 0.5, 0.666667, 0.888889))
+    assert(got(("b", "m")) == (2L, 0.5, 0.666667, 0.888889))
+    assert(got(("b", "d")) == (1L, 0.25, 0.333333, 1.333333))
+    assert(got(("d", "b")) == (1L, 0.25, 1.0, 1.333333))
+    assert(!got.contains(("m", "d"))) // never co-occur
+    // minPairCount prunes before the metric math
+    val pruned = CoOccurrence.associationRules(rows, "b", "i", minPairCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pruned == Set(("m", "b"), ("b", "m")))
+  }
+
+  test("rollingAnomaly: planted spike is the peak, partial windows unscored") {
+    import graft.operators.EventAnalytics
+    // one key, hourly buckets 0..29 alternating 9/11 (sd ≈ 1), except
+    // bucket 26 = 100. lookback 24: rn>24 scored; z peaks at the spike.
+    // (A CONSTANT history has sd = 0 and is unscored by design — z is
+    // undefined there — hence the varying baseline.)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (0 until 30).map { h =>
+      ("k1", new java.sql.Timestamp(ts0 + h * 3600L * 1000L),
+        if (h == 26) 100.0 else if (h % 2 == 0) 9.0 else 11.0)
+    }.toDF("k", "ts", "v")
+    val got = EventAnalytics.rollingAnomaly(rows, "k", "ts", "v", lookback = 24)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "k1")
+    assert(r.getTimestamp(1) == new java.sql.Timestamp(ts0 + 26 * 3600L * 1000L))
+    assert(r.getDouble(2) > 4.0, s"spike z was ${r.getDouble(2)}")
+    // constant series (zero variance) yields no scored rows at all
+    val flat = (0 until 30).map(h =>
+      ("k2", new java.sql.Timestamp(ts0 + h * 3600L * 1000L), 5.0)).toDF("k", "ts", "v")
+    assert(EventAnalytics.rollingAnomaly(flat, "k", "ts", "v", lookback = 24)
+      .collect().isEmpty)
+  }
+
+  test("winsorizedStats: clip and trim against hand percentiles") {
+    import graft.operators.Stats
+    // group g: values 1..10 — p05 (interpolated) = 1.45, p95 = 9.55;
+    // winsorized sum = 1.45 + 2..9 + 9.55 = 55.0 → mean 5.5 (symmetric);
+    // trimmed keeps 2..9 → mean 5.5
+    val df = (1 to 10).map(i => ("g", i.toDouble)).toDF("grp", "v")
+    val r = Stats.winsorizedStats(df, "grp", "v").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(math.abs(r.getDouble(2) - 1.45) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 9.55) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 5.5) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 5.5) < 1e-9)
+    // asymmetric clip: an extreme outlier moves the plain mean, not the
+    // winsorized one much
+    val out = ((1 to 9).map(i => ("h", i.toDouble)) :+ ("h", 1000.0)).toDF("grp", "v")
+    val h = Stats.winsorizedStats(out, "grp", "v").collect().head
+    assert(h.getDouble(4) < 60.0, s"winsorized mean ${h.getDouble(4)} should tame the outlier")
+  }
+
   test("QualityRules: planted violations counted exactly, null predicates fail") {
     import graft.operators.QualityRules._
     val child = Seq(
