@@ -217,7 +217,31 @@ object StatsQ {
         .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
           round(col("winsor_mean"), 6).as("winsor_mean"),
           round(col("trimmed_mean"), 6).as("trimmed_mean"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    "x_label_prop" -> ((s, dir) => {
+      // community detection (operators/LabelPropagation) over the
+      // undirected customer—supplier trade graph (the PageRank edge
+      // set): 3 synchronous LPA rounds, most-frequent neighbor label
+      // with min-label tie-break — all-integer arithmetic, so the
+      // replayed oracle matches exactly. Numeric node ids (even=
+      // customer, odd=supplier) through every shuffle; display strings
+      // attach to the community-count rollup only.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.LabelPropagation.communities(edges, "src", "dst", iters = 3)
+        .groupBy("community")
+        .agg(count(lit(1)).as("members"))
+        .select(
+          concat(when(col("community") % 2 === 0, "c").otherwise("s"),
+            expr("community div 2")).as("community"),
+          col("members"))
+        .orderBy("community")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -508,6 +532,34 @@ object StatsQ {
         |      THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
         |    / SUM(CASE WHEN v >= p_lo AND v <= p_hi THEN 1 ELSE 0 END), 6)
         |    AS trimmed_mean
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_label_prop" -> {
+      // unrolled 3-round synchronous LPA replay: per round, vote
+      // counts per (node, neighbor label) then the (cnt DESC, lbl)
+      // argmin — all-integer, so equality is exact, no rounding
+      val iters = 3
+      val rounds = (1 to iters).map { k =>
+        s"""v$k AS (SELECT a.dst AS node, l.lbl, COUNT(*) AS cnt
+           |  FROM adj a JOIN l${k - 1} l ON a.src = l.node GROUP BY 1, 2),
+           |b$k AS (SELECT node, lbl FROM (
+           |    SELECT node, lbl,
+           |      ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+           |    FROM v$k) t WHERE rn = 1),
+           |l$k AS (SELECT n.node, COALESCE(b.lbl, p.lbl) AS lbl
+           |  FROM nodes n JOIN l${k - 1} p ON p.node = n.node
+           |  LEFT JOIN b$k b ON b.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH fwd AS (
+         |  SELECT DISTINCT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |adj AS (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd),
+         |nodes AS (SELECT DISTINCT src AS node FROM adj),
+         |l0 AS (SELECT node, node AS lbl FROM nodes),
+         |$rounds
+         |SELECT CASE WHEN lbl % 2 = 0 THEN 'c' || (lbl // 2)
+         |            ELSE 's' || (lbl // 2) END AS community,
+         |  CAST(COUNT(*) AS BIGINT) AS members
+         |FROM l$iters GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

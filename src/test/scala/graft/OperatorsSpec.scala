@@ -1682,6 +1682,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
   }
 
+  test("labelPropagation: bridged cliques converge, sink keeps label, ties go low") {
+    import graft.operators.LabelPropagation
+    // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10; the
+    // 3-round synchronous trace (min-label tie-break) lands {1,2,3}→1
+    // and {10,11,12}→3 — computed by hand, exercised end-to-end
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("s", "d")
+    val got = LabelPropagation.communities(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    // directed: 1→2 only; node 1 has no in-edges so the coalesce path
+    // keeps its own label, node 2 adopts 1's
+    val dirGot = LabelPropagation
+      .communities(Seq((1L, 2L)).toDF("s", "d"), "s", "d",
+        iters = 2, directed = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dirGot == Map(1L -> 1L, 2L -> 1L))
+    // single undirected edge: synchronous LPA label-swaps each round
+    // (the classic bipartite oscillation) — each endpoint's only vote
+    // is the other's label, so odd iters swap, even iters restore.
+    // Pinning it documents the determinism contract: the result is a
+    // pure function of (graph, iters), oscillation included.
+    val odd = LabelPropagation
+      .communities(Seq((7L, 4L)).toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(odd == Map(4L -> 7L, 7L -> 4L))
+    val even = LabelPropagation
+      .communities(Seq((7L, 4L)).toDF("s", "d"), "s", "d", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(even == Map(4L -> 4L, 7L -> 7L))
+  }
+
   test("sortedNeighborhood: pairs within window, blocked, gap exact") {
     import graft.operators.StringSimJoin
     val df = Seq((1L, "apple"), (2L, "apricot"), (3L, "avocado"), (4L, "almond"),
