@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Top principal component of an embedding column — the spectral
+  * primitive behind PCA-whitening before ANN indexing, anisotropy
+  * diagnostics of an embedding space, and "is there a dominant
+  * direction" drift checks on a corpus's representation.
+  *
+  * Scale shape (MLlib RowMatrix.computePrincipalComponents re-expressed
+  * for determinism): the only pass over the data is a NARROW
+  * `mapPartitions` that folds each partition into one local
+  * (count, Σq, qᵀq) moment block — d²+d+1 numbers per partition,
+  * independent of row count — and the collected partials (one row per
+  * partition, the planning-sized-collect pattern) combine on the
+  * driver, where the d×d eigen problem is solved by fixed-order power
+  * iteration. Nothing about the corpus size reaches the driver; a
+  * 100 TB run ships numPartitions moment blocks, same as sf0.01.
+  *
+  * Determinism (what makes a value-level DuckDB oracle possible):
+  * vectors are integer-quantized up front (`floor(v·scale)`, the
+  * [[graft.functions.QuantizeVec]] keystone), so every moment is a sum
+  * of integers — exact in any accumulation order. Partition partials
+  * accumulate in Long with `addExact`/`multiplyExact` (overflow fails
+  * LOUD, never wraps — the width-guard discipline), and the driver
+  * combine runs in BigInt, so the covariance numerator
+  * n·G_ij − S_i·S_j is EXACT at any scale. Only then does arithmetic
+  * go floating-point, and both engines divide the same exact integer
+  * by the same expression — the power iteration that follows runs on
+  * bit-identical matrices, and a fixed iteration count (convergence or
+  * not, the result is a pure function of (C, iters)) replays as an
+  * unrolled CTE chain. Sign is canonicalized so the largest-|loading|
+  * dimension (smallest index on ties) is positive.
+  */
+object Spectral {
+
+  /** `(dim, loading, eigval, explained)` — one row per dimension
+    * (1-based, matching SQL's generate_series), the unit top
+    * eigenvector of the covariance matrix after `iters` power-iteration
+    * rounds, the associated eigenvalue estimate (‖C·v‖ of the last
+    * round), and its share of total variance (eigval / trace C).
+    * Rows with a NULL vector are excluded; a vector of the wrong
+    * length fails loud.
+    */
+  def topComponent(df: DataFrame, vecCol: String, dims: Int,
+                   iters: Int = 12, scale: Int = 10000): DataFrame = {
+    require(dims >= 2, "topComponent: need at least 2 dimensions")
+    require(iters >= 1, "topComponent: iters must be >= 1")
+    require(scale > 0, "topComponent: scale must be positive")
+    val spark = df.sparkSession
+    val d = dims
+
+    // one narrow pass: per-partition exact integer moments.
+    // checked arithmetic: a partition hot enough to overflow a Long
+    // (|q|·rows beyond 2^63) must fail loud, not wrap into a silently
+    // wrong covariance.
+    val partials: Array[(Long, Array[Long], Array[Long])] = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .queryExecution.toRdd.mapPartitions { rows =>
+        val sums = new Array[Long](d)
+        val gram = new Array[Long](d * (d + 1) / 2) // upper triangle j >= i
+        val q = new Array[Long](d)
+        var n = 0L
+        rows.foreach { r =>
+          val arr = r.getArray(0)
+          require(arr.numElements() == d,
+            s"topComponent: vector of length ${arr.numElements()}, expected $d")
+          var i = 0
+          while (i < d) {
+            q(i) = math.floor(arr.getDouble(i) * scale).toLong
+            sums(i) = Math.addExact(sums(i), q(i))
+            i += 1
+          }
+          i = 0
+          var t = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              gram(t) = Math.addExact(gram(t), Math.multiplyExact(q(i), q(j)))
+              j += 1; t += 1
+            }
+            i += 1
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator.single((n, sums.clone(), gram.clone()))
+      }.collect()
+
+    val n = partials.iterator.map(_._1).sum
+    require(n >= 2, s"topComponent: need at least 2 rows, got $n")
+    // BigInt combine: exact past Long range no matter how many
+    // partitions contribute
+    val s = Array.fill(d)(BigInt(0))
+    val g = Array.fill(d * (d + 1) / 2)(BigInt(0))
+    partials.foreach { case (_, ps, pg) =>
+      var i = 0
+      while (i < d) { s(i) += ps(i); i += 1 }
+      i = 0
+      while (i < g.length) { g(i) += pg(i); i += 1 }
+    }
+    // C_ij = (n·G_ij − S_i·S_j) / (n·scale)² — numerator exact, one
+    // double division with the same expression shape as the oracle
+    val bn = BigInt(n)
+    val denom = (n.toDouble * scale) * (n.toDouble * scale)
+    val c = Array.ofDim[Double](d, d)
+    var i = 0
+    var t = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val v = (bn * g(t) - s(i) * s(j)).toDouble / denom
+        c(i)(j) = v; c(j)(i) = v
+        j += 1; t += 1
+      }
+      i += 1
+    }
+
+    // fixed-order power iteration: ascending-j dot products,
+    // ascending-i norm — the shapes the unrolled oracle CTEs replay
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var nrm = 0.0
+    for (_ <- 1 to iters) {
+      val w = new Array[Double](d)
+      var a = 0
+      while (a < d) {
+        var acc = 0.0
+        var b = 0
+        while (b < d) { acc += c(a)(b) * v(b); b += 1 }
+        w(a) = acc; a += 1
+      }
+      var sq = 0.0
+      a = 0
+      while (a < d) { sq += w(a) * w(a); a += 1 }
+      nrm = math.sqrt(sq)
+      a = 0
+      while (a < d) { w(a) = w(a) / nrm; a += 1 }
+      v = w
+    }
+    // sign canonicalization: strict > keeps the smallest index on ties
+    var best = 0
+    i = 1
+    while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+    val sign = if (v(best) < 0) -1.0 else 1.0
+    var trace = 0.0
+    i = 0
+    while (i < d) { trace += c(i)(i); i += 1 }
+
+    import spark.implicits._
+    val rows = (0 until d).map(k => (k + 1, v(k) * sign, nrm, nrm / trace))
+    rows.toDF("dim", "loading", "eigval", "explained")
+      .select(col("dim"), round(col("loading"), 5).as("loading"),
+        round(col("eigval"), 6).as("eigval"),
+        round(col("explained"), 6).as("explained"))
+  }
+}

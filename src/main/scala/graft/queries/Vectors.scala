@@ -246,7 +246,19 @@ object Vectors {
         .select(col("ida"), col("idb"),
           col("rawcos").cast("decimal(10,4)").cast("double").as("cos"))
         .orderBy("ida", "idb")
-    })
+    }),
+
+    "x_pca_power" -> ((s, dir) =>
+      // top principal component of the embedding space
+      // (operators/Spectral): ONE narrow mapPartitions pass folds each
+      // partition to a (count, Σq, qᵀq) moment block — integer-exact
+      // via the QuantizeVec floor(v·10⁴) keystone — and the d×d eigen
+      // problem runs driver-side by fixed-order power iteration on the
+      // EXACT covariance numerator (BigInt), so the unrolled oracle
+      // CTEs iterate on a bit-identical matrix.
+      graft.operators.Spectral.topComponent(
+          emb(s, dir), "embedding", dims = 64)
+        .orderBy("dim"))
   )
 
   private val duckCos =
@@ -532,6 +544,50 @@ object Vectors {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${duckCos.format("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY ida, idb""".stripMargin
+         |ORDER BY ida, idb""".stripMargin,
+    "x_pca_power" -> {
+      // unrolled power-iteration replay on the EXACT covariance:
+      // integer moments in DECIMAL(38,0), the n·G−S·S numerator exact,
+      // one double division with the engine's expression shape — the
+      // iterations then run on a bit-identical matrix, so only the
+      // 64-term sum order differs (absorbed by the final rounds).
+      // MATERIALIZED is load-bearing: each w_k is referenced twice
+      // (norm + next round), so inlined CTEs would replay the whole
+      // chain 2^12 times.
+      val d = 64
+      val scale = 10000
+      val iters = 12
+      val rounds = (1 to iters).map { k =>
+        s"""w$k AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * p.x) AS x
+           |  FROM cov c JOIN v${k - 1} p ON c.j = p.i GROUP BY 1),
+           |n$k AS (SELECT sqrt(SUM(x * x)) AS nm FROM w$k),
+           |v$k AS (SELECT i, x / (SELECT nm FROM n$k) AS x FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS DECIMAL(38,0)) AS q
+         |  FROM embeddings, generate_series(1, $d) s(i)),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |sums AS (SELECT i, SUM(q) AS s FROM pts GROUP BY 1),
+         |gram AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+         |  FROM pts a JOIN pts b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |    CAST(nn.n * g.g - sa.s * sb.s AS DOUBLE)
+         |      / ((CAST(nn.n AS DOUBLE) * $scale) * (CAST(nn.n AS DOUBLE) * $scale)) AS c
+         |  FROM gram g JOIN sums sa ON sa.i = g.i
+         |  JOIN sums sb ON sb.i = g.j CROSS JOIN nn),
+         |v0 AS (SELECT i, 1.0 / sqrt($d.0) AS x FROM generate_series(1, $d) s(i)),
+         |$rounds,
+         |sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+         |  FROM v$iters ORDER BY abs(x) DESC, i LIMIT 1),
+         |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
+         |SELECT CAST(v.i AS INT) AS dim,
+         |  ROUND(v.x * (SELECT s FROM sgn), 5) AS loading,
+         |  ROUND((SELECT nm FROM n$iters), 6) AS eigval,
+         |  ROUND((SELECT nm FROM n$iters) / (SELECT t FROM tr), 6) AS explained
+         |FROM v$iters v ORDER BY dim""".stripMargin
+    }
   )
 }

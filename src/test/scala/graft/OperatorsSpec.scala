@@ -1715,6 +1715,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(even == Map(4L -> 4L, 7L -> 7L))
   }
 
+  test("spectral topComponent: planted direction, exact variance share, loud overflow") {
+    import graft.operators.Spectral
+    // four zero-mean points on the (1,1,0,0) diagonal: covariance is
+    // the rank-1 block [[2.5,2.5],[2.5,2.5]]⊕0 — top eigenvector
+    // (1/√2, 1/√2, 0, 0), eigenvalue 5 = the whole trace
+    val pts = Seq(
+      Seq(1f, 1f, 0f, 0f), Seq(-1f, -1f, 0f, 0f),
+      Seq(2f, 2f, 0f, 0f), Seq(-2f, -2f, 0f, 0f)).toDF("v")
+    val got = Spectral.topComponent(pts, "v", dims = 4)
+      .orderBy("dim").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(math.abs(got(0).getDouble(1) - 0.70711) < 1e-5)
+    assert(math.abs(got(1).getDouble(1) - 0.70711) < 1e-5)
+    assert(got(2).getDouble(1) == 0.0 && got(3).getDouble(1) == 0.0)
+    assert(math.abs(got(0).getDouble(2) - 5.0) < 1e-6)     // eigval
+    assert(math.abs(got(0).getDouble(3) - 1.0) < 1e-6)     // explained
+    // sign canonicalization: the mirrored cloud must yield the SAME
+    // (positive-majority) component
+    val flipped = Seq(
+      Seq(-1f, -1f, 0f, 0f), Seq(1f, 1f, 0f, 0f),
+      Seq(-2f, -2f, 0f, 0f), Seq(2f, 2f, 0f, 0f)).toDF("v")
+    val got2 = Spectral.topComponent(flipped, "v", dims = 4)
+      .orderBy("dim").collect()
+    assert(got2(0).getDouble(1) == got(0).getDouble(1))
+    // a vector magnitude that would overflow the Long moment fold
+    // fails LOUD (multiplyExact), never wraps into a wrong covariance
+    val hot = Seq(Seq(1e9f, 0f), Seq(0f, 1e9f), Seq(1f, 1f)).toDF("v")
+    val e = intercept[Exception] {
+      Spectral.topComponent(hot, "v", dims = 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]))
+    // wrong-length vector fails loud too
+    val ragged = Seq(Seq(1f, 2f), Seq(1f, 2f, 3f)).toDF("v")
+    val e2 = intercept[Exception] {
+      Spectral.topComponent(ragged, "v", dims = 2).collect()
+    }
+    assert(causes(e2).exists(t =>
+      t.getMessage != null && t.getMessage.contains("expected 2")))
+  }
+
   test("sortedNeighborhood: pairs within window, blocked, gap exact") {
     import graft.operators.StringSimJoin
     val df = Seq((1L, "apple"), (2L, "apricot"), (3L, "avocado"), (4L, "almond"),
