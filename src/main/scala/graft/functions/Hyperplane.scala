@@ -152,4 +152,94 @@ object HyperplaneSignature {
       org.apache.spark.sql.functions.lit(planes),
       org.apache.spark.sql.functions.lit(seed))
   }
+
+  /** Raw projections (not just their signs) against the same weight
+    * family — the Johnson–Lindenstrauss dimensionality reduction the
+    * sign path truncates: `out[p] = Σ_d v[d]·w(seed,p,d)`, ascending-d
+    * fold per plane (deterministic, replayable as a sequential SQL
+    * fold). Shares [[weightTable]], so an LSH index and a JL sketch
+    * built from the same seed see the same hyperplanes. */
+  def projectVec(vec: ArrayData, isFloat: Boolean, planes: Int, seed: Long)
+      : ArrayData = {
+    val n = vec.numElements()
+    val w = weightTable(seed, planes, n)
+    val out = new Array[Any](planes)
+    var p = 0
+    while (p < planes) {
+      var proj = 0.0
+      val base = p * n
+      var d = 0
+      while (d < n) {
+        val x = if (isFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
+        proj += x * w(base + d)
+        d += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Johnson–Lindenstrauss random projection as a native expression:
+  * dense `ArrayType(DoubleType)` of `planes` dot products against the
+  * [[HyperplaneSignature]] hyperplane family (same splitmix64 weights —
+  * [[HyperplaneSignature.weight]]). One tight JVM loop per row inside
+  * whole-stage codegen, NARROW (no shuffle, no state): the standard
+  * pre-ANN dimensionality reduction — project 3072-dim embeddings to a
+  * few dozen dims, run candidate search there, re-rank survivors in
+  * the original space.
+  */
+case class RandomProjection(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  require(planes > 0, "planes must be positive")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_projection"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"random_projection needs array<float|double>, got ${other.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    HyperplaneSignature.projectVec(
+      input.asInstanceOf[ArrayData], isFloat, planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = isFloat
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSignature.projectVec($c, $f, $planes, ${seed}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjection =
+    copy(child = newChild)
+}
+
+object RandomProjection {
+  private val FnName = "graft_random_projection"
+
+  def make(exprs: Seq[Expression]): RandomProjection =
+    RandomProjection(exprs.head,
+      LitArgs.litInt(exprs(1), "planes"),
+      LitArgs.litLong(exprs(2), "seed"))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, make, "built-in")
+
+  def project(spark: SparkSession, vec: Column, planes: Int, seed: Long): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName, vec,
+      org.apache.spark.sql.functions.lit(planes),
+      org.apache.spark.sql.functions.lit(seed))
+  }
 }

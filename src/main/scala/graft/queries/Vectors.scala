@@ -258,7 +258,34 @@ object Vectors {
       // CTEs iterate on a bit-identical matrix.
       graft.operators.Spectral.topComponent(
           emb(s, dir), "embedding", dims = 64)
-        .orderBy("dim"))
+        .orderBy("dim")),
+
+    "x_jl_distortion" -> ((s, dir) => {
+      // Johnson–Lindenstrauss distortion report: cosine in the
+      // original 64-dim space vs in the 16-dim random projection
+      // (functions/RandomProjection — same splitmix64 hyperplane
+      // family as the LSH path, raw dot products instead of sign
+      // bits), per consecutive-id pair. The projection is NARROW
+      // codegen (no shuffle, no state) — the pre-ANN dimensionality
+      // reduction that makes candidate search 4× cheaper per vector;
+      // this report is the recall-risk gauge for choosing k.
+      val e = emb(s, dir)
+      val withP = e.select(col("vec_id"), col("embedding"),
+        graft.functions.RandomProjection.project(
+          s, col("embedding"), jlPlanes, jlSeed).as("pv"))
+      val a = withP.select(col("vec_id"), col("embedding").as("ea"),
+        col("pv").as("pa"))
+      val b = withP.select(col("vec_id").as("vid_b"),
+        col("embedding").as("eb"), col("pv").as("pb"))
+      a.filter(col("vec_id") % 2 === 0)
+        .join(b, col("vid_b") === col("vec_id") + 1)
+        .select(col("vec_id"),
+          graft.functions.CosineSimilarity.cosine(s, col("ea"), col("eb"))
+            .cast("decimal(10,4)").cast("double").as("cos_orig"),
+          graft.functions.CosineSimilarity.cosine(s, col("pa"), col("pb"))
+            .cast("decimal(10,4)").cast("double").as("cos_proj"))
+        .orderBy("vec_id")
+    })
   )
 
   private val duckCos =
@@ -281,6 +308,12 @@ object Vectors {
   private val lshSeed = 42L
   private val lshMinCosine = 0.25
   private val lshSeedTerm = (BigInt(lshSeed) * HashReplay.SplitmixGamma) % HashReplay.M
+
+  // JL projection constants — shared by the x_jl_distortion def and
+  // its replay SQL (same no-drift discipline as the LSH constants)
+  private val jlPlanes = 16
+  private val jlSeed = 7L
+  private val jlSeedTerm = (BigInt(jlSeed) * HashReplay.SplitmixGamma) % HashReplay.M
 
   private val lshSigCtes: String =
     // the weight-table dimension comes from the DATA (max embedding
@@ -588,6 +621,37 @@ object Vectors {
          |  ROUND((SELECT nm FROM n$iters), 6) AS eigval,
          |  ROUND((SELECT nm FROM n$iters) / (SELECT t FROM tr), 6) AS explained
          |FROM v$iters v ORDER BY dim""".stripMargin
-    }
+    },
+    "x_jl_distortion" ->
+      // same bit-exact weight/fold machinery as x_lsh_pairs (see the
+      // replay note above), keeping the raw projection values; both
+      // cosines go through the proven DECIMAL(10,4) determinism gate
+      s"""WITH jw_z AS (
+         |  SELECT p.p, d.d,
+         |    ($jlSeedTerm + ${HashReplay.mulmodSql("CAST(p.p AS HUGEINT)", HashReplay.SplitmixC1)}
+         |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) % ${HashReplay.MSql} AS z
+         |  FROM range($jlPlanes) p(p)
+         |  CROSS JOIN (SELECT unnest(range(CAST(
+         |      (SELECT MAX(len(embedding)) FROM embeddings) AS BIGINT))) AS d) d),
+         |${HashReplay.mixCtesSql("jwmix", "jw_z", "p, d")},
+         |jwl AS (
+         |  SELECT p, list(CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 * 2.0 - 1.0
+         |                 ORDER BY d) AS ws
+         |  FROM jwmix GROUP BY p),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |proj AS (
+         |  SELECT e.vec_id,
+         |    list(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(e.emb) + 1), i -> e.emb[i] * w.ws[i])),
+         |        (a, b) -> a + b) ORDER BY w.p) AS pv
+         |  FROM pe e CROSS JOIN jwl w GROUP BY e.vec_id)
+         |SELECT a.vec_id,
+         |  CAST(CAST(${duckCos.format("a.emb", "b.emb")} AS DECIMAL(10,4)) AS DOUBLE) AS cos_orig,
+         |  CAST(CAST(${duckCos.format("pa.pv", "pb.pv")} AS DECIMAL(10,4)) AS DOUBLE) AS cos_proj
+         |FROM pe a JOIN pe b ON b.vec_id = a.vec_id + 1
+         |JOIN proj pa ON pa.vec_id = a.vec_id
+         |JOIN proj pb ON pb.vec_id = b.vec_id
+         |WHERE a.vec_id % 2 = 0
+         |ORDER BY a.vec_id""".stripMargin
   )
 }

@@ -280,6 +280,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert((sig(1L) ^ sig(3L)) == ((1L << 12) - 1))
   }
 
+  test("random projection matches the weight-table fold and the signature's signs") {
+    import graft.functions.{HyperplaneSignature, RandomProjection}
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(8)(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("id", "v")
+    val got = df.select($"id",
+      RandomProjection.project(spark, $"v", planes = 12, seed = 42L).as("p"),
+      VectorFunctions.hyperplaneSignature(spark, $"v", planes = 12, seed = 42L).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getLong(2))).toList
+    got.foreach { case (id, proj, sig) =>
+      assert(proj.length == 12)
+      val v = vecs(id.toInt)._2
+      proj.zipWithIndex.foreach { case (x, p) =>
+        // exact replay of the ascending-dim fold over the same weights
+        var acc = 0.0
+        var d = 0
+        while (d < 16) {
+          acc += v(d).toDouble * HyperplaneSignature.weight(42L, p, d); d += 1
+        }
+        assert(x == acc, s"id=$id plane=$p")
+        // LSH/JL cross-consistency: the signature bit IS this
+        // projection's sign (same hyperplanes, same fold)
+        assert(((sig >> p) & 1L) == (if (x >= 0) 1L else 0L))
+      }
+    }
+  }
+
   test("hyperplane signature spreads random vectors across buckets (unbiased planes)") {
     // 64 deterministic pseudo-random vectors; with unbiased weights the
     // 12-bit signatures should spread widely — the pre-fix biased
