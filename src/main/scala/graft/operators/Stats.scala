@@ -194,6 +194,45 @@ object Stats {
     * bit-for-bit cross-engine, where approx-quantile edges would not
     * be.
     */
+  /** Exact type-1 (order-statistic) quantiles with BOUNDED memory —
+    * the 100 TB-safe counterpart of Spark's `percentile`, which
+    * buffers every group value in one aggregation buffer and cannot
+    * survive a hot group. Rank k(p) = ⌈p·n⌉ (IEEE double product on
+    * both engines, so the index is deterministic cross-engine even at
+    * a representation boundary) and the quantile is the smallest
+    * distinct value whose exact cumulative count reaches k — read off
+    * the same bucketed prefix sum as [[ksTest]]/[[equiDepthBins]]:
+    * per-distinct-value counts (one partial-agged shuffle), local
+    * cumsums per bucket, planning-sized driver fold of ≤ `buckets`
+    * bucket totals. The rank probe broadcasts the |ps|-row rank frame
+    * against the distinct-value CDF (one narrow pass, partial-agged
+    * MIN) — nothing corpus-sized is ever sorted, buffered, or
+    * collected. Returns `(p, k, n, value)`, one row per requested
+    * quantile. NULLs are excluded (observed values only, the
+    * [[bucketedCdf]] policy); `ps` must lie in (0, 1].
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                     buckets: Int = 32): DataFrame = {
+    require(ps.nonEmpty, "exactQuantiles: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"exactQuantiles: quantiles must be in (0, 1], got $ps")
+    val cdf = bucketedCdf(df, valueCol, lit(true), buckets)
+      .select(col("v"), col("ca").as("cum"))
+    val session = df.sparkSession
+    import session.implicits._
+    val pdf = ps.toDF("p")
+    val totals = cdf.agg(max(col("cum")).as("n"))
+    val ranks = broadcast(pdf.crossJoin(broadcast(totals))
+      .select(col("p"), col("n"),
+        greatest(lit(1L), ceil(col("p") * col("n")).cast("long")).as("k")))
+    // rank probe: broadcast-nested-loop against the CDF, partial-agged
+    // min — linear in |distinct values|, no sort, no global window
+    cdf.join(ranks, col("cum") >= col("k"))
+      .groupBy(col("p"), col("k"), col("n"))
+      .agg(min(col("v")).as("value"))
+      .select(col("p"), col("k"), col("n"), col("value"))
+  }
+
   def psi(df: DataFrame, valueCol: String,
           sampleACond: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "psi: need at least two bins")

@@ -241,7 +241,19 @@ object StatsQ {
             expr("community div 2")).as("community"),
           col("members"))
         .orderBy("community")
-    })
+    }),
+
+    "x_exact_quantiles" -> ((s, dir) =>
+      // exact p50/p90/p99 of l_extendedprice (Stats.exactQuantiles):
+      // k-th order statistic off the bucketed prefix sum — bounded
+      // memory at any scale, where Spark's own `percentile` buffers
+      // the whole column per aggregation buffer. The value is a RAW
+      // double from the data (no interpolation), so equality with the
+      // oracle's ROW_NUMBER probe is exact with no rounding.
+      graft.operators.Stats.exactQuantiles(
+          t(s, dir, "lineitem"), "l_extendedprice",
+          ps = Seq(0.5, 0.9, 0.99))
+        .orderBy("p"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -560,6 +572,21 @@ object StatsQ {
          |            ELSE 's' || (lbl // 2) END AS community,
          |  CAST(COUNT(*) AS BIGINT) AS members
          |FROM l$iters GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+    "x_exact_quantiles" ->
+      // rank k = ceil(p·n) under the SAME IEEE double product as the
+      // engine (deterministic cross-engine even at a representation
+      // boundary); the k-th order statistic is tie-order-independent
+      """WITH vals AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals),
+        |ps AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+        |ks AS (SELECT p, (SELECT n FROM n) AS n,
+        |  GREATEST(1, CAST(ceil(p * (SELECT n FROM n)) AS BIGINT)) AS k FROM ps),
+        |ord AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals)
+        |SELECT k.p, k.k, k.n,
+        |  (SELECT v FROM ord WHERE rn = k.k) AS value
+        |FROM ks k ORDER BY p""".stripMargin
   )
 }

@@ -1709,6 +1709,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
   }
 
+  test("exactQuantiles: order statistics with ties, rank edges, null exclusion") {
+    import graft.operators.Stats
+    // ties: [1,1,1,2] — k(0.5)=2 → 1, k(0.76)=⌈3.04⌉=4 → 2, k(1.0)=4 → 2
+    val tied = Seq(1.0, 1.0, 1.0, 2.0).toDF("x")
+    val gotT = Stats.exactQuantiles(tied, "x", Seq(0.5, 0.76, 1.0))
+      .orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(3)))
+    assert(gotT.toSeq == Seq((0.5, 2L, 1.0), (0.76, 4L, 2.0), (1.0, 4L, 2.0)))
+    // 1..10 with a NULL: n stays 10 (observed values only), p50 → 5
+    val ten = ((1 to 10).map(i => Some(i.toDouble)) :+ None).toDF("x")
+    val got10 = Stats.exactQuantiles(ten, "x", Seq(0.5, 0.9))
+      .orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got10.toSeq == Seq((0.5, 5L, 10L, 5.0), (0.9, 9L, 10L, 9.0)))
+    // agrees with a full sort at a larger size across bucket counts
+    val rnd = new scala.util.Random(3)
+    val big = Seq.fill(5000)(rnd.nextDouble() * 100).toDF("x")
+    val sorted = big.orderBy("x").collect().map(_.getDouble(0))
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Stats.exactQuantiles(big, "x", Seq(0.25, 0.5, 0.99), buckets)
+        .orderBy("p").collect()
+      got.foreach { r =>
+        val k = r.getLong(1).toInt
+        assert(r.getDouble(3) == sorted(k - 1), s"p=${r.getDouble(0)} buckets=$buckets")
+      }
+    }
+  }
+
   test("labelPropagation: bridged cliques converge, sink keeps label, ties go low") {
     import graft.operators.LabelPropagation
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10; the
