@@ -86,11 +86,16 @@ object LabelPropagation {
       val adopt = votes.groupBy("node")
         .agg(min_by(col("lbl"),
           struct((lit(0L) - col("cnt")).as("nc"), col("lbl"))).as("lbl"))
-      // symmetrized graphs have no isolated voters, but a directed
-      // sink keeps its previous label
-      lab = ckpt(lab.select(col("node"), col("lbl").as("prev"))
-        .join(adopt, Seq("node"), "left")
-        .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl")))
+      // undirected: the symmetric adjacency gives every node ≥1 vote,
+      // so `adopt` IS the next label frame — no carry-forward join.
+      // Directed: a node with no in-edges gets no votes and must keep
+      // its previous label (coalesce through a left join).
+      lab = ckpt(
+        if (directed)
+          lab.select(col("node"), col("lbl").as("prev"))
+            .join(adopt, Seq("node"), "left")
+            .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl"))
+        else adopt)
     }
     val out = lab.select(col("node"), col("lbl").as("community"))
     adj.unpersist(); nodes.unpersist()
