@@ -211,4 +211,64 @@ object TextAnalysis {
     toks.unpersist()
     out
   }
+
+  /** Bigram language-model score per document — the CCNet/Wiki-LM
+    * perplexity-filter shape: mean negative log-probability of each
+    * consecutive token pair under an interpolated bigram model trained
+    * on the corpus itself,
+    *
+    *   p(w|v) = λ·c(v,w)/c(v,·) + (1−λ)·c(w)/N
+    *
+    * (λ and 1−λ binary-exact by default, so the per-token probability
+    * is a deterministic function of exact integer counts — replayable;
+    * only the per-doc mean is order-sensitive, absorbed by round(4)).
+    * Low nll ≈ "reads like the corpus"; the high-nll tail is the
+    * gibberish/boilerplate-mix the filter drops. Returns
+    * `(idCol, n_bigrams, nll)`; documents with fewer than two tokens
+    * have no bigrams and are absent.
+    *
+    * Scale shape: tokens shuffle ONCE on the doc key (the lag window);
+    * the count model is three partial-agged hash aggs off the shared
+    * persisted frames; scoring re-joins counts keyed on the bigram —
+    * |tokens|-row joins, nothing quadratic, no vocabulary collected.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.75): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"bigramNll: lambda $lambda outside (0,1)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // positions AFTER dropping empty fragments, so a bigram is a pair
+    // of consecutive non-empty tokens (split artifacts never break
+    // adjacency); the filter lambda runs on the small split array
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(filter(split(col(textCol), "\\s+"),
+          w => length(w) > 0)).as(Seq("__pos", "__w")))
+      .persist(lvl)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val bigrams = toks
+      .select(col("__id"), lag(col("__w"), 1).over(byDoc).as("__prev"),
+        col("__w"))
+      .filter(col("__prev").isNotNull)
+      .persist(lvl)
+    val big = bigrams.groupBy(col("__prev"), col("__w"))
+      .agg(count(lit(1)).as("__c2"))
+    val ctx = bigrams.groupBy(col("__prev")).agg(count(lit(1)).as("__c1"))
+    val uni = toks.groupBy(col("__w")).agg(count(lit(1)).as("__u"))
+    val tot = toks.agg(count(lit(1)).as("__tot"))
+    val p = lit(lambda) * (col("__c2").cast("double") / col("__c1")) +
+      lit(1.0 - lambda) * (col("__u").cast("double") / col("__tot"))
+    val out = bigrams
+      .join(big, Seq("__prev", "__w"))
+      .join(ctx, Seq("__prev"))
+      .join(uni, Seq("__w"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("nll"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("nll"))
+      .localCheckpoint(true)
+    bigrams.unpersist(); toks.unpersist()
+    out
+  }
 }

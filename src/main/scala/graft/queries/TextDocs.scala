@@ -350,6 +350,14 @@ object TextDocs {
         .orderBy("bin")
     }),
 
+    "x_bigram_nll" -> ((s, dir) =>
+      // interpolated bigram-LM score (TextAnalysis.bigramNll) — the
+      // CCNet-style perplexity filter one notch above the unigram
+      // proxy below: p(w|v) = 0.75·c(v,w)/c(v,·) + 0.25·c(w)/N, all
+      // counts exact integers, λ binary-exact, per-doc mean round(4)
+      graft.operators.TextAnalysis.bigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     "x_unigram_logprob" -> ((s, dir) => {
       // LM-style quality score: mean negative log-probability of each
       // document's words under the corpus unigram distribution — the
@@ -1635,6 +1643,30 @@ object TextDocs {
         |SELECT CAST((cum - toks) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "x_bigram_nll" ->
+      // zipped unnest/generate_subscripts keeps positions over the
+      // FILTERED token list, matching the engine's posexplode-after-
+      // filter adjacency (split artifacts never break a bigram)
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |        FROM documents) d
+        |), bg AS (
+        |  SELECT doc_id, LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+        |         word
+        |  FROM toks
+        |), bg2 AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+        |big AS (SELECT prev, word, COUNT(*) AS c2 FROM bg2 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, COUNT(*) AS c1 FROM bg2 GROUP BY 1),
+        |uni AS (SELECT word, COUNT(*) AS u FROM toks GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS tot FROM toks)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-ln(0.75 * (CAST(c2 AS DOUBLE) / c1)
+        |             + 0.25 * (CAST(u AS DOUBLE) / tot))), 4) AS nll
+        |FROM bg2 b JOIN big USING (prev, word) JOIN ctx USING (prev)
+        |JOIN uni USING (word) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS word

@@ -1709,6 +1709,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
   }
 
+  test("bigramNll: hand-computed interpolated model, short docs absent") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" + "a a" + single-token "z"
+    // N=7, uni: a=4 b=2 z=1; bigrams: (a,b)x2 (b,a)x1 (a,a)x1
+    // ctx: a=3, b=1
+    val docs = Seq((1L, "a b a b"), (2L, "a a"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNll(docs, "doc_id", "text", lambda = 0.75)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def p(c2: Double, c1: Double, u: Double) =
+      0.75 * (c2 / c1) + 0.25 * (u / 7.0)
+    val pAB = p(2, 3, 2); val pBA = p(1, 1, 4); val pAA = p(1, 3, 4)
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll1 = r4(-(math.log(pAB) + math.log(pBA) + math.log(pAB)) / 3.0)
+    val nll2 = r4(-math.log(pAA))
+    assert(got.toSeq == Seq((1L, 3L, nll1), (2L, 1L, nll2))) // doc 3: no bigrams
+    // split artifacts (double spaces) never break adjacency
+    val messy = Seq((1L, "a  b"), (2L, "a b")).toDF("doc_id", "text")
+    val two = TextAnalysis.bigramNll(messy, "doc_id", "text")
+      .collect().map(r => r.getDouble(2)).distinct
+    assert(two.length == 1) // both docs score identically
+  }
+
   test("exactQuantiles: order statistics with ties, rank edges, null exclusion") {
     import graft.operators.Stats
     // ties: [1,1,1,2] — k(0.5)=2 → 1, k(0.76)=⌈3.04⌉=4 → 2, k(1.0)=4 → 2
