@@ -233,6 +233,77 @@ object Stats {
       .select(col("p"), col("k"), col("n"), col("value"))
   }
 
+  /** Per-group [[exactQuantiles]] — the scale-safe replacement for
+    * `percentile(...) GROUP BY g`, whose aggregation buffer holds
+    * every value of the hottest group (the 100 TB cliff winsorizedStats
+    * documents). Same machinery, partitioned by group: per-(group,
+    * distinct value) counts, per-(group, bucket) local cumsums, then a
+    * DRIVER fold of the (group, bucket) totals — planning-sized for
+    * real grouping keys (languages, sources, flags) and guarded by
+    * `maxFoldRows` (fail loud, never a silent giant collect). Rank
+    * k = ⌈p·n_g⌉ per group under the same IEEE double product as the
+    * oracle. Returns `(groupCol, p, k, n, value)` — the group key is
+    * carried as its STRING rendering (the driver fold and the literal
+    * rank frame need one concrete type; cast back at the call site if
+    * a numeric key must round-trip). NULL values and NULL group keys
+    * are both excluded (observed-values policy; cross-engine
+    * null-group semantics differ).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            ps: Seq[Double], buckets: Int = 32,
+                            maxFoldRows: Long = 1_000_000L): DataFrame = {
+    require(ps.nonEmpty, "groupedExactQuantiles: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedExactQuantiles: quantiles must be in (0, 1], got $ps")
+    val v = col(valueCol).cast("double")
+    val obs = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+    val counts = obs.groupBy(col(groupCol).cast("string").as("g"), v.as("v"))
+      .agg(count(lit(1)).as("c"))
+    // GLOBAL approx boundaries: accuracy only balances tasks, and one
+    // boundary set serves every group (a per-group set would be a
+    // groups×quantiles sample pass for zero correctness gain)
+    val bounds = approxBounds(counts, "v", buckets)
+    val withB =
+      if (bounds.isEmpty) counts.withColumn("b", lit(0))
+      else counts.withColumn("b", bucketExpr(bounds, col("v")))
+    val inBucket = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
+    val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
+    // driver fold keyed by group (bucketedCdf's literal-frame pattern,
+    // same lineage-binding rationale) — |groups|·buckets rows
+    val totals = withB.groupBy(col("g"), col("b")).agg(sum(col("c")).as("tc"))
+      .collect()
+    require(totals.length <= maxFoldRows,
+      s"groupedExactQuantiles: ${totals.length} (group, bucket) totals exceed " +
+        s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
+        "driver fold; raise maxFoldRows deliberately or pre-aggregate the key")
+    val byGroup = totals.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    val offRows = byGroup.iterator.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, tc) =>
+        val row = (g, b, acc); acc += tc; row
+      }
+    }.toSeq
+    val nByGroup = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
+    // per-group rank frame, built on the driver from the same fold:
+    // k = ⌈p·n_g⌉ as an IEEE double product — the oracle's expression
+    val rankRows = for {
+      (g, n) <- nByGroup.toSeq
+      p <- ps
+    } yield (g, p, math.max(1L, math.ceil(p * n.toDouble).toLong), n)
+    val session = df.sparkSession
+    import session.implicits._
+    val offsets = offRows.toDF("g", "b", "off")
+    val ranks = rankRows.toDF("g", "p", "k", "n")
+    local.join(broadcast(offsets), Seq("g", "b"))
+      .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
+      .join(broadcast(ranks), Seq("g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"), col("p"), col("k"), col("n"))
+      .agg(min(col("v")).as("value"))
+      .select(col("g").as(groupCol), col("p"), col("k"), col("n"), col("value"))
+  }
+
   def psi(df: DataFrame, valueCol: String,
           sampleACond: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "psi: need at least two bins")

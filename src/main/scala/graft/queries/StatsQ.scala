@@ -253,7 +253,18 @@ object StatsQ {
       graft.operators.Stats.exactQuantiles(
           t(s, dir, "lineitem"), "l_extendedprice",
           ps = Seq(0.5, 0.9, 0.99))
-        .orderBy("p"))
+        .orderBy("p")),
+
+    "x_grouped_quantiles" -> ((s, dir) =>
+      // per-group exact order-statistic quantiles
+      // (Stats.groupedExactQuantiles): the scale-safe replacement for
+      // `percentile(..) GROUP BY` — per-(group, bucket) prefix sums,
+      // planning-sized driver fold (guarded), raw-double values so
+      // the per-group ROW_NUMBER oracle matches with no rounding
+      graft.operators.Stats.groupedExactQuantiles(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          ps = Seq(0.5, 0.95))
+        .orderBy("l_returnflag", "p"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -587,6 +598,25 @@ object StatsQ {
         |ord AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals)
         |SELECT k.p, k.k, k.n,
         |  (SELECT v FROM ord WHERE rn = k.k) AS value
-        |FROM ks k ORDER BY p""".stripMargin
+        |FROM ks k ORDER BY p""".stripMargin,
+    "x_grouped_quantiles" ->
+      // per-group rank k = ceil(p·n_g) under the same IEEE double
+      // product as the engine's driver fold; order statistics are
+      // tie-order-independent, so the per-group ROW_NUMBER probe is
+      // exact with no rounding
+      """WITH vals AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.95]) AS p),
+        |ks AS (SELECT n.g, p.p, n.n,
+        |  GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS k
+        |  FROM n CROSS JOIN ps p),
+        |ord AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals)
+        |SELECT k.g AS l_returnflag, k.p, k.k, k.n, o.v AS value
+        |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
+        |ORDER BY l_returnflag, p""".stripMargin
   )
 }

@@ -1761,6 +1761,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
+    import graft.operators.Stats
+    // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
+    val rows = (1 to 10).map(i => (Some("A"), i.toDouble)) ++
+      Seq((Some("B"), 5.0), (Some("B"), 5.0), (Some("B"), 5.0),
+        (Option.empty[String], 99.0))
+    val df = rows.toDF("g", "x")
+    val got = Stats.groupedExactQuantiles(df, "g", "x", Seq(0.5, 1.0))
+      .orderBy("g", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", 0.5, 5L, 10L, 5.0), ("A", 1.0, 10L, 10L, 10.0),
+      ("B", 0.5, 2L, 3L, 5.0), ("B", 1.0, 3L, 3L, 5.0)))
+    // agrees with per-group sorts across bucket counts
+    val rnd = new scala.util.Random(5)
+    val big = Seq.tabulate(3000)(i => (s"g${i % 3}", rnd.nextDouble() * 10))
+      .toDF("g", "x")
+    val sortedBy = big.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).sorted }
+    for (buckets <- Seq(1, 16)) {
+      Stats.groupedExactQuantiles(big, "g", "x", Seq(0.25, 0.9), buckets)
+        .collect().foreach { r =>
+          val (g, k) = (r.getString(0), r.getLong(2).toInt)
+          assert(r.getDouble(4) == sortedBy(g)(k - 1), s"g=$g buckets=$buckets")
+        }
+    }
+    // the driver-fold guard fails loud when the key is too fine
+    val e = intercept[IllegalArgumentException] {
+      Stats.groupedExactQuantiles(big, "g", "x", Seq(0.5), maxFoldRows = 2L)
+    }
+    assert(e.getMessage.contains("maxFoldRows"))
+  }
+
   test("labelPropagation: bridged cliques converge, sink keeps label, ties go low") {
     import graft.operators.LabelPropagation
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10; the
