@@ -643,4 +643,41 @@ class PlanSpec extends AnyFunSuite {
         s"$q must return a materialized result, not re-derive raw scans\n" + pm)
     }
   }
+
+  test("x_jl_distortion: native projection in the plan, no cartesian") {
+    val p = plan("x_jl_distortion")
+    // the JL reduction must run as the codegen expression, not an
+    // interpreted HOF chain, and the pair probe is an equi-join
+    assert(p.contains("random_projection"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("exact-quantile family: broadcast probes, no global sort, no SMJ") {
+    for (q <- Seq("x_exact_quantiles", "x_grouped_quantiles")) {
+      val p = plan(q)
+      // offsets and rank frames ride in as broadcasts; the CDF is
+      // never globally sorted (rangepartitioning is the global-sort
+      // exchange signature) — the whole point of the bucketed prefix
+      // sum. The only range exchange allowed is the final tiny output
+      // orderBy over |ps| (·|groups|) rows, which follows the last
+      // aggregate.
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q\n$p")
+      val rangeExchanges = p.linesIterator
+        .count(l => l.contains("Exchange rangepartitioning"))
+      assert(rangeExchanges <= 1, s"$q: data-bearing global sort crept in\n$p")
+    }
+  }
+
+  test("x_pca_power/x_label_prop: results are planning-sized, no raw re-scan") {
+    // both operators materialize through their iterative/moment pass;
+    // the returned plan must be a local/checkpointed frame (plus tiny
+    // shaping), never a plan that re-derives corpus scans at action
+    // time — re-running the power iteration or the LPA rounds per
+    // consumer would be the regression this catches
+    val pca = plan("x_pca_power")
+    assert(!pca.contains("Scan parquet"), pca)
+    val lp = plan("x_label_prop")
+    assert(!lp.contains("Scan parquet"), lp)
+  }
 }
