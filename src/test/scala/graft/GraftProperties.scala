@@ -112,6 +112,26 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("random projection: signs == signature bits; negation is bit-exact") =
+    forAll(genVec, Gen.choose(1, 32), Gen.choose(Long.MinValue, Long.MaxValue)) {
+      (v, planes, seed) =>
+        import graft.functions.HyperplaneSignature
+        val vd = new GenericArrayData(v)
+        val proj = HyperplaneSignature.projectVec(vd, false, planes, seed)
+        val sig = HyperplaneSignature.compute(vd, false, planes, seed)
+        val signsMatch = (0 until planes).forall { p =>
+          ((sig >> p) & 1L) == (if (proj.getDouble(p) >= 0) 1L else 0L)
+        }
+        // IEEE negation is exact and distributes over the sequential
+        // fold, so projecting -v must give exactly -projections
+        val neg = HyperplaneSignature.projectVec(
+          new GenericArrayData(v.map(x => -x: Any)), false, planes, seed)
+        val negExact = (0 until planes).forall { p =>
+          neg.getDouble(p) == -proj.getDouble(p)
+        }
+        signsMatch && negExact
+    }
+
   property("nearest-centroid argmax: ties keep the FIRST (lowest-index) centroid") =
     forAll(genVec) { v =>
       val vd = new GenericArrayData(v)
