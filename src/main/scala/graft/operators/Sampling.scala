@@ -278,4 +278,54 @@ object Sampling {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** Token-budget corpus selection: the greedy quality-first cut —
+    * order rows by (`scoreCol` DESC, `idCol` ASC) and keep the maximal
+    * prefix whose cumulative `costCol` stays within `budget` (the
+    * "best N tokens" selection every budgeted training run makes:
+    * score = quality/centrality/recency, cost = token count). Returns
+    * the selected rows with their cumulative cost (`cum`).
+    *
+    * Exact WITHOUT a global sort: the cumulative cost comes from the
+    * [[Stats]] bucketed prefix sum, bucketed on the SCORE axis —
+    * approx boundaries (task balance only), per-bucket windows ordered
+    * (score DESC, id), per-bucket totals folded to offsets on the
+    * driver in descending-bucket order (planning-sized, ≤ `buckets`
+    * rows). A score tie group never straddles buckets (the bucket is a
+    * function of score alone), so the tie-break by id is exact. Costs
+    * accumulate as longs — exact in any order. NULL scores or costs
+    * are excluded (observed-values policy).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                   costCol: String, budget: Long,
+                   buckets: Int = 32): DataFrame = {
+    require(budget > 0, "budgetSelect: budget must be positive")
+    val s = col(scoreCol).cast("double")
+    val obs = df.filter(col(scoreCol).isNotNull && col(costCol).isNotNull)
+      .withColumn("__s", s).withColumn("__c", col(costCol).cast("long"))
+    val bounds = Stats.approxBounds(obs.select(col("__s")), "__s", buckets)
+    val withB =
+      if (bounds.isEmpty) obs.withColumn("b", lit(0))
+      else obs.withColumn("b", Stats.bucketExpr(bounds, col("__s")))
+    val inBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b")).orderBy(col("__s").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = withB.withColumn("lc", sum(col("__c")).over(inBucket))
+    // offsets = total cost of all STRICTLY BETTER buckets: fold the
+    // ≤ buckets totals on the driver in DESCENDING bucket order (the
+    // bucketedCdf literal-frame pattern)
+    val totals = withB.groupBy(col("b")).agg(sum(col("__c")).as("tc"))
+      .collect().sortBy(-_.getInt(0))
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val offsets = offRows.toDF("b", "off")
+    local.join(broadcast(offsets), Seq("b"))
+      .withColumn("cum", col("off") + col("lc"))
+      .filter(col("cum") <= budget)
+      .drop("b", "__s", "__c", "lc", "off")
+  }
 }

@@ -86,7 +86,7 @@ object Stats {
     * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the bucketed frame
     * feeds a join under certain AQE partition counts — chained whens
     * codegen identically and capture nothing. */
-  private def bucketExpr(bounds: Array[Double],
+  private[operators] def bucketExpr(bounds: Array[Double],
       v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     bounds.map(bd => when(lit(bd) <= v, 1).otherwise(0))
       .reduce(_ + _)
@@ -99,7 +99,7 @@ object Stats {
     * Empty or degenerate samples yield no boundaries → callers fall
     * back to a single bucket, which is still correct. Seeded, so plans
     * are reproducible run-to-run. */
-  private def approxBounds(df: DataFrame, colName: String, buckets: Int): Array[Double] = {
+  private[operators] def approxBounds(df: DataFrame, colName: String, buckets: Int): Array[Double] = {
     val qs = (1 until buckets).map(_.toDouble / buckets).toArray
     if (qs.isEmpty) Array.empty[Double]
     else try df.sample(withReplacement = false, 0.1, seed = 42L)

@@ -350,6 +350,23 @@ object TextDocs {
         .orderBy("bin")
     }),
 
+    "x_budget_select" -> ((s, dir) => {
+      // token-budget corpus cut (Sampling.budgetSelect): keep the
+      // best-scored prefix whose cumulative cost fits 25% of the
+      // corpus — here score = cost = n_chars (longest-first length
+      // curriculum); the cumulative cost comes from the bucketed
+      // prefix sum on the score axis, never a global sort. Budget =
+      // integer quarter of the total, same integer div in the oracle.
+      val d = docs(s, dir)
+      val total = d.agg(sum(col("n_chars"))).head().getLong(0)
+      graft.operators.Sampling.budgetSelect(
+          d.select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "n_chars", budget = total / 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sel_chars"))
+        .orderBy("source")
+    }),
+
     "x_bigram_nll" -> ((s, dir) =>
       // interpolated bigram-LM score (TextAnalysis.bigramNll) — the
       // CCNet-style perplexity filter one notch above the unigram
@@ -1643,6 +1660,18 @@ object TextDocs {
         |SELECT CAST((cum - toks) // 512 AS BIGINT) AS bin,
         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "x_budget_select" ->
+      // the oracle IS the naive global-sort definition: the bucketed
+      // prefix sum must equal it exactly (costs are integers)
+      """WITH tot AS (SELECT SUM(n_chars) // 4 AS b FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id
+        |                     ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sel_chars
+        |FROM r CROSS JOIN tot WHERE cum <= tot.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_bigram_nll" ->
       // zipped unnest/generate_subscripts keeps positions over the
       // FILTERED token list, matching the engine's posexplode-after-

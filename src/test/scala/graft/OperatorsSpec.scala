@@ -1709,6 +1709,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
   }
 
+  test("budgetSelect: greedy prefix, id tie-break, empty under tiny budget") {
+    import graft.operators.Sampling
+    val d = Seq(("a", 10L), ("c", 8L), ("b", 8L), ("d", 1L)).toDF("id", "cost")
+    // order by (cost desc, id): a(10) b(18) c(26) d(27); budget 20 → {a, b}
+    val got = Sampling.budgetSelect(d, "id", "cost", "cost", budget = 20L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 10L, "b" -> 18L))
+    // first row alone over budget → nothing selected (prefix rule)
+    assert(Sampling.budgetSelect(d, "id", "cost", "cost", budget = 5L).count() == 0)
+    // equals the global-sort definition across bucket counts
+    val rnd = new scala.util.Random(9)
+    val big = Seq.tabulate(2000)(i => (i.toLong, rnd.nextInt(100).toLong + 1))
+      .toDF("id", "cost")
+    val sorted = big.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, c) => (-c, id) }
+    val budget = sorted.map(_._2).sum / 3
+    var acc = 0L
+    val expect = sorted.takeWhile { case (_, c) => acc += c; acc <= budget }
+      .map(_._1).toSet
+    for (buckets <- Seq(1, 16)) {
+      val sel = Sampling.budgetSelect(big, "id", "cost", "cost", budget, buckets)
+        .collect().map(_.getLong(0)).toSet
+      assert(sel == expect, s"buckets=$buckets")
+    }
+  }
+
   test("bigramNll: hand-computed interpolated model, short docs absent") {
     import graft.operators.TextAnalysis
     // corpus: "a b a b" + "a a" + single-token "z"
