@@ -44,10 +44,25 @@ object Spectral {
     * length fails loud.
     */
   def topComponent(df: DataFrame, vecCol: String, dims: Int,
-                   iters: Int = 12, scale: Int = 10000): DataFrame = {
-    require(dims >= 2, "topComponent: need at least 2 dimensions")
-    require(iters >= 1, "topComponent: iters must be >= 1")
-    require(scale > 0, "topComponent: scale must be positive")
+                   iters: Int = 12, scale: Int = 10000): DataFrame =
+    topComponents(df, vecCol, dims, k = 1, iters, scale)
+      .drop("component")
+
+  /** Top-`k` principal components by repeated power iteration with
+    * Hotelling deflation: after each component converges, its rank-1
+    * contribution λ·v·vᵀ is subtracted (sign-invariant, so deflation
+    * uses the RAW iterate, before sign canonicalization) and the next
+    * component is extracted from the residual matrix — all on the
+    * driver's d×d copy; the corpus is still touched exactly once.
+    * Returns `(component, dim, loading, eigval, explained)`, components
+    * 1-based in decreasing-eigenvalue order.
+    */
+  def topComponents(df: DataFrame, vecCol: String, dims: Int, k: Int,
+                    iters: Int = 12, scale: Int = 10000): DataFrame = {
+    require(dims >= 2, "topComponents: need at least 2 dimensions")
+    require(k >= 1 && k < dims, s"topComponents: k=$k outside [1, dims)")
+    require(iters >= 1, "topComponents: iters must be >= 1")
+    require(scale > 0, "topComponents: scale must be positive")
     val spark = df.sparkSession
     val d = dims
 
@@ -118,40 +133,70 @@ object Spectral {
       i += 1
     }
 
-    // fixed-order power iteration: ascending-j dot products,
-    // ascending-i norm — the shapes the unrolled oracle CTEs replay
-    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
-    var nrm = 0.0
-    for (_ <- 1 to iters) {
-      val w = new Array[Double](d)
-      var a = 0
-      while (a < d) {
-        var acc = 0.0
-        var b = 0
-        while (b < d) { acc += c(a)(b) * v(b); b += 1 }
-        w(a) = acc; a += 1
-      }
-      var sq = 0.0
-      a = 0
-      while (a < d) { sq += w(a) * w(a); a += 1 }
-      nrm = math.sqrt(sq)
-      a = 0
-      while (a < d) { w(a) = w(a) / nrm; a += 1 }
-      v = w
-    }
-    // sign canonicalization: strict > keeps the smallest index on ties
-    var best = 0
-    i = 1
-    while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
-    val sign = if (v(best) < 0) -1.0 else 1.0
+    // trace of the ORIGINAL covariance — explained shares of every
+    // component are against total variance
     var trace = 0.0
     i = 0
     while (i < d) { trace += c(i)(i); i += 1 }
 
+    // per component: fixed-order power iteration (ascending-j dot
+    // products, ascending-i norm — the shapes the unrolled oracle CTEs
+    // replay), then Hotelling deflation with the RAW iterate.
+    // START VECTOR is the index ramp (1, 2, …, d), NOT uniform: a
+    // uniform start is orthogonal to any zero-sum eigenvector, and on
+    // the deflated matrix that turns the first product into pure
+    // cancellation residue — deterministic, but catastrophically
+    // cancelled, so engine-vs-oracle ulp differences blow up
+    // relatively. The ramp has a nonzero projection on generic
+    // eigenvectors; the first normalization absorbs its scale.
+    val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    for (comp <- 1 to k) {
+      var v = Array.tabulate(d)(i => (i + 1).toDouble)
+      var nrm = 0.0
+      for (_ <- 1 to iters) {
+        val w = new Array[Double](d)
+        var a = 0
+        while (a < d) {
+          var acc = 0.0
+          var b = 0
+          while (b < d) { acc += c(a)(b) * v(b); b += 1 }
+          w(a) = acc; a += 1
+        }
+        var sq = 0.0
+        a = 0
+        while (a < d) { sq += w(a) * w(a); a += 1 }
+        nrm = math.sqrt(sq)
+        a = 0
+        while (a < d) { w(a) = w(a) / nrm; a += 1 }
+        v = w
+      }
+      // sign canonicalization: strict > keeps the smallest index on
+      // ties — applied to the OUTPUT only (deflation is sign-invariant)
+      var best = 0
+      i = 1
+      while (i < d) { if (math.abs(v(i)) > math.abs(v(best))) best = i; i += 1 }
+      val sign = if (v(best) < 0) -1.0 else 1.0
+      var dim = 0
+      while (dim < d) {
+        out += ((comp, dim + 1, v(dim) * sign, nrm, nrm / trace))
+        dim += 1
+      }
+      if (comp < k) {
+        i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { c(i)(j) = c(i)(j) - nrm * v(i) * v(j); j += 1 }
+          i += 1
+        }
+      }
+    }
+
     import spark.implicits._
-    val rows = (0 until d).map(k => (k + 1, v(k) * sign, nrm, nrm / trace))
-    rows.toDF("dim", "loading", "eigval", "explained")
-      .select(col("dim"), round(col("loading"), 5).as("loading"),
+    // + 0.0 after the round: a loading that rounds to zero from below
+    // is -0.0, whose bit pattern would hash-mismatch the oracle's +0.0
+    out.result().toDF("component", "dim", "loading", "eigval", "explained")
+      .select(col("component"), col("dim"),
+        (round(col("loading"), 5) + lit(0.0)).as("loading"),
         round(col("eigval"), 6).as("eigval"),
         round(col("explained"), 6).as("explained"))
   }

@@ -260,6 +260,16 @@ object Vectors {
           emb(s, dir), "embedding", dims = 64)
         .orderBy("dim")),
 
+    "x_pca_top2" -> ((s, dir) =>
+      // top-2 principal components via Hotelling deflation
+      // (Spectral.topComponents): the corpus is still touched ONCE —
+      // the second component runs on the driver's deflated d×d copy;
+      // the oracle replays the deflation (cov − λ·v·vᵀ with the RAW
+      // pre-sign iterate) and a second unrolled iteration chain.
+      graft.operators.Spectral.topComponents(
+          emb(s, dir), "embedding", dims = 64, k = 2)
+        .orderBy("component", "dim")),
+
     "x_jl_distortion" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion report: cosine in the
       // original 64-dim space vs in the 16-dim random projection
@@ -611,16 +621,72 @@ object Vectors {
          |      / ((CAST(nn.n AS DOUBLE) * $scale) * (CAST(nn.n AS DOUBLE) * $scale)) AS c
          |  FROM gram g JOIN sums sa ON sa.i = g.i
          |  JOIN sums sb ON sb.i = g.j CROSS JOIN nn),
-         |v0 AS (SELECT i, 1.0 / sqrt($d.0) AS x FROM generate_series(1, $d) s(i)),
+         |v0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
          |$rounds,
          |sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
          |  FROM v$iters ORDER BY abs(x) DESC, i LIMIT 1),
          |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
          |SELECT CAST(v.i AS INT) AS dim,
-         |  ROUND(v.x * (SELECT s FROM sgn), 5) AS loading,
+         |  ROUND(v.x * (SELECT s FROM sgn), 5) + 0.0 AS loading,
          |  ROUND((SELECT nm FROM n$iters), 6) AS eigval,
          |  ROUND((SELECT nm FROM n$iters) / (SELECT t FROM tr), 6) AS explained
          |FROM v$iters v ORDER BY dim""".stripMargin
+    },
+    "x_pca_top2" -> {
+      // x_pca_power's replay plus Hotelling deflation: cov2 =
+      // cov − λ₁·v·vᵀ with the RAW (pre-sign) first iterate — the
+      // engine's exact formula shape (λ·v_i left-associated with v_j)
+      // — then a second unrolled chain on cov2. Both components'
+      // explained shares are against the ORIGINAL trace.
+      val d = 64
+      val scale = 10000
+      val iters = 12
+      def rounds(cov: String, pfx: String) = (1 to iters).map { k =>
+        s"""${pfx}w$k AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * p.x) AS x
+           |  FROM $cov c JOIN ${pfx}v${k - 1} p ON c.j = p.i GROUP BY 1),
+           |${pfx}n$k AS (SELECT sqrt(SUM(x * x)) AS nm FROM ${pfx}w$k),
+           |${pfx}v$k AS (SELECT i, x / (SELECT nm FROM ${pfx}n$k) AS x FROM ${pfx}w$k)""".stripMargin
+      }.mkString(",\n")
+      def sgn(pfx: String) =
+        s"""${pfx}sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+           |  FROM ${pfx}v$iters ORDER BY abs(x) DESC, i LIMIT 1)""".stripMargin
+      def comp(n: Int, pfx: String) =
+        s"""SELECT $n AS component, CAST(v.i AS INT) AS dim,
+           |  ROUND(v.x * (SELECT s FROM ${pfx}sgn), 5) + 0.0 AS loading,
+           |  ROUND((SELECT nm FROM ${pfx}n$iters), 6) AS eigval,
+           |  ROUND((SELECT nm FROM ${pfx}n$iters) / (SELECT t FROM tr), 6) AS explained
+           |FROM ${pfx}v$iters v""".stripMargin
+      s"""WITH pts AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS DECIMAL(38,0)) AS q
+         |  FROM embeddings, generate_series(1, $d) s(i)),
+         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+         |sums AS (SELECT i, SUM(q) AS s FROM pts GROUP BY 1),
+         |gram AS MATERIALIZED (
+         |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+         |  FROM pts a JOIN pts b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |cov AS MATERIALIZED (
+         |  SELECT g.i, g.j,
+         |    CAST(nn.n * g.g - sa.s * sb.s AS DOUBLE)
+         |      / ((CAST(nn.n AS DOUBLE) * $scale) * (CAST(nn.n AS DOUBLE) * $scale)) AS c
+         |  FROM gram g JOIN sums sa ON sa.i = g.i
+         |  JOIN sums sb ON sb.i = g.j CROSS JOIN nn),
+         |av0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
+         |${rounds("cov", "a")},
+         |cov2 AS MATERIALIZED (
+         |  SELECT c.i AS i, c.j AS j,
+         |    c.c - (SELECT nm FROM an$iters) * a.x * b.x AS c
+         |  FROM cov c JOIN av$iters a ON a.i = c.i JOIN av$iters b ON b.i = c.j),
+         |bv0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
+         |${rounds("cov2", "b")},
+         |${sgn("a")},
+         |${sgn("b")},
+         |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
+         |SELECT * FROM (
+         |${comp(1, "a")}
+         |UNION ALL
+         |${comp(2, "b")}
+         |) u ORDER BY component, dim""".stripMargin
     },
     "x_jl_distortion" ->
       // same bit-exact weight/fold machinery as x_lsh_pairs (see the

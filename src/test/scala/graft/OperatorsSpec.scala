@@ -1878,6 +1878,27 @@ class OperatorsSpec extends AnyFunSuite {
     val got2 = Spectral.topComponent(flipped, "v", dims = 4)
       .orderBy("dim").collect()
     assert(got2(0).getDouble(1) == got(0).getDouble(1))
+    // two planted orthogonal directions → top-2 with deflation:
+    // comp1 = (1,1,0,0)/√2 with λ=10/3, comp2 = (0,0,1,-1)/√2 with
+    // λ=1/6 (sign flipped so the tie-winning dim 3 is positive);
+    // explained shares are against the ORIGINAL trace 3.5
+    val two = Seq(
+      Seq(1f, 1f, 0f, 0f), Seq(-1f, -1f, 0f, 0f),
+      Seq(2f, 2f, 0f, 0f), Seq(-2f, -2f, 0f, 0f),
+      Seq(0f, 0f, 0.5f, -0.5f), Seq(0f, 0f, -0.5f, 0.5f)).toDF("v")
+    val g2 = Spectral.topComponents(two, "v", dims = 4, k = 2)
+      .orderBy("component", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(g2.length == 8)
+    val c1 = g2.filter(_._1 == 1)
+    val c2 = g2.filter(_._1 == 2)
+    assert(c1.map(_._3).toSeq == Seq(0.70711, 0.70711, 0.0, 0.0))
+    assert(c2.map(_._3).toSeq == Seq(0.0, 0.0, 0.70711, -0.70711))
+    assert(math.abs(c1.head._4 - 10.0 / 3) < 1e-5)
+    assert(math.abs(c2.head._4 - 1.0 / 6) < 1e-5)
+    assert(math.abs(c1.head._5 - 0.952381) < 1e-6)
+    assert(math.abs(c2.head._5 - 0.047619) < 1e-6)
     // a vector magnitude that would overflow the Long moment fold
     // fails LOUD (multiplyExact), never wraps into a wrong covariance
     val hot = Seq(Seq(1e9f, 0f), Seq(0f, 1e9f), Seq(1f, 1f)).toDF("v")
