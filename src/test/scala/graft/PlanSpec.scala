@@ -669,6 +669,28 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("x_budget_select: offsets broadcast, no data-bearing global sort") {
+    val p = plan("x_budget_select")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the per-bucket window sorts within hash partitions; only the
+    // tiny per-source output orderBy may range-exchange
+    val rangeExchanges = p.linesIterator
+      .count(_.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges <= 1, s"global sort crept in\n$p")
+  }
+
+  test("x_bigram_nll: returns a materialized result, no raw re-scan") {
+    // the operator persists the token/bigram frames (counts AND
+    // scoring consume them) and hands back an eager localCheckpoint so
+    // the caches can be released — the returned plan must be a local
+    // frame, never one that re-derives the corpus scans per consumer
+    // (the x_cusum-family materialization contract)
+    val p = plan("x_bigram_nll")
+    assert(!p.contains("Scan parquet"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("x_pca_power/x_label_prop: results are planning-sized, no raw re-scan") {
     // both operators materialize through their iterative/moment pass;
     // the returned plan must be a local/checkpointed frame (plus tiny
