@@ -200,4 +200,46 @@ object Spectral {
         round(col("eigval"), 6).as("eigval"),
         round(col("explained"), 6).as("explained"))
   }
+
+  /** Spectral outlier score: distance of each vector from the span of
+    * the top-`k` principal components — the "doesn't look like the
+    * corpus's dominant structure" anomaly signal (mislabeled modality,
+    * encoder glitches, adversarial rows) that pairs with [[Dedup]]'s
+    * semantic dedup on the SAME embedding column. Returns the `topN`
+    * most-distant rows `(idCol, resid)`, residual rounded to 6 dp.
+    *
+    * Scale shape: the component extraction is [[topComponents]] (one
+    * corpus pass + driver eigen); scoring is a second NARROW pass —
+    * the k×d loading table rides into the row expression as a literal,
+    * projections and the residual are sequential per-row folds, and
+    * the top-N plans as TakeOrdered (no global sort). The contract
+    * uses the ROUNDED loadings (the operator's own output), which
+    * makes the scoring replayable: both engines fold the same 5-dp
+    * component values, so the only divergence is the final rounding.
+    */
+  def subspaceOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int, k: Int = 2, topN: Int = 20,
+                       iters: Int = 12, scale: Int = 10000): DataFrame = {
+    require(topN >= 1, "subspaceOutliers: topN must be >= 1")
+    val comps: Array[Array[Double]] = topComponents(df, vecCol, dims, k, iters, scale)
+      .orderBy("component", "dim").collect()
+      .grouped(dims).map(_.map(_.getDouble(2))).toArray
+    val e = col(vecCol).cast("array<double>")
+    // per-component projection p_c = Σ_i e_i·v_c_i, ascending-i fold
+    val projections = comps.zipWithIndex.map { case (v, c) =>
+      aggregate(zip_with(e, typedLit(v.toSeq), (x, w) => x * w),
+        lit(0.0), (a, x) => a + x).as(s"__p$c")
+    }
+    val withP = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol) +: e.as("__e") +: projections.toIndexedSeq: _*)
+    // residual r_i = e_i − Σ_c p_c·v_c_i (left-assoc per component),
+    // resid = sqrt of the ascending square-sum fold
+    val r = comps.zipWithIndex.foldLeft(col("__e")) { case (acc, (v, c)) =>
+      zip_with(acc, typedLit(v.toSeq), (x, w) => x - col(s"__p$c") * w)
+    }
+    val resid2 = aggregate(r, lit(0.0), (a, x) => a + x * x)
+    withP.select(col(idCol), round(sqrt(resid2), 6).as("resid"))
+      .orderBy(col("resid").desc, col(idCol))
+      .limit(topN)
+  }
 }

@@ -270,6 +270,15 @@ object Vectors {
           emb(s, dir), "embedding", dims = 64, k = 2)
         .orderBy("component", "dim")),
 
+    "x_pca_outliers" -> ((s, dir) =>
+      // spectral anomaly score (Spectral.subspaceOutliers): the 20
+      // vectors farthest from the top-2 principal subspace — encoder
+      // glitches / modality mixups surface here. Scoring folds the
+      // ROUNDED loadings (the operator's own 5-dp output), so both
+      // engines fold identical component values; TakeOrdered top-20.
+      graft.operators.Spectral.subspaceOutliers(
+          emb(s, dir), "vec_id", "embedding", dims = 64, k = 2, topN = 20)),
+
     "x_jl_distortion" -> ((s, dir) => {
       // Johnson–Lindenstrauss distortion report: cosine in the
       // original 64-dim space vs in the 16-dim random projection
@@ -324,6 +333,55 @@ object Vectors {
   private val jlPlanes = 16
   private val jlSeed = 7L
   private val jlSeedTerm = (BigInt(jlSeed) * HashReplay.SplitmixGamma) % HashReplay.M
+
+  // ---- PCA replay (x_pca_power / x_pca_top2 / x_pca_outliers) ----
+  //
+  // Shared WITH-body: exact DECIMAL(38,0) moments → covariance → the
+  // first unrolled power-iteration chain (prefix "a"), Hotelling
+  // deflation with the RAW pre-sign iterate, the second chain
+  // (prefix "b"), sign rows, and the original trace. `def`s, not
+  // `val`s, so object-init order can never bite.
+  private def pcaD = 64
+  private def pcaIters = 12
+  private def pcaRounds(cov: String, pfx: String): String = (1 to pcaIters).map { k =>
+    s"""${pfx}w$k AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * p.x) AS x
+       |  FROM $cov c JOIN ${pfx}v${k - 1} p ON c.j = p.i GROUP BY 1),
+       |${pfx}n$k AS (SELECT sqrt(SUM(x * x)) AS nm FROM ${pfx}w$k),
+       |${pfx}v$k AS (SELECT i, x / (SELECT nm FROM ${pfx}n$k) AS x FROM ${pfx}w$k)""".stripMargin
+  }.mkString(",\n")
+  private def pcaSgn(pfx: String): String =
+    s"""${pfx}sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
+       |  FROM ${pfx}v$pcaIters ORDER BY abs(x) DESC, i LIMIT 1)""".stripMargin
+  private def pcaTop2Body: String = {
+    val d = pcaD
+    val scale = 10000
+    s"""pts AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS DECIMAL(38,0)) AS q
+       |  FROM embeddings, generate_series(1, $d) s(i)),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings),
+       |sums AS (SELECT i, SUM(q) AS s FROM pts GROUP BY 1),
+       |gram AS MATERIALIZED (
+       |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
+       |  FROM pts a JOIN pts b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    CAST(nn.n * g.g - sa.s * sb.s AS DOUBLE)
+       |      / ((CAST(nn.n AS DOUBLE) * $scale) * (CAST(nn.n AS DOUBLE) * $scale)) AS c
+       |  FROM gram g JOIN sums sa ON sa.i = g.i
+       |  JOIN sums sb ON sb.i = g.j CROSS JOIN nn),
+       |av0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
+       |${pcaRounds("cov", "a")},
+       |cov2 AS MATERIALIZED (
+       |  SELECT c.i AS i, c.j AS j,
+       |    c.c - (SELECT nm FROM an$pcaIters) * a.x * b.x AS c
+       |  FROM cov c JOIN av$pcaIters a ON a.i = c.i JOIN av$pcaIters b ON b.i = c.j),
+       |bv0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
+       |${pcaRounds("cov2", "b")},
+       |${pcaSgn("a")},
+       |${pcaSgn("b")},
+       |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)""".stripMargin
+  }
 
   private val lshSigCtes: String =
     // the weight-table dimension comes from the DATA (max embedding
@@ -636,57 +694,54 @@ object Vectors {
       // x_pca_power's replay plus Hotelling deflation: cov2 =
       // cov − λ₁·v·vᵀ with the RAW (pre-sign) first iterate — the
       // engine's exact formula shape (λ·v_i left-associated with v_j)
-      // — then a second unrolled chain on cov2. Both components'
-      // explained shares are against the ORIGINAL trace.
-      val d = 64
-      val scale = 10000
-      val iters = 12
-      def rounds(cov: String, pfx: String) = (1 to iters).map { k =>
-        s"""${pfx}w$k AS MATERIALIZED (SELECT c.i AS i, SUM(c.c * p.x) AS x
-           |  FROM $cov c JOIN ${pfx}v${k - 1} p ON c.j = p.i GROUP BY 1),
-           |${pfx}n$k AS (SELECT sqrt(SUM(x * x)) AS nm FROM ${pfx}w$k),
-           |${pfx}v$k AS (SELECT i, x / (SELECT nm FROM ${pfx}n$k) AS x FROM ${pfx}w$k)""".stripMargin
-      }.mkString(",\n")
-      def sgn(pfx: String) =
-        s"""${pfx}sgn AS (SELECT CASE WHEN x < 0 THEN -1.0 ELSE 1.0 END AS s
-           |  FROM ${pfx}v$iters ORDER BY abs(x) DESC, i LIMIT 1)""".stripMargin
+      // — then a second unrolled chain on cov2 (shared pcaTop2Body).
+      // Both components' explained shares are against the ORIGINAL
+      // trace.
       def comp(n: Int, pfx: String) =
         s"""SELECT $n AS component, CAST(v.i AS INT) AS dim,
            |  ROUND(v.x * (SELECT s FROM ${pfx}sgn), 5) + 0.0 AS loading,
-           |  ROUND((SELECT nm FROM ${pfx}n$iters), 6) AS eigval,
-           |  ROUND((SELECT nm FROM ${pfx}n$iters) / (SELECT t FROM tr), 6) AS explained
-           |FROM ${pfx}v$iters v""".stripMargin
-      s"""WITH pts AS MATERIALIZED (
-         |  SELECT vec_id, i,
-         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * $scale) AS DECIMAL(38,0)) AS q
-         |  FROM embeddings, generate_series(1, $d) s(i)),
-         |nn AS (SELECT COUNT(*) AS n FROM embeddings),
-         |sums AS (SELECT i, SUM(q) AS s FROM pts GROUP BY 1),
-         |gram AS MATERIALIZED (
-         |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS g
-         |  FROM pts a JOIN pts b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-         |cov AS MATERIALIZED (
-         |  SELECT g.i, g.j,
-         |    CAST(nn.n * g.g - sa.s * sb.s AS DOUBLE)
-         |      / ((CAST(nn.n AS DOUBLE) * $scale) * (CAST(nn.n AS DOUBLE) * $scale)) AS c
-         |  FROM gram g JOIN sums sa ON sa.i = g.i
-         |  JOIN sums sb ON sb.i = g.j CROSS JOIN nn),
-         |av0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
-         |${rounds("cov", "a")},
-         |cov2 AS MATERIALIZED (
-         |  SELECT c.i AS i, c.j AS j,
-         |    c.c - (SELECT nm FROM an$iters) * a.x * b.x AS c
-         |  FROM cov c JOIN av$iters a ON a.i = c.i JOIN av$iters b ON b.i = c.j),
-         |bv0 AS (SELECT i, CAST(i AS DOUBLE) AS x FROM generate_series(1, $d) s(i)),
-         |${rounds("cov2", "b")},
-         |${sgn("a")},
-         |${sgn("b")},
-         |tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j)
+           |  ROUND((SELECT nm FROM ${pfx}n$pcaIters), 6) AS eigval,
+           |  ROUND((SELECT nm FROM ${pfx}n$pcaIters) / (SELECT t FROM tr), 6) AS explained
+           |FROM ${pfx}v$pcaIters v""".stripMargin
+      s"""WITH $pcaTop2Body
          |SELECT * FROM (
          |${comp(1, "a")}
          |UNION ALL
          |${comp(2, "b")}
          |) u ORDER BY component, dim""".stripMargin
+    },
+    "x_pca_outliers" -> {
+      // scoring on the shared top-2 replay: both engines fold the
+      // ROUNDED 5-dp loadings (the operator's own output contract), so
+      // projections p_c and the residual are identical sequential
+      // folds; left-assoc e_i − p1·w1_i − p2·w2_i, square-sum fold,
+      // sqrt (correctly rounded), ROUND(6), top-20 by (resid, id)
+      val d = pcaD
+      s"""WITH $pcaTop2Body,
+         |v1l AS (SELECT list(ROUND(v.x * (SELECT s FROM asgn), 5) + 0.0
+         |                    ORDER BY v.i) AS l FROM av$pcaIters v),
+         |v2l AS (SELECT list(ROUND(v.x * (SELECT s FROM bsgn), 5) + 0.0
+         |                    ORDER BY v.i) AS l FROM bv$pcaIters v),
+         |pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |sc AS (
+         |  SELECT p.vec_id, p.emb, w1.l AS w1, w2.l AS w2,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, $d + 1), i -> p.emb[i] * w1.l[i])),
+         |      (a, x) -> a + x) AS p1,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, $d + 1), i -> p.emb[i] * w2.l[i])),
+         |      (a, x) -> a + x) AS p2
+         |  FROM pe p CROSS JOIN v1l w1 CROSS JOIN v2l w2),
+         |res AS (
+         |  SELECT vec_id,
+         |    ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, $d + 1),
+         |        i -> (emb[i] - p1 * w1[i] - p2 * w2[i])
+         |           * (emb[i] - p1 * w1[i] - p2 * w2[i]))),
+         |      (a, x) -> a + x)), 6) AS resid
+         |  FROM sc)
+         |SELECT vec_id, resid FROM res
+         |ORDER BY resid DESC, vec_id LIMIT 20""".stripMargin
     },
     "x_jl_distortion" ->
       // same bit-exact weight/fold machinery as x_lsh_pairs (see the

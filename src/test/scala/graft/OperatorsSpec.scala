@@ -1899,6 +1899,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(c2.head._4 - 1.0 / 6) < 1e-5)
     assert(math.abs(c1.head._5 - 0.952381) < 1e-6)
     assert(math.abs(c2.head._5 - 0.047619) < 1e-6)
+    // subspace outliers: a row orthogonal to BOTH planted components
+    // ((0.3,-0.3,0.3,0.3) ⊥ (1,1,0,0) and ⊥ (0,0,1,-1)) must surface
+    // with residual ≈ its own norm 0.6, while in-subspace rows score
+    // near zero (small tolerance: the outlier itself perturbs the
+    // covariance, tilting the estimated components slightly)
+    val withOutlier = Seq(
+      (1L, Seq(1f, 1f, 0f, 0f)), (2L, Seq(-1f, -1f, 0f, 0f)),
+      (3L, Seq(2f, 2f, 0f, 0f)), (4L, Seq(-2f, -2f, 0f, 0f)),
+      (5L, Seq(0f, 0f, 0.5f, -0.5f)), (6L, Seq(0f, 0f, -0.5f, 0.5f)),
+      (7L, Seq(0.3f, -0.3f, 0.3f, 0.3f))).toDF("id", "v")
+    val outs = Spectral.subspaceOutliers(withOutlier, "id", "v",
+        dims = 4, k = 2, topN = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(outs.head._1 == 7L, outs.mkString(","))
+    assert(math.abs(outs.head._2 - 0.6) < 0.05, outs.head.toString)
+    assert(outs.tail.forall(_._2 < 0.1), outs.mkString(","))
     // a vector magnitude that would overflow the Long moment fold
     // fails LOUD (multiplyExact), never wraps into a wrong covariance
     val hot = Seq(Seq(1e9f, 0f), Seq(0f, 1e9f), Seq(1f, 1f)).toDF("v")
