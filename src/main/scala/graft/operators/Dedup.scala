@@ -307,6 +307,41 @@ object Dedup {
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String,
                          pairs: DataFrame, iterations: Int = 8): DataFrame = {
+    val labels = ccLabels(docs, idCol, pairs, iterations)
+    val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** [[dropNearDuplicates]] with a QUALITY-AWARE survivor: per
+    * near-duplicate cluster, keep the row with the highest
+    * `priorityCol` (ties → smallest id) instead of the smallest id —
+    * the policy real pipelines want ("keep the longest / highest-
+    * quality copy", not "keep whichever crawled first"). Same
+    * join-based connected components; survivor selection is ONE extra
+    * hash agg over the |V|-row label frame (`min_by` on
+    * (−priority, id) — no window sort), nothing touches the corpus
+    * besides the final semi-join. Isolated rows are their own cluster
+    * and always survive.
+    */
+  def dropNearDuplicatesBy(docs: DataFrame, idCol: String,
+                           priorityCol: String, pairs: DataFrame,
+                           iterations: Int = 8): DataFrame = {
+    val labels = ccLabels(docs, idCol, pairs, iterations)
+    val pri = docs.select(col(idCol).as("a"),
+      col(priorityCol).cast("double").as("__pri"))
+    val keep = labels.join(pri, Seq("a"))
+      .groupBy(col("lbl"))
+      .agg(min_by(col("a"),
+        struct((lit(0.0) - col("__pri")).as("np"), col("a"))).as("__keep"))
+      .select(col("__keep").as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Connected-component labels `(a, lbl)` for every id in `docs`,
+    * lbl = the component's minimum id — the shared core of the two
+    * survivor policies above. */
+  private def ccLabels(docs: DataFrame, idCol: String,
+                       pairs: DataFrame, iterations: Int): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val edges = pairs.select(col("ida").as("a"), col("idb").as("b"))
       .union(pairs.select(col("idb").as("a"), col("ida").as("b")))
@@ -367,10 +402,10 @@ object Dedup {
       i += 1
     }
     prevCached.foreach(_.unpersist())
-    val keep = labels.filter(col("a") === col("lbl")).select(col("a").as(idCol))
-    val out = docs.join(keep, Seq(idCol), "left_semi")
+    // labels are checkpoint-materialized by the convergence action of
+    // the last round — the edge cache can go before the caller consumes
     edges.unpersist()
-    out
+    labels
   }
 
   /** Benchmark-contamination report: for each document in the `test`

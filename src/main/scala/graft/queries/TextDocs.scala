@@ -150,6 +150,20 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_dedup_best" -> ((s, dir) => {
+      // same components, QUALITY-AWARE survivor
+      // (Dedup.dropNearDuplicatesBy): keep the LONGEST copy per
+      // near-dup cluster (ties → smallest id) — the keep-the-best-copy
+      // policy, vs x_dedup_corpus's keep-first. One extra hash agg
+      // over the label frame; integer priority, so survivor choice is
+      // exact.
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", threshold = 0.5)
+      Dedup.dropNearDuplicatesBy(d.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", pairs)
+        .orderBy("doc_id")
+    }),
+
     "x_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
@@ -1024,6 +1038,45 @@ object TextDocs {
        |    MAX(CASE WHEN j % 2 = 1 THEN m END) AS v1
        |  FROM sig GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE body (after WITH RECURSIVE) of the n-gram-jaccard →
+    * connected-components dedup replay, through `walk(a, lbl)` — used
+    * by both survivor policies (x_dedup_corpus min-id, x_dedup_best
+    * max-quality). A `def`, so object-init order can never bite. */
+  private def dedupCcCtes: String =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, unnest(
+      |    CASE WHEN len(w) >= 3
+      |         THEN list_distinct(list_transform(range(len(w) - 2),
+      |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
+      |         ELSE [array_to_string(w, ' ')] END) AS shingle
+      |  FROM toks WHERE len(w) > 0
+      |), counts AS (
+      |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+      |), keep AS (
+      |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+      |), pruned AS (
+      |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+      |), shared AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
+      |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT ida, idb FROM shared
+      |  JOIN counts ca ON ca.doc_id = ida
+      |  JOIN counts cb ON cb.doc_id = idb
+      |  WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
+      |), edges AS (
+      |  SELECT ida AS a, idb AS b FROM pairs
+      |  UNION SELECT idb, ida FROM pairs
+      |), walk(a, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.a = e.b
+      |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_source_cap" ->
       // the heap path's rank = (first 15 md5 nibbles as a 60-bit int,
@@ -1332,41 +1385,21 @@ object TextDocs {
         |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_corpus" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, unnest(
-        |    CASE WHEN len(w) >= 3
-        |         THEN list_distinct(list_transform(range(len(w) - 2),
-        |              i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))
-        |         ELSE [array_to_string(w, ' ')] END) AS shingle
-        |  FROM toks WHERE len(w) > 0
-        |), counts AS (
-        |  SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
-        |), keep AS (
-        |  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
-        |), pruned AS (
-        |  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
-        |), shared AS (
-        |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS inter
-        |  FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT ida, idb FROM shared
-        |  JOIN counts ca ON ca.doc_id = ida
-        |  JOIN counts cb ON cb.doc_id = idb
-        |  WHERE CAST(inter AS DOUBLE) / (ca.nsh + cb.nsh - inter) >= 0.5
-        |), edges AS (
-        |  SELECT ida AS a, idb AS b FROM pairs
-        |  UNION SELECT idb, ida FROM pairs
-        |), walk(a, lbl) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.a = e.b
-        |)
-        |SELECT a AS doc_id FROM (SELECT a, MIN(lbl) AS m FROM walk GROUP BY a) t
-        |WHERE a = m ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $dedupCcCtes
+         |SELECT a AS doc_id FROM (SELECT a, MIN(lbl) AS m FROM walk GROUP BY a) t
+         |WHERE a = m ORDER BY doc_id""".stripMargin,
+    "x_dedup_best" ->
+      // same recursive components; survivor = max n_chars, tie min id
+      s"""WITH RECURSIVE $dedupCcCtes,
+         |comp AS (SELECT a AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY a),
+         |best AS (
+         |  SELECT doc_id, n_chars FROM (
+         |    SELECT c.comp, c.doc_id, d.n_chars,
+         |      ROW_NUMBER() OVER (PARTITION BY c.comp
+         |                         ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN documents d USING (doc_id)) t
+         |  WHERE rn = 1)
+         |SELECT doc_id, n_chars FROM best ORDER BY doc_id""".stripMargin,
     "x_text_quality" ->
       s"""SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_words,
          |  $qualityExprSql AS quality

@@ -1709,6 +1709,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(undirGot == Map(3L -> 0, 2L -> 1, 4L -> 1, 1L -> 2, 5L -> 2))
   }
 
+  test("dropNearDuplicatesBy: best copy survives per cluster, isolated rows kept") {
+    import graft.operators.Dedup
+    // clusters {1,2,3} (chain) and {10,11}; 20 isolated. priorities:
+    // cluster 1: doc 2 is best; cluster 2: tie 10/11 → smaller id
+    val d = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (10L, 4.0), (11L, 4.0),
+      (20L, 1.0)).toDF("id", "pri")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val got = Dedup.dropNearDuplicatesBy(d, "id", "pri", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 10L, 20L))
+    // min-id policy on the same input keeps {1, 10, 20} — the two
+    // survivor policies share the component computation but differ
+    // exactly on the quality choice
+    val minIds = Dedup.dropNearDuplicates(d, "id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(minIds == Set(1L, 10L, 20L))
+  }
+
   test("budgetSelect: greedy prefix, id tie-break, empty under tiny budget") {
     import graft.operators.Sampling
     val d = Seq(("a", 10L), ("c", 8L), ("b", 8L), ("d", 1L)).toDF("id", "cost")
