@@ -293,6 +293,57 @@ object Dedup {
       .select(col("new_id"), col("dup_of"), col("est_jaccard"))
   }
 
+  /** QUALITY-AWARE incremental dedup — the "keep best, not first"
+    * policy for a corpus refresh ([[dropNearDuplicatesBy]]'s survivor
+    * rule wired into the daily-ingest path, which previously could
+    * only report matches and keep first-seen). For every row of
+    * `newDocs`, one decision row `(new_id, action, dup_of,
+    * est_jaccard)`:
+    *
+    *   - `admit`   — no history match ≥ `minJaccard`: the doc is new.
+    *   - `replace` — matched, and the new doc's `priorityCol` STRICTLY
+    *                 exceeds the matched history doc's: the refresh
+    *                 should swap the old copy out.
+    *   - `drop`    — matched at equal-or-lower priority (ties keep
+    *                 history: first-seen wins only when quality ties,
+    *                 keeping decisions deterministic and idempotent).
+    *
+    * `dup_of` is the BEST history match (highest `est_jaccard`, ties →
+    * smallest id — one `min_by` hash agg, no window sort); NULL for
+    * admitted docs. `historyPriority` is an `(idCol, priorityCol)`
+    * frame for the indexed corpus — history TEXT is never rescanned,
+    * only its id→priority table joins in (broadcastable next to the
+    * band join's shuffle at any corpus size). NULL priorities rank
+    * below every real priority on BOTH sides (`ORDER BY priority DESC
+    * NULLS LAST` semantics, the [[dropNearDuplicatesBy]] policy).
+    */
+  def incrementalBest(newDocs: DataFrame, idCol: String, textCol: String,
+                      priorityCol: String, index: DataFrame,
+                      historyPriority: DataFrame, minJaccard: Double,
+                      numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val matches = incrementalNearDups(newDocs, idCol, textCol, index,
+      minJaccard, numHashes, bands)
+    val best = matches.groupBy(col("new_id"))
+      .agg(min_by(struct(col("dup_of"), col("est_jaccard")),
+        struct((lit(0.0) - col("est_jaccard")).as("nj"), col("dup_of"))).as("m"))
+      .select(col("new_id"), col("m.dup_of").as("dup_of"),
+        col("m.est_jaccard").as("est_jaccard"))
+    val hist = historyPriority.select(col(idCol).as("dup_of"),
+      coalesce(col(priorityCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__hp"))
+    newDocs
+      .select(col(idCol).as("new_id"),
+        coalesce(col(priorityCol).cast("double"),
+          lit(Double.NegativeInfinity)).as("__np"))
+      .join(best, Seq("new_id"), "left")
+      .join(hist, Seq("dup_of"), "left")
+      .select(col("new_id"),
+        when(col("dup_of").isNull, lit("admit"))
+          .when(col("__np") > col("__hp"), lit("replace"))
+          .otherwise(lit("drop")).as("action"),
+        col("dup_of"), col("est_jaccard"))
+  }
+
   /** Drop near-duplicates given candidate pairs: treat (ida, idb) as
     * edges, find connected components with iterative min-label
     * propagation, keep only the minimum id of each component.
@@ -321,14 +372,20 @@ object Dedup {
     * hash agg over the |V|-row label frame (`min_by` on
     * (−priority, id) — no window sort), nothing touches the corpus
     * besides the final semi-join. Isolated rows are their own cluster
-    * and always survive.
+    * and always survive. NULL-priority policy: NULL ranks BELOW every
+    * real priority (`ORDER BY priority DESC NULLS LAST` semantics —
+    * the coalesce to −∞ below; without it the struct key (np=null, id)
+    * would sort FIRST in min_by and a NULL-priority row would beat its
+    * whole cluster, round-8 advice); an all-NULL cluster falls back to
+    * the smallest id.
     */
   def dropNearDuplicatesBy(docs: DataFrame, idCol: String,
                            priorityCol: String, pairs: DataFrame,
                            iterations: Int = 8): DataFrame = {
     val labels = ccLabels(docs, idCol, pairs, iterations)
     val pri = docs.select(col(idCol).as("a"),
-      col(priorityCol).cast("double").as("__pri"))
+      coalesce(col(priorityCol).cast("double"),
+        lit(Double.NegativeInfinity)).as("__pri"))
     val keep = labels.join(pri, Seq("a"))
       .groupBy(col("lbl"))
       .agg(min_by(col("a"),

@@ -42,10 +42,33 @@ object LabelPropagation {
     * one of their members). `directed = false` (default) symmetrizes
     * the edges; multi-edges are deduplicated (simple-graph votes).
     * Node/label type: any integral column (cast to long internally).
+    * `earlyStop = true` adds a convergence check per round (see
+    * [[communitiesConverged]]) and stops once no label flips.
     */
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
                   iters: Int = 3, directed: Boolean = false,
-                  maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+                  maxBroadcastNodes: Long = 10_000_000L,
+                  earlyStop: Boolean = false): DataFrame =
+    communitiesConverged(edges, srcCol, dstCol, iters, directed,
+      maxBroadcastNodes, earlyStop)._1
+
+  /** [[communities]] with a CONVERGENCE CERTIFICATE: returns
+    * `(labels, roundsRun, converged)`. With `earlyStop` each round pays
+    * one extra |V|-row equi-join + count (the PageRank dangling-mass
+    * fold pattern — a small per-round action) comparing the new label
+    * frame to the previous one; synchronous LPA is a pure function of
+    * the label frame, so ZERO flips in a round proves every later
+    * round is a no-op — deep graphs stop paying unneeded rounds, and
+    * `converged = true` certifies the fixpoint (`roundsRun` < `iters`
+    * tells a shallow graph it finished early). With `earlyStop = false`
+    * the local path keeps its zero-jobs-per-round laziness (the
+    * caller's single action materializes the chain) and
+    * `converged = false` is reported uninspected.
+    */
+  def communitiesConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int = 3, directed: Boolean = false,
+                           maxBroadcastNodes: Long = 10_000_000L,
+                           earlyStop: Boolean = false): (DataFrame, Int, Boolean) = {
     require(iters >= 1, "labelPropagation: iters must be >= 1")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fwd = edges.select(col(srcCol).cast("long").as("src"),
@@ -68,14 +91,28 @@ object LabelPropagation {
 
     val sc = edges.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
+    var prevCached: Option[DataFrame] = None
     // LPA needs no per-round scalar (unlike PageRank's dangling mass),
-    // so local mode marks rounds lazily and the caller's single action
-    // materializes the whole chain — zero extra jobs per iteration.
+    // so without earlyStop local mode marks rounds lazily and the
+    // caller's single action materializes the whole chain — zero extra
+    // jobs per iteration. Reliable mode persists BEFORE the eager
+    // checkpoint so the checkpoint's write job reads the cache instead
+    // of recomputing the round's joins (the PageRank / Dedup.ccLabels
+    // pattern), releasing the previous round's cache once the new
+    // frame is on stable storage.
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(false)
+      if (reliable) {
+        df.persist(lvl)
+        val out = df.checkpoint(true)
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(df)
+        out
+      } else df.localCheckpoint(false)
 
     var lab = ckpt(nodes.select(col("node"), col("node").as("lbl")))
-    for (_ <- 1 to iters) {
+    var rounds = 0
+    var converged = false
+    while (rounds < iters && !converged) {
       val votes = adj
         .join(hint(lab.select(col("node").as("src"), col("lbl"))), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
@@ -90,15 +127,32 @@ object LabelPropagation {
       // so `adopt` IS the next label frame — no carry-forward join.
       // Directed: a node with no in-edges gets no votes and must keep
       // its previous label (coalesce through a left join).
-      lab = ckpt(
+      val next = ckpt(
         if (directed)
           lab.select(col("node"), col("lbl").as("prev"))
             .join(adopt, Seq("node"), "left")
             .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl"))
         else adopt)
+      rounds += 1
+      if (earlyStop && rounds < iters) {
+        // |V|-row equi-join on the node key + one count — both label
+        // frames are checkpoint-cut, so the comparison reads two
+        // materialized |V| frames, never the round chain
+        val flips = next
+          .join(lab.select(col("node"), col("lbl").as("prev")), Seq("node"))
+          .filter(col("lbl") =!= col("prev")).count()
+        converged = flips == 0L
+      }
+      lab = next
     }
     val out = lab.select(col("node"), col("lbl").as("community"))
+    // materialize the final frame BEFORE releasing its inputs: on the
+    // lazy local-checkpoint path the caller's action would otherwise
+    // re-run the whole round chain (and adj's distinct union) against
+    // unpersisted inputs (round-8 advice)
+    if (!reliable) lab.count()
+    prevCached.foreach(_.unpersist())
     adj.unpersist(); nodes.unpersist()
-    out
+    (out, rounds, converged)
   }
 }

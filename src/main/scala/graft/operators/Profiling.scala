@@ -92,24 +92,27 @@ object Profiling {
     * normality — the standard robust z-score). Unlike mean/stddev
     * outlier rules, one huge corrupt value cannot drag the threshold.
     *
-    * Shape: two exact-`percentile` aggregation passes (the second over
-    * deviations from the first's broadcast-back medians) + one
-    * conditional-count pass — three scans, each partial-aggregated,
-    * with only |groups|-sized tables moving between them. Exact
-    * percentile holds a per-group value buffer; at 100 TB swap
-    * `percentile` for `approx_percentile` (same plan shape, bounded
-    * state — the X2 trade documented on the profile report).
+    * Shape: two exact-median passes over the bucketed prefix-sum CDF
+    * ([[Stats.groupedInterpolatedQuantiles]] — bit-identical to the
+    * `percentile` aggregate it replaces, but bounded memory at any
+    * group size: the aggregate buffered the hottest group's every
+    * value in ONE buffer) + one conditional-count pass, with only
+    * |groups|-sized tables moving between them (broadcast back). The
+    * eager-materialization contract of the quantile family applies
+    * (Stats object scaladoc): median planning jobs run at call time.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   cut: Double = 3.0): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(percentile(col(valCol), lit(0.5)).as("med"))
-    val dev = df.join(med, groupCol)
+    val med = Stats.groupedInterpolatedQuantiles(df, groupCol, valCol, Seq(0.5))
+      .select(col(groupCol).as("__g"), col("value").as("med"))
+    val dev = df.join(broadcast(med), col(groupCol).cast("string") === col("__g"))
+      .drop("__g")
       .select(col(groupCol), col(valCol), col("med"),
         abs(col(valCol) - col("med")).as("adev"))
-    val mad = dev.groupBy(col(groupCol))
-      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
-    dev.join(mad, groupCol)
+    val mad = Stats.groupedInterpolatedQuantiles(dev, groupCol, "adev", Seq(0.5))
+      .select(col(groupCol).as("__g"), col("value").as("mad"))
+    dev.join(broadcast(mad), col(groupCol).cast("string") === col("__g"))
+      .drop("__g")
       .groupBy(col(groupCol))
       .agg(
         round(first(col("med")), 4).as("med"),

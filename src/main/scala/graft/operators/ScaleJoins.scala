@@ -135,19 +135,27 @@ object ScaleJoins {
     * row: total rows, distinct keys, mean/median/p99/max per-key
     * counts, the hottest key's share of all rows, and the max/mean
     * skew ratio (≈1 uniform; ≥10 means the hot key serializes a
-    * shuffle partition and wants salting). Two hash aggregations, both
-    * partially aggregated map-side; the percentile runs over one row
-    * per KEY, not per input row.
+    * shuffle partition and wants salting). The per-key-count quantiles
+    * run over one row per KEY, not per input row — and even that frame
+    * is |distinct keys|-sized at 100 TB, so they read off the bucketed
+    * prefix-sum CDF ([[Stats.interpolatedQuantiles]], bit-identical to
+    * the `percentile` aggregate it replaced) instead of buffering
+    * every count in one aggregation buffer. The quantile family's
+    * eager-materialization contract applies (Stats object scaladoc).
     */
-  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val qs = broadcast(
+      Stats.interpolatedQuantiles(perKey, "cnt", Seq(0.5, 0.99))
+        .agg(min(when(col("p") === 0.5, col("value"))).as("med_cnt"),
+          min(when(col("p") === 0.99, col("value"))).as("p99_cnt")))
+    perKey
       .agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
         round(avg(col("cnt")), 4).as("avg_cnt"),
-        expr("percentile(cnt, 0.5)").as("med_cnt"),
-        expr("percentile(cnt, 0.99)").as("p99_cnt"),
         max(col("cnt")).as("max_cnt"))
+      .crossJoin(qs)
       .select(col("n_rows"), col("n_keys"), col("avg_cnt"),
         col("med_cnt"), col("p99_cnt"), col("max_cnt"),
         round(col("max_cnt").cast("double") / col("n_rows"), 4).as("top_share"),
@@ -155,6 +163,7 @@ object ScaleJoins {
         // double-rounding is a cross-engine parity trap
         round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
           .as("skew_ratio"))
+  }
 
   /** The EXECUTABLE skew decision rule (round-6 verdict: "the decision
     * rule is executable, not tribal") — maps a [[keySkewReport]] row +

@@ -56,9 +56,18 @@ object Spectral {
     * driver's d×d copy; the corpus is still touched exactly once.
     * Returns `(component, dim, loading, eigval, explained)`, components
     * 1-based in decreasing-eigenvalue order.
+    *
+    * `explainedTarget` < the default caps the spend: extraction stops
+    * after the component whose CUMULATIVE (unrounded) variance share
+    * reaches the target — a FREE driver-side decision (the corpus pass
+    * already happened; each skipped component saves only driver d×d
+    * work, but a rank-deficient space also stops emitting
+    * numerically-meaningless residue components). The emitted
+    * components are bit-identical to an uncapped run's prefix.
     */
   def topComponents(df: DataFrame, vecCol: String, dims: Int, k: Int,
-                    iters: Int = 12, scale: Int = 10000): DataFrame = {
+                    iters: Int = 12, scale: Int = 10000,
+                    explainedTarget: Double = Double.MaxValue): DataFrame = {
     require(dims >= 2, "topComponents: need at least 2 dimensions")
     require(k >= 1 && k < dims, s"topComponents: k=$k outside [1, dims)")
     require(iters >= 1, "topComponents: iters must be >= 1")
@@ -84,7 +93,15 @@ object Spectral {
             s"topComponent: vector of length ${arr.numElements()}, expected $d")
           var i = 0
           while (i < d) {
-            q(i) = math.floor(arr.getDouble(i) * scale).toLong
+            val x = arr.getDouble(i)
+            // non-finite input fails LOUD (the addExact discipline):
+            // floor(NaN·scale).toLong is silently 0 and ±Infinity
+            // saturates to Long.Max/Min — either would dilute the
+            // covariance instead of flagging the corrupt row
+            require(!x.isNaN && !x.isInfinite,
+              s"topComponent: non-finite value $x at dim ${i + 1} — " +
+                "NaN/Infinity cannot be quantized")
+            q(i) = math.floor(x * scale).toLong
             sums(i) = Math.addExact(sums(i), q(i))
             i += 1
           }
@@ -150,7 +167,10 @@ object Spectral {
     // relatively. The ramp has a nonzero projection on generic
     // eigenvectors; the first normalization absorbs its scale.
     val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
-    for (comp <- 1 to k) {
+    var cumExplained = 0.0
+    var comp = 1
+    var stop = false
+    while (comp <= k && !stop) {
       var v = Array.tabulate(d)(i => (i + 1).toDouble)
       var nrm = 0.0
       for (_ <- 1 to iters) {
@@ -181,7 +201,12 @@ object Spectral {
         out += ((comp, dim + 1, v(dim) * sign, nrm, nrm / trace))
         dim += 1
       }
-      if (comp < k) {
+      // variance-explained early termination: a driver-side decision
+      // on the UNROUNDED cumulative share — emitted components are an
+      // uncapped run's exact prefix, later deflations simply never run
+      cumExplained += nrm / trace
+      stop = cumExplained >= explainedTarget
+      if (comp < k && !stop) {
         i = 0
         while (i < d) {
           var j = 0
@@ -189,6 +214,7 @@ object Spectral {
           i += 1
         }
       }
+      comp += 1
     }
 
     import spark.implicits._

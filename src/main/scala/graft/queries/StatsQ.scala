@@ -264,7 +264,20 @@ object StatsQ {
       graft.operators.Stats.groupedExactQuantiles(
           t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
           ps = Seq(0.5, 0.95))
-        .orderBy("l_returnflag", "p"))
+        .orderBy("l_returnflag", "p")),
+
+    "x_interp_quantiles" -> ((s, dir) =>
+      // exact INTERPOLATED quantiles off the bucketed prefix-sum CDF
+      // (Stats.interpolatedQuantiles) — the round-9 replacement for
+      // the buffer-everything `percentile` aggregate, pinned here
+      // directly against DuckDB's independent quantile_cont on
+      // genuinely fractional positions (l_extendedprice is
+      // near-unique, so v_lo ≠ v_hi and the lerp actually runs);
+      // round(6) absorbs last-ulp formula noise at 1e5 magnitudes
+      Stats.interpolatedQuantiles(
+          t(s, dir, "lineitem"), "l_extendedprice", ps = Seq(0.25, 0.5, 0.9))
+        .select(col("p"), col("n"), round(col("value"), 6).as("value"))
+        .orderBy("p"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -617,6 +630,24 @@ object StatsQ {
         |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals)
         |SELECT k.g AS l_returnflag, k.p, k.k, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
-        |ORDER BY l_returnflag, p""".stripMargin
+        |ORDER BY l_returnflag, p""".stripMargin,
+    "x_interp_quantiles" ->
+      // DuckDB's own quantile_cont (constant p per branch — DuckDB
+      // requires a constant quantile argument) vs the engine's CDF
+      // read-off: an INDEPENDENT implementation of the interpolated
+      // percentile, not a replay of the engine's lerp
+      """WITH vals AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vals)
+        |SELECT 0.25 AS p, (SELECT n FROM n) AS n,
+        |  ROUND(quantile_cont(v, 0.25), 6) AS value FROM vals
+        |UNION ALL
+        |SELECT 0.5 AS p, (SELECT n FROM n) AS n,
+        |  ROUND(quantile_cont(v, 0.5), 6) AS value FROM vals
+        |UNION ALL
+        |SELECT 0.9 AS p, (SELECT n FROM n) AS n,
+        |  ROUND(quantile_cont(v, 0.9), 6) AS value FROM vals
+        |ORDER BY p""".stripMargin
   )
 }

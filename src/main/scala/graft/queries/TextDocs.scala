@@ -340,6 +340,25 @@ object TextDocs {
         .orderBy("new_id", "dup_of")
     }),
 
+    "x_incremental_best" -> ((s, dir) => {
+      // quality-aware refresh decisions (Dedup.incrementalBest — the
+      // dropNearDuplicatesBy survivor policy wired into the daily-
+      // ingest path, round-8 verdict item 6): batch = odd ids against
+      // the even-id index, priority = n_chars. Per batch doc: admit
+      // (no match ≥ 0.5), replace (strictly longer than its best
+      // match), or drop (ties keep history). Best match = one min_by
+      // hash agg on (est_jaccard DESC, dup_of); history text is never
+      // rescanned — only its id→n_chars table joins in.
+      val d = docs(s, dir)
+      val hist = d.filter(col("doc_id") % 2 === 0)
+      val index = Dedup.minhashSignatures(hist, "doc_id", "text")
+      Dedup.incrementalBest(
+        d.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", "n_chars",
+        index, hist.select(col("doc_id"), col("n_chars")),
+        minJaccard = 0.5)
+        .orderBy("new_id")
+    }),
+
     "x_fingerprint_fnv" -> ((s, dir) => {
       // the engine's own FNV-1a rolling-hash fingerprint under the
       // oracle (was golden-spec only): the HUGEINT mod-2^64 machinery
@@ -773,12 +792,17 @@ object TextDocs {
       // exact p05/p95 of n_chars, keep only in-range docs. The bounds
       // frame is tiny (one row per lang) and broadcast, so the corpus
       // never shuffles: scan → broadcast-join → narrow filter → one
-      // small agg. percentile() is the exact interpolated form whose
-      // cross-engine value equality x_percentiles already pins.
+      // small agg. The bounds are the exact interpolated percentiles
+      // whose cross-engine value equality x_percentiles already pins —
+      // read off the bucketed prefix-sum CDF (Stats.
+      // groupedInterpolatedQuantiles), not the buffer-everything
+      // `percentile` aggregate.
       val d = docs(s, dir)
-      val bounds = d.groupBy(col("lang"))
-        .agg(expr("percentile(n_chars, 0.05)").as("lo"),
-          expr("percentile(n_chars, 0.95)").as("hi"))
+      val bounds = graft.operators.Stats
+        .groupedInterpolatedQuantiles(d, "lang", "n_chars", Seq(0.05, 0.95))
+        .groupBy(col("lang"))
+        .agg(min(when(col("p") === 0.05, col("value"))).as("lo"),
+          min(when(col("p") === 0.95, col("value"))).as("hi"))
       d.join(broadcast(bounds), Seq("lang"))
         .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
         .groupBy(col("lang"))
@@ -1654,6 +1678,40 @@ object TextDocs {
          |  GROUP BY 1, 2)
          |SELECT new_id, dup_of, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY new_id, dup_of""".stripMargin,
+    "x_incremental_best" ->
+      // x_incremental_dedup's match machinery + the survivor layer:
+      // best match per batch doc by (est_jaccard DESC, dup_of), then
+      // the admit / replace / drop rule on n_chars priority (strict >
+      // replaces; ties keep history)
+      s"""WITH $minhashSigCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS dup_of
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         |est AS (
+         |  SELECT c.new_id, c.dup_of,
+         |    ROUND(CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 16, 4)
+         |      AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.new_id
+         |  JOIN sig sb ON sb.doc_id = c.dup_of AND sb.j = sa.j
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT new_id, dup_of, est_jaccard,
+         |    ROW_NUMBER() OVER (PARTITION BY new_id
+         |                       ORDER BY est_jaccard DESC, dup_of) AS rn
+         |  FROM est WHERE est_jaccard >= 0.5)
+         |SELECT d.doc_id AS new_id,
+         |  CASE WHEN b.new_id IS NULL THEN 'admit'
+         |       WHEN d.n_chars > h.n_chars THEN 'replace'
+         |       ELSE 'drop' END AS action,
+         |  b.dup_of, b.est_jaccard
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+         |LEFT JOIN documents h ON h.doc_id = b.dup_of
+         |WHERE d.doc_id % 2 = 1
+         |ORDER BY new_id""".stripMargin,
     "x_simhash_pairs" ->
       s"""WITH $shingleFnvCtes,
          |votes AS (

@@ -33,8 +33,13 @@ object TwsSessions {
 
   /** One live deadline per key: the session's close timer. Stored next
     * to the session so a mid-batch restart can delete the stale timer.
+    * NOT `private`: Janino-generated encoder code lives outside this
+    * object and must call `atMs()` — a private nested case class made
+    * `Encoders.product[TimerAt]` fall back to interpreted projection
+    * inside the stateful hot loop (round-8 verdict finding #2, the
+    * logged `Expr codegen error ... falling back to interpreter`).
     */
-  private case class TimerAt(atMs: Long)
+  case class TimerAt(atMs: Long)
 
   private class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, Event, ClosedSession] {

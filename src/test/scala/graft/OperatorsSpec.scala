@@ -1725,6 +1725,43 @@ class OperatorsSpec extends AnyFunSuite {
     val minIds = Dedup.dropNearDuplicates(d, "id", pairs)
       .collect().map(_.getLong(0)).toSet
     assert(minIds == Set(1L, 10L, 20L))
+    // NULL-priority policy (round-8 advice): NULL ranks BELOW every
+    // real priority (DESC NULLS LAST), so doc 31's null loses to 30's
+    // 1.0; an all-NULL cluster falls back to the smallest id
+    val withNulls = Seq((30L, Some(1.0)), (31L, None),
+      (40L, Option.empty[Double]), (41L, Option.empty[Double]))
+      .toDF("id", "pri")
+    val np = Seq((30L, 31L), (40L, 41L)).toDF("ida", "idb")
+    val gotN = Dedup.dropNearDuplicatesBy(withNulls, "id", "pri", np)
+      .collect().map(_.getLong(0)).toSet
+    assert(gotN == Set(30L, 40L), gotN.toString)
+  }
+
+  test("incrementalBest: admit / replace / drop against the index, null priority loses") {
+    import graft.operators.Dedup
+    val hist = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank", Some(63.0)),
+      (4L, "completely different text about spark query engines and shuffles here", Some(70.0)))
+      .toDF("doc_id", "text", "pri")
+    val index = Dedup.minhashSignatures(hist, "doc_id", "text")
+    val batch = Seq(
+      // near-copy of 2, HIGHER priority → replace
+      (101L, "the quick brown fox jumps over the lazy dog near the river bend", Some(99.0)),
+      // near-copy of 2, LOWER priority → drop
+      (103L, "the quick brown fox jumps over the lazy dog near a river bank", Some(10.0)),
+      // no match anywhere → admit
+      (105L, "entirely novel document with words shared by nothing in the corpus", Some(50.0)),
+      // near-copy of 2 with NULL priority → ranks below 63.0 → drop
+      (107L, "the quick brown fox jumps over the lazy dog near the river bank", Option.empty[Double]))
+      .toDF("doc_id", "text", "pri")
+    val got = Dedup.incrementalBest(batch, "doc_id", "text", "pri",
+        index, hist.select(col("doc_id"), col("pri")), minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(101L) == ("replace", 2L), got.toString)
+    assert(got(103L) == ("drop", 2L), got.toString)
+    assert(got(105L) == ("admit", -1L), got.toString)
+    assert(got(107L) == ("drop", 2L), got.toString)
   }
 
   test("budgetSelect: greedy prefix, id tie-break, empty under tiny budget") {
@@ -1839,6 +1876,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxFoldRows"))
   }
 
+  test("interpolatedQuantiles: bit-identical to Spark percentile, edges, nulls") {
+    import graft.operators.Stats
+    // random doubles → every probe genuinely interpolates (distinct
+    // values, fractional positions); equality is EXACT, no tolerance —
+    // the lerp replicates the aggregate's operand order
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(3001)(rnd.nextDouble() * 1000).toDF("x")
+    val ps = Seq(0.05, 0.31, 0.5, 0.77, 0.9)
+    val want = big.agg(expr(s"percentile(x, array(${ps.mkString(",")}))"))
+      .head.getSeq[Double](0)
+    for (buckets <- Seq(1, 7, 32)) {
+      val got = Stats.interpolatedQuantiles(big, "x", ps, buckets)
+        .orderBy("p").collect().map(_.getDouble(2))
+      assert(got.toSeq == want.toSeq, s"buckets=$buckets")
+    }
+    // p=0 → min, p=1 → max, integral positions hit the raw value;
+    // NULL excluded from both the CDF and n
+    val tied = Seq(Some(1.0), Some(1.0), Some(2.0), None).toDF("x")
+    val t = Stats.interpolatedQuantiles(tied, "x", Seq(0.0, 0.5, 1.0))
+      .orderBy("p").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    assert(t.toSeq == Seq((0.0, 3L, 1.0), (0.5, 3L, 1.0), (1.0, 3L, 2.0)))
+  }
+
+  test("groupedInterpolatedQuantiles: percentile parity per group, hot group, guard") {
+    import graft.operators.Stats
+    // one HOT group (100k values) — the exact shape where the
+    // `percentile` aggregate buffers everything in one buffer and the
+    // CDF probe stays bounded; parity must still be bit-exact
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(100000)(_ => ("hot", rnd.nextDouble() * 50)) ++
+      Seq.tabulate(7)(i => ("cold", i.toDouble))
+    val df = rows.toDF("g", "x")
+    val ps = Seq(0.05, 0.5, 0.95)
+    val want = df.groupBy("g")
+      .agg(expr(s"percentile(x, array(${ps.mkString(",")}))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = Stats.groupedInterpolatedQuantiles(df, "g", "x", ps).collect()
+    assert(got.length == 6)
+    got.foreach { r =>
+      val (g, p, v) = (r.getString(0), r.getDouble(1), r.getDouble(3))
+      assert(v == want(g)(ps.indexOf(p)), s"g=$g p=$p") // EXACT doubles
+    }
+    // fold guard fails loud on a too-fine key (every value its own group)
+    val e = intercept[IllegalArgumentException] {
+      Stats.groupedInterpolatedQuantiles(df, "x", "x", Seq(0.5), maxFoldRows = 3L)
+    }
+    assert(e.getMessage.contains("maxFoldRows"))
+  }
+
   test("labelPropagation: bridged cliques converge, sink keeps label, ties go low") {
     import graft.operators.LabelPropagation
     // two triangles {1,2,3} and {10,11,12} joined by bridge 3-10; the
@@ -1870,6 +1957,37 @@ class OperatorsSpec extends AnyFunSuite {
       .communities(Seq((7L, 4L)).toDF("s", "d"), "s", "d", iters = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(even == Map(4L -> 4L, 7L -> 7L))
+  }
+
+  test("labelPropagation earlyStop: convergence certificate, fixpoint proven") {
+    import graft.operators.LabelPropagation
+    // a triangle reaches all-min-label after round 2; later rounds are
+    // no-ops — earlyStop must certify that at the first zero-flip
+    // round (round 3, the one that OBSERVES the fixpoint), not run 10
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val (labs, rounds, converged) = LabelPropagation
+      .communitiesConverged(tri, "s", "d", iters = 10, earlyStop = true)
+    assert(converged)
+    assert(rounds < 10, s"ran all $rounds rounds despite convergence")
+    assert(labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // the single-edge oscillator NEVER converges: all iters run and
+    // the certificate stays false
+    val (_, oscRounds, oscConv) = LabelPropagation
+      .communitiesConverged(Seq((7L, 4L)).toDF("s", "d"), "s", "d",
+        iters = 4, earlyStop = true)
+    assert(!oscConv && oscRounds == 4)
+    // earlyStop result == fixed-iters result on the bridged-clique
+    // graph (x_label_prop's oracle contract is iters-pinned, so the
+    // default stays earlyStop = false; this pins value equality)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("s", "d")
+    val fixed = LabelPropagation.communities(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = LabelPropagation.communities(edges, "s", "d", iters = 3,
+        earlyStop = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(es == fixed)
   }
 
   test("spectral topComponent: planted direction, exact variance share, loud overflow") {
@@ -1949,6 +2067,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(causes(e2).exists(t =>
       t.getMessage != null && t.getMessage.contains("expected 2")))
+  }
+
+  test("spectral: variance-explained early stop, non-finite input fails loud") {
+    import graft.operators.Spectral
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // rank-1 fixture: component 1 explains ~100% of variance → a 0.99
+    // target stops after ONE component despite k = 3, and the emitted
+    // rows are bit-identical to the uncapped run's component-1 prefix
+    val pts = Seq(
+      Seq(1f, 1f, 0f, 0f), Seq(-1f, -1f, 0f, 0f),
+      Seq(2f, 2f, 0f, 0f), Seq(-2f, -2f, 0f, 0f)).toDF("v")
+    val capped = Spectral.topComponents(pts, "v", dims = 4, k = 3,
+        explainedTarget = 0.99)
+      .orderBy("component", "dim").collect()
+    assert(capped.map(_.getInt(0)).distinct.toSeq == Seq(1))
+    assert(capped.length == 4)
+    val full = Spectral.topComponents(pts, "v", dims = 4, k = 3)
+      .orderBy("component", "dim").collect()
+    assert(full.map(_.getInt(0)).distinct.length == 3)
+    assert(capped.map(_.toSeq).toSeq ==
+      full.filter(_.getInt(0) == 1).map(_.toSeq).toSeq)
+    // NaN / Infinity fail LOUD instead of quantizing to 0 / saturating
+    // (round-8 advice: match the addExact overflow discipline)
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val df = Seq(Seq(1f, bad), Seq(0f, 1f), Seq(1f, 0f)).toDF("v")
+      val e = intercept[Exception] {
+        Spectral.topComponent(df, "v", dims = 2).collect()
+      }
+      assert(causes(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("non-finite")), bad.toString)
+    }
   }
 
   test("sortedNeighborhood: pairs within window, blocked, gap exact") {

@@ -53,6 +53,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!mix.contains("SortMergeJoin"))
   }
 
+  test("percentile family: no buffer-everything Percentile aggregate remains") {
+    // round-8 verdict finding #1: every interpolated-percentile call
+    // site now reads the bucketed prefix-sum CDF — the `percentile`
+    // aggregate (per-group buffer of EVERY value, the 100 TB cliff)
+    // must not reappear in any of these plans
+    for (q <- Seq("x_percentiles", "x_winsorize", "x_outliers",
+        "x_length_trim", "x_skew_report")) {
+      val p = plan(q).toLowerCase
+      assert(!p.contains("percentile"),
+        s"$q still carries a percentile aggregate")
+    }
+  }
+
   test("x_snapshot_diff: full-outer join on the key only, no cartesian") {
     val p = plan("x_snapshot_diff")
     assert(p.contains("FullOuter"), p.linesIterator.filter(_.contains("Join")).mkString("\n"))
