@@ -103,15 +103,22 @@ object Profiling {
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   cut: Double = 3.0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val med = Stats.groupedInterpolatedQuantiles(df, groupCol, valCol, Seq(0.5))
       .select(col(groupCol).as("__g"), col("value").as("med"))
+    // deviations feed TWO consumers (the MAD quantile pass and the
+    // final flag count) — persist so the corpus is scanned once for
+    // each logical pass, not re-derived per consumer; the med frame is
+    // a collected literal, so the join adds no scan
     val dev = df.join(broadcast(med), col(groupCol).cast("string") === col("__g"))
       .drop("__g")
       .select(col(groupCol), col(valCol), col("med"),
         abs(col(valCol) - col("med")).as("adev"))
+      .persist(lvl)
     val mad = Stats.groupedInterpolatedQuantiles(dev, groupCol, "adev", Seq(0.5))
       .select(col(groupCol).as("__g"), col("value").as("mad"))
-    dev.join(broadcast(mad), col(groupCol).cast("string") === col("__g"))
+    val out = dev
+      .join(broadcast(mad), col(groupCol).cast("string") === col("__g"))
       .drop("__g")
       .groupBy(col(groupCol))
       .agg(
@@ -121,6 +128,12 @@ object Profiling {
           .otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n"))
       .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 4))
+      // |groups|-row result: materialize eagerly (the x_bigram_nll
+      // contract) so the dev cache can be released here instead of
+      // leaking past the return
+      .localCheckpoint(true)
+    dev.unpersist()
+    out
   }
 
   /** Pearson chi-square test of independence between two categorical

@@ -144,12 +144,17 @@ object ScaleJoins {
     * eager-materialization contract applies (Stats object scaladoc).
     */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    // per-key counts feed TWO consumers (the quantile CDF and the
+    // totals agg) — persist so the raw-data aggregation runs once; the
+    // quantile result is a collected literal, the totals row
+    // materializes below, so the cache is released before returning
     val perKey = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = broadcast(
       Stats.interpolatedQuantiles(perKey, "cnt", Seq(0.5, 0.99))
         .agg(min(when(col("p") === 0.5, col("value"))).as("med_cnt"),
           min(when(col("p") === 0.99, col("value"))).as("p99_cnt")))
-    perKey
+    val out = perKey
       .agg(
         sum(col("cnt")).as("n_rows"),
         count(lit(1)).as("n_keys"),
@@ -163,6 +168,11 @@ object ScaleJoins {
         // double-rounding is a cross-engine parity trap
         round(col("max_cnt").cast("double") * col("n_keys") / col("n_rows"), 4)
           .as("skew_ratio"))
+      // ONE-row result: materialize eagerly so the perKey cache can be
+      // released here (the x_bigram_nll contract)
+      .localCheckpoint(true)
+    perKey.unpersist()
+    out
   }
 
   /** The EXECUTABLE skew decision rule (round-6 verdict: "the decision

@@ -189,36 +189,86 @@ object Stats {
     * both engines, so the index is deterministic cross-engine even at
     * a representation boundary) and the quantile is the smallest
     * distinct value whose exact cumulative count reaches k — read off
-    * the same bucketed prefix sum as [[ksTest]]/[[equiDepthBins]]:
-    * per-distinct-value counts (one partial-agged shuffle), local
-    * cumsums per bucket, planning-sized driver fold of ≤ `buckets`
-    * bucket totals. The rank probe broadcasts the |ps|-row rank frame
-    * against the distinct-value CDF (one narrow pass, partial-agged
-    * MIN) — nothing corpus-sized is ever sorted, buffered, or
-    * collected. Returns `(p, k, n, value)`, one row per requested
-    * quantile. NULLs are excluded (observed values only, the
-    * [[bucketedCdf]] policy); `ps` must lie in (0, 1].
+    * the bucketed prefix sum ([[globalCum]]): per-distinct-value
+    * counts (one partial-agged shuffle, PERSISTED so the boundary
+    * sample, the bucket-total fold, and the rank probe pay ONE corpus
+    * scan between them), local cumsums per bucket, planning-sized
+    * driver fold of ≤ `buckets` bucket totals. The rank probe
+    * broadcasts the |ps|-row rank frame against the distinct-value CDF
+    * (one narrow pass, partial-agged MIN) — nothing corpus-sized is
+    * ever sorted, buffered, or collected. Returns a LITERAL frame
+    * `(p, k, n, value)` (|ps| rows — planning-sized by construction,
+    * collected at call time so consumers embed it as a broadcast
+    * literal instead of re-deriving the CDF per action); the
+    * eager-materialization contract (object scaladoc) applies. NULLs
+    * are excluded (observed values only, the [[bucketedCdf]] policy);
+    * `ps` must lie in (0, 1]; empty input → empty frame.
     */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                      buckets: Int = 32): DataFrame = {
     require(ps.nonEmpty, "exactQuantiles: need at least one quantile")
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       s"exactQuantiles: quantiles must be in (0, 1], got $ps")
-    val cdf = bucketedCdf(df, valueCol, lit(true), buckets)
-      .select(col("v"), col("ca").as("cum"))
     val session = df.sparkSession
     import session.implicits._
-    val pdf = ps.toDF("p")
-    val totals = cdf.agg(max(col("cum")).as("n"))
-    val ranks = broadcast(pdf.crossJoin(broadcast(totals))
-      .select(col("p"), col("n"),
-        greatest(lit(1L), ceil(col("p") * col("n")).cast("long")).as("k")))
-    // rank probe: broadcast-nested-loop against the CDF, partial-agged
-    // min — linear in |distinct values|, no sort, no global window
-    cdf.join(ranks, col("cum") >= col("k"))
+    val (cum, n, cached) = globalCum(df, valueCol, buckets)
+    if (n == 0L) {
+      cached.unpersist()
+      return Seq.empty[(Double, Long, Long, Double)].toDF("p", "k", "n", "value")
+    }
+    // rank frame on the driver from the fold's total: k = ⌈p·n⌉ as an
+    // IEEE double product — the oracle's expression
+    val ranks = ps.map(p =>
+      (p, math.max(1L, math.ceil(p * n.toDouble).toLong), n)).toDF("p", "k", "n")
+    // rank probe: broadcast-nested-loop against the cached CDF,
+    // partial-agged min — linear in |distinct values|, no sort
+    val rows = cum.join(broadcast(ranks), col("cum") >= col("k"))
       .groupBy(col("p"), col("k"), col("n"))
       .agg(min(col("v")).as("value"))
-      .select(col("p"), col("k"), col("n"), col("value"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    cached.unpersist()
+    rows.sortBy(_._1).toSeq.toDF("p", "k", "n", "value")
+  }
+
+  /** Shared global machinery of the quantile family ([[groupedCum]]'s
+    * ungrouped sibling): exact cumulative counts per distinct value.
+    * The per-distinct-value counts frame is PERSISTED (MEMORY_AND_DISK
+    * — it is |distinct values|-sized, the legitimate intermediate; the
+    * boundary sample fills the cache, so the fold and the caller's
+    * probe re-read it instead of re-scanning the corpus) and returned
+    * as the third element for the CALLER to unpersist after its probe
+    * action. Returns (cum frame `(v double, cum long)`, total observed
+    * count from the same fold, cached counts handle).
+    */
+  private def globalCum(df: DataFrame, valueCol: String,
+                        buckets: Int): (DataFrame, Long, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = col(valueCol).cast("double")
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+      .persist(lvl)
+    val bounds = approxBounds(counts, "v", buckets)
+    val withB =
+      if (bounds.isEmpty) counts.withColumn("b", lit(0))
+      else counts.withColumn("b", bucketExpr(bounds, col("v")))
+    val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
+    val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
+    // driver-folded offsets over ≤ buckets rows (bucketedCdf's
+    // literal-frame pattern, same lineage-binding rationale)
+    val totals = withB.groupBy(col("b")).agg(sum(col("c")).as("tc"))
+      .collect().sortBy(_.getInt(0))
+    var acc = 0L
+    val offRows = totals.map { r =>
+      val row = (r.getInt(0), acc); acc += r.getLong(1); row
+    }.toSeq
+    val session = df.sparkSession
+    import session.implicits._
+    val cum =
+      if (offRows.isEmpty) local.select(col("v"), col("lc").as("cum"))
+      else local.join(broadcast(offRows.toDF("b", "off")), Seq("b"))
+        .select(col("v"), (col("lc") + col("off")).as("cum"))
+    (cum, acc, counts)
   }
 
   /** Per-group [[exactQuantiles]] — the scale-safe replacement for
@@ -243,23 +293,33 @@ object Stats {
     require(ps.nonEmpty, "groupedExactQuantiles: need at least one quantile")
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       s"groupedExactQuantiles: quantiles must be in (0, 1], got $ps")
-    val (cum, nByGroup) =
+    val session = df.sparkSession
+    import session.implicits._
+    val (cum, nByGroup, cached) =
       groupedCum(df, groupCol, valueCol, buckets, maxFoldRows,
         "groupedExactQuantiles")
+    if (nByGroup.isEmpty) {
+      cached.unpersist()
+      return Seq.empty[(String, Double, Long, Long, Double)]
+        .toDF(groupCol, "p", "k", "n", "value")
+    }
     // per-group rank frame, built on the driver from the same fold:
     // k = ⌈p·n_g⌉ as an IEEE double product — the oracle's expression
     val rankRows = for {
       (g, n) <- nByGroup.toSeq
       p <- ps
     } yield (g, p, math.max(1L, math.ceil(p * n.toDouble).toLong), n)
-    val session = df.sparkSession
-    import session.implicits._
     val ranks = rankRows.toDF("g", "p", "k", "n")
-    cum.join(broadcast(ranks), Seq("g"))
+    val rows = cum.join(broadcast(ranks), Seq("g"))
       .filter(col("cum") >= col("k"))
       .groupBy(col("g"), col("p"), col("k"), col("n"))
       .agg(min(col("v")).as("value"))
-      .select(col("g").as(groupCol), col("p"), col("k"), col("n"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    cached.unpersist()
+    rows.sortBy(r => (r._1, r._2)).toSeq
+      .toDF(groupCol, "p", "k", "n", "value")
   }
 
   /** Shared machinery of the per-group quantile family: exact
@@ -273,15 +333,21 @@ object Stats {
     * fold (no second pass). Group keys carry as their STRING rendering
     * (the fold and the literal rank frames need one concrete type);
     * NULL values and NULL group keys are excluded (observed-values
-    * policy; cross-engine null-group semantics differ).
+    * policy; cross-engine null-group semantics differ). The counts
+    * frame is PERSISTED ([[globalCum]]'s contract — the boundary
+    * sample fills the cache, so the fold and the caller's probe pay
+    * ONE corpus scan between them) and returned third for the CALLER
+    * to unpersist after its probe action.
     */
   private def groupedCum(df: DataFrame, groupCol: String, valueCol: String,
-                         buckets: Int, maxFoldRows: Long,
-                         caller: String): (DataFrame, Map[String, Long]) = {
+                         buckets: Int, maxFoldRows: Long, caller: String)
+      : (DataFrame, Map[String, Long], DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val v = col(valueCol).cast("double")
     val obs = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
     val counts = obs.groupBy(col(groupCol).cast("string").as("g"), v.as("v"))
       .agg(count(lit(1)).as("c"))
+      .persist(lvl)
     // GLOBAL approx boundaries: accuracy only balances tasks, and one
     // boundary set serves every group (a per-group set would be a
     // groups×quantiles sample pass for zero correctness gain)
@@ -310,10 +376,11 @@ object Stats {
     val nByGroup = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
     val session = df.sparkSession
     import session.implicits._
-    val offsets = offRows.toDF("g", "b", "off")
-    val cum = local.join(broadcast(offsets), Seq("g", "b"))
-      .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
-    (cum, nByGroup.toMap)
+    val cum =
+      if (offRows.isEmpty) local.select(col("g"), col("v"), col("lc").as("cum"))
+      else local.join(broadcast(offRows.toDF("g", "b", "off")), Seq("g", "b"))
+        .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
+    (cum, nByGroup.toMap, counts)
   }
 
   /** Exact INTERPOLATED quantiles with bounded memory — bit-identical
@@ -329,32 +396,38 @@ object Stats {
     * algebraically-equal `v_lo + frac·(v_hi−v_lo)`, which can differ
     * in the last ulp). Both ranks probe the CDF in ONE broadcast pass
     * (2·|ps| probe rows, partial-agged MIN) — nothing corpus-sized is
-    * sorted, buffered, or collected. Returns `(p, n, value)`, one row
-    * per requested quantile; `ps` in [0, 1]; NULLs excluded
-    * (observed-values policy); empty input → empty result.
+    * sorted, buffered, or collected. Returns a LITERAL frame
+    * `(p, n, value)` (|ps| rows, collected at call time — the
+    * [[exactQuantiles]] contract: consumers embed the result as a
+    * broadcast literal instead of re-deriving the CDF per action, and
+    * the persisted counts frame caps the whole call at ONE corpus
+    * scan); `ps` in [0, 1]; NULLs excluded (observed-values policy);
+    * empty input → empty frame.
     */
   def interpolatedQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                             buckets: Int = 32): DataFrame = {
     require(ps.nonEmpty, "interpolatedQuantiles: need at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0),
       s"interpolatedQuantiles: quantiles must be in [0, 1], got $ps")
-    val cdf = bucketedCdf(df, valueCol, lit(true), buckets)
-      .select(col("v"), col("ca").as("cum"))
     val session = df.sparkSession
     import session.implicits._
-    val pdf = ps.toDF("p")
-    val totals = cdf.agg(max(col("cum")).as("n"))
-    val ranks = pdf.crossJoin(broadcast(totals))
-      .select(col("p"), col("n"),
-        ((col("n") - 1).cast("double") * col("p")).as("pos"))
-      .withColumn("k_lo", floor(col("pos")) + 1L)
-      .withColumn("k_hi", ceil(col("pos")) + 1L)
-    val probes = broadcast(ranks.select(col("p"), col("n"), col("pos"),
-      col("k_lo"), col("k_hi"),
-      explode(array(col("k_lo"), col("k_hi"))).as("k")))
-    // rank probe: broadcast-nested-loop against the CDF, partial-agged
-    // min — linear in |distinct values|, no sort, no global window
-    cdf.join(probes, col("cum") >= col("k"))
+    val (cum, n, cached) = globalCum(df, valueCol, buckets)
+    if (n == 0L) {
+      cached.unpersist()
+      return Seq.empty[(Double, Long, Double)].toDF("p", "n", "value")
+    }
+    // bracketing ranks on the driver, in the aggregate's own
+    // arithmetic: pos = (n−1)·p as an IEEE product
+    val rankRows = ps.map { p =>
+      val pos = (n - 1).toDouble * p
+      (p, n, pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+    }
+    val probes = rankRows.toDF("p", "n", "pos", "k_lo", "k_hi")
+      .select(col("p"), col("n"), col("pos"), col("k_lo"), col("k_hi"),
+        explode(array(col("k_lo"), col("k_hi"))).as("k"))
+    // rank probe: broadcast-nested-loop against the cached CDF,
+    // partial-agged min — linear in |distinct values|, no sort
+    val rows = cum.join(broadcast(probes), col("cum") >= col("k"))
       .groupBy(col("p"), col("n"), col("pos"),
         col("k_lo"), col("k_hi"), col("k"))
       .agg(min(col("v")).as("vv"))
@@ -362,6 +435,10 @@ object Stats {
       .agg(min(when(col("k") === col("k_lo"), col("vv"))).as("v_lo"),
         min(when(col("k") === col("k_hi"), col("vv"))).as("v_hi"))
       .select(col("p"), col("n"), interpLerp.as("value"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    cached.unpersist()
+    rows.sortBy(_._1).toSeq.toDF("p", "n", "value")
   }
 
   /** Spark `percentile`'s exact lerp over the probed bracketing order
@@ -395,9 +472,16 @@ object Stats {
     require(ps.nonEmpty, "groupedInterpolatedQuantiles: need at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0),
       s"groupedInterpolatedQuantiles: quantiles must be in [0, 1], got $ps")
-    val (cum, nByGroup) =
+    val session = df.sparkSession
+    import session.implicits._
+    val (cum, nByGroup, cached) =
       groupedCum(df, groupCol, valueCol, buckets, maxFoldRows,
         "groupedInterpolatedQuantiles")
+    if (nByGroup.isEmpty) {
+      cached.unpersist()
+      return Seq.empty[(String, Double, Long, Double)]
+        .toDF(groupCol, "p", "n", "value")
+    }
     // bracketing ranks on the driver from the same fold, in the
     // aggregate's own arithmetic: pos = (n−1)·p as an IEEE product
     val rankRows = for {
@@ -407,13 +491,11 @@ object Stats {
       val pos = (n - 1).toDouble * p
       (g, p, n, pos, math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
     }
-    val session = df.sparkSession
-    import session.implicits._
-    val ranks = rankRows.toDF("g", "p", "n", "pos", "k_lo", "k_hi")
-    val probes = ranks.select(col("g"), col("p"), col("n"), col("pos"),
-      col("k_lo"), col("k_hi"),
-      explode(array(col("k_lo"), col("k_hi"))).as("k"))
-    cum.join(broadcast(probes), Seq("g"))
+    val probes = rankRows.toDF("g", "p", "n", "pos", "k_lo", "k_hi")
+      .select(col("g"), col("p"), col("n"), col("pos"),
+        col("k_lo"), col("k_hi"),
+        explode(array(col("k_lo"), col("k_hi"))).as("k"))
+    val rows = cum.join(broadcast(probes), Seq("g"))
       .filter(col("cum") >= col("k"))
       .groupBy(col("g"), col("p"), col("n"), col("pos"),
         col("k_lo"), col("k_hi"), col("k"))
@@ -422,7 +504,12 @@ object Stats {
         col("k_lo"), col("k_hi"))
       .agg(min(when(col("k") === col("k_lo"), col("vv"))).as("v_lo"),
         min(when(col("k") === col("k_hi"), col("vv"))).as("v_hi"))
-      .select(col("g").as(groupCol), col("p"), col("n"), interpLerp.as("value"))
+      .select(col("g"), col("p"), col("n"), interpLerp.as("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    cached.unpersist()
+    rows.sortBy(r => (r._1, r._2)).toSeq
+      .toDF(groupCol, "p", "n", "value")
   }
 
   /** Population Stability Index between the rows where `sampleACond`
