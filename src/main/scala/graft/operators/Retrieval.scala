@@ -102,4 +102,54 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (Cormack, Clarke & Buettcher,
+    * SIGIR'09): a lexical list (e.g. [[bm25]]) and a dense list (e.g.
+    * [[Similarity.bruteForceTopK]]) merge by RANK, not score, so the
+    * two incomparable score scales never need calibration:
+    *
+    *   rrf(d) = Σ_lists 1/(rrfK + rank_list(d))
+    *
+    * over the lists that retrieved d (a miss contributes 0 — the
+    * full-outer semantics). Ranks are dense from 1 in each list,
+    * ordered by (score DESC, id ASC), so they are engine-deterministic
+    * whenever the input scores are (both list producers here pin their
+    * scores to round(4)/decimal(10,4)). The fused score is a sum of
+    * two exact reciprocals in a FIXED operand order (list A then B),
+    * rounded to 6 dp. Returns `(idCol, rank_a, rank_b, rrf)` — null
+    * rank marks "not retrieved by that list" — ordered by
+    * (rrf DESC, id), cut to `k`.
+    *
+    * Scale shape: inputs are top-k lists — PLANNING-SIZED by contract
+    * (the expensive corpus work happened inside the producers). The
+    * single-partition rank windows and the final sort run over ≤
+    * |listA|+|listB| rows and the join broadcasts; nothing here
+    * touches the corpus.
+    */
+  def rrfFuse(listA: DataFrame, listB: DataFrame, idCol: String,
+              k: Int, rrfK: Int = 60): DataFrame = {
+    require(k >= 1, "rrfFuse: k must be >= 1")
+    require(rrfK >= 1, "rrfFuse: rrfK must be >= 1")
+    def ranked(df: DataFrame, rankName: String) = {
+      val scoreCol = df.columns.filterNot(_ == idCol) match {
+        case Array(s) => s
+        case other => throw new IllegalArgumentException(
+          s"rrfFuse: expected (id, score) columns, got ${other.mkString(",")}")
+      }
+      df.select(col(idCol), row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col(scoreCol).desc, col(idCol)))
+        .as(rankName))
+    }
+    val a = ranked(listA, "rank_a")
+    val b = ranked(listB, "rank_b")
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

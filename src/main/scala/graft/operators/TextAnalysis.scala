@@ -235,22 +235,7 @@ object TextAnalysis {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 lambda: Double = 0.75): DataFrame = {
     require(lambda > 0 && lambda < 1, s"bigramNll: lambda $lambda outside (0,1)")
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // positions AFTER dropping empty fragments, so a bigram is a pair
-    // of consecutive non-empty tokens (split artifacts never break
-    // adjacency); the filter lambda runs on the small split array
-    val toks = docs
-      .select(col(idCol).as("__id"),
-        posexplode(filter(split(col(textCol), "\\s+"),
-          w => length(w) > 0)).as(Seq("__pos", "__w")))
-      .persist(lvl)
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("__pos"))
-    val bigrams = toks
-      .select(col("__id"), lag(col("__w"), 1).over(byDoc).as("__prev"),
-        col("__w"))
-      .filter(col("__prev").isNotNull)
-      .persist(lvl)
+    val (toks, bigrams) = bigramFrames(docs, idCol, textCol)
     val big = bigrams.groupBy(col("__prev"), col("__w"))
       .agg(count(lit(1)).as("__c2"))
     val ctx = bigrams.groupBy(col("__prev")).agg(count(lit(1)).as("__c1"))
@@ -267,6 +252,102 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(-log(p)), 4).as("nll"))
       .select(col("__id").as(idCol), col("n_bigrams"), col("nll"))
+      .localCheckpoint(true)
+    bigrams.unpersist(); toks.unpersist()
+    out
+  }
+
+  /** Shared substrate of the bigram-LM scorers: the PERSISTED
+    * per-document token frame `(__id, __pos, __w)` and consecutive
+    * bigram frame `(__id, __prev, __w)`. Positions are assigned AFTER
+    * dropping empty split fragments, so a bigram is a pair of
+    * consecutive non-empty tokens (split artifacts never break
+    * adjacency); the filter lambda runs on the small per-row split
+    * array. Tokens shuffle ONCE on the doc key (the lag window); both
+    * frames persist because each scorer reads them from multiple
+    * count aggregations. CALLERS unpersist both after materializing
+    * their result.
+    */
+  private def bigramFrames(docs: DataFrame, idCol: String,
+                           textCol: String): (DataFrame, DataFrame) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = docs
+      .select(col(idCol).as("__id"),
+        posexplode(filter(split(col(textCol), "\\s+"),
+          w => length(w) > 0)).as(Seq("__pos", "__w")))
+      .persist(lvl)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+    val bigrams = toks
+      .select(col("__id"), lag(col("__w"), 1).over(byDoc).as("__prev"),
+        col("__w"))
+      .filter(col("__prev").isNotNull)
+      .persist(lvl)
+    (toks, bigrams)
+  }
+
+  /** Interpolated Kneser-Ney bigram score per document — the smoothing
+    * the n-gram-LM literature actually ships (Chen & Goodman 1999)
+    * and the quality notch above [[bigramNll]]'s count interpolation:
+    * instead of backing off to RAW unigram frequency (which overrates
+    * words that are frequent only inside one collocation), the
+    * continuation distribution asks "in how many distinct contexts
+    * does this word appear?"
+    *
+    *   p_KN(w|v) = max(c(v,w) − D, 0)/c(v,·)
+    *             + D·N1+(v,·)/c(v,·) · N1+(·,w)/|bigram types|
+    *
+    * with absolute discount D (default 0.75, binary-exact), context
+    * total c(v,·), N1+(v,·) = distinct words following v, N1+(·,w) =
+    * distinct contexts preceding w, and |bigram types| the corpus
+    * distinct-bigram count. Every factor is a ratio of exact integer
+    * counts, so the per-token probability replays bit-for-bit
+    * cross-engine; only the per-doc mean is order-sensitive, absorbed
+    * by round(4). Scored bigrams were observed in training (the model
+    * scores its own corpus, the perplexity-filter shape), so both the
+    * discounted term's denominator and the continuation count are
+    * positive — no zero-probability branch. Returns
+    * `(idCol, n_bigrams, kn_nll)`; documents with fewer than two
+    * tokens have no bigrams and are absent.
+    *
+    * Scale shape: identical to [[bigramNll]] — one token shuffle on
+    * the doc key, then count-distinct/count hash aggs off the shared
+    * persisted frames (each partial-agged, keyed on bigram parts);
+    * scoring re-joins the |vocab|- and |bigram-type|-sized model
+    * tables keyed on the bigram. Nothing quadratic, no vocabulary
+    * collected, the type total rides along as a broadcast 1-row agg.
+    */
+  def knBigramNll(docs: DataFrame, idCol: String, textCol: String,
+                  discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"knBigramNll: discount $discount outside (0,1)")
+    val (toks, bigrams) = bigramFrames(docs, idCol, textCol)
+    // model tables, all exact integer counts: c(v,w); per-context
+    // total c(v,·) with its distinct-follower count N1+(v,·) from the
+    // SAME aggregation; per-word distinct-context count N1+(·,w);
+    // corpus bigram-type total
+    val big = bigrams.groupBy(col("__prev"), col("__w"))
+      .agg(count(lit(1)).as("__c2"))
+    val ctx = bigrams.groupBy(col("__prev"))
+      .agg(count(lit(1)).as("__c1"),
+        count_distinct(col("__w")).as("__n1fwd"))
+    val cont = bigrams.groupBy(col("__w"))
+      .agg(count_distinct(col("__prev")).as("__n1bwd"))
+    val types = bigrams.select(col("__prev"), col("__w")).distinct()
+      .agg(count(lit(1)).as("__types"))
+    val pKn =
+      greatest(col("__c2").cast("double") - discount, lit(0.0)) / col("__c1") +
+        (lit(discount) * col("__n1fwd") / col("__c1")) *
+          (col("__n1bwd").cast("double") / col("__types"))
+    val out = bigrams
+      .join(big, Seq("__prev", "__w"))
+      .join(ctx, Seq("__prev"))
+      .join(cont, Seq("__w"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(pKn)), 4).as("kn_nll"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("kn_nll"))
       .localCheckpoint(true)
     bigrams.unpersist(); toks.unpersist()
     out

@@ -17,6 +17,22 @@ object Extras {
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
   val defs: Map[String, Q] = Map(
+    "x_zone_map" -> ((s, dir) => {
+      // Z-order layout AUDIT (operators/Layout — the quantize/re-layout
+      // layer above the native ZOrder2 bit kernel x_zorder oracles):
+      // orders clustered on (o_custkey, o_totalprice) at 4 bits/dim,
+      // zone maps of the 16 deterministic z-prefix "files". Every
+      // file's span shrinks in BOTH dimensions (~1/4 of each range) —
+      // the property that lets min/max pruning serve predicates on
+      // either column, where a single-column sort layout prunes only
+      // its leading column. The z-value is a closed IEEE/bit form of
+      // the global (min, max) bounds, so the whole audit replays
+      // cross-engine.
+      graft.operators.Layout.zoneMap(t(s, dir, "orders"),
+          Seq("o_custkey", "o_totalprice"), bits = 4, filesLog2 = 4)
+        .orderBy("file_id")
+    }),
+
     "x_except" -> ((s, dir) => {
       // customers with no 'F'-status order: 5/71/511 rows at
       // sf0.001/0.01/0.1 — non-vacuous at every SF (every customer has
@@ -460,6 +476,33 @@ object Extras {
   )
 
   val oracle: Map[String, String] = Map(
+    "x_zone_map" -> {
+      // bit-interleave replay: per-dim equi-width cells over the global
+      // (min, max), LSB-first interleave (custkey bit k → z-bit 2k,
+      // totalprice bit k → z-bit 2k+1), file = top 4 z-bits
+      val q1 = "CASE WHEN mn1 = mx1 THEN 0 ELSE LEAST(CAST(FLOOR(" +
+        "(CAST(o_custkey AS DOUBLE) - mn1) / (mx1 - mn1) * 16) AS INT), 15) END"
+      val q2 = "CASE WHEN mn2 = mx2 THEN 0 ELSE LEAST(CAST(FLOOR(" +
+        "(o_totalprice - mn2) / (mx2 - mn2) * 16) AS INT), 15) END"
+      val inter = (0 until 4).flatMap(k =>
+        Seq(s"(((q1 >> $k) & 1) << ${2 * k})",
+          s"(((q2 >> $k) & 1) << ${2 * k + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn1,
+         |         MAX(CAST(o_custkey AS DOUBLE)) AS mx1,
+         |         MIN(o_totalprice) AS mn2, MAX(o_totalprice) AS mx2
+         |  FROM orders
+         |), q AS (
+         |  SELECT o_custkey, o_totalprice, $q1 AS q1, $q2 AS q2
+         |  FROM orders CROSS JOIN b
+         |), z AS (
+         |  SELECT o_custkey, o_totalprice, $inter AS z FROM q
+         |)
+         |SELECT CAST(z >> 4 AS INT) AS file_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+         |  MIN(o_custkey) AS min_o_custkey, MAX(o_custkey) AS max_o_custkey,
+         |  MIN(o_totalprice) AS min_o_totalprice, MAX(o_totalprice) AS max_o_totalprice
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "x_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

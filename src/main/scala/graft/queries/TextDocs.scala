@@ -221,6 +221,24 @@ object TextDocs {
         Seq("vector", "stream", "merge", "window"), k = 20)
     }),
 
+    "x_rrf_fusion" -> ((s, dir) => {
+      // hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse):
+      // the BM25 lexical top-50 and the dense cosine top-50 (query
+      // vec_id=0, ids aligned with doc ids) merge by RANK — no score
+      // calibration. Both producers pin scores (round(4) /
+      // decimal(10,4)), so ranks and therefore the fused cut are
+      // engine-deterministic; the fusion itself runs over two
+      // planning-sized lists.
+      val lex = Retrieval.bm25(docs(s, dir), "doc_id", "text",
+        Seq("vector", "stream", "merge", "window"), k = 50)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val sem = graft.operators.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          emb.filter(col("vec_id") === 0), 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Retrieval.rrfFuse(lex, sem, "doc_id", k = 20)
+    }),
+
     "x_inverted" -> ((s, dir) => {
       // inverted-index build (operators/Retrieval): term -> sorted
       // postings, df-capped. The oracle checks a digest (md5 of the
@@ -406,6 +424,15 @@ object TextDocs {
       // proxy below: p(w|v) = 0.75·c(v,w)/c(v,·) + 0.25·c(w)/N, all
       // counts exact integers, λ binary-exact, per-doc mean round(4)
       graft.operators.TextAnalysis.bigramNll(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "x_kn_bigram" -> ((s, dir) =>
+      // interpolated Kneser-Ney bigram score (TextAnalysis.knBigramNll)
+      // — the Chen & Goodman smoothing: discounted bigram mass backs
+      // off to the CONTINUATION distribution (distinct-context counts),
+      // not raw unigram frequency. D=0.75 binary-exact, all model
+      // factors ratios of exact integer counts, per-doc mean round(4)
+      graft.operators.TextAnalysis.knBigramNll(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
     "x_unigram_logprob" -> ((s, dir) => {
@@ -1509,6 +1536,49 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_rrf_fusion" ->
+      // the x_bm25 pipeline at k=50 fused with the x_ann_topk cosine
+      // list at k=50 by reciprocal rank: rrf = 1/(60+rank_a) +
+      // 1/(60+rank_b), fixed operand order, round(6); INT rank casts
+      // match Spark's row_number type
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        |), stats AS (
+        |  SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS n,
+        |         (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks) /
+        |           (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS avgdl
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        |  WHERE term IN ('vector', 'stream', 'merge', 'window') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), lex AS (
+        |  SELECT tf.doc_id,
+        |    ROUND(SUM(ln(1.0e0 + (s.n - df.df + 0.5e0) / (df.df + 0.5e0)) *
+        |      (tf.tf * (1.2e0 + 1.0e0) /
+        |        (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
+        |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
+        |  GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 50
+        |), sem AS (
+        |  SELECT a.vec_id AS doc_id,
+        |    CAST(CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |      CAST(q.embedding AS DOUBLE[])) AS DECIMAL(10,4)) AS DOUBLE) AS cos
+        |  FROM embeddings a, embeddings q
+        |  WHERE q.vec_id = 0 AND a.vec_id <> 0
+        |  ORDER BY cos DESC, a.vec_id LIMIT 50
+        |), ra AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_a FROM lex
+        |), rb AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT) AS rank_b FROM sem
+        |)
+        |SELECT doc_id, rank_a, rank_b,
+        |  ROUND(COALESCE(1.0e0 / (60 + rank_a), 0) +
+        |        COALESCE(1.0e0 / (60 + rank_b), 0), 6) AS rrf
+        |FROM ra FULL OUTER JOIN rb USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
     "x_source_overlap" ->
       s"""WITH $minhashSigCtes,
          |cand AS (
@@ -1786,6 +1856,34 @@ object TextDocs {
         |             + 0.25 * (CAST(u AS DOUBLE) / tot))), 4) AS nll
         |FROM bg2 b JOIN big USING (prev, word) JOIN ctx USING (prev)
         |JOIN uni USING (word) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x_kn_bigram" ->
+      // interpolated Kneser-Ney: discounted bigram term + continuation
+      // back-off. ctx carries both the context total c1 and the
+      // distinct-follower count n1fwd (one CTE, the engine's single-agg
+      // shape); cont counts distinct contexts per word; types is the
+      // corpus distinct-bigram count
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |        FROM documents) d
+        |), bg AS (
+        |  SELECT doc_id, LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+        |         word
+        |  FROM toks
+        |), bg2 AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+        |big AS (SELECT prev, word, COUNT(*) AS c2 FROM bg2 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, COUNT(*) AS c1,
+        |               COUNT(DISTINCT word) AS n1fwd FROM bg2 GROUP BY 1),
+        |cont AS (SELECT word, COUNT(DISTINCT prev) AS n1bwd FROM bg2 GROUP BY 1),
+        |types AS (SELECT COUNT(*) AS nt FROM big)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-ln(
+        |    greatest(CAST(c2 AS DOUBLE) - 0.75, 0) / c1
+        |    + (0.75 * n1fwd / c1) * (CAST(n1bwd AS DOUBLE) / nt))), 4) AS kn_nll
+        |FROM bg2 b JOIN big USING (prev, word) JOIN ctx USING (prev)
+        |JOIN cont USING (word) CROSS JOIN types
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_unigram_logprob" ->
       """WITH toks AS (

@@ -2666,4 +2666,80 @@ class OperatorsSpec extends AnyFunSuite {
       .select($"p").collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(100L, 200L))
   }
+
+  test("knBigramNll: Kneser-Ney factors match the hand model on a tiny corpus") {
+    // corpus: d1 = "a b a b", d2 = "a c". bigrams: d1 -> (a,b),(b,a),(a,b);
+    // d2 -> (a,c). c(a,.)=3, c(b,.)=1; N1+(a,.)=2 (b,c), N1+(b,.)=1 (a);
+    // N1+(.,b)=1 (a), N1+(.,a)=1 (b), N1+(.,c)=1 (a); |types|=3.
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.knBigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val d = 0.75
+    def pKn(c2: Long, c1: Long, n1fwd: Long, n1bwd: Long, types: Long) =
+      math.max(c2 - d, 0.0) / c1 + (d * n1fwd / c1) * (n1bwd.toDouble / types)
+    val pAB = pKn(2, 3, 2, 1, 3) // (a,b): c2=2
+    val pBA = pKn(1, 1, 1, 1, 3) // (b,a)
+    val pAC = pKn(1, 3, 2, 1, 3) // (a,c)
+    val nll1 = BigDecimal((-math.log(pAB) - math.log(pBA) - math.log(pAB)) / 3)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nll2 = BigDecimal(-math.log(pAC))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 3L && math.abs(got(1L)._2 - nll1) < 1e-9)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - nll2) < 1e-9)
+    // Kneser-Ney really differs from raw-unigram back-off: the
+    // continuation distribution is uniform here (every word follows
+    // exactly one distinct context) where unigram frequency is not
+    assert(pAB != pAC)
+  }
+
+  test("rrfFuse: full-outer rank fusion with fixed tie-break") {
+    import graft.operators.Retrieval
+    val lex = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("id", "score")
+    val sem = Seq((20L, 0.9), (40L, 0.8)).toDF("id", "cos")
+    val got = Retrieval.rrfFuse(lex, sem, "id", k = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3)))
+    // 20 is rank 2 lexically and rank 1 densely -> highest fused score
+    assert(got.head._1 == 20L && got.head._2 == Some(2) && got.head._3 == Some(1))
+    val exp20 = BigDecimal(1.0 / 62 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got.head._4 - exp20) < 1e-12)
+    // misses contribute 0, not null
+    val m = got.map(t => t._1 -> t).toMap
+    assert(m(30L)._2 == Some(3) && m(30L)._3 == None)
+    val exp30 = BigDecimal(1.0 / 63)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(m(30L)._4 - exp30) < 1e-12)
+    assert(got.map(_._1).toSet == Set(10L, 20L, 30L, 40L))
+  }
+
+  test("Layout: z-value interleave, cell edges, and zone-map spans") {
+    import graft.operators.Layout
+    // 2 dims, 2 bits each: x,y in [0,3] quantize to themselves
+    // (min=0, max=3 -> cell = least(floor(v/3*4), 3) = v for 0..3)
+    val grid = (for { x <- 0 to 3; y <- 0 to 3 } yield (x, y))
+      .toDF("x", "y")
+    val z = Layout.withZValue(grid, Seq("x", "y"), bits = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // bit layout must agree with the native 2-dim kernel
+    for { x <- 0 to 3; y <- 0 to 3 }
+      assert(z((x, y)) == graft.functions.ZOrder2.interleave(x.toLong, y.toLong),
+        s"z($x,$y)")
+    // zone map at filesLog2=2 over the full 4-bit z space: each of the
+    // 4 files is one 2x2 quadrant -> every file spans HALF of each
+    // dimension (the multi-dim pruning property)
+    val zm = Layout.zoneMap(grid, Seq("x", "y"), bits = 2, filesLog2 = 2)
+      .collect()
+    assert(zm.length == 4)
+    zm.foreach { r =>
+      assert(r.getLong(1) == 4L) // 4 rows per quadrant
+      assert(r.getInt(3) - r.getInt(2) == 1, "x span is half the range")
+      assert(r.getInt(5) - r.getInt(4) == 1, "y span is half the range")
+    }
+    // zorderBy returns the same rows, laid out, metadata dropped
+    val laid = Layout.zorderBy(grid, Seq("x", "y"), bits = 2, numPartitions = 2)
+    assert(laid.columns.toSeq == Seq("x", "y"))
+    assert(laid.count() == 16)
+  }
 }
