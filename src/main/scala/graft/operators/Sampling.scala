@@ -328,4 +328,76 @@ object Sampling {
       .filter(col("cum") <= budget)
       .drop("b", "__s", "__c", "lc", "off")
   }
+
+  /** Data Selection via Importance Resampling weights (the DSIR shape,
+    * Xie et al. 2023): score every raw document by how much more
+    * likely its HASHED-BIGRAM features are under the target domain's
+    * feature distribution than under the raw corpus's —
+    *
+    *   w(doc) = Σ_features n_b · ln(p_target(b) / p_raw(b))
+    *
+    * with word bigrams hashed into `buckets` feature ids (the native
+    * FNV-1a 64 expression mod buckets — hashing makes the feature
+    * space fixed-size regardless of vocabulary) and Laplace-smoothed
+    * bucket shares ((c+1)/(N+buckets)) keeping unseen target buckets
+    * finite. `targetCond` marks the target-domain rows INSIDE the raw
+    * corpus (the usual setup: a trusted high-quality slice steers the
+    * selection over everything else); a NULL condition is false. The
+    * high-weight prefix is the DSIR selection — feed the result to
+    * [[budgetSelect]] / top-k for the actual cut.
+    *
+    * Returns `(idCol, n_bigrams, weight)` with weight rounded to 4 dp
+    * (the per-doc float sum is the only order-sensitive op — every
+    * p ratio is a closed form of exact integer counts). Documents
+    * with <2 tokens have no features and are absent.
+    *
+    * Scale shape (100 TB): one token shuffle on the doc key (the
+    * bigram lag window), one (doc, bucket) partial-agged hash agg;
+    * the feature model is ≤ `buckets` rows (aggregated from the
+    * per-doc counts — the corpus never re-scans) and BROADCASTS back
+    * with its 1-row totals. Nothing vocabulary-sized shuffles; the
+    * model join is a broadcast hash join against a planning-sized
+    * table.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetCond: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"dsirWeights: buckets must be a power of two (unsigned/signed mod " +
+        s"agreement for the hash replay), got $buckets")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val spark = docs.sparkSession
+    val (toks, bigrams) = TextAnalysis.bigramFrames(docs, idCol, textCol)
+    // per-(doc, feature) counts: the ONLY corpus-sized aggregation;
+    // persisted because both the model build and the scoring read it
+    val perDocB = bigrams
+      .select(col("__id"),
+        pmod(graft.functions.Fnv1a64.fnv64(spark,
+          concat(col("__prev"), lit(" "), col("__w"))), lit(buckets.toLong))
+          .as("__b"))
+      .groupBy(col("__id"), col("__b")).agg(count(lit(1)).as("__n"))
+      .persist(lvl)
+    val flags = docs.select(col(idCol).as("__id"),
+      when(targetCond, lit(true)).otherwise(lit(false)).as("__t"))
+    // feature model: ≤ buckets rows, built from the per-doc counts
+    val model = perDocB.join(flags, Seq("__id"))
+      .groupBy(col("__b"))
+      .agg(sum(when(col("__t"), col("__n")).otherwise(0L)).as("__ct"),
+        sum(col("__n")).as("__cr"))
+    val totals = model.agg(sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+    // log-likelihood ratio of Laplace-smoothed shares, in one fixed
+    // IEEE form both engines evaluate identically
+    val llr = log(
+      ((col("__ct").cast("double") + 1.0) / (col("__nt") + buckets)) /
+        ((col("__cr").cast("double") + 1.0) / (col("__nr") + buckets)))
+    val out = perDocB
+      .join(broadcast(model), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__n") * llr), 4).as("weight"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("weight"))
+      .localCheckpoint(true)
+    perDocB.unpersist(); bigrams.unpersist(); toks.unpersist()
+    out
+  }
 }

@@ -268,8 +268,8 @@ object TextAnalysis {
     * count aggregations. CALLERS unpersist both after materializing
     * their result.
     */
-  private def bigramFrames(docs: DataFrame, idCol: String,
-                           textCol: String): (DataFrame, DataFrame) = {
+  private[operators] def bigramFrames(docs: DataFrame, idCol: String,
+                                      textCol: String): (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = docs
       .select(col(idCol).as("__id"),

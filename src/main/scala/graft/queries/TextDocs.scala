@@ -221,6 +221,20 @@ object TextDocs {
         Seq("vector", "stream", "merge", "window"), k = 20)
     }),
 
+    "x_dsir_select" -> ((s, dir) => {
+      // DSIR data selection (Sampling.dsirWeights — Xie et al. 2023):
+      // hashed-bigram importance weights of every document against the
+      // English slice as the target domain, top-50 by weight. Feature
+      // hashing through the native FNV-1a expression mod 1024 (power
+      // of two: signed pmod == unsigned mod, the HUGEINT replay
+      // identity); Laplace-smoothed shares, llr in one fixed IEEE
+      // form, per-doc sum round(4).
+      graft.operators.Sampling.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     "x_rrf_fusion" -> ((s, dir) => {
       // hybrid retrieval via reciprocal-rank fusion (Retrieval.rrfFuse):
       // the BM25 lexical top-50 and the dense cosine top-50 (query
@@ -1536,6 +1550,37 @@ object TextDocs {
         |      (tf.tf + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0 * dl.dl / s.avgdl)))), 4) AS score
         |FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN stats s
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "x_dsir_select" ->
+      // hashed-bigram DSIR replay: FNV-1a fold of "prev word" mod 1024
+      // (HUGEINT unsigned == JVM signed pmod for a power-of-two
+      // modulus), Laplace-smoothed target/raw shares, fixed-form llr
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+         |        FROM documents) d
+         |), bg AS (
+         |  SELECT doc_id, LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+         |         word
+         |  FROM toks
+         |), bg2 AS (SELECT * FROM bg WHERE prev IS NOT NULL),
+         |fb AS (
+         |  SELECT doc_id,
+         |    CAST(${HashReplay.fnvFoldSql("prev || ' ' || word")} % 1024 AS BIGINT) AS b
+         |  FROM bg2
+         |), pdb AS (
+         |  SELECT doc_id, b, COUNT(*) AS n FROM fb GROUP BY 1, 2
+         |), model AS (
+         |  SELECT b, SUM(CASE WHEN d.lang = 'en' THEN n ELSE 0 END) AS ct,
+         |         SUM(n) AS cr
+         |  FROM pdb JOIN documents d USING (doc_id) GROUP BY 1
+         |), tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM model)
+         |SELECT pdb.doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  ROUND(SUM(n * ln(((CAST(ct AS DOUBLE) + 1.0) / (nt + 1024)) /
+         |                   ((CAST(cr AS DOUBLE) + 1.0) / (nr + 1024)))), 4) AS weight
+         |FROM pdb JOIN model USING (b) CROSS JOIN tot
+         |GROUP BY 1 ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin,
+
     "x_rrf_fusion" ->
       // the x_bm25 pipeline at k=50 fused with the x_ann_topk cosine
       // list at k=50 by reciprocal rank: rrf = 1/(60+rank_a) +

@@ -2692,6 +2692,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pAB != pAC)
   }
 
+  test("dsirWeights: hand model on a two-domain corpus, NULL target cond is false") {
+    // target doc repeats "a b", off-domain doc repeats "c d"; the probe
+    // doc mixes both. Its weight must sit between the two extremes and
+    // match the closed form exactly.
+    val docs = Seq(
+      (1L, "a b a b a b", "t"),   // target: bigrams (a,b)x3, (b,a)x2
+      (2L, "c d c d", null),      // raw-only: (c,d)x2, (d,c)x1
+      (3L, "a b c d", "x")        // probe: (a,b), (b,c), (c,d)
+    ).toDF("doc_id", "text", "dom")
+    val got = Sampling.dsirWeights(docs, "doc_id", "text",
+        col("dom") === "t", buckets = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // model counts per bigram (collision-free at 16 buckets would not
+    // be guaranteed — recompute via the same hash to stay exact)
+    def bucket(s: String): Long =
+      java.lang.Math.floorMod(
+        graft.functions.Fnv1a64.hashBytes(s.getBytes("UTF-8")), 16L)
+    val all = Seq("a b" -> 4L, "b a" -> 2L, "c d" -> 3L, "d c" -> 1L,
+      "b c" -> 1L) // raw = all three docs, including the probe's bigrams
+    val tgt = Seq("a b" -> 3L, "b a" -> 2L)
+    val cr: Map[Long, Long] = all.groupBy(p => bucket(p._1))
+      .map { case (b, g) => b -> g.map(_._2).sum }
+    val ct: Map[Long, Long] = tgt.groupBy(p => bucket(p._1))
+      .map { case (b, g) => b -> g.map(_._2).sum }
+    val (nt, nr) = (5L, 11L)
+    def llr(b: Long) = math.log(
+      ((ct.getOrElse(b, 0L).toDouble + 1.0) / (nt + 16)) /
+        ((cr(b).toDouble + 1.0) / (nr + 16)))
+    def w(bigrams: Seq[String]): Double = BigDecimal(
+        bigrams.groupBy(bucket).toSeq
+          .map { case (b, g) => g.size * llr(b) }.sum)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._1 == 5L && math.abs(got(1L)._2 - w(Seq.fill(3)("a b") ++ Seq.fill(2)("b a"))) < 1e-9)
+    assert(got(2L)._1 == 3L && math.abs(got(2L)._2 - w(Seq.fill(2)("c d") :+ "d c")) < 1e-9)
+    assert(got(3L)._1 == 3L && math.abs(got(3L)._2 - w(Seq("a b", "b c", "c d"))) < 1e-9)
+    // target doc scores highest, off-domain lowest, probe between
+    assert(got(1L)._2 > got(3L)._2 && got(3L)._2 > got(2L)._2)
+  }
+
   test("rrfFuse: full-outer rank fusion with fixed tie-break") {
     import graft.operators.Retrieval
     val lex = Seq((10L, 3.0), (20L, 2.0), (30L, 1.0)).toDF("id", "score")
