@@ -347,4 +347,90 @@ object Similarity {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Per-dimension int8 scalar-quantization scales: s_i = max|v_i|
+    * over the corpus, so codes c_i = ⌊v_i/s_i·127 + 0.5⌋ live in
+    * [−127, 127] with the SIGN preserved (symmetric-around-zero
+    * quantization — an offset form would destroy angles). ONE
+    * partial-agged aggregation over the exploded dims (the shuffle
+    * carries d rows per map partition, nothing corpus-sized), folded
+    * on the driver — d doubles, planning-sized by construction (the
+    * [[pqCodebook]] literal contract: the scales ride into every
+    * downstream plan as a broadcast literal, encode stays narrow).
+    * Ragged or empty corpora fail loud. */
+  def sqScales(corpus: DataFrame, vecCol: String): Array[Double] = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
+      .groupBy(col("__i"))
+      .agg(max(abs(col("__v").cast("double"))).as("__s"))
+      .collect()
+    require(rows.nonEmpty, "sqScales: empty corpus")
+    val d = rows.map(_.getInt(0)).max + 1
+    require(rows.length == d, s"sqScales: ragged vectors (${rows.length} of $d dims observed)")
+    val out = new Array[Double](d)
+    rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Int8 code column for `vecCol` under literal `scales`:
+    * c_i = ⌊v_i/s_i·127 + 0.5⌋ (round-half-up via the floor identity —
+    * both engines' FLOOR agree where banker's rounding would not),
+    * zero-scale dims code to 0. Whole-stage-codegen HOF over the
+    * array — a narrow map, no shuffle. */
+  private def sqCodeCol(vecCol: String, scales: Array[Double]): Column =
+    zip_with(col(vecCol),
+      lit(scales),
+      (v, s) => when(s === 0.0, 0)
+        .otherwise(floor(v.cast("double") / s * 127.0 + 0.5).cast("int")))
+
+  /** Approximate top-k under symmetric int8 scalar quantization: rank
+    * by the quantized cosine
+    *
+    *   cos_q = Σ c_a·c_q / (√(Σ c_a²)·√(Σ c_q²))
+    *
+    * where EVERY sum is an exact integer (codes are ints, `aggregate`
+    * folds in array order), so cos_q is two correctly-rounded IEEE ops
+    * over identical integers on any engine — bit-deterministic with no
+    * decimal pinning needed. This is the memory-side ANN trade: 4×
+    * smaller vectors (int8 vs float32) scanned with integer multiplies,
+    * at a recall cost [[sqRecall]] measures. One NARROW corpus scan
+    * (scales and query codes are broadcast literals) into
+    * TakeOrderedAndProject — the [[pqTopK]] shape. */
+  def sqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+             scales: Array[Double], query: DataFrame, vecColQ: String,
+             k: Int): DataFrame = {
+    val qCodes = queryVec(query, vecColQ).zip(scales).map { case (v, s) =>
+      if (s == 0.0) 0 else math.floor(v / s * 127.0 + 0.5).toInt
+    }
+    val qNorm = math.sqrt(qCodes.map(c => c.toLong * c).sum.toDouble)
+    val codes = sqCodeCol(vecCol, scales)
+    val dot = aggregate(
+      zip_with(codes, lit(qCodes), (a, b) => (a * b).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val norm2 = aggregate(
+      transform(codes, c => (c * c).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    corpus.select(col(idCol),
+        (dot.cast("double") / (sqrt(norm2.cast("double")) * qNorm)).as("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Recall@k of the int8-quantized ranking against the exact cosine
+    * top-k ([[bruteForceTopK]]) — the report that decides whether the
+    * 4× memory saving is free or costs answer quality. One row:
+    * `(k, n_match, recall)`. Both lists are planning-sized; the join
+    * is a broadcast over ≤ k rows. */
+  def sqRecall(corpus: DataFrame, idCol: String, vecCol: String,
+               scales: Array[Double], query: DataFrame, vecColQ: String,
+               k: Int): DataFrame = {
+    val approx = sqTopK(corpus, idCol, vecCol, scales, query, vecColQ, k)
+      .select(col(idCol))
+    val exact = bruteForceTopK(corpus, idCol, vecCol,
+      query.select(col(vecColQ).as(vecCol)), k).select(col(idCol))
+    approx.join(exact, Seq(idCol))
+      .agg(count(lit(1)).as("n_match"))
+      .select(lit(k).as("k"), col("n_match"),
+        round(col("n_match").cast("double") / k, 4).as("recall"))
+  }
 }

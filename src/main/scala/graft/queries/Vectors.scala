@@ -42,6 +42,19 @@ object Vectors {
         e.filter(col("vec_id") === 0), k = 20)
     }),
 
+    "x_sq_recall" -> ((s, dir) => {
+      // int8 scalar-quantization recall report (Similarity.sqRecall):
+      // the 4x-memory ANN trade measured — quantized-cosine top-20 vs
+      // the exact x_ann_topk cut. Every sum under cos_q is an exact
+      // integer (codes fold in array order), so the approx ranking is
+      // bit-deterministic with no decimal pinning; scales are a d-row
+      // planning-sized literal (the pqCodebook contract).
+      val e = emb(s, dir)
+      val scales = Similarity.sqScales(e, "embedding")
+      Similarity.sqRecall(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        scales, e.filter(col("vec_id") === 0), "embedding", k = 20)
+    }),
+
     "x_ivf_topk" -> ((s, dir) => {
       // IVF plumbing end-to-end under the driver's oracle: deterministic
       // coarse centroids (every 100th vector doubles as one — a real
@@ -581,6 +594,43 @@ object Vectors {
          |FROM embeddings a, embeddings q
          |WHERE q.vec_id = 0 AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
+    "x_sq_recall" ->
+      // symmetric int8 quantization replay: per-dim scales = MAX|v|,
+      // codes = FLOOR(v/s*127 + 0.5) (round-half-up via the floor
+      // identity), integer dot/norms -> bit-deterministic cos_q; the
+      // exact list is the x_ann_topk query verbatim
+      s"""WITH ex AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |         unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings
+         |), sc AS (
+         |  SELECT i, MAX(ABS(v)) AS s FROM ex GROUP BY 1
+         |), cd AS (
+         |  SELECT vec_id, i,
+         |    CASE WHEN s = 0 THEN 0
+         |         ELSE CAST(FLOOR(v / s * 127 + 0.5) AS INT) END AS c
+         |  FROM ex JOIN sc USING (i)
+         |), qc AS (SELECT i, c FROM cd WHERE vec_id = 0),
+         |qn AS (
+         |  SELECT sqrt(CAST(SUM(CAST(c AS BIGINT) * c) AS DOUBLE)) AS nq FROM qc
+         |), dots AS (
+         |  SELECT a.vec_id,
+         |    SUM(CAST(a.c AS BIGINT) * q.c) AS dot,
+         |    SUM(CAST(a.c AS BIGINT) * a.c) AS na
+         |  FROM cd a JOIN qc q USING (i) WHERE a.vec_id <> 0 GROUP BY 1
+         |), approx AS (
+         |  SELECT vec_id,
+         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * (SELECT nq FROM qn)) AS cos_q
+         |  FROM dots ORDER BY cos_q DESC, vec_id LIMIT 20
+         |), exact AS (
+         |  SELECT a.vec_id
+         |  FROM embeddings a, embeddings q
+         |  WHERE q.vec_id = 0 AND a.vec_id <> 0
+         |  ORDER BY CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) DESC, a.vec_id LIMIT 20
+         |)
+         |SELECT 20 AS k, CAST(COUNT(*) AS BIGINT) AS n_match,
+         |  ROUND(COUNT(*) / 20.0, 4) AS recall
+         |FROM approx JOIN exact USING (vec_id)""".stripMargin,
     "x_ivf_topk" ->
       s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a, embeddings q

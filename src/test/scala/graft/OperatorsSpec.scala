@@ -2692,6 +2692,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pAB != pAC)
   }
 
+  test("sq: int8 codes, quantized cosine, zero-scale dims, recall") {
+    import graft.operators.Similarity
+    // dim 3 is all-zero -> scale 0 -> codes 0 (no NaN path); all values
+    // float-exact (halves/quarters) so the hand model needs no tolerance
+    val e = Seq(
+      (0L, Array(0.75f, 0.5f, 0.0f)), // query
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.5f, 0.75f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val scales = Similarity.sqScales(e, "embedding")
+    assert(scales.toSeq == Seq(1.0, 0.75, 0.0))
+    // hand codes: q=(95,85,0), v1=(127,0,0), v2=(64,127,0)
+    def cosQ(a: Seq[Int], b: Seq[Int]) = {
+      val dot = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      dot.toDouble / (math.sqrt(a.map(x => x.toLong * x).sum.toDouble) *
+        math.sqrt(b.map(x => x.toLong * x).sum.toDouble))
+    }
+    val q = Seq(95, 85, 0)
+    val got = Similarity.sqTopK(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        scales, e.filter($"vec_id" === 0), "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L)) // v2 closer, as in exact cosine
+    assert(got.toMap.apply(2L) == cosQ(Seq(64, 127, 0), q)) // bit-exact, no tolerance
+    assert(got.toMap.apply(1L) == cosQ(Seq(127, 0, 0), q))
+    val rec = Similarity.sqRecall(e.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        scales, e.filter($"vec_id" === 0), "embedding", k = 2)
+      .head()
+    assert(rec.getInt(0) == 2 && rec.getLong(1) == 2L && rec.getDouble(2) == 1.0)
+  }
+
   test("dsirWeights: hand model on a two-domain corpus, NULL target cond is false") {
     // target doc repeats "a b", off-domain doc repeats "c d"; the probe
     // doc mixes both. Its weight must sit between the two extremes and
