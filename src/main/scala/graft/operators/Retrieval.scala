@@ -111,27 +111,30 @@ object Retrieval {
     *
     *   rrf(d) = Σ_lists 1/(rrfK + rank_list(d))
     *
-    * over the lists that retrieved d (a miss contributes 0 — the
-    * full-outer semantics). Ranks are dense from 1 in each list,
-    * ordered by (score DESC, id ASC), so they are engine-deterministic
-    * whenever the input scores are (both list producers here pin their
-    * scores to round(4)/decimal(10,4)). The fused score is a sum of
-    * two exact reciprocals in a FIXED operand order (list A then B),
-    * rounded to 6 dp. Returns `(idCol, rank_a, rank_b, rrf)` — null
-    * rank marks "not retrieved by that list" — ordered by
-    * (rrf DESC, id), cut to `k`.
+    * over the lists that retrieved d (a miss contributes 0 — full-
+    * outer semantics, realized as UNION + conditional aggregation:
+    * Spark will not broadcast a full-outer join, and a sort-merge join
+    * over two top-k lists would be plan noise). Ranks are dense from
+    * 1 in each list, ordered by (score DESC, id ASC), so they are
+    * engine-deterministic whenever the input scores are (both list
+    * producers here pin their scores to round(4)/decimal(10,4)). An
+    * id has AT MOST TWO contribution rows and two-term IEEE addition
+    * is commutative, so the aggregated sum is deterministic with no
+    * operand-order caveat; rounded to 6 dp. Returns
+    * `(idCol, rank_a, rank_b, rrf)` — null rank marks "not retrieved
+    * by that list" — ordered by (rrf DESC, id), cut to `k`.
     *
     * Scale shape: inputs are top-k lists — PLANNING-SIZED by contract
     * (the expensive corpus work happened inside the producers). The
-    * single-partition rank windows and the final sort run over ≤
-    * |listA|+|listB| rows and the join broadcasts; nothing here
-    * touches the corpus.
+    * single-partition rank windows, the union hash-agg and the final
+    * top-k run over ≤ |listA|+|listB| rows; nothing here touches the
+    * corpus, and the plan contains no join at all.
     */
   def rrfFuse(listA: DataFrame, listB: DataFrame, idCol: String,
               k: Int, rrfK: Int = 60): DataFrame = {
     require(k >= 1, "rrfFuse: k must be >= 1")
     require(rrfK >= 1, "rrfFuse: rrfK must be >= 1")
-    def ranked(df: DataFrame, rankName: String) = {
+    def ranked(df: DataFrame, src: String) = {
       val scoreCol = df.columns.filterNot(_ == idCol) match {
         case Array(s) => s
         case other => throw new IllegalArgumentException(
@@ -140,15 +143,13 @@ object Retrieval {
       df.select(col(idCol), row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col(scoreCol).desc, col(idCol)))
-        .as(rankName))
+        .as("rank"), lit(src).as("src"))
     }
-    val a = ranked(listA, "rank_a")
-    val b = ranked(listB, "rank_b")
-    val contrib = (r: org.apache.spark.sql.Column) =>
-      coalesce(lit(1.0) / (lit(rrfK) + r), lit(0.0))
-    a.join(b, Seq(idCol), "full_outer")
-      .select(col(idCol), col("rank_a"), col("rank_b"),
-        round(contrib(col("rank_a")) + contrib(col("rank_b")), 6).as("rrf"))
+    ranked(listA, "a").unionByName(ranked(listB, "b"))
+      .groupBy(col(idCol))
+      .agg(min(when(col("src") === "a", col("rank"))).as("rank_a"),
+        min(when(col("src") === "b", col("rank"))).as("rank_b"),
+        round(sum(lit(1.0) / (lit(rrfK) + col("rank"))), 6).as("rrf"))
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }

@@ -716,4 +716,47 @@ class PlanSpec extends AnyFunSuite {
     val lp = plan("x_label_prop")
     assert(!lp.contains("Scan parquet"), lp)
   }
+
+  test("x_kn_bigram/x_dsir_select: materialized results, model joins never cartesian") {
+    // both scorers share the bigramFrames substrate and return eager
+    // localCheckpoints (multiple count aggs consume the persisted
+    // frames; the returned plan must not re-derive the corpus scans)
+    val kn = plan("x_kn_bigram")
+    assert(!kn.contains("Scan parquet"), kn)
+    val ds = plan("x_dsir_select")
+    assert(!ds.contains("Scan parquet"), ds)
+    assert(!ds.contains("CartesianProduct"), ds)
+  }
+
+  test("x_sq_recall: one narrow quantized scan, top-k is TakeOrdered, no SMJ") {
+    // scales and query codes are literals, so the quantized ranking is
+    // scan -> project -> TakeOrderedAndProject; the recall join is over
+    // two <=k-row lists and must broadcast
+    val p = plan("x_sq_recall")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x_zone_map: one partial-agged pass, bounds broadcast back, no window") {
+    // the zone-map audit is a single hash aggregation over the
+    // z-projected frame; the (min,max) bounds ride as a broadcast
+    // 1-row aggregate — never a sort-merge join or a window
+    val p = plan("x_zone_map")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "zone-map agg must combine map-side")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x_rrf_fusion: fusion is planning-sized — corpus work confined to the producers") {
+    // BM25 stats/df broadcast (the x_bm25 lock), the dense list is the
+    // x_ann_topk shape; the fusion itself is union + hash agg over two
+    // <=50-row ranked lists — no join of any kind in the fusion layer
+    // (a full-outer formulation would sort-merge: Spark cannot
+    // broadcast full outer)
+    val p = plan("x_rrf_fusion")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
