@@ -119,6 +119,113 @@ object PageRank {
     r
   }
 
+  /** Personalized PageRank with a SEED restart distribution — the
+    * TrustRank shape web-corpus curation uses: trust mass restarts at
+    * hand-vetted seed nodes instead of uniformly, so the score is
+    * "how reachable from the trusted set", not raw centrality (Gyöngyi
+    * et al. 2004). The update replaces [[ranks]]'s uniform 1/N with
+    * p(v) = 1/|S| on seeds and 0 elsewhere:
+    *
+    *   r'(v) = (1-d)·p(v) + d·( Σ_{u→v} r(u)/outdeg(u) + D·p(v) )
+    *
+    * with the dangling mass D restarting into the seed distribution
+    * (the PPR-standard fix — Σr = 1 is preserved because Σp = 1).
+    * Seeds not present in the graph are ignored; at least one seed
+    * must touch the graph (fail loud — an empty restart vector has no
+    * stationary distribution). r0 = p, so unreachable components score
+    * exactly (1-d)·0 + … = 0 at every round: the score IS the trust
+    * reachability.
+    *
+    * Same Pregel-in-DataFrame scale shape, checkpoint discipline, and
+    * ROLLUP dangling fusion as [[ranks]] (one |E|-join + one
+    * partial-agged aggregation job per round; vertex joins broadcast
+    * below `maxBroadcastNodes`) — the methods stay separate because
+    * the uniform path's float constants ((1-d)/N precomputed on the
+    * driver) are oracle-pinned and must not change form.
+    */
+  def trustRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                 seeds: DataFrame, seedCol: String,
+                 iters: Int = 5, damping: Double = 0.85,
+                 maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+    require(iters >= 1, "trustRanks: iters must be >= 1")
+    require(damping > 0 && damping < 1, s"trustRanks: damping $damping outside (0,1)")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(lvl)
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val flagged = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.select(col("node"), lit(1).as("__s")), Seq("node"), "left")
+      .persist(lvl)
+    // one action: seed count (the p mass) — mirrors ranks' nNodes fold
+    val nSeeds = flagged.agg(sum(col("__s"))).head().get(0) match {
+      case null => 0L
+      case n: Long => n
+    }
+    require(nSeeds > 0,
+      "trustRanks: no seed node appears in the graph — empty restart vector")
+    val nodesP = flagged
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p"))
+      .persist(lvl)
+    val small = {
+      val n = nodesP.count()
+      n <= maxBroadcastNodes
+    }
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
+      .persist(lvl)
+    val sc = edges.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    var prevCached: Option[DataFrame] = None
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) {
+        df.persist(lvl)
+        val out = df.checkpoint(true)
+        prevCached.foreach(_.unpersist())
+        prevCached = Some(df)
+        out
+      } else df.localCheckpoint(false)
+
+    var r = ckpt(nodesP.select(col("node"), col("p").as("r")))
+    var prevCAll: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // identical rollup-fused contribution/dangling job as ranks
+      val cAll = e
+        .join(hint(r.select(col("node").as("src"), col("r"))), Seq("src"))
+        .join(hint(deg), Seq("src"))
+        .rollup(col("dst"))
+        .agg(sum(col("r") / col("od")).as("c"))
+        .persist(lvl)
+      val dm = 1.0 - cAll.filter(col("dst").isNull)
+        .select(coalesce(col("c"), lit(0.0))).head().getDouble(0)
+      prevCAll.foreach(_.unpersist())
+      prevCAll = Some(cAll)
+      r = ckpt(nodesP
+        .join(hint(cAll.filter(col("dst").isNotNull)
+          .select(col("dst").as("node"), col("c"))), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              lit(dm) * col("p"))).as("r")))
+    }
+    if (!reliable) r.count()
+    prevCAll.foreach(_.unpersist())
+    prevCached.foreach(_.unpersist())
+    e.unpersist(); flagged.unpersist(); nodesP.unpersist(); deg.unpersist()
+    r
+  }
+
+  /** [[trustRanks]] scaled like [[relativeRanks]] (rank·N, so 1.0 =
+    * the uniform-rank level): the joinable trust score. */
+  def relativeTrustRanks(edges: DataFrame, srcCol: String, dstCol: String,
+                         seeds: DataFrame, seedCol: String,
+                         iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val r = trustRanks(edges, srcCol, dstCol, seeds, seedCol, iters, damping)
+    val n = r.count().toDouble
+    r.select(col("node"), (col("r") * n).as("trust"))
+  }
+
   /** Ranks scaled so 1.0 = the uniform rank (rank·N): the relative
     * centrality score a corpus-weighting pipeline joins back on.
     * N = the rank frame's own row count (one row per node, already

@@ -429,6 +429,33 @@ object Extras {
         .orderBy("node")
     }),
 
+    "x_trustrank" -> ((s, dir) => {
+      // personalized PageRank / TrustRank (operators/PageRank
+      // .trustRanks): trust restarts at the high-balance customers
+      // (c_acctbal >= 9000) instead of uniformly, so the score is
+      // seed-reachability, not raw centrality — the corpus-curation
+      // signal ("how close to the vetted set") over the same
+      // buyer->supplier graph as x_pagerank. 3 rounds, identical
+      // rollup-fused dangling job; dangling mass restarts into the
+      // seed distribution. Numeric ids in the loop, display strings
+      // attached to the |V|-row result only.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val seeds = t(s, dir, "customer").filter(col("c_acctbal") >= 9000)
+        .select((col("c_custkey") * 2).as("node"))
+      graft.operators.PageRank.relativeTrustRanks(
+          edges, "src", "dst", seeds, "node", iters = 3)
+        .select(
+          concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            expr("node div 2")).as("node"),
+          round(col("trust"), 6).as("trust"))
+        .orderBy("node")
+    }),
+
     "x_ivm" -> ((s, dir) => {
       // incremental view maintenance (operators/IncrementalAgg): the
       // standing per-priority totals of orders before 1995-06-01 are
@@ -701,6 +728,42 @@ object Extras {
          |r0 AS (SELECT node, 1.0e0 / (SELECT n FROM nn) AS r FROM nodes),
          |$iterCtes
          |SELECT node, round(r * (SELECT n FROM nn), 6) AS rel_rank
+         |FROM r$iters ORDER BY node""".stripMargin
+    },
+    "x_trustrank" -> {
+      // x_pagerank's unrolled replay with the restart vector p in
+      // place of 1/N: p = 1/|seeds in graph| on seeds, 0 elsewhere;
+      // r0 = p; dangling mass restarts into p. Float constants
+      // interpolated from the SAME Scala doubles the operator uses;
+      // only summation order differs, absorbed by round(6).
+      val iters = 3
+      val d = 0.85
+      val iterCtes = (1 to iters).map { k =>
+        s"""contrib$k AS (SELECT e.dst AS node, SUM(p.r / deg.od) AS c
+           |  FROM edges e JOIN r${k - 1} p ON e.src = p.node
+           |  JOIN deg ON e.src = deg.src GROUP BY 1),
+           |dang$k AS (SELECT 1.0e0 - COALESCE((SELECT SUM(c) FROM contrib$k), 0.0e0) AS dm),
+           |r$k AS (SELECT n.node,
+           |    ${1.0 - d}e0 * n.p + ${d}e0 * (COALESCE(c.c, 0.0e0) +
+           |      (SELECT dm FROM dang$k) * n.p) AS r
+           |  FROM nodesp n LEFT JOIN contrib$k c ON n.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |seeds AS (SELECT DISTINCT 'c' || c_custkey AS node FROM customer
+         |          WHERE c_acctbal >= 9000),
+         |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM nodes JOIN seeds USING (node)),
+         |nodesp AS (SELECT n.node,
+         |    CASE WHEN s.node IS NOT NULL THEN 1.0e0 / (SELECT k FROM ns)
+         |         ELSE 0.0e0 END AS p
+         |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node),
+         |deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY 1),
+         |r0 AS (SELECT node, p AS r FROM nodesp),
+         |$iterCtes
+         |SELECT node, round(r * (SELECT n FROM nn), 6) AS trust
          |FROM r$iters ORDER BY node""".stripMargin
     },
     "x_ivm" ->

@@ -2692,6 +2692,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pAB != pAC)
   }
 
+  test("trustRanks: hand-computed seed restart, unreachable scores 0, empty seeds loud") {
+    import graft.operators.PageRank
+    // seed {a}, edge a->b (b dangling): r0=(1,0);
+    // round 1: c(b)=1, dm=0      -> r=(0.15, 0.85)
+    // round 2: c(b)=0.15, dm=0.85 -> a: 0.15+0.85*0.85=0.8725, b: 0.85*0.15
+    val e1 = Seq(("a", "b")).toDF("s", "d")
+    val seedsA = Seq("a").toDF("n")
+    val r2 = PageRank.trustRanks(e1, "s", "d", seedsA, "n", iters = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2("a") - 0.8725) < 1e-12)
+    assert(math.abs(r2("b") - 0.1275) < 1e-12)
+    // c->b cannot be reached FROM the seed: its score is exactly 0 at
+    // any depth (r0(c)=0, nothing contributes to c, restart mass 0)
+    val e2 = Seq(("a", "b"), ("c", "b")).toDF("s", "d")
+    val r3 = PageRank.trustRanks(e2, "s", "d", seedsA, "n", iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(r3("c") == 0.0)
+    assert(math.abs(r3.values.sum - 1.0) < 1e-9, "mass conserved")
+    // seeds that never touch the graph must fail loud
+    intercept[IllegalArgumentException] {
+      PageRank.trustRanks(e1, "s", "d", Seq("zzz").toDF("n"), "n", iters = 1)
+    }
+  }
+
   test("sq: int8 codes, quantized cosine, zero-scale dims, recall") {
     import graft.operators.Similarity
     // dim 3 is all-zero -> scale 0 -> codes 0 (no NaN path); all values
