@@ -348,6 +348,47 @@ object Similarity {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Hard-negative mining over a labeled embedding corpus — the
+    * metric-learning / contrastive-training data-prep step: for every
+    * vector, its `k` nearest neighbours with a DIFFERENT label (the
+    * look-alikes the model must learn to separate; easy negatives are
+    * free, hard ones must be mined). The corpus is its own query set,
+    * so the [[knnJoin]] contract applies: the query side broadcasts
+    * (bounded by [[MaxBroadcastQueries]], fail loud — mirror
+    * [[knnJoinBatched]]'s slicing for bigger corpora) and the per-query
+    * reduction is the bounded-buffer TopK aggregate with map-side
+    * combine — k rows per (query, partition) ever shuffle, candidates
+    * live only inside narrow codegen. The label-mismatch predicate
+    * rides IN the join condition, so same-label candidates are dropped
+    * before the aggregate buffers anything. At index scale, bucket
+    * candidates first (LSH/IVF, as in [[lshNearPairs]]/[[ivfTopK]])
+    * and apply the same mismatch predicate inside each bucket.
+    * Returns `(idCol, rank, neighbour id, cos)` — decimal(10,4)-pinned
+    * scores, ties to the larger neighbour id (the TopK struct order).
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    require(n <= MaxBroadcastQueries,
+      s"corpus has $n rows > $MaxBroadcastQueries broadcast bound; " +
+        "slice it as knnJoinBatched does")
+    val q = broadcast(corpus.select(col(idCol).as("__qid"),
+      col(vecCol).as("__qvec"), col(labelCol).as("__qlab")))
+    corpus.join(q,
+        col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
+      .select(col("__qid"),
+        struct(
+          CosineSimilarity.cosine(spark, col(vecCol), col("__qvec"))
+            .cast("decimal(10,4)").cast("double").as("cos"),
+          col(idCol).as("nid")).as("__cand"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopK.topK(spark, col("__cand"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__r", "__c")))
+      .select(col("__qid").as(idCol), (col("__r") + 1).as("rank"),
+        col("__c.nid").as("neg_id"), col("__c.cos").as("cos"))
+  }
+
   /** Per-dimension int8 scalar-quantization scales: s_i = max|v_i|
     * over the corpus, so codes c_i = ⌊v_i/s_i·127 + 0.5⌋ live in
     * [−127, 127] with the SIGN preserved (symmetric-around-zero

@@ -149,6 +149,16 @@ object Vectors {
         .orderBy("qid", "rank")
     }),
 
+    "x_hard_negatives" -> ((s, dir) =>
+      // hard-negative mining (Similarity.hardNegatives): each vector's
+      // top-3 nearest DIFFERENT-label neighbours — the contrastive-
+      // training pairs. The mismatch predicate rides in the join
+      // condition (same-label candidates never reach the aggregate);
+      // bounded-buffer TopK per query, decimal-pinned scores.
+      Similarity.hardNegatives(emb(s, dir), "vec_id", "embedding",
+          "label", k = 3)
+        .orderBy("vec_id", "rank")),
+
     "x_kmeans" -> ((s, dir) =>
       // two Lloyd iterations, k=4, integer-quantized vectors — fully
       // value-oracled (every vec_id's final cluster): quantization
@@ -638,6 +648,21 @@ object Vectors {
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
     // per-query rank replay: cos DESC, nid DESC mirrors the engine's
     // struct(cos, nid) keep-largest heap order exactly
+    "x_hard_negatives" ->
+      // brute-force different-label kNN replay; the TopK struct order
+      // is (cos DESC, nid DESC), the x_knn_join convention
+      s"""WITH s AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS neg_id,
+         |    CAST(CAST(${duckCos.format("b.embedding", "a.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id <> b.vec_id AND a.label <> b.label
+         |), r AS (
+         |  SELECT vec_id, neg_id, cos, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neg_id DESC) AS INTEGER) AS rank
+         |  FROM s
+         |)
+         |SELECT vec_id, rank, neg_id, cos FROM r WHERE rank <= 3
+         |ORDER BY vec_id, rank""".stripMargin,
     "x_knn_join" ->
       s"""WITH s AS (
          |  SELECT q.vec_id AS qid, a.vec_id AS nid,

@@ -2692,6 +2692,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pAB != pAC)
   }
 
+  test("hardNegatives: same-label look-alikes excluded, ranks dense") {
+    import graft.operators.Similarity
+    // v1 and v2 share label 0 and are nearly identical — the classic
+    // easy-positive pair; the mined negative for v1 must be v3 (label
+    // 1, close) and never v2, however similar
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.999f, 0.01f), 0),
+      (3L, Array(0.9f, 0.43f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 1)) == 3L && got((1L, 2)) == 4L)
+    assert(got((3L, 1)) == 2L) // v3's hardest negative: v2 (cos .9066 > v1's .9023)
+    // every mined pair crosses labels (the broadcast bound itself is
+    // knnJoin's guard, identical require — not reproducible at fixture
+    // size)
+    val labels = Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1)
+    got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
+  }
+
   test("trustRanks: hand-computed seed restart, unreachable scores 0, empty seeds loud") {
     import graft.operators.PageRank
     // seed {a}, edge a->b (b dangling): r0=(1,0);
