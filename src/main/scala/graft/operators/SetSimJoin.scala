@@ -93,4 +93,90 @@ object SetSimJoin {
     sets.unpersist()
     materialized
   }
+
+  /** Exact CONTAINMENT join: all DIRECTED pairs (A from `probe`, B
+    * from `index`) where at least `minContainment` of A's items also
+    * appear in B — c(A,B) = |A∩B|/|A| ≥ t. The asymmetric case
+    * [[jaccardJoin]] misses by construction: a template/eval item
+    * fully inside a much larger document scores J = |A|/|B| ≈ 0
+    * however perfect the overlap, while c(A,B) = 1. This is the
+    * near-SUBSET duplicate detector (license blocks, navigation
+    * chrome, quoted-in-full sources) and the set form of contamination
+    * screening — probe = the eval/benchmark items, index = the
+    * training corpus, "which corpus docs contain this eval item".
+    * Pass the same frame twice for the self-join form (id_a ≠ id_b is
+    * always enforced).
+    *
+    * Prefix bound (asymmetric): c(A,B) ≥ t forces A and B to share an
+    * item within A's first |A| − ⌈t·|A|⌉ + 1 items under a fixed
+    * global order — but the shared item can sit ANYWHERE in B, so
+    * only the PROBE side prunes to a prefix; the index side keys on
+    * all items (the probe-prefix scheme of the containment-join
+    * literature). The order is rarest-first by INDEX-side frequency
+    * (the bound holds for ANY fixed total order; index frequency makes
+    * prefix items maximally selective, and probe items absent from the
+    * index sort LAST — they can never join, so the prefix spends its
+    * length on joinable items). Size filter: |B| ≥ t·|A| (the
+    * intersection cannot exceed |B|); no upper bound on |B| exists —
+    * that is the point. Still an item-keyed equi-join, never a
+    * cartesian. Output `(id_a, id_b, n_a, n_b, inter, containment)`;
+    * threshold applies to the unrounded integer-count ratio, rounded
+    * to 6 for display. Same `maxSetSize` fail-fast contract as
+    * [[jaccardJoin]], on both sides.
+    */
+  def containmentJoin(probe: DataFrame, index: DataFrame,
+                      idCol: String, itemCol: String,
+                      minContainment: Double,
+                      maxSetSize: Int = 1000000): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"containmentJoin: minContainment $minContainment outside (0,1]")
+    require(maxSetSize > 0, s"containmentJoin: maxSetSize must be positive")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pr = probe.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    val ix = index.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    // the global order: index-side item frequency; probe-only items
+    // coalesce to Long.Max and sort last (they cannot join)
+    val freq = ix.groupBy(col("item")).agg(count(lit(1)).as("f"))
+    def toSets(side: DataFrame, who: String): DataFrame = side
+      .join(freq, Seq("item"), "left")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        coalesce(col("f"), lit(Long.MaxValue)).as("f"), col("item")))).as("fi"))
+      .select(col("id"),
+        when(size(col("fi")) <= maxSetSize,
+          transform(col("fi"), x => x.getField("item")))
+          .otherwise(raise_error(concat(
+            lit(s"containmentJoin: $who set for id "), col("id").cast("string"),
+            lit(" has "), size(col("fi")).cast("string"),
+            lit(s" items, exceeding maxSetSize=$maxSetSize — raise the bound " +
+              "or pre-filter the hot id")))).as("items"),
+        size(col("fi")).as("n"))
+    val pSets = toSets(pr, "probe").persist(lvl)
+    val iSets = toSets(ix, "index").persist(lvl)
+    // probe side: A's containment prefix |A| - ceil(t*|A|) + 1
+    val plen = (col("n") - ceil(lit(minContainment) * col("n")) + 1).cast("int")
+    val probeX = pSets.select(col("id").as("id_a"), col("n").as("na"),
+      explode(slice(col("items"), lit(1), plen)).as("item"))
+    // index side: ALL items (a matching item sits anywhere in B)
+    val indexX = iSets.select(col("id").as("id_b"), col("n").as("nb"),
+      explode(col("items")).as("item"))
+    val cand = probeX.join(indexX, Seq("item"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(col("nb") >= lit(minContainment) * col("na"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val out = cand
+      .join(pSets.select(col("id").as("id_a"), col("items").as("ia"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(iSets.select(col("id").as("id_b"), col("items").as("ib"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("ia"), col("ib"))).cast("long"))
+      .withColumn("cont", col("inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("cont") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"), col("inter"),
+        round(col("cont"), 6).as("containment"))
+    val materialized = out.localCheckpoint(true)
+    pSets.unpersist(); iSets.unpersist()
+    materialized
+  }
 }

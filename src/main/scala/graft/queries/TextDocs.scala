@@ -91,6 +91,27 @@ object TextDocs {
         .orderBy("id_a", "id_b")
     }),
 
+    "x_containment" -> ((s, dir) => {
+      // exact DIRECTED containment screen (SetSimJoin.containmentJoin):
+      // every 50th document plays the eval/benchmark item (probe), the
+      // rest are the training corpus (index); a hit = >= 80% of the
+      // probe's token set inside a corpus doc — the near-SUBSET overlap
+      // Jaccard structurally misses (a small item inside a big doc
+      // scores J ~ |A|/|B| however perfect the overlap). Probe-prefix
+      // filtering: only the probe prunes to its length-law prefix
+      // (rarest-first by INDEX frequency), the corpus keys on all
+      // items; |B| >= t|A| size filter; exact array_intersect verify.
+      // Never all pairs.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.SetSimJoin.containmentJoin(
+          toks.filter(col("doc_id") % 50 === 0),
+          toks.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "tok", minContainment = 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+
     "x_text_quality" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
@@ -1448,6 +1469,33 @@ object TextDocs {
         |JOIN sz na ON na.id = id_a
         |JOIN sz nb ON nb.id = id_b
         |WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_containment" ->
+      // the oracle is the DEFINITION (exact directed probe-vs-corpus
+      // token-set containment |A∩B|/|A| >= 0.8) — probe-prefix
+      // filtering must reproduce it exactly; unrounded-ratio threshold
+      // as the engine
+      """WITH s AS (
+        |  SELECT DISTINCT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS tok
+        |  FROM documents
+        |), pr AS (SELECT * FROM s WHERE id % 50 = 0),
+        |ix AS (SELECT * FROM s WHERE id % 50 <> 0),
+        |sza AS (SELECT id, COUNT(*) AS n FROM pr GROUP BY 1),
+        |szb AS (SELECT id, COUNT(*) AS n FROM ix GROUP BY 1),
+        |inter AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+        |  FROM pr a JOIN ix b ON a.tok = b.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  ROUND(CAST(inter AS DOUBLE) / na.n, 6) AS containment
+        |FROM inter
+        |JOIN sza na ON na.id = id_a
+        |JOIN szb nb ON nb.id = id_b
+        |WHERE CAST(inter AS DOUBLE) / na.n >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
     "x_dedup_corpus" ->
       s"""WITH RECURSIVE $dedupCcCtes

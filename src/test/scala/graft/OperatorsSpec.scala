@@ -2548,6 +2548,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(msg.contains("maxSetSize=3"), s"msg was: $msg")
   }
 
+  test("containmentJoin: catches subset dups Jaccard misses, directed, probe-prefix exact") {
+    import graft.operators.SetSimJoin
+    // T={a,b} fully inside D={a,b,c,...,j} (10 items): c(T,D)=1 while
+    // J(T,D)=0.2 — the asymmetric case the Jaccard join structurally
+    // misses; reverse direction c(D,T)=0.2 must NOT qualify
+    val rows = (Seq(1 -> "a", 1 -> "b") ++
+      ('a' to 'j').map(ch => 2 -> ch.toString) ++
+      Seq(3 -> "a", 3 -> "b", 3 -> "z")).toDF("id", "item")
+    // self-join form: same frame on both sides
+    val got = SetSimJoin.containmentJoin(rows, rows, "id", "item", 0.9)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.keySet == Set((1, 2), (1, 3)), s"got ${got.keySet}")
+    assert(got((1, 2)) == (2L, 10L, 2L, 1.0))
+    assert(got((1, 3)) == (2L, 3L, 2L, 1.0)) // T inside {a,b,z} too
+    // Jaccard at the same threshold finds nothing — the gap this
+    // operator exists for
+    assert(SetSimJoin.jaccardJoin(rows, "id", "item", 0.9).count() == 0)
+    // at 2/3 both T-in-D and T-in-{a,b,z} qualify; brute-force equality
+    val got23 = SetSimJoin.containmentJoin(rows, rows, "id", "item", 0.66)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got23 == Set((1, 2), (1, 3), (3, 1), (3, 2)),
+      s"got $got23") // c(3,·)=2/3 qualifies both ways; c(2,·)=0.2 must not
+    // probe/index split: only probe->index direction is searched, and a
+    // probe-only item (w, absent from the index) still counts in |A|
+    // but sorts last in the prefix
+    val probe = Seq(4 -> "a", 4 -> "b", 4 -> "w").toDF("id", "item")
+    val split = SetSimJoin.containmentJoin(probe, rows, "id", "item", 0.66)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(5))).toMap
+    assert(split.keySet == Set((4, 2), (4, 3), (4, 1)), s"got ${split.keySet}")
+    assert(split((4, 1)) == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("associationRules: hand-computed support/confidence/lift, both directions") {
     import graft.operators.CoOccurrence
     // baskets: {m,b}, {m,b}, {m}, {b,d} — N=4; |m|=3, |b|=3, |d|=1
