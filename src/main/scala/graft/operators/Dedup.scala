@@ -339,7 +339,13 @@ object Dedup {
       .join(hist, Seq("dup_of"), "left")
       .select(col("new_id"),
         when(col("dup_of").isNull, lit("admit"))
-          .when(col("__np") > col("__hp"), lit("replace"))
+          // a matched doc MISSING from historyPriority (stale/filtered
+          // priority table) leaves __hp NULL after the left join —
+          // coalesce it to -Inf here so the NULLS-LAST policy applies
+          // to the missing-row case too (a bare `__np > NULL` would
+          // silently fall through to "drop" and discard the better copy)
+          .when(col("__np") >
+            coalesce(col("__hp"), lit(Double.NegativeInfinity)), lit("replace"))
           .otherwise(lit("drop")).as("action"),
         col("dup_of"), col("est_jaccard"))
   }

@@ -89,25 +89,15 @@ object LabelPropagation {
     val small = nodes.count() <= maxBroadcastNodes
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    var prevCached: Option[DataFrame] = None
     // LPA needs no per-round scalar (unlike PageRank's dangling mass),
     // so without earlyStop local mode marks rounds lazily and the
     // caller's single action materializes the whole chain — zero extra
     // jobs per iteration. Reliable mode persists BEFORE the eager
     // checkpoint so the checkpoint's write job reads the cache instead
-    // of recomputing the round's joins (the PageRank / Dedup.ccLabels
-    // pattern), releasing the previous round's cache once the new
-    // frame is on stable storage.
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) {
-        df.persist(lvl)
-        val out = df.checkpoint(true)
-        prevCached.foreach(_.unpersist())
-        prevCached = Some(df)
-        out
-      } else df.localCheckpoint(false)
+    // of recomputing the round's joins — the shared
+    // [[RoundCheckpointer]] discipline.
+    val ckpt = new RoundCheckpointer(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
     var lab = ckpt(nodes.select(col("node"), col("node").as("lbl")))
     var rounds = 0
@@ -134,10 +124,13 @@ object LabelPropagation {
             .select(col("node"), coalesce(col("lbl"), col("prev")).as("lbl"))
         else adopt)
       rounds += 1
-      if (earlyStop && rounds < iters) {
+      if (earlyStop) {
         // |V|-row equi-join on the node key + one count — both label
         // frames are checkpoint-cut, so the comparison reads two
-        // materialized |V| frames, never the round chain
+        // materialized |V| frames, never the round chain. The check
+        // runs on the FINAL round too: a fixpoint reached exactly at
+        // round `iters` must certify converged=true, not depend on
+        // whether the caller's cap happened to leave headroom
         val flips = next
           .join(lab.select(col("node"), col("lbl").as("prev")), Seq("node"))
           .filter(col("lbl") =!= col("prev")).count()
@@ -150,8 +143,8 @@ object LabelPropagation {
     // lazy local-checkpoint path the caller's action would otherwise
     // re-run the whole round chain (and adj's distinct union) against
     // unpersisted inputs (round-8 advice)
-    if (!reliable) lab.count()
-    prevCached.foreach(_.unpersist())
+    if (!ckpt.reliable) lab.count()
+    ckpt.release()
     adj.unpersist(); nodes.unpersist()
     (out, rounds, converged)
   }

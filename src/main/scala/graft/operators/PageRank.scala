@@ -58,22 +58,14 @@ object PageRank {
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
       .persist(lvl)
 
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    var prevCached: Option[DataFrame] = None
     // local mode: LAZY lineage cut — the mark is what stops the 2^n
     // plan blowup, and the next iteration's dangling-mass action is the
     // materializer, so each round runs exactly ONE job. Reliable mode
     // keeps eager checkpoints (executor-loss recovery needs the files
-    // on stable storage before the round is declared done).
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) {
-        df.persist(lvl)
-        val out = df.checkpoint(true)
-        prevCached.foreach(_.unpersist())
-        prevCached = Some(df)
-        out
-      } else df.localCheckpoint(false)
+    // on stable storage before the round is declared done). Shared
+    // discipline: [[RoundCheckpointer]].
+    val ckpt = new RoundCheckpointer(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
     var r = ckpt(nodes.select(col("node"), lit(1.0 / nNodes).as("r")))
     // previous round's contribution cache: released only after the NEXT
@@ -112,9 +104,9 @@ object PageRank {
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               lit(dm / nNodes))).as("r")))
     }
-    if (!reliable) r.count() // materialize the last frame before its inputs go
+    if (!ckpt.reliable) r.count() // materialize the last frame before its inputs go
     prevCAll.foreach(_.unpersist())
-    prevCached.foreach(_.unpersist())
+    ckpt.release()
     e.unpersist(); nodes.unpersist(); deg.unpersist()
     r
   }
@@ -157,35 +149,23 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(seedSet.select(col("node"), lit(1).as("__s")), Seq("node"), "left")
       .persist(lvl)
-    // one action: seed count (the p mass) — mirrors ranks' nNodes fold
-    val nSeeds = flagged.agg(sum(col("__s"))).head().get(0) match {
-      case null => 0L
-      case n: Long => n
-    }
+    // ONE action: |V| (broadcast decision) and the seed count (the p
+    // mass) from the same aggregation — mirrors ranks' nNodes fold
+    val stats = flagged.agg(count(lit(1)).as("n"), sum(col("__s")).as("s")).head()
+    val nNodes = stats.getLong(0)
+    val nSeeds = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     require(nSeeds > 0,
       "trustRanks: no seed node appears in the graph — empty restart vector")
     val nodesP = flagged
       .select(col("node"),
         when(col("__s").isNotNull, lit(1.0 / nSeeds)).otherwise(lit(0.0)).as("p"))
       .persist(lvl)
-    val small = {
-      val n = nodesP.count()
-      n <= maxBroadcastNodes
-    }
+    val small = nNodes <= maxBroadcastNodes
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val deg = e.groupBy("src").agg(count(lit(1)).cast("double").as("od"))
       .persist(lvl)
-    val sc = edges.sparkSession.sparkContext
-    val reliable = sc.getCheckpointDir.isDefined
-    var prevCached: Option[DataFrame] = None
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) {
-        df.persist(lvl)
-        val out = df.checkpoint(true)
-        prevCached.foreach(_.unpersist())
-        prevCached = Some(df)
-        out
-      } else df.localCheckpoint(false)
+    val ckpt = new RoundCheckpointer(
+      edges.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
     var r = ckpt(nodesP.select(col("node"), col("p").as("r")))
     var prevCAll: Option[DataFrame] = None
@@ -209,9 +189,9 @@ object PageRank {
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               lit(dm) * col("p"))).as("r")))
     }
-    if (!reliable) r.count()
+    if (!ckpt.reliable) r.count()
     prevCAll.foreach(_.unpersist())
-    prevCached.foreach(_.unpersist())
+    ckpt.release()
     e.unpersist(); flagged.unpersist(); nodesP.unpersist(); deg.unpersist()
     r
   }

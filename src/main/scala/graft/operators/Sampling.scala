@@ -366,7 +366,9 @@ object Sampling {
         s"agreement for the hash replay), got $buckets")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = docs.sparkSession
-    val (toks, bigrams) = TextAnalysis.bigramFrames(docs, idCol, textCol)
+    // perDocB below reads `bigrams` only — no toks cache
+    val (toks, bigrams) =
+      TextAnalysis.bigramFrames(docs, idCol, textCol, persistToks = false)
     // per-(doc, feature) counts: the ONLY corpus-sized aggregation;
     // persisted because both the model build and the scoring read it
     val perDocB = bigrams

@@ -365,6 +365,12 @@ object Similarity {
     * and apply the same mismatch predicate inside each bucket.
     * Returns `(idCol, rank, neighbour id, cos)` — decimal(10,4)-pinned
     * scores, ties to the larger neighbour id (the TopK struct order).
+    *
+    * NULL-LABEL POLICY (observed-values, the [[Stats]] convention): a
+    * NULL label matches nothing — `label ≠ label` is NULL — so
+    * unlabeled rows are excluded from BOTH sides: they appear neither
+    * as queries (no output group) nor as mined negatives. Filter or
+    * backfill labels first if unlabeled rows must participate.
     */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int): DataFrame = {
@@ -400,14 +406,23 @@ object Similarity {
     * downstream plan as a broadcast literal, encode stays narrow).
     * Ragged or empty corpora fail loud. */
   def sqScales(corpus: DataFrame, vecCol: String): Array[Double] = {
+    // the ragged check must compare VECTOR LENGTHS, not observed dim
+    // ids — exploded indices are always contiguous 0..len-1, so any
+    // mix of lengths still covers 0..max-1 and an id-based check can
+    // never fire (a ragged corpus would then silently null-pad through
+    // zip_with downstream). One cheap min/max-size aggregation; NULL
+    // vectors carry no size and are skipped, matching posexplode.
+    val szs = corpus.agg(min(size(col(vecCol))).as("mn"),
+      max(size(col(vecCol))).as("mx")).head()
+    require(!szs.isNullAt(0), "sqScales: empty corpus (no non-null vectors)")
+    require(szs.getInt(0) == szs.getInt(1),
+      s"sqScales: ragged vectors (lengths ${szs.getInt(0)}..${szs.getInt(1)})")
     val rows = corpus
       .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
       .groupBy(col("__i"))
       .agg(max(abs(col("__v").cast("double"))).as("__s"))
       .collect()
-    require(rows.nonEmpty, "sqScales: empty corpus")
-    val d = rows.map(_.getInt(0)).max + 1
-    require(rows.length == d, s"sqScales: ragged vectors (${rows.length} of $d dims observed)")
+    val d = szs.getInt(0)
     val out = new Array[Double](d)
     rows.foreach(r => out(r.getInt(0)) = r.getDouble(1))
     out

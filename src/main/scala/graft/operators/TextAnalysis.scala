@@ -257,25 +257,32 @@ object TextAnalysis {
     out
   }
 
-  /** Shared substrate of the bigram-LM scorers: the PERSISTED
-    * per-document token frame `(__id, __pos, __w)` and consecutive
+  /** Shared substrate of the bigram-LM scorers: the per-document
+    * token frame `(__id, __pos, __w)` and PERSISTED consecutive
     * bigram frame `(__id, __prev, __w)`. Positions are assigned AFTER
     * dropping empty split fragments, so a bigram is a pair of
     * consecutive non-empty tokens (split artifacts never break
     * adjacency); the filter lambda runs on the small per-row split
-    * array. Tokens shuffle ONCE on the doc key (the lag window); both
-    * frames persist because each scorer reads them from multiple
-    * count aggregations. CALLERS unpersist both after materializing
-    * their result.
+    * array. Tokens shuffle ONCE on the doc key (the lag window).
+    *
+    * `persistToks`: only a caller that re-reads the TOKEN frame after
+    * building the bigrams (bigramNll's unigram/total aggs) should pay
+    * for caching a |corpus tokens|-sized frame — the Kneser-Ney and
+    * DSIR scorers read only `bigrams`, and an unconditional persist
+    * would pin dead memory at exactly the scale the scaladocs target.
+    * CALLERS unpersist both returned frames after materializing their
+    * result (unpersist on an unpersisted frame is a no-op).
     */
   private[operators] def bigramFrames(docs: DataFrame, idCol: String,
-                                      textCol: String): (DataFrame, DataFrame) = {
+                                      textCol: String,
+                                      persistToks: Boolean = true)
+      : (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val toks = docs
+    val toks0 = docs
       .select(col(idCol).as("__id"),
         posexplode(filter(split(col(textCol), "\\s+"),
           w => length(w) > 0)).as(Seq("__pos", "__w")))
-      .persist(lvl)
+    val toks = if (persistToks) toks0.persist(lvl) else toks0
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__pos"))
     val bigrams = toks
@@ -321,7 +328,8 @@ object TextAnalysis {
                   discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"knBigramNll: discount $discount outside (0,1)")
-    val (toks, bigrams) = bigramFrames(docs, idCol, textCol)
+    // every model table below reads `bigrams` only — no toks cache
+    val (toks, bigrams) = bigramFrames(docs, idCol, textCol, persistToks = false)
     // model tables, all exact integer counts: c(v,w); per-context
     // total c(v,·) with its distinct-follower count N1+(v,·) from the
     // SAME aggregation; per-word distinct-context count N1+(·,w);

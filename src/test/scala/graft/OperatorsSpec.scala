@@ -1762,6 +1762,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(103L) == ("drop", 2L), got.toString)
     assert(got(105L) == ("admit", -1L), got.toString)
     assert(got(107L) == ("drop", 2L), got.toString)
+    // matched doc ABSENT from historyPriority (stale priority table):
+    // the missing row must rank like a NULL priority (-Inf), so a new
+    // doc with any real priority replaces — not silently drops
+    // (review: the bare `__np > NULL` comparison fell through to drop)
+    val gotStale = Dedup.incrementalBest(batch, "doc_id", "text", "pri",
+        index, hist.filter(col("doc_id") =!= 2L).select(col("doc_id"), col("pri")),
+        minJaccard = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gotStale(101L) == "replace", gotStale.toString)
+    assert(gotStale(103L) == "replace", gotStale.toString) // 10.0 > missing(-Inf)
+    assert(gotStale(107L) == "drop", gotStale.toString) // NULL vs missing: tie keeps history
   }
 
   test("budgetSelect: greedy prefix, id tie-break, empty under tiny budget") {
@@ -1971,6 +1982,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rounds < 10, s"ran all $rounds rounds despite convergence")
     assert(labs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // fixpoint reached EXACTLY at the iters cap must still certify:
+    // the flip check runs on the final round too (review: the old
+    // `rounds < iters` guard returned converged=false here while the
+    // same graph at iters=10 returned true)
+    val (_, capRounds, capConv) = LabelPropagation
+      .communitiesConverged(tri, "s", "d", iters = 3, earlyStop = true)
+    assert(capConv && capRounds == 3,
+      s"cap-boundary certificate: rounds=$capRounds converged=$capConv")
     // the single-edge oscillator NEVER converges: all iters run and
     // the certificate stays false
     val (_, oscRounds, oscConv) = LabelPropagation
@@ -2801,6 +2820,15 @@ class OperatorsSpec extends AnyFunSuite {
         scales, e.filter($"vec_id" === 0), "embedding", k = 2)
       .head()
     assert(rec.getInt(0) == 2 && rec.getLong(1) == 2L && rec.getDouble(2) == 1.0)
+    // ragged corpora fail loud (review: an id-based check could never
+    // fire — exploded dims are always contiguous; the guard compares
+    // vector LENGTHS)
+    val ragged = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.sqScales(ragged, "embedding")
+    }
+    assert(ex.getMessage.contains("ragged"), ex.getMessage)
   }
 
   test("dsirWeights: hand model on a two-domain corpus, NULL target cond is false") {
