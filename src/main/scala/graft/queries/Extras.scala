@@ -429,6 +429,28 @@ object Extras {
         .orderBy("node")
     }),
 
+    "x_kcore" -> ((s, dir) => {
+      // k-core peel (operators/KCore) of the symmetrized buyer↔supplier
+      // graph at k=30, 3 rounds: low-degree customers peel, supplier
+      // degrees shrink accordingly — the density filter that separates
+      // the well-connected core from peripheral noise. Each round is
+      // one partial-agged degree agg + two |E|-keyed semi-joins;
+      // iters-pinned so the unrolled oracle replays exactly. Numeric
+      // ids in the loop, display strings on the |V|-row result only.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.KCore.kCore(edges, "src", "dst", k = 30, rounds = 3)
+        .select(
+          concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            expr("node div 2")).as("node"),
+          col("degree"))
+        .orderBy("node")
+    }),
+
     "x_trustrank" -> ((s, dir) => {
       // personalized PageRank / TrustRank (operators/PageRank
       // .trustRanks): trust restarts at the high-balance customers
@@ -729,6 +751,26 @@ object Extras {
          |$iterCtes
          |SELECT node, round(r * (SELECT n FROM nn), 6) AS rel_rank
          |FROM r$iters ORDER BY node""".stripMargin
+    },
+    "x_kcore" -> {
+      // unrolled 3-round peel replay: degrees over the residual edge
+      // set, HAVING >= k keeps, two-sided semi filter — counts only,
+      // no float surface at all
+      val k = 30
+      val iterCtes = (1 to 3).map { i =>
+        s"""keep$i AS (SELECT src AS node FROM e${i - 1}
+           |  GROUP BY src HAVING COUNT(*) >= $k),
+           |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN keep$i a ON e.src = a.node
+           |  JOIN keep$i b ON e.dst = b.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+         |$iterCtes
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+         |FROM e3 GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "x_trustrank" -> {
       // x_pagerank's unrolled replay with the restart vector p in

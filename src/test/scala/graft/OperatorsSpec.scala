@@ -2768,6 +2768,33 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
   }
 
+  test("kCore: peeling cascades, certificate at the cap, self-loops dropped") {
+    import graft.operators.KCore
+    // path 1-2-3-4 plus triangle 4-5-6-4 (+ a self-loop on 5 that must
+    // NOT save anything): 2-core peeling cascades down the path —
+    // round 1 peels 1 (deg 1), round 2 peels 2, round 3 peels 3; the
+    // triangle survives as the 2-core
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (5L, 5L)).toDF("s", "d")
+    val (core, rounds, conv) = KCore.kCoreConverged(e, "s", "d", k = 2,
+      rounds = 10, earlyStop = true)
+    val m = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), m.toString)
+    assert(conv && rounds == 4, s"rounds=$rounds") // 3 peel rounds + the observing round
+    // fixpoint reached exactly at the cap still certifies (the LPA
+    // cap-boundary contract)
+    val (_, r4, c4) = KCore.kCoreConverged(e, "s", "d", k = 2, rounds = 4,
+      earlyStop = true)
+    assert(c4 && r4 == 4)
+    // under-capped run returns the residual mid-peel state, uncertified
+    val (mid, r1, c1) = KCore.kCoreConverged(e, "s", "d", k = 2, rounds = 1,
+      earlyStop = true)
+    assert(!c1 && r1 == 1)
+    assert(mid.collect().map(_.getLong(0)).toSet == Set(2L, 3L, 4L, 5L, 6L))
+    // k above the max degree empties the graph
+    assert(KCore.kCore(e, "s", "d", k = 10, rounds = 3).count() == 0)
+  }
+
   test("trustRanks: hand-computed seed restart, unreachable scores 0, empty seeds loud") {
     import graft.operators.PageRank
     // seed {a}, edge a->b (b dangling): r0=(1,0);
