@@ -429,6 +429,23 @@ object Extras {
         .orderBy("node")
     }),
 
+    "x_assortativity" -> ((s, dir) => {
+      // degree assortativity (operators/GraphStats, Newman 2002) of the
+      // symmetrized buyer↔supplier graph — structurally DISassortative
+      // (bipartite: high-degree suppliers attach to low-degree
+      // customers), the shape number that tells the skew protocol what
+      // degree tail to expect. One degree agg + two node-keyed joins +
+      // one declarative corr aggregate; exact integer degrees, round(4)
+      // on the single float output (the x_autocorr convention).
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.GraphStats.degreeAssortativity(edges, "src", "dst")
+    }),
+
     "x_kcore" -> ((s, dir) => {
       // k-core peel (operators/KCore) of the symmetrized buyer↔supplier
       // graph at k=30, 3 rounds: low-degree customers peel, supplier
@@ -752,6 +769,34 @@ object Extras {
          |SELECT node, round(r * (SELECT n FROM nn), 6) AS rel_rank
          |FROM r$iters ORDER BY node""".stripMargin
     },
+    "x_assortativity" ->
+      // symmetric edge list (each undirected edge contributes both
+      // orientations — Newman's definition, and what makes r
+      // symmetric); COUNT(*)/2 is exact (the count is always even).
+      // Pearson r from exact integer raw moments in the engine's own
+      // form: num / (sqrt(dena) * sqrt(denb)), zero-variance -> NULL
+      """WITH raw AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        |deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY 1),
+        |m AS (
+        |  SELECT COUNT(DISTINCT e.src) AS nn, COUNT(*) AS cnt,
+        |    SUM(a.deg) AS sa, SUM(b.deg) AS sb,
+        |    SUM(a.deg * b.deg) AS sab,
+        |    SUM(a.deg * a.deg) AS saa,
+        |    SUM(b.deg * b.deg) AS sbb
+        |  FROM sym e JOIN deg a ON e.src = a.node
+        |  JOIN deg b ON e.dst = b.node
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n_nodes,
+        |  CAST(cnt / 2 AS BIGINT) AS n_edges,
+        |  CASE WHEN cnt * saa - sa * sa > 0 AND cnt * sbb - sb * sb > 0
+        |       THEN ROUND(CAST(cnt * sab - sa * sb AS DOUBLE) /
+        |         (sqrt(CAST(cnt * saa - sa * sa AS DOUBLE)) *
+        |          sqrt(CAST(cnt * sbb - sb * sb AS DOUBLE))), 4)
+        |       ELSE NULL END AS r
+        |FROM m""".stripMargin,
     "x_kcore" -> {
       // unrolled 3-round peel replay: degrees over the residual edge
       // set, HAVING >= k keeps, two-sided semi filter — counts only,

@@ -2768,6 +2768,26 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
   }
 
+  test("degreeAssortativity: star is maximally disassortative, path r computed by hand") {
+    import graft.operators.GraphStats
+    // star 0-{1,2,3}: every edge joins deg 3 to deg 1 -> both endpoint
+    // degree series are constant per orientation... over the SYMMETRIC
+    // list the pairs are (3,1)x3 and (1,3)x3 -> r = -1 exactly
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val rs = GraphStats.degreeAssortativity(star, "s", "d").head()
+    assert(rs.getLong(0) == 4L && rs.getLong(1) == 3L)
+    assert(rs.getDouble(2) == -1.0)
+    // path 1-2-3: symmetric pairs (1,2),(2,1),(2,3),(3,2) ->
+    // da = [1,2,2,1], db = [2,1,1,2] -> r = -1 (ends vs middle)
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val rp = GraphStats.degreeAssortativity(path, "s", "d").head()
+    assert(rp.getLong(0) == 3L && rp.getLong(1) == 2L && rp.getDouble(2) == -1.0)
+    // 4-cycle is degree-regular: corr undefined (zero variance) -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val rc = GraphStats.degreeAssortativity(cyc, "s", "d").head()
+    assert(rc.getLong(1) == 4L && rc.isNullAt(2))
+  }
+
   test("kCore: peeling cascades, certificate at the cap, self-loops dropped") {
     import graft.operators.KCore
     // path 1-2-3-4 plus triangle 4-5-6-4 (+ a self-loop on 5 that must
