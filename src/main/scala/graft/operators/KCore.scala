@@ -55,8 +55,12 @@ object KCore {
     require(rounds >= 1, "kCore: rounds must be >= 1")
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
+    // persisted: the |V| sizing count below would otherwise re-run the
+    // union+distinct shuffle a second time when the round-0 checkpoint
+    // materializes (review — the GraphStats/PageRank discipline)
     val sym = raw.unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val small = {
       // one action: |V| of the symmetrized graph for the hint decision
       val n = sym.select(col("src")).distinct().count()
@@ -95,6 +99,7 @@ object KCore {
     // final-frame discipline)
     val materialized = out.localCheckpoint(true)
     ckpt.release()
+    sym.unpersist()
     (materialized, r, converged)
   }
 }

@@ -366,9 +366,11 @@ object Sampling {
         s"agreement for the hash replay), got $buckets")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val spark = docs.sparkSession
-    // perDocB below reads `bigrams` only — no toks cache
+    // perDocB below reads `bigrams` exactly once and is itself
+    // persisted — neither substrate frame needs a cache here
     val (toks, bigrams) =
-      TextAnalysis.bigramFrames(docs, idCol, textCol, persistToks = false)
+      TextAnalysis.bigramFrames(docs, idCol, textCol,
+        persistToks = false, persistBigrams = false)
     // per-(doc, feature) counts: the ONLY corpus-sized aggregation;
     // persisted because both the model build and the scoring read it
     val perDocB = bigrams

@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Float-boundary guard for the candidate-stage bounds: every prune
+    * compares an IEEE double product t·n against an integer while the
+    * verify stage compares its OWN double ratio, so the prunes must be
+    * at least as permissive as the verify at threshold boundaries. The
+    * worst-case absolute product error is t·n·2⁻⁵² ≤ 2³¹·2⁻⁵² < 5·10⁻⁷
+    * (set sizes are Int-bounded), so subtracting 10⁻⁶ dominates it —
+    * and widens a bound only when t·n sits within 10⁻⁶ of an integer,
+    * where the algebraic cut is ambiguous anyway. */
+  private val UlpSlack = 1e-6
+
   /** All pairs with Jaccard >= `minJaccard` over the sets formed by
     * grouping `itemCol` by `idCol` (duplicates collapse). Output
     * `(id_a, id_b, n_a, n_b, inter, jaccard)` with id_a < id_b,
@@ -61,17 +71,27 @@ object SetSimJoin {
               "or pre-filter the hot id")))).as("items"),
         size(col("fi")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // prefix length |s| - ceil(t*|s|) + 1 (Jaccard prefix bound)
-    val plen = (col("n") - ceil(lit(minJaccard) * col("n")) + 1).cast("int")
+    // prefix length |s| - ceil(t*|s|) + 1 (Jaccard prefix bound). The
+    // bound is computed in IEEE doubles while the verify compares its
+    // OWN double ratio, so a one-ulp UPWARD rounding of t*|s| at an
+    // integer boundary could push ceil one past the algebraic value
+    // and shorten the prefix past losslessness; ceil(x − ε) with
+    // ε = [[UlpSlack]] restores it — prune stages must never be
+    // stricter than the verify (review). Slack only admits candidates
+    // (and only when t·|s| sits within ε of an integer); the exact
+    // verify still decides.
+    val plen = (col("n") -
+      ceil(lit(minJaccard) * col("n") - UlpSlack) + 1).cast("int")
     val prefixes = sets.select(col("id"), col("n"),
       explode(slice(col("items"), lit(1), plen)).as("item"))
     val cand = prefixes.select(col("item"), col("id").as("id_a"), col("n").as("na"))
       .join(prefixes.select(col("item"), col("id").as("id_b"), col("n").as("nb")),
         Seq("item"))
       .filter(col("id_a") < col("id_b"))
-      // J >= t forces t*|A| <= |B| and t*|B| <= |A|
-      .filter(col("na") >= lit(minJaccard) * col("nb") &&
-        col("nb") >= lit(minJaccard) * col("na"))
+      // J >= t forces t*|A| <= |B| and t*|B| <= |A|, with the same ε
+      // guard on the double products at threshold boundaries
+      .filter(col("na") >= lit(minJaccard) * col("nb") - UlpSlack &&
+        col("nb") >= lit(minJaccard) * col("na") - UlpSlack)
       .select(col("id_a"), col("id_b")).distinct()
     val out = cand
       .join(sets.select(col("id").as("id_a"), col("items").as("ia"),
@@ -133,10 +153,15 @@ object SetSimJoin {
     require(maxSetSize > 0, s"containmentJoin: maxSetSize must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val pr = probe.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    // persisted: the index token frame feeds the frequency aggregation
+    // AND its own toSets scan; freq joins into BOTH toSets scans — an
+    // unpersisted chain would re-run the distinct and the vocabulary
+    // aggregation per consumer (review)
     val ix = index.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+      .persist(lvl)
     // the global order: index-side item frequency; probe-only items
     // coalesce to Long.Max and sort last (they cannot join)
-    val freq = ix.groupBy(col("item")).agg(count(lit(1)).as("f"))
+    val freq = ix.groupBy(col("item")).agg(count(lit(1)).as("f")).persist(lvl)
     def toSets(side: DataFrame, who: String): DataFrame = side
       .join(freq, Seq("item"), "left")
       .groupBy(col("id"))
@@ -153,8 +178,12 @@ object SetSimJoin {
         size(col("fi")).as("n"))
     val pSets = toSets(pr, "probe").persist(lvl)
     val iSets = toSets(ix, "index").persist(lvl)
-    // probe side: A's containment prefix |A| - ceil(t*|A|) + 1
-    val plen = (col("n") - ceil(lit(minContainment) * col("n")) + 1).cast("int")
+    // probe side: A's containment prefix |A| - ceil(t*|A|) + 1, with
+    // the [[UlpSlack]] guard on the double ceil (the jaccardJoin
+    // float-boundary rationale: prune stages must never be stricter
+    // than the verify's own float compare)
+    val plen = (col("n") -
+      ceil(lit(minContainment) * col("n") - UlpSlack) + 1).cast("int")
     val probeX = pSets.select(col("id").as("id_a"), col("n").as("na"),
       explode(slice(col("items"), lit(1), plen)).as("item"))
     // index side: ALL items (a matching item sits anywhere in B)
@@ -162,7 +191,8 @@ object SetSimJoin {
       explode(col("items")).as("item"))
     val cand = probeX.join(indexX, Seq("item"))
       .filter(col("id_a") =!= col("id_b"))
-      .filter(col("nb") >= lit(minContainment) * col("na"))
+      // |B| >= t|A| with the same ε guard at threshold boundaries
+      .filter(col("nb") >= lit(minContainment) * col("na") - UlpSlack)
       .select(col("id_a"), col("id_b")).distinct()
     val out = cand
       .join(pSets.select(col("id").as("id_a"), col("items").as("ia"),
@@ -176,7 +206,7 @@ object SetSimJoin {
         col("n_b").cast("long").as("n_b"), col("inter"),
         round(col("cont"), 6).as("containment"))
     val materialized = out.localCheckpoint(true)
-    pSets.unpersist(); iSets.unpersist()
+    pSets.unpersist(); iSets.unpersist(); freq.unpersist(); ix.unpersist()
     materialized
   }
 }

@@ -417,6 +417,8 @@ object Similarity {
     require(!szs.isNullAt(0), "sqScales: empty corpus (no non-null vectors)")
     require(szs.getInt(0) == szs.getInt(1),
       s"sqScales: ragged vectors (lengths ${szs.getInt(0)}..${szs.getInt(1)})")
+    require(szs.getInt(0) >= 1,
+      "sqScales: zero-length vectors — nothing to quantize")
     val rows = corpus
       .select(posexplode(col(vecCol)).as(Seq("__i", "__v")))
       .groupBy(col("__i"))

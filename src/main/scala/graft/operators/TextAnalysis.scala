@@ -265,17 +265,21 @@ object TextAnalysis {
     * adjacency); the filter lambda runs on the small per-row split
     * array. Tokens shuffle ONCE on the doc key (the lag window).
     *
-    * `persistToks`: only a caller that re-reads the TOKEN frame after
-    * building the bigrams (bigramNll's unigram/total aggs) should pay
-    * for caching a |corpus tokens|-sized frame — the Kneser-Ney and
-    * DSIR scorers read only `bigrams`, and an unconditional persist
-    * would pin dead memory at exactly the scale the scaladocs target.
-    * CALLERS unpersist both returned frames after materializing their
-    * result (unpersist on an unpersisted frame is a no-op).
+    * `persistToks` / `persistBigrams`: only a caller that RE-READS a
+    * frame should pay for caching it — both frames are |corpus
+    * tokens|-sized, and an unconditional persist pins dead memory at
+    * exactly the scale the scaladocs target. bigramNll re-reads both
+    * (unigram/total aggs off toks; three model aggs plus scoring off
+    * bigrams); knBigramNll re-reads only bigrams; dsirWeights reads
+    * bigrams ONCE into its own persisted per-(doc, bucket) frame and
+    * caches neither. CALLERS unpersist both returned frames after
+    * materializing their result (unpersist on an unpersisted frame is
+    * a no-op).
     */
   private[operators] def bigramFrames(docs: DataFrame, idCol: String,
                                       textCol: String,
-                                      persistToks: Boolean = true)
+                                      persistToks: Boolean = true,
+                                      persistBigrams: Boolean = true)
       : (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks0 = docs
@@ -285,11 +289,11 @@ object TextAnalysis {
     val toks = if (persistToks) toks0.persist(lvl) else toks0
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__pos"))
-    val bigrams = toks
+    val bigrams0 = toks
       .select(col("__id"), lag(col("__w"), 1).over(byDoc).as("__prev"),
         col("__w"))
       .filter(col("__prev").isNotNull)
-      .persist(lvl)
+    val bigrams = if (persistBigrams) bigrams0.persist(lvl) else bigrams0
     (toks, bigrams)
   }
 

@@ -2558,6 +2558,18 @@ class OperatorsSpec extends AnyFunSuite {
         (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(full((1, 2)) == (4L, 4L, 3L))
     assert(full((1, 5)) == (4L, 4L, 4L))
+    // float-boundary losslessness (review): 0.28*25 = 7.000000000000001
+    // in doubles, so an unguarded size filter rejects |A|=7 vs |B|=25
+    // even though the verify ratio 7.0/25.0 == 0.28 passes — the pair
+    // MUST appear (prune stages never stricter than the verify)
+    val boundary = (
+      (1 to 7).map(i => 10 -> s"w$i") ++           // A = 7 items, all shared
+      (1 to 25).map(i => 20 -> s"w$i")             // B = 25 items ⊇ A
+    ).toDF("id", "item")
+    val bj = SetSimJoin.jaccardJoin(boundary, "id", "item", 0.28)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(5))).toMap
+    assert(bj.contains((10, 20)), s"boundary pair missing: $bj")
+    assert(bj((10, 20)) == 0.28)
     // hot-set width guard (same protocol as the sequence folds)
     val ex = intercept[Exception] {
       SetSimJoin.jaccardJoin(rows, "id", "item", 0.5, maxSetSize = 3).collect()
@@ -2599,6 +2611,16 @@ class OperatorsSpec extends AnyFunSuite {
     assert(split.keySet == Set((4, 2), (4, 3), (4, 1)), s"got ${split.keySet}")
     assert(split((4, 1)) == BigDecimal(2.0 / 3)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // float-boundary losslessness (review): at t=0.28 the size filter's
+    // double product 0.28*25 = 7.000000000000001 would reject an
+    // |A|=25 probe with exactly 7 items inside a 7-item index doc,
+    // though the verify ratio 7.0/25.0 == 0.28 passes
+    val probeB = (1 to 25).map(i => 30 -> s"w$i").toDF("id", "item")
+    val indexB = (1 to 7).map(i => 40 -> s"w$i").toDF("id", "item")
+    val cb = SetSimJoin.containmentJoin(probeB, indexB, "id", "item", 0.28)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(5))).toMap
+    assert(cb.contains((30, 40)), s"boundary pair missing: $cb")
+    assert(cb((30, 40)) == 0.28)
   }
 
   test("associationRules: hand-computed support/confidence/lift, both directions") {
