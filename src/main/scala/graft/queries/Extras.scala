@@ -429,6 +429,35 @@ object Extras {
         .orderBy("node")
     }),
 
+    "x_adamic_adar" -> ((s, dir) => {
+      // Adamic-Adar link prediction (operators/GraphStats) over a
+      // customer-slice of the buyer↔supplier graph (every 10th
+      // customer — wedge cost is quadratic in center degree, and the
+      // slice keeps the oracle's identical wedge enumeration tractable
+      // at every SF): top-30 non-adjacent pairs by inverse-log common-
+      // neighbour mass. Wedge equi-join on the center node only,
+      // anti-join drops existing edges, TakeOrdered cut.
+      val edges = t(s, dir, "orders")
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      // the top-30 cut ties on NUMERIC (aa, u, v) inside the operator;
+      // the display frame re-sorts on the string ids so both engines
+      // emit one well-defined row order
+      graft.operators.GraphStats.adamicAdar(edges, "src", "dst", topK = 30)
+        .select(
+          concat(when(col("u") % 2 === 0, "c").otherwise("s"),
+            expr("u div 2")).as("u"),
+          concat(when(col("v") % 2 === 0, "c").otherwise("s"),
+            expr("v div 2")).as("v"),
+          col("common"), col("aa"))
+        .orderBy("u", "v")
+    }),
+
     "x_assortativity" -> ((s, dir) => {
       // degree assortativity (operators/GraphStats, Newman 2002) of the
       // symmetrized buyer↔supplier graph — structurally DISassortative
@@ -769,6 +798,32 @@ object Extras {
          |SELECT node, round(r * (SELECT n FROM nn), 6) AS rel_rank
          |FROM r$iters ORDER BY node""".stripMargin
     },
+    "x_adamic_adar" ->
+      // numeric-id wedge replay (even=customer, odd=supplier); the
+      // top-30 cut ties on numeric (aa, u, v), display strings and the
+      // final (u, v) string sort are applied outside the cut
+      """WITH raw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 10 = 0),
+        |sym AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        |deg AS (SELECT src AS w, COUNT(*) AS degw FROM sym GROUP BY 1),
+        |nbrs AS (SELECT s.src AS w, s.dst AS x, d.degw
+        |         FROM sym s JOIN deg d ON s.src = d.w),
+        |pairs AS (
+        |  SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS common,
+        |    ROUND(SUM(1.0e0 / ln(CAST(a.degw AS DOUBLE))), 4) AS aa
+        |  FROM nbrs a JOIN nbrs b ON a.w = b.w AND a.x < b.x
+        |  GROUP BY 1, 2),
+        |cut AS (
+        |  SELECT p.* FROM pairs p
+        |  WHERE NOT EXISTS (SELECT 1 FROM sym e WHERE e.src = p.u AND e.dst = p.v)
+        |  ORDER BY aa DESC, u, v LIMIT 30)
+        |SELECT
+        |  CASE WHEN u % 2 = 0 THEN 'c' || (u // 2) ELSE 's' || (u // 2) END AS u,
+        |  CASE WHEN v % 2 = 0 THEN 'c' || (v // 2) ELSE 's' || (v // 2) END AS v,
+        |  common, aa
+        |FROM cut ORDER BY u, v""".stripMargin,
     "x_assortativity" ->
       // symmetric edge list (each undirected edge contributes both
       // orientations — Newman's definition, and what makes r

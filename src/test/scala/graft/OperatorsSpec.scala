@@ -2790,6 +2790,31 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
   }
 
+  test("adamicAdar: rare shared neighbour beats popular one, existing edges excluded") {
+    import graft.operators.GraphStats
+    // hub h connects {1,2,3,4} (deg 4); rare r connects {1,2} (deg 2).
+    // pair (1,2) shares BOTH -> aa = 1/ln4 + 1/ln2; (3,4) shares only
+    // the hub -> aa = 1/ln4; edge 1-2 does NOT exist so the pair stays
+    val e = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L), (8L, 1L), (8L, 2L))
+      .toDF("s", "d")
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = GraphStats.adamicAdar(e, "s", "d", topK = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((1L, 2L)) == (2L, r4(1.0 / math.log(4) + 1.0 / math.log(2))))
+    assert(got((3L, 4L)) == (1L, r4(1.0 / math.log(4))))
+    assert(got((1L, 2L))._2 > got((3L, 4L))._2, "rare neighbour must weigh more")
+    // hub-center pairs like (8,9) via shared leaf 1 (deg 2): present;
+    // but an EXISTING edge never appears as a prediction
+    assert(!got.contains((1L, 9L)) && !got.contains((9L, 1L)))
+    // degree cap: skipping the hub removes its wedges — (3,4) vanishes
+    val capped = GraphStats.adamicAdar(e, "s", "d", topK = 50,
+        maxWedgeDegree = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
+  }
+
   test("degreeAssortativity: star is maximally disassortative, path r computed by hand") {
     import graft.operators.GraphStats
     // star 0-{1,2,3}: every edge joins deg 3 to deg 1 -> both endpoint
