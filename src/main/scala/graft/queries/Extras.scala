@@ -475,6 +475,28 @@ object Extras {
       graft.operators.GraphStats.degreeAssortativity(edges, "src", "dst")
     }),
 
+    "x_hits" -> ((s, dir) => {
+      // HITS hubs/authorities (operators/Hits) over the DIRECTED
+      // buyer->supplier graph: customers are pure hubs, suppliers pure
+      // authorities — the two roles PageRank conflates. 3 mutual-
+      // reinforcement rounds, max-normalized (top hub/authority pinned
+      // at exactly 1.0); numeric ids in the loop, display strings on
+      // the |V|-row result only; round(6) absorbs per-sum float order.
+      val edges = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Hits.scores(edges, "src", "dst", iters = 3)
+        .select(
+          concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+            expr("node div 2")).as("node"),
+          round(col("hub"), 6).as("hub"),
+          round(col("auth"), 6).as("auth"))
+        .orderBy("node")
+    }),
+
     "x_kcore" -> ((s, dir) => {
       // k-core peel (operators/KCore) of the symmetrized buyer↔supplier
       // graph at k=30, 3 rounds: low-degree customers peel, supplier
@@ -852,6 +874,32 @@ object Extras {
         |          sqrt(CAST(cnt * sbb - sb * sb AS DOUBLE))), 4)
         |       ELSE NULL END AS r
         |FROM m""".stripMargin,
+    "x_hits" -> {
+      // unrolled 3-round mutual-reinforcement replay, max-normalized
+      // each half-round exactly as the engine (a/MAX(a), h/MAX(h),
+      // COALESCE 0 for the missing role); only summation order
+      // differs, absorbed by round(6)
+      val iterCtes = (1 to 3).map { k =>
+        s"""ar$k AS (SELECT e.dst AS node, SUM(p.h) AS ar
+           |  FROM edges e JOIN h${k - 1} p ON e.src = p.node GROUP BY 1),
+           |a$k AS (SELECT n.node,
+           |    COALESCE(ar.ar / (SELECT MAX(ar) FROM ar$k), 0.0e0) AS a
+           |  FROM nodes n LEFT JOIN ar$k ar ON n.node = ar.node),
+           |hr$k AS (SELECT e.src AS node, SUM(q.a) AS hr
+           |  FROM edges e JOIN a$k q ON e.dst = q.node GROUP BY 1),
+           |h$k AS (SELECT n.node,
+           |    COALESCE(hr.hr / (SELECT MAX(hr) FROM hr$k), 0.0e0) AS h
+           |  FROM nodes n LEFT JOIN hr$k hr ON n.node = hr.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+         |h0 AS (SELECT node, 1.0e0 AS h FROM nodes),
+         |$iterCtes
+         |SELECT h.node, ROUND(h.h, 6) AS hub, ROUND(a.a, 6) AS auth
+         |FROM h3 h JOIN a3 a ON h.node = a.node ORDER BY h.node""".stripMargin
+    },
     "x_kcore" -> {
       // unrolled 3-round peel replay: degrees over the residual edge
       // set, HAVING >= k keeps, two-sided semi filter — counts only,

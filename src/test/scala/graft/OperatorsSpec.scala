@@ -2790,6 +2790,33 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
   }
 
+  test("hits: hand-computed mutual reinforcement, roles stay split, empty loud") {
+    import graft.operators.Hits
+    // u1->{v1,v2}, u2->{v1}: u1 is the better hub (covers both
+    // authorities), v1 the better authority (pointed at by both hubs).
+    // All sums have <= 2 terms, so the hand model is bit-exact.
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("s", "d")
+    val got = Hits.scores(e, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // round 1: a = (v1: 2/2=1, v2: 1/2); h = (u1: 1.5/1.5=1, u2: 1/1.5)
+    val a1v2 = 1.0 / 2
+    val h1u2 = 1.0 / 1.5
+    // round 2
+    val a2v1raw = 1.0 + h1u2; val a2v2 = 1.0 / a2v1raw
+    val h2u1raw = 1.0 + a2v2; val h2u2 = 1.0 / h2u1raw
+    // round 3
+    val a3v1raw = 1.0 + h2u2; val a3v2 = 1.0 / a3v1raw
+    val h3u1raw = 1.0 + a3v2; val h3u2 = 1.0 / h3u1raw
+    assert(got(1L) == (1.0, 0.0))        // top hub pinned at 1, no authority role
+    assert(got(10L) == (0.0, 1.0))       // top authority pinned at 1
+    assert(got(2L) == (h3u2, 0.0))
+    assert(got(20L) == (0.0, a3v2))
+    assert(got(1L)._1 > got(2L)._1 && got(10L)._2 > got(20L)._2)
+    intercept[IllegalArgumentException] {
+      Hits.scores(e.filter($"s" === 99L), "s", "d", iters = 1)
+    }
+  }
+
   test("adamicAdar: rare shared neighbour beats popular one, existing edges excluded") {
     import graft.operators.GraphStats
     // hub h connects {1,2,3,4} (deg 4); rare r connects {1,2} (deg 2).
