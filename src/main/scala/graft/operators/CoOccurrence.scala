@@ -116,4 +116,68 @@ object CoOccurrence {
       .select(col("edges"), col("triangles"),
         round(lit(3.0) * col("triangles") / col("wedges"), 4).as("clustering"))
   }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998) per node:
+    * lcc(n) = 2·tri(n) / (deg(n)·(deg(n)−1)) — how close a node's
+    * neighbourhood is to a clique. The per-node sibling of
+    * `triangleStats`' single global number: the degree-oriented wedge
+    * join runs once, but each closed triangle credits ALL THREE of its
+    * vertices (the orientation guarantees it is FOUND exactly once, at
+    * its lowest-rank vertex). Nodes with degree < 2 are excluded — the
+    * denominator is undefined, and 0/0 rows would only pad the output.
+    *
+    * Input contract matches `triangleStats`: canonical undirected edge
+    * list `(u, v)` with `u < v`, distinct. Output `(node, degree,
+    * triangles, lcc)` ordered by (lcc DESC, node), cut to `topK` —
+    * the cut is deterministic because the order is total, and the lcc
+    * double is bit-identical to any replay: integer numerator and
+    * denominator (exact in double far beyond any real degree), ONE
+    * IEEE division, round(4).
+    *
+    * Scale shape: same two node-keyed shuffle joins as triangleStats
+    * (oriented out-degree is O(√m), so no hub explosion), ONE extra
+    * |triangles|·3 explode + partial-agged hash agg for the per-node
+    * credit, a left join of the |V|-row degree frame against the
+    * |V|-bounded triangle counts, TakeOrderedAndProject cut. No
+    * cartesian, no global sort of anything corpus-sized.
+    */
+  def localClustering(edges: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, "localClustering: topK must be >= 1")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("u"), col("v")).persist(lvl)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val byU = e.join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+    val withDeg = byU.join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val ru = struct(col("du").as("d"), col("u").as("n"))
+    val rv = struct(col("dv").as("d"), col("v").as("n"))
+    val o = withDeg.select(
+      when(ru < rv, col("u")).otherwise(col("v")).as("a"),
+      when(ru < rv, rv).otherwise(ru).as("rb"))
+      .select(col("a"), col("rb.n").as("b"), col("rb"))
+      .persist(lvl)
+    // keep the wedge CENTER (c0) that triangleStats drops: the closing
+    // join proves {c0, w1, w2} is a triangle, and all three get credit
+    val wedges = o.select(col("a").as("c0"), col("b").as("w1"), col("rb").as("r1"))
+      .join(o.select(col("a").as("c0"), col("b").as("w2"), col("rb").as("r2")),
+        Seq("c0"))
+      .filter(col("r1") < col("r2"))
+      .select(col("c0"), col("w1").as("a"), col("w2").as("b"))
+    val triPerNode = wedges
+      .join(o.select(col("a"), col("b")), Seq("a", "b"))
+      .select(explode(array(col("c0"), col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    val out = deg.filter(col("d") >= 2)
+      .join(triPerNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("triangles"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+          (col("d") * (col("d") - lit(1))), 4).as("lcc"))
+      .orderBy(col("lcc").desc, col("node"))
+      .limit(topK)
+      .localCheckpoint(true)
+    o.unpersist(); deg.unpersist(); e.unpersist()
+    out
+  }
 }

@@ -385,6 +385,19 @@ object Extras {
       graft.operators.CoOccurrence.triangleStats(edges)
     }),
 
+    "x_local_clustering" -> ((s, dir) => {
+      // per-node clustering coefficient (CoOccurrence.localClustering,
+      // Watts & Strogatz 1998) on the same part co-purchase graph as
+      // x_triangles: one degree-oriented wedge join, each closed
+      // triangle credits all three vertices, lcc = 2·tri/(d·(d−1)),
+      // deterministic (lcc DESC, node) top-100 cut
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("basket"), col("l_partkey").as("item"))
+      val edges = graft.operators.CoOccurrence.basketPairs(li, "basket", "item")
+        .filter(col("cnt") >= 2).select(col("u"), col("v"))
+      graft.operators.CoOccurrence.localClustering(edges, topK = 100)
+    }),
+
     "x_editdist_join" -> ((s, dir) =>
       // edit-distance<=1 self-join over customer names (operators/
       // StringSimJoin): SymSpell deletion-neighborhood blocking — the
@@ -761,6 +774,35 @@ object Extras {
         |  ROUND(CAST(3.0 * tri.triangles AS DOUBLE) /
         |    CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS DOUBLE), 4) AS clustering
         |FROM tri""".stripMargin,
+    // per-node replay: the canonical triple join finds each triangle
+    // once as (x < y < z); UNION ALL credits all three vertices. The
+    // lcc double is bit-identical on both sides — integer numerator /
+    // denominator, one IEEE division — so the (lcc DESC, node) cut is
+    // the same total order
+    "x_local_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+        |e AS (
+        |  SELECT a.i AS u, b.i AS v
+        |  FROM li a JOIN li b ON a.b = b.b AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT n, COUNT(*) AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |       JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tn AS (
+        |  SELECT n, COUNT(*) AS tri
+        |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  CAST(COALESCE(tn.tri, 0) AS BIGINT) AS triangles,
+        |  ROUND(CAST(2.0 * COALESCE(tn.tri, 0) AS DOUBLE) /
+        |    CAST(deg.d * (deg.d - 1) AS DOUBLE), 4) AS lcc
+        |FROM deg LEFT JOIN tn ON tn.n = deg.n
+        |WHERE deg.d >= 2
+        |ORDER BY lcc DESC, node LIMIT 100""".stripMargin,
     "x_editdist_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  a.c_name AS name_a, b.c_name AS name_b,

@@ -1593,6 +1593,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 8L && r2.getLong(1) == 1L)
   }
 
+  test("localClustering: hand-computed lcc, degree<2 excluded, topK cut") {
+    import graft.operators.CoOccurrence
+    // two shared triangles + a pendant: 1-2-3 and 2-3-4 triangles,
+    // 4-5 pendant edge. deg: 1→2, 2→3, 3→3, 4→3, 5→1.
+    // tri/node: 1→1, 2→2, 3→2, 4→1. lcc: 1.0, 2/3, 2/3, 1/3; node 5 out.
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = CoOccurrence.localClustering(g, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, 1.0), (2L, 3L, 2L, 0.6667), (3L, 3L, 2L, 0.6667),
+      (4L, 3L, 1L, 0.3333)))
+    // K4: every node sits in 3 triangles of its 3-neighbour clique → all 1.0
+    val k4 = (for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)).toDF("u", "v")
+    val all1 = CoOccurrence.localClustering(k4, topK = 10).collect()
+    assert(all1.length == 4 && all1.forall(r => r.getDouble(3) == 1.0 &&
+      r.getLong(2) == 3L))
+    // topK cut is the (lcc DESC, node) prefix
+    val cut = CoOccurrence.localClustering(g, topK = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(cut == Seq(1L, 2L))
+    // square (no triangles): lcc = 0.0 rows, not dropped
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val zeros = CoOccurrence.localClustering(sq, topK = 10).collect()
+    assert(zeros.length == 4 && zeros.forall(r => r.getDouble(3) == 0.0 &&
+      r.getLong(2) == 0L))
+  }
+
   test("editDistance1Join: equals brute-force levenshtein<=1 incl. ins/del/sub") {
     import graft.operators.StringSimJoin
     val strs = Seq("abcd", "abed", "abd", "abcde", "abcd", "zzzz", "ab",

@@ -523,6 +523,12 @@ class PlanSpec extends AnyFunSuite {
     // (the 1-row totals crossJoins plan as BNLJ over single rows; the
     // data-sized wedge/closure joins must be hash/merge equi-joins)
     assert(!pt.contains("CartesianProduct"), pt)
+    // x_local_clustering returns an eager localCheckpoint (caches are
+    // released on return — the x_bigram_nll materialization contract):
+    // the returned plan must be a local frame, never one that
+    // re-derives the wedge join per consumer
+    val pl = plan("x_local_clustering")
+    assert(!pl.contains("Scan parquet") && !pl.contains("CartesianProduct"), pl)
   }
 
   test("x_scd2: both windows share one exchange and one sort") {
