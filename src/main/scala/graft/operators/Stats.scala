@@ -560,6 +560,63 @@ object Stats {
     Seq((nA, nB, psiVal)).toDF("n_a", "n_b", "psi")
   }
 
+  /** Exact Gini coefficient WITHOUT a global sort — the single-number
+    * inequality companion of [[pareto]] (corpus length inequality,
+    * revenue concentration, per-source dominance). Standard rank form
+    * G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over ascending-sorted values —
+    * but the rank sum is read off the SAME bucketed prefix-sum CDF as
+    * [[exactQuantiles]]: a distinct value v with count c and exclusive
+    * prefix p occupies ranks p+1..p+c, so Σ i·x over its tie block is
+    * v·c·(2p+c+1)/2 regardless of within-tie order (ties make
+    * ROW_NUMBER replays order-independent). Everything integer runs in
+    * decimal(38,0) (ANSI: overflow fails LOUD, never wraps); the only
+    * float ops are the two final divisions and one subtraction, in a
+    * pinned order both engines replay bit-for-bit. One row out:
+    * `(n, total, gini)`, gini rounded to 6.
+    *
+    * Scale shape: one partial-agged per-distinct-value count shuffle
+    * (persisted — [[globalCum]]), per-bucket local cumsums, ≤ buckets
+    * driver-folded offsets, then ONE |distinct|-sized equi-join +
+    * decimal agg. Nothing corpus-sized is sorted, windowed globally,
+    * or collected. Values must be non-negative with a positive total
+    * (the Lorenz-curve domain) — checked in the same aggregation pass,
+    * fail loud. NULLs excluded (observed-values policy); empty input →
+    * empty frame.
+    */
+  def gini(df: DataFrame, valueCol: String, buckets: Int = 32): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val (cum, n, cached) = globalCum(df, valueCol, buckets)
+    if (n == 0L) {
+      cached.unpersist()
+      return Seq.empty[(Long, Long, Double)].toDF("n", "total", "gini")
+    }
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // cached = (v, c) per distinct value; cum = (v, cum) off the same
+    // persisted frame — the join is |distinct|⋈|distinct| on the key
+    val row = cum.join(cached, Seq("v"))
+      .agg(
+        min(col("v")).as("mn"),
+        sum(dec(col("v")) * dec(col("c"))).as("t"),
+        // Σ v·c·(2p + c + 1) = 2·Σ i·x — kept doubled so the decimal
+        // path never divides (decimal division reshapes scale)
+        sum(dec(col("v")) * dec(col("c")) *
+          (dec(col("cum") - col("c")) * 2 + dec(col("c")) + 1)).as("s2"))
+      .collect()(0)
+    cached.unpersist()
+    require(row.getDouble(0) >= 0.0,
+      s"gini: negative values break the Lorenz domain (min=${row.getDouble(0)})")
+    val t = BigInt(row.getDecimal(1).toBigInteger)
+    val s2 = BigInt(row.getDecimal(2).toBigInteger)
+    require(t > 0, "gini: total must be positive")
+    require(t.isValidLong,
+      s"gini: total $t exceeds the BIGINT output contract — rescale the value column")
+    val nd = n.toDouble
+    val g = s2.toDouble / (nd * t.toDouble) - (nd + 1.0) / nd
+    Seq((n, t.toLong, BigDecimal(g).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)).toDF("n", "total", "gini")
+  }
+
   /** Pareto concentration curve — "the top X% of keys hold Y% of the
     * value" (revenue concentration, corpus-source dominance, hot-key
     * share). Keys are ranked by DESCENDING per-key value and cut into

@@ -146,6 +146,13 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_gini" -> ((s, dir) =>
+      // exact Gini coefficient of per-document length (Stats.gini):
+      // corpus length inequality WITHOUT a global sort — tie-block rank
+      // sums read off the bucketed prefix-sum CDF, integer math in
+      // decimal(38,0), two final IEEE divisions
+      graft.operators.Stats.gini(docs(s, dir), "n_chars")),
+
     "x_bpe_tokens" -> ((s, dir) => {
       // BPE-ish pre-tokenizer counts (the "token counting: whitespace +
       // BPE-ish regex" extension): token total, distinct types, average
@@ -1217,6 +1224,26 @@ object TextDocs {
         |        - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / SUM(c), 4)
         |    AS entropy
         |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // ROW_NUMBER rank-sum replay: ties make Σ i·x order-independent
+    // (a tie block's rank sum is fixed), so the window replay equals
+    // the engine's CDF tie-block form exactly; s is exact HUGEINT,
+    // 2.0·double(s) ≡ double(2s) (×2 is exact and commutes with
+    // round-to-nearest), and the division/subtraction order is pinned
+    // to the engine's
+    "x_gini" ->
+      """WITH r AS (
+        |  SELECT n_chars AS x,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS i
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (
+        |  SELECT COUNT(*) AS n, SUM(x) AS t,
+        |    SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s
+        |  FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        |  ROUND(2.0 * CAST(s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM m""".stripMargin,
     "x_pad_waste" ->
       // the engine's tokenCount counts ALL \s+ split pieces (no empty
       // filter) — mirror len(string_split_regex) exactly, like

@@ -1881,6 +1881,40 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("gini: known values, tie/bucket invariance, sorted replay, guards") {
+    import graft.operators.Stats
+    // textbook cases: [1,2,3,4] → 0.25; all-equal → 0;
+    // [0,0,0,12] → (n−1)/n = 0.75
+    def g(xs: Seq[Long], buckets: Int = 32): (Long, Long, Double) = {
+      val r = Stats.gini(xs.toDF("x"), "x", buckets).head()
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(g(Seq(1L, 2L, 3L, 4L)) == ((4L, 10L, 0.25)))
+    assert(g(Seq(5L, 5L, 5L)) == ((3L, 15L, 0.0)))
+    assert(g(Seq(0L, 0L, 0L, 12L)) == ((4L, 12L, 0.75)))
+    // bucket count never changes the exact integer rank sums
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(4000)(rnd.nextInt(1000).toLong + 1L)
+    val ref = g(big, 32)
+    for (b <- Seq(1, 7, 64)) assert(g(big, b) == ref, s"buckets=$b")
+    // equals the brute-force sorted-rank formula
+    val s = big.sorted
+    val n = s.length.toDouble
+    val brute = 2.0 * s.zipWithIndex.map { case (x, i) =>
+      (i + 1).toDouble * x }.sum / (n * s.sum.toDouble) - (n + 1.0) / n
+    assert(math.abs(ref._3 - brute) < 1e-6) // ref is round(6)
+    // NULLs excluded; negatives and zero totals fail loud
+    val withNull = (big.map(Some(_)) :+ None).toDF("x")
+    assert(Stats.gini(withNull, "x").head().getLong(0) == 4000L)
+    intercept[IllegalArgumentException] {
+      Stats.gini(Seq(-1L, 2L).toDF("x"), "x").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.gini(Seq(0L, 0L).toDF("x"), "x").collect()
+    }
+    assert(Stats.gini(Seq.empty[Long].toDF("x"), "x").count() == 0L)
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
