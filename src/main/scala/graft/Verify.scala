@@ -10,6 +10,14 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // a typo'd filter would otherwise yield an empty run that looks
+    // exactly like success — fail loud before starting Spark work
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"[verify] unknown query name(s) in filter: ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "check SparkEntry.queries for the exact keys")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = graft.core.Sessions.configure(

@@ -45,16 +45,21 @@ object GraphStats {
     * via one anti-join against the |E| frame, and the cut is
     * TakeOrdered top-k. A hub center contributes deg² wedges — the
     * quadratic wedge cost every common-neighbour method pays —
-    * so `maxWedgeDegree` SKIPS centers above the cap (their AA term
-    * 1/ln(deg) is the smallest in the graph, so high-degree centers
-    * are exactly the ones that matter least; the cap is the standard
-    * practical cut and the scaladoc'd approximation when set below
-    * the graph's max degree). Returns `(u, v, common, aa)` with
+    * so `maxWedgeDegree` SKIPS centers above the cap. The DEFAULT is
+    * 10 000 — a REAL bound (a 10⁵-degree hub at the old effectively-
+    * uncapped default would emit 10¹⁰ wedges from one center and sink
+    * the stage), so on graphs whose max degree exceeds it the default
+    * output is a DOCUMENTED APPROXIMATION: the standard practical cut,
+    * biased the right way (a skipped center's AA term 1/ln(deg) is the
+    * smallest in the graph — high-degree centers are exactly the ones
+    * that certify least). Raise the cap DELIBERATELY, with the deg²
+    * wedge bill in mind, when exact scores over hubs are required.
+    * Returns `(u, v, common, aa)` with
     * u < v, aa rounded to 4 (the wedge-sum order is the only float
     * surface), ordered by (aa DESC, u, v), cut to `topK`.
     */
   def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
-                 topK: Int, maxWedgeDegree: Int = 1000000): DataFrame = {
+                 topK: Int, maxWedgeDegree: Int = 10000): DataFrame = {
     require(topK >= 1, "adamicAdar: topK must be >= 1")
     require(maxWedgeDegree >= 2, "adamicAdar: maxWedgeDegree must be >= 2")
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))

@@ -21,14 +21,19 @@ import org.apache.spark.sql.functions._
   * Pregel-in-DataFrame like the rest of the link-analysis family:
   * each half-round is one |E|-keyed join + one partial-agged SUM, and
   * the 1-row max rides as a BROADCAST aggregate (crossJoin) rather
-  * than a per-round driver fold — unlike PageRank's dangling mass the
-  * max never feeds a driver-side literal, so the loop runs ZERO
-  * driver actions and the caller's single action materializes the
-  * whole lazily-marked round chain (each raw half-round frame is
-  * persisted because it feeds both its max and the normalize join).
-  * Vertex frames broadcast below `maxBroadcastNodes`, rounds cut with
-  * the shared [[RoundCheckpointer]]. Nodes nothing points at hold
-  * authority 0; pure sinks hold hub 0 — both kept (left join,
+  * than a per-round driver fold. Each round ends with ONE tiny driver
+  * action — a |V|-keyed join of the new and previous hub frames
+  * aggregated to max|Δh| — which (a) materializes the round's lazily-
+  * cut chain so the round's raw half-round frames can be released
+  * IMMEDIATELY (at most the current round's TWO raw |V|-row frames
+  * are ever cached, where the round-9 form buffered all 2·iters of
+  * them to the end), and (b) doubles as the CONVERGENCE CERTIFICATE:
+  * [[scoresConverged]] with `earlyStop` skips the remaining rounds
+  * once max|Δh| ≤ `tol` (default 0.0 — a PROVEN fixpoint, so skipped
+  * rounds are exact no-ops and the output is identical to running
+  * them). Vertex frames broadcast below `maxBroadcastNodes`, rounds
+  * cut with the shared [[RoundCheckpointer]]. Nodes nothing points at
+  * hold authority 0; pure sinks hold hub 0 — both kept (left join,
   * coalesce), since "this node has no hub role" is signal, not
   * absence. Returns `(node, hub, auth)` unrounded; callers round for
   * cross-engine comparison (only per-sum float order differs).
@@ -37,8 +42,26 @@ object Hits {
 
   def scores(edges: DataFrame, srcCol: String, dstCol: String,
              iters: Int = 3,
-             maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+             maxBroadcastNodes: Long = 10_000_000L): DataFrame =
+    scoresConverged(edges, srcCol, dstCol, iters, earlyStop = false,
+      maxBroadcastNodes = maxBroadcastNodes)._1
+
+  /** [[scores]] plus the convergence certificate `(result, roundsRun,
+    * converged)`: the per-round max|Δh| aggregate every round already
+    * pays (it is the round's materializing action) is compared against
+    * `tol`; with `earlyStop` a round whose certificate passes is the
+    * LAST round run ([[KCore.kCoreConverged]]'s contract — the check
+    * runs on the final round too, so a fixpoint reached exactly at the
+    * cap still certifies). At the default `tol = 0.0` the fixpoint is
+    * exact, so early-stopped output is bit-identical to the uncapped
+    * run. */
+  def scoresConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 3, earlyStop: Boolean = false,
+                      tol: Double = 0.0,
+                      maxBroadcastNodes: Long = 10_000_000L)
+      : (DataFrame, Int, Boolean) = {
     require(iters >= 1, "hits: iters must be >= 1")
+    require(tol >= 0.0, "hits: tol must be >= 0")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist(lvl)
@@ -53,18 +76,25 @@ object Hits {
 
     var h = ckpt(nodes.select(col("node"), lit(1.0).as("h")))
     var a: DataFrame = null
-    // raw half-round frames stay cached until the final action has
-    // materialized the whole lazy chain (an early unpersist would
-    // recompute the |E| join feeding both the max and the normalize)
-    val raws = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    for (_ <- 1 to iters) {
+    // the CURRENT round's raw half-round frames: persisted because each
+    // feeds both its max-aggregate branch and the normalize join;
+    // released as soon as the NEXT certificate action has materialized
+    // the frames derived from them — never more than these two live
+    var liveRaws: Seq[DataFrame] = Nil
+    var r = 0
+    var converged = false
+    while (r < iters && !converged) {
+      // the previous round's certificate action materialized everything
+      // derived from its raws — release them BEFORE persisting this
+      // round's pair, so at most two raw frames are ever cached
+      liveRaws.foreach(_.unpersist())
+      liveRaws = Nil
       // authority half-round: a(v) = Σ h(u) over in-edges, normalized
       // by the broadcast 1-row max
       val aRaw = e
         .join(hint(h.select(col("node").as("src"), col("h"))), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
         .persist(lvl)
-      raws += aRaw
       a = ckpt(nodes
         .join(hint(aRaw), Seq("node"), "left")
         .crossJoin(broadcast(aRaw.agg(max(col("ar")).as("ma"))))
@@ -75,19 +105,29 @@ object Hits {
         .join(hint(a.select(col("node").as("dst"), col("a"))), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
         .persist(lvl)
-      raws += hRaw
+      val hPrev = h
       h = ckpt(nodes
         .join(hint(hRaw), Seq("node"), "left")
         .crossJoin(broadcast(hRaw.agg(max(col("hr")).as("mh"))))
         .select(col("node"),
           coalesce(col("hr") / col("mh"), lit(0.0)).as("h")))
+      r += 1
+      // the round's ONE driver action: max|Δh| over a |V|-keyed join of
+      // two cut frames — materializes the whole round chain (so the
+      // raws below can go) and is the convergence certificate
+      val dh = h
+        .join(hPrev.select(col("node"), col("h").as("__h0")), Seq("node"))
+        .agg(max(abs(col("h") - col("__h0"))).as("dh"))
+        .head().getDouble(0)
+      liveRaws = Seq(aRaw, hRaw)
+      if (earlyStop) converged = dh <= tol
     }
     val out = h.join(a, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
       .localCheckpoint(true)
-    raws.foreach(_.unpersist())
+    liveRaws.foreach(_.unpersist())
     ckpt.release()
     e.unpersist(); nodes.unpersist()
-    out
+    (out, r, converged)
   }
 }

@@ -120,7 +120,12 @@ object Retrieval {
     * producers here pin their scores to round(4)/decimal(10,4)). An
     * id has AT MOST TWO contribution rows and two-term IEEE addition
     * is commutative, so the aggregated sum is deterministic with no
-    * operand-order caveat; rounded to 6 dp. Returns
+    * operand-order caveat; rounded to 6 dp. DUPLICATE IDS within one
+    * input list are collapsed to their best (highest) score BEFORE
+    * ranking — a malformed producer emitting the same document twice
+    * would otherwise hold two ranks and double-count in the fusion sum
+    * (and push every later document one rank down); the collapse is a
+    * no-op for well-formed top-k inputs. Returns
     * `(idCol, rank_a, rank_b, rrf)` — null rank marks "not retrieved
     * by that list" — ordered by (rrf DESC, id), cut to `k`.
     *
@@ -140,7 +145,10 @@ object Retrieval {
         case other => throw new IllegalArgumentException(
           s"rrfFuse: expected (id, score) columns, got ${other.mkString(",")}")
       }
-      df.select(col(idCol), row_number().over(
+      // duplicate-id guard (scaladoc): best score per id, then rank —
+      // both frames are planning-sized, the extra agg is free
+      df.groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
+        .select(col(idCol), row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col(scoreCol).desc, col(idCol)))
         .as("rank"), lit(src).as("src"))

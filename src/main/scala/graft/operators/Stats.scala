@@ -578,10 +578,15 @@ object Stats {
     * (persisted — [[globalCum]]), per-bucket local cumsums, ≤ buckets
     * driver-folded offsets, then ONE |distinct|-sized equi-join +
     * decimal agg. Nothing corpus-sized is sorted, windowed globally,
-    * or collected. Values must be non-negative with a positive total
-    * (the Lorenz-curve domain) — checked in the same aggregation pass,
-    * fail loud. NULLs excluded (observed-values policy); empty input →
-    * empty frame.
+    * or collected. Values must be non-negative INTEGERS with a
+    * positive total (the Lorenz-curve domain the decimal(38,0) rank
+    * algebra assumes) — non-negativity, integrality, AND the positive
+    * total are all checked in the SAME aggregation pass and fail LOUD:
+    * a fractional column (a price, a ratio) would otherwise be
+    * silently rounded to decimal(38,0) per value and produce a
+    * plausible-but-wrong Gini. For fractional data, rescale to an
+    * integer grid first (e.g. `round(col * 100)` for cents) — the
+    * Gini of a uniformly rescaled column is identical.
     */
   def gini(df: DataFrame, valueCol: String, buckets: Int = 32): DataFrame = {
     val session = df.sparkSession
@@ -601,9 +606,18 @@ object Stats {
         // Σ v·c·(2p + c + 1) = 2·Σ i·x — kept doubled so the decimal
         // path never divides (decimal division reshapes scale)
         sum(dec(col("v")) * dec(col("c")) *
-          (dec(col("cum") - col("c")) * 2 + dec(col("c")) + 1)).as("s2"))
+          (dec(col("cum") - col("c")) * 2 + dec(col("c")) + 1)).as("s2"),
+        // integrality sentinel, same pass: the decimal(38,0) casts
+        // above ROUND each value — fine on the integer Lorenz domain,
+        // a silent wrong answer on fractional data
+        sum(when(col("v") =!= floor(col("v")), 1L).otherwise(0L)).as("n_frac"))
       .collect()(0)
     cached.unpersist()
+    require(row.getLong(3) == 0L,
+      s"gini: ${row.getLong(3)} fractional values in '$valueCol' — the " +
+        "decimal(38,0) rank algebra is exact only on integers; rescale to an " +
+        "integer grid first (e.g. round(col * 100) for cents — Gini is " +
+        "invariant under uniform rescaling)")
     require(row.getDouble(0) >= 0.0,
       s"gini: negative values break the Lorenz domain (min=${row.getDouble(0)})")
     val t = BigInt(row.getDecimal(1).toBigInteger)

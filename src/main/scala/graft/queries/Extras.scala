@@ -612,15 +612,20 @@ object Extras {
       // totalprice bit k → z-bit 2k+1), file = top 4 z-bits
       val q1 = "CASE WHEN mn1 = mx1 THEN 0 ELSE LEAST(CAST(FLOOR(" +
         "(CAST(o_custkey AS DOUBLE) - mn1) / (mx1 - mn1) * 16) AS INT), 15) END"
+      // DOUBLE arithmetic throughout, mirroring Layout.cell exactly:
+      // the engine quantizes on double-cast bounds, so a DECIMAL bounds
+      // CTE here could flip a one-ulp cell boundary at other scale
+      // factors even though the values agree at sf0.01 (round-10 advice)
       val q2 = "CASE WHEN mn2 = mx2 THEN 0 ELSE LEAST(CAST(FLOOR(" +
-        "(o_totalprice - mn2) / (mx2 - mn2) * 16) AS INT), 15) END"
+        "(CAST(o_totalprice AS DOUBLE) - mn2) / (mx2 - mn2) * 16) AS INT), 15) END"
       val inter = (0 until 4).flatMap(k =>
         Seq(s"(((q1 >> $k) & 1) << ${2 * k})",
           s"(((q2 >> $k) & 1) << ${2 * k + 1})")).mkString(" + ")
       s"""WITH b AS (
          |  SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn1,
          |         MAX(CAST(o_custkey AS DOUBLE)) AS mx1,
-         |         MIN(o_totalprice) AS mn2, MAX(o_totalprice) AS mx2
+         |         MIN(CAST(o_totalprice AS DOUBLE)) AS mn2,
+         |         MAX(CAST(o_totalprice AS DOUBLE)) AS mx2
          |  FROM orders
          |), q AS (
          |  SELECT o_custkey, o_totalprice, $q1 AS q1, $q2 AS q2

@@ -1913,6 +1913,28 @@ class OperatorsSpec extends AnyFunSuite {
       Stats.gini(Seq(0L, 0L).toDF("x"), "x").collect()
     }
     assert(Stats.gini(Seq.empty[Long].toDF("x"), "x").count() == 0L)
+    // fractional inputs fail LOUD (a price column would otherwise be
+    // silently rounded per value to decimal(38,0) — wrong answer, no
+    // error); the message routes to the rescale contract
+    val fracErr = intercept[IllegalArgumentException] {
+      Stats.gini(Seq(1.5, 2.0, 3.25).toDF("x"), "x").collect()
+    }
+    assert(fracErr.getMessage.contains("fractional"))
+    assert(fracErr.getMessage.contains("rescale"))
+    // integer-VALUED doubles still pass (the check is on values, not
+    // on the column's declared type)
+    assert(Stats.gini(Seq(1.0, 2.0, 3.0, 4.0).toDF("x"), "x")
+      .head().getDouble(2) == 0.25)
+    // the documented rescale contract: Gini is invariant under a
+    // uniform integer rescale of the fractional column
+    val frac = Seq(1.5, 2.0, 3.25, 0.75)
+    val scaled = Stats.gini(frac.map(v => math.round(v * 100)).toDF("x"), "x").head()
+    val bruteF = {
+      val s = frac.sorted; val nn = s.length.toDouble
+      2.0 * s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum /
+        (nn * s.sum) - (nn + 1.0) / nn
+    }
+    assert(math.abs(scaled.getDouble(2) - bruteF) < 1e-6)
   }
 
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
@@ -2879,6 +2901,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hits: bounded raw-frame caching and exact-fixpoint early stop") {
+    import graft.operators.Hits
+    // (1) release discipline: at any job boundary during the run, the
+    // EXPLICIT persists alive are e + nodes + at most the CURRENT
+    // round's two raw half-round frames — never the 2·iters buffer the
+    // round-9 form held to the end. Round-cut frames are
+    // localCheckpoints (not CacheManager persists), so they are
+    // excluded from the count; sampling at every job start covers each
+    // round's certificate action and broadcast jobs.
+    val sc = spark.sparkContext
+    def explicitPersists(): Int =
+      org.apache.spark.GraftTestSparkAccess.explicitPersistCount(sc)
+    org.apache.spark.GraftTestSparkAccess.waitListenerBus(sc)
+    val baseline = explicitPersists()
+    @volatile var maxSeen = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val n = explicitPersists()
+        if (n > maxSeen) maxSeen = n
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // u1->{v1,v2}, u2->{v1} never reaches an exact fixpoint (scores
+      // asymptote), so all 6 rounds run — 12 raws under the old buffer
+      val e = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("s", "d")
+      Hits.scores(e, "s", "d", iters = 6).collect()
+      org.apache.spark.GraftTestSparkAccess.waitListenerBus(sc)
+      assert(maxSeen > baseline, "listener sampled no jobs — test is vacuous")
+      assert(maxSeen - baseline <= 4,
+        s"more than e+nodes+2 raws cached at once: ${maxSeen - baseline}")
+      // nothing leaks past the return
+      assert(explicitPersists() == baseline)
+    } finally sc.removeSparkListener(listener)
+    // (2) convergence certificate: a star graph reaches its exact
+    // fixpoint after round 1, round 2's max|Δh| = 0 proves it, rounds
+    // 3..5 are skipped — and the output is identical to running them
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("s", "d")
+    val (df5, r5, c5) =
+      Hits.scoresConverged(star, "s", "d", iters = 5, earlyStop = true)
+    assert(r5 == 2 && c5)
+    val full = Hits.scores(star, "s", "d", iters = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val early = df5.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(early == full)
+    // without earlyStop the cap is honored and the certificate reports
+    // the fixpoint was reached
+    val (_, rAll, cAll) =
+      Hits.scoresConverged(star, "s", "d", iters = 4, earlyStop = false)
+    assert(rAll == 4 && !cAll)
+  }
+
   test("adamicAdar: rare shared neighbour beats popular one, existing edges excluded") {
     import graft.operators.GraphStats
     // hub h connects {1,2,3,4} (deg 4); rare r connects {1,2} (deg 2).
@@ -2902,6 +2978,12 @@ class OperatorsSpec extends AnyFunSuite {
         maxWedgeDegree = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped.contains((1L, 2L)) && !capped.contains((3L, 4L)))
+    // the DEFAULT cap is a real bound: a planted hub one over it is
+    // skipped without an explicit parameter (its leaves are degree-1,
+    // so the hub was the only wedge center — output is empty instead
+    // of 10⁸ wedges)
+    val hub = (1L to 10001L).map(i => (0L, i)).toDF("s", "d")
+    assert(GraphStats.adamicAdar(hub, "s", "d", topK = 5).count() == 0L)
   }
 
   test("degreeAssortativity: star is maximally disassortative, path r computed by hand") {
