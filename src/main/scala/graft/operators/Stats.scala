@@ -796,6 +796,109 @@ object Stats {
           .as("trimmed_mean"))
   }
 
+  /** Per-row NTILE(bins) + LEAD(value) over a GLOBAL (value, tie)
+    * order WITHOUT a single-partition window — the scale-safe form of
+    * the classic `NTILE(n) OVER (ORDER BY v)` / `LEAD(v) OVER (ORDER
+    * BY v)` pair, which moves the ENTIRE table through one task (the
+    * textbook driver-side-equivalent bottleneck the rest of this
+    * object exists to avoid).
+    *
+    * Machinery ([[equiDepthBins]]'s, plus a boundary-row exchange for
+    * the lead): the bucket id is a monotone function of `valueCol`
+    * alone (so a tie block never straddles buckets and the in-bucket
+    * order can use the ORIGINAL column), each bucket ranks and leads
+    * locally under a PARTITIONED window, and ONE planning-sized
+    * driver fold over the ≤ `buckets` per-bucket summaries yields (a)
+    * exact rank offsets, (b) the global row count the NTILE cut
+    * needs, and (c) each bucket's FIRST row's value — broadcast back
+    * so a bucket's LAST row takes its successor bucket's first value
+    * as the lead (the boundary-row exchange; the global last row
+    * keeps NULL, as LEAD defines). NTILE is the exact SQL row-count
+    * form (first n mod bins bins take one extra row, integral div
+    * throughout).
+    *
+    * Ordering is (`valueCol` ASC or DESC per `descending`, `tieCol`
+    * ASC); (value, tie) must be unique (the usual NTILE determinism
+    * requirement) and NULL values are excluded up front
+    * (observed-values policy — pre-filter or coalesce if NULLs must
+    * rank). Returns every input column plus `ntile` (int) and
+    * `next_value` (valueCol's type). Eager-materialization contract
+    * (object scaladoc) applies: the fold runs at call time.
+    */
+  def ntileLead(df: DataFrame, valueCol: String, tieCol: String,
+                bins: Int, descending: Boolean = false,
+                buckets: Int = 32): DataFrame = {
+    require(bins >= 1, "ntileLead: bins must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val obs = df.filter(col(valueCol).isNotNull)
+    // monotone double rendering of the ORDER position: negation flips
+    // the bucket order for DESC; equal doubles from distinct values
+    // only merge buckets (in-bucket order uses the original column)
+    val ord = if (descending) -col(valueCol).cast("double")
+      else col(valueCol).cast("double")
+    val bounds = approxBounds(obs.select(ord.as("__ord")), "__ord", buckets)
+    val withB = obs.withColumn("__ord", ord)
+      .withColumn("__b",
+        if (bounds.isEmpty) lit(0) else bucketExpr(bounds, col("__ord")))
+    val inB = Window.partitionBy(col("__b"))
+      .orderBy(col("__ord"), col(tieCol))
+    val local = withB
+      .withColumn("__lr", row_number().over(inB).cast("long"))
+      .withColumn("__lead", lead(col(valueCol), 1).over(inB))
+    // ONE planning-sized action: per-bucket row count + first row's
+    // value (min struct over the unique (ord, tie) order carries the
+    // value as payload) — ≤ buckets rows
+    val sums = withB.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__tc"),
+        min(struct(col("__ord"), col(tieCol), col(valueCol)))
+          .getField(valueCol).as("__first"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.get(2)))
+      .sortBy(_._1)
+    val n = sums.map(_._2).sum
+    if (n == 0L) {
+      // empty in, empty out — with the output schema intact
+      return local.filter(lit(false))
+        .withColumn("ntile", lit(1).cast("int"))
+        .withColumn("next_value", col("__lead"))
+        .drop("__ord", "__b", "__lr", "__lead")
+    }
+    var acc = 0L
+    val vType = df.schema(df.schema.fieldIndex(valueCol)).dataType
+    val meta = sums.zipWithIndex.map { case ((b, tc, _), i) =>
+      val nextFirst = if (i + 1 < sums.length) sums(i + 1)._3 else null
+      val row = (b, acc, tc, nextFirst)
+      acc += tc
+      row
+    }.toSeq
+    val metaDf = meta.map { case (b, off, tc, nf) => (b, off, tc) }
+      .toDF("__b", "__off", "__btc")
+    // the boundary values ride as a typed literal column (per-bucket
+    // CASE over ≤ buckets branches), cast back to the input type so
+    // the when/otherwise below unifies without widening the schema
+    val nextFirstCol = meta
+      .foldLeft(lit(null).cast(vType)) { case (acc0, (b, _, _, nf)) =>
+        when(col("__b") === b, lit(nf).cast(vType)).otherwise(acc0)
+      }
+    val out = local.join(broadcast(metaDf), Seq("__b"))
+      .withColumn("__rn", col("__off") + col("__lr"))
+      // NTILE row-count form over the driver-folded n (equiDepthBins)
+      .withColumn("__base", lit(n / bins))
+      .withColumn("__rem", lit(n % bins))
+      .withColumn("__cut", col("__rem") * (col("__base") + 1))
+      .withColumn("ntile",
+        (when(col("__rn") <= col("__cut"),
+          expr("(__rn - 1) div (__base + 1)"))
+          .otherwise(col("__rem") + expr("(__rn - __cut - 1) div __base"))
+          + 1).cast("int"))
+      .withColumn("next_value",
+        when(col("__lr") < col("__btc"), col("__lead"))
+          .otherwise(nextFirstCol))
+    out.drop("__ord", "__b", "__lr", "__lead", "__off", "__btc",
+      "__rn", "__base", "__rem", "__cut")
+  }
+
   /** Equi-depth binning (NTILE semantics, but no single-task global
     * window): every row's global rank ordered by (`valueCol`,
     * `tieCol`) comes from the same bucketed prefix sum as [[ksTest]],

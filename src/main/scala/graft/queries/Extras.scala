@@ -71,14 +71,19 @@ object Extras {
         .orderBy("c_mktsegment")
     }),
 
-    "x_ntile_lead" -> ((s, dir) => {
-      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
-      t(s, dir, "supplier").select(
-        col("s_suppkey"),
-        ntile(4).over(w).cast("int").as("quartile"),
-        lead(col("s_acctbal"), 1).over(w).as("next_bal"))
-        .orderBy("s_suppkey")
-    }),
+    "x_ntile_lead" -> ((s, dir) =>
+      // global NTILE(4) + LEAD without the single-partition window the
+      // naive form pays (round-10 verdict's last corpus-sized
+      // single-task plan): Stats.ntileLead ranks/leads inside value
+      // buckets under PARTITIONED windows and stitches bucket
+      // boundaries from one planning-sized fold — exact SQL NTILE/LEAD
+      // semantics, locked by PlanSpec's no-unpartitioned-window guard
+      graft.operators.Stats.ntileLead(
+          t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal")),
+          "s_acctbal", "s_suppkey", bins = 4, descending = true)
+        .select(col("s_suppkey"), col("ntile").as("quartile"),
+          col("next_value").as("next_bal"))
+        .orderBy("s_suppkey")),
 
     "x_cube" -> ((s, dir) => {
       t(s, dir, "customer")

@@ -1881,6 +1881,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ntileLead: matches the single-window form across ties/buckets; nulls out, empty in") {
+    import graft.operators.Stats
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, rnd.nextInt(40))) // heavy ties
+    val df = rows.toDF("id", "v")
+    // ground truth: the naive single-partition NTILE/LEAD window
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val want = df.select(col("id"),
+        ntile(7).over(w).cast("int").as("nt"), lead(col("v"), 1).over(w).as("nx"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+    // bucket count never changes the result (balance only), including
+    // the degenerate 1-bucket fallback
+    for (b <- Seq(1, 5, 32)) {
+      val got = Stats.ntileLead(df, "v", "id", bins = 7,
+          descending = true, buckets = b)
+        .select(col("id"), col("ntile"), col("next_value")).collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toMap
+      assert(got == want, s"buckets=$b")
+    }
+    // ascending order + NULL values excluded (observed-values policy)
+    val withNull = (rows.map { case (i, v) => (i, Option(v)) } :+ ((0L, Option.empty[Int])))
+      .toDF("id", "v")
+    val wAsc = Window.orderBy(col("v"), col("id"))
+    val wantAsc = df.select(col("id"), ntile(3).over(wAsc).cast("int").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val gotAsc = Stats.ntileLead(withNull, "v", "id", bins = 3).collect()
+    assert(!gotAsc.map(_.getLong(0)).contains(0L), "NULL row must be excluded")
+    assert(gotAsc.map(r => r.getLong(0) -> r.getInt(2)).toMap == wantAsc)
+    // empty input → empty output with the full schema
+    val empty = Stats.ntileLead(df.filter(lit(false)), "v", "id", bins = 4)
+    assert(empty.columns.toSeq == Seq("id", "v", "ntile", "next_value"))
+    assert(empty.count() == 0L)
+  }
+
   test("gini: known values, tie/bucket invariance, sorted replay, guards") {
     import graft.operators.Stats
     // textbook cases: [1,2,3,4] → 0.25; all-equal → 0;

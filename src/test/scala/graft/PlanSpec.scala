@@ -765,4 +765,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("x_ntile_lead: partitioned windows only — the global rank/lead runs per bucket") {
+    val p = plan("x_ntile_lead")
+    // the rank and lead windows must be PARTITIONED (by the prefix-sum
+    // bucket) — the naive NTILE/LEAD form moved the whole table through
+    // one task; the boundary exchange is a broadcast of the fold frame
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("no unpartitioned window over an unbounded input anywhere in SparkEntry.queries") {
+    // the round-10 scale audit: a Window with an EMPTY partitionSpec
+    // serializes its entire input through ONE task — acceptable only
+    // when that input is provably bounded (a Limit below it: top-k
+    // lists, probe tables) or is a DOCUMENTED oracle-form exception.
+    // This walks every declared query's optimized logical plan, so a
+    // future query (or operator rewrite) reintroducing a corpus-sized
+    // single-partition window fails here by name.
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
+    // x_seq_pack is the packBins GLOBAL-ORDER form — deterministic by
+    // construction and kept AS the oracle form (Sampling.packBins
+    // scaladoc); its scale path (shardCols => parallel keyed windows)
+    // is spec-locked in OperatorsSpec
+    val documented = Set("x_seq_pack")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => documented.contains(name) }
+      .flatMap { case (name, fn) =>
+        val lp = fn(spark, sfDir).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalLimit => ()
+            }.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(s"$name (${bad.size} unpartitioned window(s))")
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over unbounded inputs:\n${offenders.mkString("\n")}")
+  }
 }
