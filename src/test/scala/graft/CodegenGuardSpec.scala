@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.logging.log4j.Level
+import org.apache.logging.log4j.LogManager
+import org.apache.logging.log4j.core.LoggerContext
+import org.apache.logging.log4j.core.LogEvent
+import org.apache.logging.log4j.core.appender.AbstractAppender
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StatefulSessions, TwsSessions}
+
+/** Codegen-fallback regression net (round-9 verdict item 4): Spark
+  * DEGRADES GRACEFULLY when generated code fails to compile — the
+  * query still answers, through the interpreted path, with only a
+  * WARN in the log. Nothing in the result-checking suites can catch
+  * that: the round-8 incident (a `private` nested case class used as
+  * a transformWithState state encoder made Janino reject the
+  * generated projection — TwsSessions.TimerAt's scaladoc) cost an
+  * order of magnitude on the state hot path while every assertion
+  * stayed green. This suite runs the code paths that regressed under
+  * a log capture and fails on ANY codegen-fallback event, so the next
+  * `private` (or other Janino-hostile shape) on an encoder/expression
+  * fails a TEST, not a benchmark three rounds later.
+  */
+class CodegenGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Capture WARN+ events whose message marks a codegen bailout. The
+    * match set covers both fallback families: per-expression
+    * interpreter fallback ("Expr codegen error ... falling back") and
+    * whole-stage codegen bailout ("Whole-stage codegen disabled"). */
+  private final class FallbackCapture extends AbstractAppender(
+      "graft-codegen-guard", null, null, true,
+      org.apache.logging.log4j.core.config.Property.EMPTY_ARRAY) {
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    override def append(e: LogEvent): Unit = {
+      val m = e.getMessage.getFormattedMessage
+      if (m.contains("codegen error") || m.contains("falling back") ||
+          m.contains("Whole-stage codegen disabled") ||
+          m.contains("Failed to compile"))
+        hits.add(s"${e.getLoggerName}: $m")
+    }
+  }
+
+  private def withCapture[A](body: => A): Seq[String] = {
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    val app = new FallbackCapture
+    app.start()
+    rootCfg.addAppender(app, Level.WARN, null)
+    ctx.updateLoggers()
+    try { body; () } finally {
+      rootCfg.removeAppender(app.getName)
+      ctx.updateLoggers()
+      app.stop()
+    }
+    app.hits.toArray(Array.empty[String]).toSeq
+  }
+
+  test("state-encoder and streaming hot paths compile — zero interpreter fallbacks") {
+    val hits = withCapture {
+      // (1) the exact round-8 regression surface: the TimerAt product
+      // encoder's generated projection (a re-`private`d TimerAt makes
+      // Janino reject the generated accessor and this logs a fallback)
+      Seq(TwsSessions.TimerAt(1L), TwsSessions.TimerAt(2L)).toDS()
+        .map(t => t.atMs + 1).collect()
+      // (2) the transformWithState session pipeline end-to-end on the
+      // RocksDB store — the path whose state encoders regressed
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[StatefulSessions.Event]
+      def sev(id: Long, minute: Int) = StatefulSessions.Event(
+        id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+        1L, "a", 1.0)
+      val withWm = in.toDS().withWatermark("ts", "10 minutes")
+        .as[StatefulSessions.Event]
+      val q = TwsSessions.closedSessions(withWm, gapMinutes = 30)
+        .writeStream.format("memory").queryName("codegen_guard_out")
+        .outputMode("append").start()
+      try {
+        in.addData(sev(1, 10), sev(2, 12))
+        q.processAllAvailable()
+        in.addData(sev(3, 50))
+        q.processAllAvailable()
+        assert(spark.table("codegen_guard_out").count() >= 1)
+      } finally {
+        q.stop()
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    assert(hits.isEmpty,
+      s"codegen fell back to the interpreted path:\n${hits.mkString("\n")}")
+  }
+
+  test("the guard itself sees fallbacks (not vacuously green)") {
+    // the EXACT round-8 incident shape, planted on purpose: a private
+    // nested case class as a product encoder — the generated projection
+    // cannot access it, Janino rejects, Spark falls back and WARNs —
+    // proving the capture plumbing actually observes these events
+    val hits = withCapture {
+      spark.createDataset(Seq(CodegenGuardSpec.Hidden(1L)))(
+        org.apache.spark.sql.Encoders.product[CodegenGuardSpec.Hidden]).collect()
+    }
+    assert(hits.exists(h => h.contains("falling back") || h.contains("codegen error")),
+      s"expected the planted private-class encoder to trip the capture, saw: $hits")
+  }
+}
+
+object CodegenGuardSpec {
+  /** Deliberately `private`: the Janino-hostile shape the guard must
+    * be able to see (TwsSessions.TimerAt's scaladoc documents why the
+    * real encoder classes must NOT look like this). */
+  private case class Hidden(x: Long)
+}
