@@ -456,8 +456,23 @@ object Similarity {
     * TakeOrderedAndProject — the [[pqTopK]] shape. */
   def sqTopK(corpus: DataFrame, idCol: String, vecCol: String,
              scales: Array[Double], query: DataFrame, vecColQ: String,
-             k: Int): DataFrame = {
-    val qCodes = queryVec(query, vecColQ).zip(scales).map { case (v, s) =>
+             k: Int): DataFrame =
+    corpus.select(col(idCol),
+        sqCosCol(vecCol, scales, queryVec(query, vecColQ)).as("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .limit(k)
+
+  /** The quantized-cosine ranking column shared by [[sqTopK]] and
+    * [[ivfSqTopK]]: the query's int8 codes and norm are computed
+    * driver-side with the SAME floor identity as the in-plan encode
+    * and embedded as literals; every sum under cos_q is an exact
+    * integer fold in array order (see [[sqTopK]]'s scaladoc for the
+    * bit-determinism argument). */
+  private def sqCosCol(vecCol: String, scales: Array[Double],
+                       qv: Array[Double]): Column = {
+    require(qv.length == scales.length,
+      s"query dim ${qv.length} != scales dim ${scales.length}")
+    val qCodes = qv.zip(scales).map { case (v, s) =>
       if (s == 0.0) 0 else math.floor(v / s * 127.0 + 0.5).toInt
     }
     val qNorm = math.sqrt(qCodes.map(c => c.toLong * c).sum.toDouble)
@@ -468,8 +483,41 @@ object Similarity {
     val norm2 = aggregate(
       transform(codes, c => (c * c).cast("long")),
       lit(0L), (acc, x) => acc + x)
-    corpus.select(col(idCol),
-        (dot.cast("double") / (sqrt(norm2.cast("double")) * qNorm)).as("cos_q"))
+    dot.cast("double") / (sqrt(norm2.cast("double")) * qNorm)
+  }
+
+  /** IVF × int8-SQ: the coarse quantizer PRUNES (the query probes only
+    * the `nprobe` nearest cells, exactly [[ivfPqTopK]]'s probe — at
+    * scale the cell id is a partition column and the filter is
+    * partition pruning) and the int8 scan RE-RANKS survivors by the
+    * quantized cosine — the 4×-smaller-vector scan of [[sqTopK]]
+    * instead of [[ivfPqTopK]]'s ADC table lookups. The memory-side
+    * composition for a corpus whose raw floats do not fit: cells cut
+    * the data touched, codes cut the bytes per row touched. One narrow
+    * pass over the probed cells (cell assignment, codes, and the query
+    * literals are all whole-stage codegen) into TakeOrderedAndProject —
+    * zero exchanges. With `nprobe = coarse.length` the filter passes
+    * every row and the result is EXACTLY [[sqTopK]] (spec-locked);
+    * recall-vs-cost is the nprobe knob, measured by the spec's recall
+    * report against [[bruteForceTopK]]. Ties break to the lower id;
+    * cos_q is bit-deterministic (exact integer sums, two IEEE ops).
+    */
+  def ivfSqTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Double]], scales: Array[Double],
+                query: DataFrame, vecColQ: String, k: Int,
+                nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe outside 1..${coarse.length}")
+    val qv = queryVec(query, vecColQ)
+    // probe ranking runs driver-side over the (tiny, literal) centroid
+    // table: nprobe cells by (L2², cell id) — deterministic ties
+    val probed = coarse.indices
+      .map(j => (l2Sq(qv, coarse(j)), j))
+      .sorted.take(nprobe)
+      .map { case (_, j) => (j + 1).toLong } // 1-based like every PQ code
+    val cell = pqCodeCols(vecCol, Array(coarse)).head
+    corpus.filter(cell.isin(probed: _*))
+      .select(col(idCol), sqCosCol(vecCol, scales, qv).as("cos_q"))
       .orderBy(col("cos_q").desc, col(idCol))
       .limit(k)
   }

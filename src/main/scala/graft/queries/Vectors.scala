@@ -55,6 +55,27 @@ object Vectors {
         scales, e.filter(col("vec_id") === 0), "embedding", k = 20)
     }),
 
+    "x_ivf_sq_topk" -> ((s, dir) => {
+      // IVF × int8-SQ composition (Similarity.ivfSqTopK): coarse cells
+      // prune, the quantized-cosine scan re-ranks. Probe budget covers
+      // every cell (the x_ivf_topk convention), so the result is
+      // EXACTLY the sqTopK ranking and the oracle below replays the
+      // integer quantization bit-for-bit; the recall-vs-nprobe
+      // tradeoff (probing FEWER cells) is exercised in ScalaTest
+      // against the in-engine exact baseline. Coarse centroids are the
+      // deterministic pqCodebook seam (first 16 vectors, one
+      // subspace-free codebook — a real deployment trains k-means).
+      val e = emb(s, dir)
+      val coarse = Similarity.pqCodebook(
+        e.filter(col("vec_id").between(1, sqIvfCells)), "vec_id", "embedding",
+        numSubspaces = 1, codebookSize = sqIvfCells)(0)
+      val scales = Similarity.sqScales(e, "embedding")
+      Similarity.ivfSqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          coarse, scales, e.filter(col("vec_id") === 0), "embedding",
+          k = 20, nprobe = sqIvfCells)
+        .select(col("vec_id"), round(col("cos_q"), 6).as("cos_q"))
+    }),
+
     "x_ivf_topk" -> ((s, dir) => {
       // IVF plumbing end-to-end under the driver's oracle: deterministic
       // coarse centroids (every 100th vector doubles as one — a real
@@ -520,6 +541,42 @@ object Vectors {
   // Shared vals so the query def and the replay SQL cannot drift.
   private val pqSubspaces = 8
   private val pqCodebookRows = 16
+  // IVF×SQ: cells = one subspace-free 16-row codebook (shared val so
+  // the full-probe contract and the replay SQL cannot drift)
+  private val sqIvfCells = 16
+
+  // ---- int8 scalar-quantization replay (x_sq_recall / x_ivf_sq_topk) --
+  //
+  // Per-dim scales = MAX|v|, codes = FLOOR(v/s*127 + 0.5) (round-half-up
+  // via the floor identity — both engines' FLOOR agree where banker's
+  // rounding would not), integer dot/norms → bit-deterministic cos_q.
+  // Shared CTE body so the two oracles cannot drift apart.
+  private val sqCodesCtes: String =
+    """ex AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |), sc AS (
+      |  SELECT i, MAX(ABS(v)) AS s FROM ex GROUP BY 1
+      |), cd AS (
+      |  SELECT vec_id, i,
+      |    CASE WHEN s = 0 THEN 0
+      |         ELSE CAST(FLOOR(v / s * 127 + 0.5) AS INT) END AS c
+      |  FROM ex JOIN sc USING (i)
+      |), qc AS (SELECT i, c FROM cd WHERE vec_id = 0),
+      |qn AS (
+      |  SELECT sqrt(CAST(SUM(CAST(c AS BIGINT) * c) AS DOUBLE)) AS nq FROM qc
+      |), dots AS (
+      |  SELECT a.vec_id,
+      |    SUM(CAST(a.c AS BIGINT) * q.c) AS dot,
+      |    SUM(CAST(a.c AS BIGINT) * a.c) AS na
+      |  FROM cd a JOIN qc q USING (i) WHERE a.vec_id <> 0 GROUP BY 1
+      |)""".stripMargin
+
+  /** The quantized cosine over `dots` — two IEEE ops on exact integers,
+    * bit-identical to the engine's sqCosCol. */
+  private val sqCosQSql: String =
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * (SELECT nq FROM qn))"
 
   private def l2FoldSql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -605,32 +662,10 @@ object Vectors {
          |WHERE q.vec_id = 0 AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id LIMIT 20""".stripMargin,
     "x_sq_recall" ->
-      // symmetric int8 quantization replay: per-dim scales = MAX|v|,
-      // codes = FLOOR(v/s*127 + 0.5) (round-half-up via the floor
-      // identity), integer dot/norms -> bit-deterministic cos_q; the
+      // symmetric int8 quantization replay (shared sqCodesCtes): the
       // exact list is the x_ann_topk query verbatim
-      s"""WITH ex AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-         |         unnest(CAST(embedding AS DOUBLE[])) AS v
-         |  FROM embeddings
-         |), sc AS (
-         |  SELECT i, MAX(ABS(v)) AS s FROM ex GROUP BY 1
-         |), cd AS (
-         |  SELECT vec_id, i,
-         |    CASE WHEN s = 0 THEN 0
-         |         ELSE CAST(FLOOR(v / s * 127 + 0.5) AS INT) END AS c
-         |  FROM ex JOIN sc USING (i)
-         |), qc AS (SELECT i, c FROM cd WHERE vec_id = 0),
-         |qn AS (
-         |  SELECT sqrt(CAST(SUM(CAST(c AS BIGINT) * c) AS DOUBLE)) AS nq FROM qc
-         |), dots AS (
-         |  SELECT a.vec_id,
-         |    SUM(CAST(a.c AS BIGINT) * q.c) AS dot,
-         |    SUM(CAST(a.c AS BIGINT) * a.c) AS na
-         |  FROM cd a JOIN qc q USING (i) WHERE a.vec_id <> 0 GROUP BY 1
-         |), approx AS (
-         |  SELECT vec_id,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * (SELECT nq FROM qn)) AS cos_q
+      s"""WITH $sqCodesCtes, approx AS (
+         |  SELECT vec_id, $sqCosQSql AS cos_q
          |  FROM dots ORDER BY cos_q DESC, vec_id LIMIT 20
          |), exact AS (
          |  SELECT a.vec_id
@@ -641,6 +676,14 @@ object Vectors {
          |SELECT 20 AS k, CAST(COUNT(*) AS BIGINT) AS n_match,
          |  ROUND(COUNT(*) / 20.0, 4) AS recall
          |FROM approx JOIN exact USING (vec_id)""".stripMargin,
+    "x_ivf_sq_topk" ->
+      // full-probe IVF×SQ == the sqTopK ranking (the engine query's
+      // nprobe covers every cell), so the oracle is the quantized-
+      // cosine top-20: same integer code CTEs, ordered by the RAW
+      // bit-deterministic cos_q, rounded only for display
+      s"""WITH $sqCodesCtes
+         |SELECT vec_id, ROUND($sqCosQSql, 6) AS cos_q
+         |FROM dots ORDER BY $sqCosQSql DESC, vec_id LIMIT 20""".stripMargin,
     "x_ivf_topk" ->
       s"""SELECT a.vec_id, CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
          |FROM embeddings a, embeddings q

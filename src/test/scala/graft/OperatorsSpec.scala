@@ -3134,6 +3134,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("ragged"), ex.getMessage)
   }
 
+  test("ivfSqTopK: full probe == sqTopK exactly; pruning trades recall, guards loud") {
+    import graft.operators.Similarity
+    val e = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = e.filter($"vec_id" =!= 0)
+    val query = e.filter($"vec_id" === 0)
+    val coarse = Similarity.pqCodebook(
+      e.filter($"vec_id".between(1, 16)), "vec_id", "embedding",
+      numSubspaces = 1, codebookSize = 16)(0)
+    val scales = Similarity.sqScales(e, "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // full probe: the cell filter passes every row → EXACTLY the sqTopK
+    // ranking, ids AND bit-deterministic scores
+    val full = rows(Similarity.ivfSqTopK(corpus, "vec_id", "embedding",
+      coarse, scales, query, "embedding", k = 20, nprobe = 16))
+    val sq = rows(Similarity.sqTopK(corpus, "vec_id", "embedding",
+      scales, query, "embedding", k = 20))
+    assert(full == sq)
+    // pruning: fewer cells → a subset of the corpus is scanned; the
+    // recall report vs the EXACT cosine baseline must never improve on
+    // the full probe's (the memory/recall trade the operator sells)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query.select($"embedding"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val prunedIds = Similarity.ivfSqTopK(corpus, "vec_id", "embedding",
+        coarse, scales, query, "embedding", k = 20, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recallFull = full.map(_._1).count(exact) / 20.0
+    val recallPruned = prunedIds.count(exact) / 20.0
+    assert(recallFull > 0.0, "quantized ranking must overlap the exact top-20")
+    assert(recallPruned <= recallFull + 1e-12,
+      s"pruned recall $recallPruned beats full-probe $recallFull")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSqTopK(corpus, "vec_id", "embedding", coarse, scales,
+        query, "embedding", k = 20, nprobe = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfSqTopK(corpus, "vec_id", "embedding", coarse, scales,
+        query, "embedding", k = 20, nprobe = 17)
+    }
+  }
+
   test("dsirWeights: hand model on a two-domain corpus, NULL target cond is false") {
     // target doc repeats "a b", off-domain doc repeats "c d"; the probe
     // doc mixes both. Its weight must sit between the two extremes and
