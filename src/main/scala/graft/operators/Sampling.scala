@@ -288,10 +288,10 @@ object Sampling {
     *
     * Exact WITHOUT a global sort: the cumulative cost comes from the
     * [[Stats]] bucketed prefix sum, bucketed on the SCORE axis —
-    * approx boundaries (task balance only), per-bucket windows ordered
-    * (score DESC, id), per-bucket totals folded to offsets on the
-    * driver in descending-bucket order (planning-sized, ≤ `buckets`
-    * rows). A score tie group never straddles buckets (the bucket is a
+    * fine-cell boundaries (task balance only, one histogram job),
+    * per-bucket windows ordered (score DESC, id), per-bucket cost
+    * totals folded to offsets on the driver in descending-bucket
+    * order (planning-sized). A score tie group never straddles buckets (the bucket is a
     * function of score alone), so the tie-break by id is exact. Costs
     * accumulate as longs — exact in any order. NULL scores or costs
     * are excluded (observed-values policy).
@@ -301,27 +301,34 @@ object Sampling {
                    buckets: Int = 32): DataFrame = {
     require(budget > 0, "budgetSelect: budget must be positive")
     val s = col(scoreCol).cast("double")
+    val session = df.sparkSession
+    import session.implicits._
     val obs = df.filter(col(scoreCol).isNotNull && col(costCol).isNotNull)
       .withColumn("__s", s).withColumn("__c", col(costCol).cast("long"))
-    val bounds = Stats.approxBounds(obs.select(col("__s")), "__s", buckets)
-    val withB =
-      if (bounds.isEmpty) obs.withColumn("b", lit(0))
-      else obs.withColumn("b", Stats.bucketExpr(bounds, col("__s")))
+    // ONE planning job (the Stats fine-cell scheme): per-cell row and
+    // cost totals — boundaries AND exact better-bucket cost offsets
+    // from a single collect, where the sampled-boundary pass plus the
+    // bucket-totals fold used to cost two
+    val cc = Stats.cellOf(session, col("__s"))
+    val hist = obs.groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("nr"), sum(col("__c")).as("tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val bounds = Stats.coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    val withB = obs.withColumn("b", Stats.bucketOfCell(bounds, cc))
     val inBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b")).orderBy(col("__s").desc, col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val local = withB.withColumn("lc", sum(col("__c")).over(inBucket))
     // offsets = total cost of all STRICTLY BETTER buckets: fold the
-    // ≤ buckets totals on the driver in DESCENDING bucket order (the
-    // bucketedCdf literal-frame pattern)
-    val totals = withB.groupBy(col("b")).agg(sum(col("__c")).as("tc"))
-      .collect().sortBy(-_.getInt(0))
+    // per-bucket cost totals in DESCENDING bucket order
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues(_.map(_._3).sum).toMap
     var acc = 0L
-    val offRows = totals.map { r =>
-      val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    val session = df.sparkSession
-    import session.implicits._
+    val offRows = (bounds.length to 0 by -1).map { b =>
+      val row = (b, acc); acc += perBucket.getOrElse(b, 0L); row
+    }
     val offsets = offRows.toDF("b", "off")
     local.join(broadcast(offsets), Seq("b"))
       .withColumn("cum", col("off") + col("lc"))

@@ -16,24 +16,25 @@ import org.apache.spark.sql.functions._
   *     map-side partials, no second scan, no windows.
   *   - [[ksTest]] needs a GLOBAL cumulative distribution, which the
   *     naive `Window.orderBy(value)` form serializes through ONE task.
-  *     Here the CDF is computed with a bucketed prefix sum
-  *     ([[bucketedCdf]]): approx-quantile boundaries split the value
-  *     line into ~`buckets` ranges, each bucket cumsums locally
-  *     (shuffle keyed on bucket id), and the per-bucket totals — one
-  *     row per bucket — cascade through a tiny single-partition window
-  *     whose output broadcasts back. Exact results (bucket imbalance
-  *     only skews task sizes, never sums), no single-task scan of the
-  *     data.
+  *     Here the CDF is computed with a bucketed prefix sum: fine-cell
+  *     boundaries split the value line into ~`buckets` contiguous
+  *     ranges, each bucket cumsums locally (shuffle keyed on bucket
+  *     id), and the exact strictly-earlier-bucket offsets come out of
+  *     the ONE fine-cell histogram job (see the one-job planning-pass
+  *     note below) and broadcast back as a literal frame. Exact
+  *     results (bucket imbalance only skews task sizes, never sums),
+  *     no single-task scan of the data.
   *
   * EAGER-MATERIALIZATION CONTRACT (bucketed prefix-sum family: ksTest /
-  * mannWhitneyU / psi / paretoCurve / equiDepthBins): these methods run
-  * Spark jobs AT CALL TIME (a sampled approxQuantile for boundaries
-  * and/or a planning-sized collect of per-bucket totals), and the
-  * DataFrame they return re-scans the input at action time. The input
-  * must therefore be STABLE between the call and the action — true for
-  * the immutable parquet snapshots this engine reads; for a mutable or
-  * churning source, `localCheckpoint()` the input first so the frozen
-  * offsets and the re-scan see identical data.
+  * mannWhitneyU / psi / paretoCurve / equiDepthBins / ntileLead and the
+  * quantile probes): these methods run Spark jobs AT CALL TIME (the
+  * fine-cell histogram collect, and for the small-output statistics
+  * the result itself), and a returned corpus-sized DataFrame re-scans
+  * the input at action time. The input must therefore be STABLE
+  * between the call and the action — true for the immutable parquet
+  * snapshots this engine reads; for a mutable or churning source,
+  * `localCheckpoint()` the input first so the frozen offsets and the
+  * re-scan see identical data.
   *
   * NULL POLICY: KS / Mann-Whitney / PSI are statistics of OBSERVED
   * values — rows whose value column is NULL are excluded up front
@@ -79,107 +80,147 @@ object Stats {
       s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, r)")
   }
 
-  /** Bucket id for a value column given sorted boundaries: the count
-    * of boundaries <= v, as a PLAIN sum of when-expressions. NOT the
-    * `aggregate()` higher-order form: a lambda capturing an outer
-    * attribute trips a Spark 4.1 binding bug
-    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the bucketed frame
-    * feeds a join under certain AQE partition counts — chained whens
-    * codegen identically and capture nothing. */
-  private[operators] def bucketExpr(bounds: Array[Double],
-      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    bounds.map(bd => when(lit(bd) <= v, 1).otherwise(0))
-      .reduce(_ + _)
+  // ---- ONE-JOB planning pass (round 11) -------------------------------
+  //
+  // The boundary sample and the bucket-totals fold used to be TWO
+  // planning jobs (sampled approxQuantile, then a per-bucket collect) —
+  // and they were inherently unfusable, because balanced RANGE buckets
+  // need a stats pass before totals can be keyed by bucket. The fine-
+  // CELL scheme breaks the circularity: `sortable_double_bits(v) >>
+  // (64 − CellBits)` is a DATA-INDEPENDENT monotone bucketing of the
+  // value line, so ONE hash-aggregation job over the fine cells yields,
+  // in a single planning-sized collect (≤ 2^CellBits rows, in practice
+  // ≤ occupied cells): the total count, balanced coarse-bucket
+  // boundaries (contiguous cell groups), AND each bucket's EXACT
+  // offset. Balance degrades only when the data crowds into few cells
+  // (values within a ±1.6% relative range share a cell at 18 bits) —
+  // task sizing only, never correctness, the approxBounds contract.
 
-  /** Approximate bucket boundaries for the prefix-sum operators, from
-    * a 10% SAMPLE of the frame: boundary accuracy only balances task
-    * sizes — correctness never depends on it — so the boundary pass
-    * should cost a fraction of a scan, not a full one (measured: the
-    * full-frame approxQuantile was ~40% of x_eqdepth's wall-clock).
-    * Empty or degenerate samples yield no boundaries → callers fall
-    * back to a single bucket, which is still correct. Seeded, so plans
-    * are reproducible run-to-run. */
-  private[operators] def approxBounds(df: DataFrame, colName: String, buckets: Int): Array[Double] = {
-    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
-    if (qs.isEmpty) Array.empty[Double]
-    else try df.sample(withReplacement = false, 0.1, seed = 42L)
-      .stat.approxQuantile(colName, qs, 0.01)
-      .filterNot(_.isNaN)
-    catch { case _: NoSuchElementException => Array.empty[Double] }
+  /** Fine-cell granularity: sign + 11 exponent bits + 6 mantissa bits —
+    * 64 cells per octave, ≤ 262 144 occupied cells over the full double
+    * line (the collect stays planning-sized by construction). */
+  private[operators] val CellBits = 18
+
+  /** Fine-cell id of a double column: top [[CellBits]] of the
+    * order-preserving bit rendering — monotone in v, so a tie block
+    * never straddles cells. Narrow codegen, no shuffle. */
+  private[operators] def cellOf(spark: org.apache.spark.sql.SparkSession,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(graft.functions.SortableDoubleBits.sortable(spark, v), 64 - CellBits)
+
+  /** Greedy coarse-bucket boundaries over the (cell, weight) histogram
+    * (sorted by cell): close a bucket once it holds ≥ total/buckets of
+    * the weight. A boundary is the first cell OF a bucket, so bucket id
+    * = count of boundaries ≤ cell. Empty for degenerate inputs → one
+    * bucket (still correct). */
+  private[operators] def coarseBoundaries(cells: Array[(Long, Long)],
+                                          buckets: Int): Array[Long] = {
+    val total = cells.map(_._2).sum
+    if (cells.length <= 1 || buckets <= 1 || total <= 0) return Array.empty
+    val target = math.max(1L, (total + buckets - 1) / buckets)
+    val bs = Array.newBuilder[Long]
+    var acc = 0L
+    var nB = 1
+    cells.foreach { case (cell, w) =>
+      if (acc >= target && nB < buckets) { bs += cell; nB += 1; acc = 0L }
+      acc += w
+    }
+    bs.result()
   }
 
-  /** Exact global CDF of both samples at every distinct value, via the
-    * bucketed prefix sum described in the object scaladoc. Returns one
-    * row per distinct value of `valueCol` with cumulative counts
-    * `ca`/`cb` of rows in sample A (`sampleACond` true) and sample B.
-    */
-  private[operators] def bucketedCdf(df: DataFrame, valueCol: String,
-      sampleACond: org.apache.spark.sql.Column,
-      buckets: Int): DataFrame = {
-    val v = col(valueCol).cast("double")
-    // observed values only (object scaladoc NULL POLICY): a NULL would
-    // otherwise become its own CDF point whose position depends on the
-    // engine's null-ordering convention
-    val observed = df.filter(col(valueCol).isNotNull)
-    // per-distinct-value counts: collapses ties BEFORE any ordering, so
-    // tie handling is exact and the cumsum input is |distinct values|
-    val counts = observed
-      .groupBy(v.as("v"))
+  /** Coarse bucket id of a fine cell: count of boundaries ≤ cell, as a
+    * PLAIN sum of chained when-expressions. NOT the `aggregate()`
+    * higher-order form: a lambda capturing an outer attribute trips a
+    * Spark 4.1 binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when
+    * the bucketed frame feeds a join under certain AQE partition
+    * counts — chained whens codegen identically and capture nothing. */
+  private[operators] def bucketOfCell(bounds: Array[Long],
+      cellC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    if (bounds.isEmpty) lit(0)
+    else bounds.map(bd => when(lit(bd) <= cellC, 1).otherwise(0)).reduce(_ + _)
+
+  /** The PERSISTED per-distinct-value pair-counts frame `(v, na, nb)`
+    * the two-sample family shares (collapses ties BEFORE any ordering,
+    * so tie handling is exact and the cumsum input is |distinct
+    * values|; NULL values excluded — object scaladoc policy). ONE
+    * corpus scan; the caller unpersists. */
+  private def pairCounts(df: DataFrame, valueCol: String,
+      sampleACond: org.apache.spark.sql.Column): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("v"))
       .agg(sum(when(sampleACond, 1L).otherwise(0L)).as("na"),
         sum(when(sampleACond, 0L).otherwise(1L)).as("nb"))
-    // approx bucket boundaries — correctness does not depend on them
-    // (an empty or lopsided boundary set only skews task sizes);
-    // bucket id = count of boundaries <= v, monotone in v
-    val bounds = approxBounds(counts, "v", buckets)
-    val withB =
-      if (bounds.isEmpty) counts.withColumn("b", lit(0))
-      else counts.withColumn("b", bucketExpr(bounds, col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact global CDF of both samples at every distinct value, via the
+    * bucketed prefix sum described in the object scaladoc, over an
+    * already-persisted [[pairCounts]] frame. ONE planning job (the
+    * fine-cell histogram — fills the cache; boundaries, exact offsets
+    * and both sample totals come out of its single collect). Returns
+    * (cdf `(v, na, nb, ca, cb)`, n_a, n_b).
+    */
+  private def pairCdf(counts: DataFrame, buckets: Int)
+      : (DataFrame, Long, Long) = {
+    val session = counts.sparkSession
+    import session.implicits._
+    val cc = cellOf(session, col("v"))
+    val hist = counts.groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("nd"), sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nA = hist.map(_._3).sum
+    val nB = hist.map(_._4).sum
+    val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB
       .withColumn("la", sum(col("na")).over(inBucket))
       .withColumn("lb", sum(col("nb")).over(inBucket))
-    // per-bucket totals are ≤ buckets rows: fold them to strictly-
-    // earlier-bucket offsets ON THE DRIVER (a planning-sized collect,
-    // the ZoneMaps.pruneFiles pattern) and join back a literal frame.
-    // The previous offsets-over-a-window-of-the-same-lineage plan hit
-    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND under some AQE partition
-    // counts (Spark 4.1 binding bug with a shared Exchange between the
-    // window branch and its re-aggregation); a literal frame has no
-    // shared lineage to mis-bind.
-    val totals = withB.groupBy(col("b"))
-      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
-      .collect().sortBy(_.getInt(0))
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues(rs => (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
     var accA = 0L; var accB = 0L
-    val offRows = totals.map { r =>
-      val row = (r.getInt(0), accA, accB)
-      accA += r.getLong(1); accB += r.getLong(2)
+    val offRows = (0 to bounds.length).map { b =>
+      val row = (b, accA, accB)
+      val (ta, tb) = perBucket.getOrElse(b, (0L, 0L))
+      accA += ta; accB += tb
       row
-    }.toSeq
-    val session = df.sparkSession
-    import session.implicits._
-    val offsets = offRows.toDF("b", "oa", "ob")
-    local.join(broadcast(offsets), Seq("b"))
-      .select(col("v"), (col("la") + col("oa")).as("ca"),
-        (col("lb") + col("ob")).as("cb"))
+    }
+    val cdf = local.join(broadcast(offRows.toDF("b", "oa", "ob")), Seq("b"))
+      .select(col("v"), col("na"), col("nb"),
+        (col("la") + col("oa")).as("ca"), (col("lb") + col("ob")).as("cb"))
+    (cdf, nA, nB)
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic between the rows where
     * `sampleACond` holds and the rest: D = sup_x |F_A(x) - F_B(x)|,
     * evaluated at every distinct value (where the sup is attained).
-    * One row out: (n_a, n_b, d). The caller rounds for cross-engine
-    * comparison; D is a ratio of exact integer counts.
+    * One row out: (n_a, n_b, d) — a LITERAL frame (the statistic is
+    * collected here; two jobs total: histogram + the sup aggregation).
+    * The caller rounds for cross-engine comparison; D is a ratio of
+    * exact integer counts, and the per-value division shapes match the
+    * oracle's exactly.
     */
   def ksTest(df: DataFrame, valueCol: String,
              sampleACond: org.apache.spark.sql.Column,
              buckets: Int = 32): DataFrame = {
-    val cdf = bucketedCdf(df, valueCol, sampleACond, buckets)
-    val totals = broadcast(cdf.agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b")))
-    cdf.crossJoin(totals)
-      .select(col("n_a"), col("n_b"),
-        abs(col("ca") / col("n_a") - col("cb") / col("n_b")).as("diff"))
-      .groupBy(col("n_a"), col("n_b"))
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = pairCounts(df, valueCol, sampleACond)
+    val (cdf, nA, nB) = pairCdf(counts, buckets)
+    if (nA == 0L && nB == 0L) {
+      counts.unpersist()
+      return Seq.empty[(Long, Long, Double)].toDF("n_a", "n_b", "d")
+    }
+    // same division shapes as before the fold fusion: long/long is
+    // double TRUE division in Spark — n_a/n_b now ride as literals
+    val d = cdf
+      .select(abs(col("ca") / lit(nA) - col("cb") / lit(nB)).as("diff"))
       .agg(max(col("diff")).as("d"))
+      .head().getDouble(0)
+    counts.unpersist()
+    Seq((nA, nB, d)).toDF("n_a", "n_b", "d")
   }
 
   /** Exact type-1 (order-statistic) quantiles with BOUNDED memory —
@@ -234,41 +275,47 @@ object Stats {
   /** Shared global machinery of the quantile family ([[groupedCum]]'s
     * ungrouped sibling): exact cumulative counts per distinct value.
     * The per-distinct-value counts frame is PERSISTED (MEMORY_AND_DISK
-    * — it is |distinct values|-sized, the legitimate intermediate; the
-    * boundary sample fills the cache, so the fold and the caller's
-    * probe re-read it instead of re-scanning the corpus) and returned
-    * as the third element for the CALLER to unpersist after its probe
-    * action. Returns (cum frame `(v double, cum long)`, total observed
-    * count from the same fold, cached counts handle).
+    * — it is |distinct values|-sized, the legitimate intermediate) and
+    * returned as the third element for the CALLER to unpersist after
+    * its probe action. ONE planning job (the fine-cell histogram —
+    * fills the cache, and its single collect yields boundaries, exact
+    * per-bucket offsets AND the total count together; see the one-job
+    * planning-pass note above), so a whole quantile call is two jobs:
+    * histogram + probe. Returns (cum frame `(v double, cum long)`,
+    * total observed count, cached counts handle).
     */
   private def globalCum(df: DataFrame, valueCol: String,
                         buckets: Int): (DataFrame, Long, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val session = df.sparkSession
+    import session.implicits._
     val v = col(valueCol).cast("double")
     val counts = df.filter(col(valueCol).isNotNull)
       .groupBy(v.as("v")).agg(count(lit(1)).as("c"))
       .persist(lvl)
-    val bounds = approxBounds(counts, "v", buckets)
-    val withB =
-      if (bounds.isEmpty) counts.withColumn("b", lit(0))
-      else counts.withColumn("b", bucketExpr(bounds, col("v")))
+    val cc = cellOf(session, col("v"))
+    // THE one planning job: per-cell distinct-value and row totals
+    val hist = counts.groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = hist.map(_._3).sum
+    // boundaries balanced by DISTINCT-value count (the in-bucket window
+    // iterates distinct values); offsets folded from the SAME rows
+    val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
     val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
-    // driver-folded offsets over ≤ buckets rows (bucketedCdf's
-    // literal-frame pattern, same lineage-binding rationale)
-    val totals = withB.groupBy(col("b")).agg(sum(col("c")).as("tc"))
-      .collect().sortBy(_.getInt(0))
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues(_.map(_._3).sum).toMap
     var acc = 0L
-    val offRows = totals.map { r =>
-      val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    val session = df.sparkSession
-    import session.implicits._
-    val cum =
-      if (offRows.isEmpty) local.select(col("v"), col("lc").as("cum"))
-      else local.join(broadcast(offRows.toDF("b", "off")), Seq("b"))
-        .select(col("v"), (col("lc") + col("off")).as("cum"))
-    (cum, acc, counts)
+    val offRows = (0 to bounds.length).map { b =>
+      val row = (b, acc); acc += perBucket.getOrElse(b, 0L); row
+    }
+    val cum = local.join(broadcast(offRows.toDF("b", "off")), Seq("b"))
+      .select(col("v"), (col("lc") + col("off")).as("cum"))
+    (cum, n, counts)
   }
 
   /** Per-group [[exactQuantiles]] — the scale-safe replacement for
@@ -342,45 +389,65 @@ object Stats {
   private def groupedCum(df: DataFrame, groupCol: String, valueCol: String,
                          buckets: Int, maxFoldRows: Long, caller: String)
       : (DataFrame, Map[String, Long], DataFrame) = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = col(valueCol).cast("double")
-    val obs = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
-    val counts = obs.groupBy(col(groupCol).cast("string").as("g"), v.as("v"))
+    val counts = groupedCounts(df, groupCol, valueCol)
+    val (cum, nByGroup) = groupedCumCore(counts, buckets, maxFoldRows, caller)
+    (cum, nByGroup, counts)
+  }
+
+  /** The PERSISTED unique-(g, v, c) counts frame every grouped-quantile
+    * path shares — ONE corpus scan; the caller unpersists. */
+  private def groupedCounts(df: DataFrame, groupCol: String,
+                            valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
-      .persist(lvl)
-    // GLOBAL approx boundaries: accuracy only balances tasks, and one
-    // boundary set serves every group (a per-group set would be a
-    // groups×quantiles sample pass for zero correctness gain)
-    val bounds = approxBounds(counts, "v", buckets)
-    val withB =
-      if (bounds.isEmpty) counts.withColumn("b", lit(0))
-      else counts.withColumn("b", bucketExpr(bounds, col("v")))
-    val inBucket = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
-    val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
-    // driver fold keyed by group (bucketedCdf's literal-frame pattern,
-    // same lineage-binding rationale) — |groups|·buckets rows
-    val totals = withB.groupBy(col("g"), col("b")).agg(sum(col("c")).as("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** [[groupedCum]] over an ALREADY-BUILT counts frame `(g string,
+    * v double, c long)` with unique (g, v) keys — the seam that lets a
+    * derived distribution (e.g. [[Profiling.madOutliers]]'s absolute
+    * deviations) reuse the raw pass's |distinct|-sized counts instead
+    * of re-scanning the corpus. ONE planning job: the per-(g, cell)
+    * histogram collect yields global boundaries (from the cell
+    * marginals — one boundary set serves every group, the old
+    * approxBounds convention), exact per-(g, bucket) offsets, AND each
+    * group's total, guarded by `maxFoldRows` (fail loud, never a
+    * silent giant collect).
+    */
+  private def groupedCumCore(counts: DataFrame, buckets: Int,
+                             maxFoldRows: Long, caller: String)
+      : (DataFrame, Map[String, Long]) = {
+    val session = counts.sparkSession
+    import session.implicits._
+    val cc = cellOf(session, col("v"))
+    val hist = counts.groupBy(col("g"), cc.as("cell"))
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("tc"))
       .collect()
-    require(totals.length <= maxFoldRows,
-      s"$caller: ${totals.length} (group, bucket) totals exceed " +
+    require(hist.length <= maxFoldRows,
+      s"$caller: ${hist.length} (group, cell) totals exceed " +
         s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
         "driver fold; raise maxFoldRows deliberately or pre-aggregate the key")
-    val byGroup = totals.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      .groupBy(_._1)
-    val offRows = byGroup.iterator.flatMap { case (g, rows) =>
+    val rows = hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val marginal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+      .toArray.sortBy(_._1)
+    val bounds = coarseBoundaries(marginal, buckets)
+    val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
+    val inBucket = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
+    val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
+    val byGroup = rows.groupBy(_._1)
+    val offRows = byGroup.iterator.flatMap { case (g, rs) =>
+      val byBucket = rs.groupBy(r => bounds.count(_ <= r._2))
+        .view.mapValues(_.map(_._4).sum).toSeq.sortBy(_._1)
       var acc = 0L
-      rows.sortBy(_._2).map { case (_, b, tc) =>
-        val row = (g, b, acc); acc += tc; row
-      }
+      byBucket.map { case (b, tc) => val row = (g, b, acc); acc += tc; row }
     }.toSeq
-    val nByGroup = byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
-    val session = df.sparkSession
-    import session.implicits._
+    val nByGroup = byGroup.map { case (g, rs) => g -> rs.map(_._4).sum }
     val cum =
       if (offRows.isEmpty) local.select(col("g"), col("v"), col("lc").as("cum"))
       else local.join(broadcast(offRows.toDF("g", "b", "off")), Seq("g", "b"))
         .select(col("g"), col("v"), (col("lc") + col("off")).as("cum"))
-    (cum, nByGroup.toMap, counts)
+    (cum, nByGroup.toMap)
   }
 
   /** Exact INTERPOLATED quantiles with bounded memory — bit-identical
@@ -472,16 +539,59 @@ object Stats {
     require(ps.nonEmpty, "groupedInterpolatedQuantiles: need at least one quantile")
     require(ps.forall(p => p >= 0.0 && p <= 1.0),
       s"groupedInterpolatedQuantiles: quantiles must be in [0, 1], got $ps")
-    val session = df.sparkSession
-    import session.implicits._
     val (cum, nByGroup, cached) =
       groupedCum(df, groupCol, valueCol, buckets, maxFoldRows,
         "groupedInterpolatedQuantiles")
-    if (nByGroup.isEmpty) {
-      cached.unpersist()
+    val out = groupedInterpProbe(cum, nByGroup, ps, groupCol)
+    cached.unpersist()
+    out
+  }
+
+  /** [[groupedInterpolatedQuantiles]] over a PRE-COUNTED frame: rows
+    * are `(groupCol, valueCol, weightCol)` where the weight is the
+    * positive integer multiplicity of that value in the underlying
+    * distribution — the seam that lets a distribution DERIVED from an
+    * existing |distinct|-sized counts frame (e.g. absolute deviations
+    * from a per-group median) get its exact interpolated quantiles
+    * without ever re-scanning the corpus ([[Profiling.madOutliers]]'s
+    * shape). Identical arithmetic to the unweighted form on the
+    * expanded multiset; NULL values/groups excluded; (group, value)
+    * need not be unique (re-aggregated here, a |rows|-sized hash agg).
+    */
+  def groupedInterpolatedQuantilesWeighted(weighted: DataFrame,
+                                           groupCol: String, valueCol: String,
+                                           weightCol: String, ps: Seq[Double],
+                                           buckets: Int = 32,
+                                           maxFoldRows: Long = 1_000_000L): DataFrame = {
+    require(ps.nonEmpty,
+      "groupedInterpolatedQuantilesWeighted: need at least one quantile")
+    require(ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"groupedInterpolatedQuantilesWeighted: quantiles must be in [0, 1], got $ps")
+    val counts = weighted
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .agg(sum(col(weightCol).cast("long")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cum, nByGroup) = groupedCumCore(counts, buckets, maxFoldRows,
+      "groupedInterpolatedQuantilesWeighted")
+    val out = groupedInterpProbe(cum, nByGroup, ps, groupCol)
+    counts.unpersist()
+    out
+  }
+
+  /** The shared rank-bracket probe of the grouped interpolated family:
+    * bracketing ranks from the fold's per-group counts (pos = (n−1)·p,
+    * the aggregate's IEEE arithmetic), one broadcast probe pass,
+    * Spark's own lerp operand order. Returns the collected literal
+    * frame `(outGroupName, p, n, value)`. */
+  private def groupedInterpProbe(cum: DataFrame, nByGroup: Map[String, Long],
+                                 ps: Seq[Double], outGroupName: String): DataFrame = {
+    val session = cum.sparkSession
+    import session.implicits._
+    if (nByGroup.isEmpty)
       return Seq.empty[(String, Double, Long, Double)]
-        .toDF(groupCol, "p", "n", "value")
-    }
+        .toDF(outGroupName, "p", "n", "value")
     // bracketing ranks on the driver from the same fold, in the
     // aggregate's own arithmetic: pos = (n−1)·p as an IEEE product
     val rankRows = for {
@@ -507,9 +617,8 @@ object Stats {
       .select(col("g"), col("p"), col("n"), interpLerp.as("value"))
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
-    cached.unpersist()
     rows.sortBy(r => (r._1, r._2)).toSeq
-      .toDF(groupCol, "p", "n", "value")
+      .toDF(outGroupName, "p", "n", "value")
   }
 
   /** Population Stability Index between the rows where `sampleACond`
@@ -533,6 +642,9 @@ object Stats {
     // bin and count as an extreme-high value
     val pts = df.filter(col(valueCol).isNotNull).select(v.as("v"),
       when(sampleACond, 1L).otherwise(0L).as("ia"))
+      // both the bounds branch and the binning branch read pts: persist
+      // so the single collect below scans the corpus once, not twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = broadcast(pts.agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
     val binned = pts.crossJoin(bounds)
       .withColumn("bin",
@@ -545,8 +657,9 @@ object Stats {
     // the binned table is ≤ bins rows: collect it once and finish the
     // statistic on the driver (planning-sized, like the prefix-sum
     // offsets) — re-deriving totals as a second Spark aggregation
-    // would recompute the whole binning subtree (4 scans instead of 2)
+    // would recompute the whole binning subtree
     val rows = binned.collect()
+    pts.unpersist()
     val nA = rows.map(_.getLong(1)).sum
     val nB = rows.map(_.getLong(2)).sum
     // fixed bin order so the float sum is reproducible
@@ -650,59 +763,78 @@ object Stats {
   def paretoCurve(df: DataFrame, keyCol: String, valueCol: String,
                   bins: Int = 10, buckets: Int = 32): DataFrame = {
     require(bins >= 1, "paretoCurve: bins must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted: the fine-cell histogram fills the cache, the ranking
+    // pass re-reads it — ONE corpus scan for the whole curve (the
+    // pre-fusion form re-derived the per-key aggregation four times)
     val perKey = df.groupBy(col(keyCol).as("k"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("rev"))
       // descending rank = ascending rank of the NEGATED value (exact
       // for decimals); key breaks ties deterministically
       .withColumn("ord", expr("-rev"))
-    val ordD = col("ord").cast("double")
-    val bounds = approxBounds(perKey.select(ordD.as("od")), "od", buckets)
-    val withB =
-      if (bounds.isEmpty) perKey.withColumn("b", lit(0))
-      else perKey.withColumn("b", bucketExpr(bounds, ordD))
+      .persist(lvl)
+    val cc = cellOf(session, col("ord").cast("double"))
+    // THE one planning job: per-cell key counts and exact decimal
+    // revenue totals — boundaries, offsets, n AND the grand total come
+    // out of its single collect
+    val hist = perKey.groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("tc"), sum(col("rev")).as("trev"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDecimal(2)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    if (n == 0L) {
+      perKey.unpersist()
+      return Seq.empty[(Int, Long, Double)].toDF("bin", "n_keys", "cum_share")
+    }
+    val totRevD = hist.map(h => BigDecimal(h._3)).sum.toDouble
+    val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    val withB = perKey.withColumn("b", bucketOfCell(bounds, cc))
     val inB = Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB
       .withColumn("lr", row_number().over(
         Window.partitionBy(col("b")).orderBy(col("ord"), col("k"))).cast("long"))
       .withColumn("lrev", sum(col("rev")).over(inB))
-    // driver-folded offsets over ≤ buckets rows — see bucketedCdf's
-    // note on the lineage-sharing binding trap; decimal sums stay
-    // exact through java.math.BigDecimal
-    val totals = withB.groupBy(col("b"))
-      .agg(count(lit(1)).as("tc"), sum(col("rev")).as("trev"))
-      .collect().sortBy(_.getInt(0))
+    // offsets from the SAME collected histogram — exact decimals
+    // through java.math.BigDecimal
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues { rs =>
+        (rs.map(_._2).sum,
+          rs.map(_._3).foldLeft(java.math.BigDecimal.ZERO)(_.add(_)))
+      }.toMap
     var accN = 0L
     var accRev = java.math.BigDecimal.ZERO
-    val offRows = totals.map { r =>
-      val row = (r.getInt(0), accN, accRev)
-      accN += r.getLong(1)
-      accRev = accRev.add(r.getDecimal(2))
+    val offRows = (0 to bounds.length).map { b =>
+      val row = (b, accN, accRev)
+      val (tc, trev) = perBucket.getOrElse(b, (0L, java.math.BigDecimal.ZERO))
+      accN += tc; accRev = accRev.add(trev)
       row
-    }.toSeq
-    val session = df.sparkSession
-    import session.implicits._
+    }
     val offsets = offRows.toDF("b", "offN", "offRev")
       .select(col("b"), col("offN"), col("offRev").cast("decimal(38,2)").as("offRev"))
-    val tot = broadcast(perKey.agg(count(lit(1)).as("n"),
-      sum(col("rev")).as("totRev")))
-    local.join(broadcast(offsets), Seq("b")).crossJoin(tot)
+    val out = local.join(broadcast(offsets), Seq("b"))
       .withColumn("rn", col("offN") + col("lr"))
       .withColumn("cumRev", col("offRev") + col("lrev"))
-      // NTILE bin of rank rn over n keys in `bins` bins
-      .withColumn("base", expr(s"n div $bins"))
-      .withColumn("rem", expr(s"n % $bins"))
+      // NTILE bin of rank rn over n keys in `bins` bins — n is a fold
+      // literal now, so no broadcast branch re-reads the key table
+      .withColumn("base", lit(n / bins))
+      .withColumn("rem", lit(n % bins))
       .withColumn("cut", col("rem") * (col("base") + 1))
       .withColumn("bin",
         (when(col("rn") <= col("cut"), expr("(rn - 1) div (base + 1)"))
           .otherwise(col("rem") + expr("(rn - cut - 1) div base")) + 1).cast("int"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_keys"),
-        max(struct(col("rn"), col("cumRev"))).getField("cumRev").as("binCum"),
-        first(col("totRev")).as("totRev"))
+        max(struct(col("rn"), col("cumRev"))).getField("cumRev").as("binCum"))
       .select(col("bin"), col("n_keys"),
-        (col("binCum").cast("double") / col("totRev").cast("double"))
-          .as("cum_share"))
+        (col("binCum").cast("double") / lit(totRevD)).as("cum_share"))
+      // ≤ bins rows: materialize eagerly so the cache releases here
+      .localCheckpoint(true)
+    perKey.unpersist()
+    out
   }
 
   /** Mann-Whitney U (Wilcoxon rank-sum) between the rows where
@@ -719,35 +851,41 @@ object Stats {
   def mannWhitneyU(df: DataFrame, valueCol: String,
                    sampleACond: org.apache.spark.sql.Column,
                    buckets: Int = 32): DataFrame = {
-    val cdf = bucketedCdf(df, valueCol, sampleACond, buckets)
-    // a tie group's SIZE comes from a second per-value aggregation
-    // (same shuffle key as the CDF's), not from a lag over a global
-    // window — the operator stays free of single-task scans
-    val counts = df
-      .groupBy(col(valueCol).cast("double").as("v"))
-      .agg(sum(when(sampleACond, 1L).otherwise(0L)).as("gna"),
-        sum(when(sampleACond, 0L).otherwise(1L)).as("gnb"))
-    val ranks = cdf.join(counts, Seq("v"))
-      .withColumn("sz", col("gna") + col("gnb"))
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = pairCounts(df, valueCol, sampleACond)
+    val (cdf, nA, nB) = pairCdf(counts, buckets)
+    if (nA == 0L && nB == 0L) {
+      counts.unpersist()
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("n_a", "n_b", "r_a", "u_a", "z")
+    }
+    // tie sizes ride ON the CDF frame now (pairCdf keeps na/nb per
+    // value) — the round-9 form re-aggregated the corpus a second time
+    // for them; the rank-sum and the tie-correction term come out of
+    // ONE |distinct|-sized aggregation over the cached counts
+    val row = cdf
+      .withColumn("sz", col("na") + col("nb"))
       .withColumn("midrank",
         (col("ca") + col("cb")).cast("double") - (col("sz") - 1).cast("double") / 2.0)
-    val totals = broadcast(ranks.agg(
-      max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
-      // tie correction term Σ (t³ - t) over tie groups
-      sum(col("sz") * col("sz") * col("sz") - col("sz")).as("tie3")))
-    val n = col("n_a") + col("n_b")
-    val mu = col("n_a").cast("double") * col("n_b").cast("double") / 2.0
-    val tieAdj = lit(1.0) - col("tie3").cast("double") /
-      (n.cast("double") * (n - 1).cast("double") * (n + 1).cast("double"))
-    val sigma = sqrt(col("n_a").cast("double") * col("n_b").cast("double")
-      * (n + 1).cast("double") / 12.0 * tieAdj)
-    ranks.crossJoin(totals)
-      .groupBy(col("n_a"), col("n_b"), col("tie3"))
-      .agg(sum(col("midrank") * col("gna")).as("r_a"))
-      .withColumn("u_a",
-        col("r_a") - col("n_a").cast("double") * (col("n_a") + 1).cast("double") / 2.0)
-      .withColumn("z", (col("u_a") - mu) / sigma)
-      .select(col("n_a"), col("n_b"), col("r_a"), col("u_a"), col("z"))
+      .agg(sum(col("midrank") * col("na")).as("r_a"),
+        sum(col("sz") * col("sz") * col("sz") - col("sz")).as("tie3"))
+      .head()
+    counts.unpersist()
+    val rA = row.getDouble(0)
+    val tie3 = row.getLong(1)
+    // the SAME IEEE expression shapes as the pre-fusion column algebra
+    // (left-associated products, n as a long sum cast per term) — the
+    // totals are identical longs, so every double matches bit-for-bit
+    val n = nA + nB
+    val mu = nA.toDouble * nB.toDouble / 2.0
+    val tieAdj = 1.0 - tie3.toDouble /
+      (n.toDouble * (n - 1).toDouble * (n + 1).toDouble)
+    val sigma = math.sqrt(nA.toDouble * nB.toDouble
+      * (n + 1).toDouble / 12.0 * tieAdj)
+    val uA = rA - nA.toDouble * (nA + 1).toDouble / 2.0
+    val z = (uA - mu) / sigma
+    Seq((nA, nB, rA, uA, z)).toDF("n_a", "n_b", "r_a", "u_a", "z")
   }
 
   /** Per-group winsorized and trimmed means — the outlier-robust
@@ -756,44 +894,53 @@ object Stats {
     * the group's exact [lo, hi] percentiles, trimming DROPS values
     * outside them.
     *
-    * The exact interpolated percentile bounds come from
-    * [[groupedInterpolatedQuantiles]] (bit-identical to Spark's
-    * `percentile` == DuckDB `quantile_cont`, parity pinned by
+    * The exact interpolated percentile bounds come from the
+    * [[groupedInterpolatedQuantiles]] machinery (bit-identical to
+    * Spark's `percentile` == DuckDB `quantile_cont`, parity pinned by
     * x_percentiles) — bounded memory at any group size, where the
     * `percentile` aggregate buffers the hottest group's every value in
-    * ONE buffer (the round-8 verdict's last 100 TB cliff). Pass 2
-    * re-scans with the |groups|-row bound table broadcast back and
-    * aggregates the clipped/filtered values. Sums run in
-    * DECIMAL(28,6) so they are exact in any aggregation order — the
-    * single final double division is the only float op. NULL values
-    * are excluded (observed-values policy, object scaladoc). The
-    * bounds join compares the group key by its STRING rendering (the
-    * [[groupedCum]] contract); eager-materialization contract applies.
+    * ONE buffer (the round-8 verdict's last 100 TB cliff). The corpus
+    * is scanned ONCE: the per-(group, distinct value) counts frame
+    * feeds the quantile probe AND the clipped/trimmed aggregation
+    * (each value weighted by its multiplicity — c copies of an exact
+    * DECIMAL(28,6) summed equals the decimal times c, so the sums are
+    * value-identical to the per-row form and exact in any aggregation
+    * order; the final double divisions are the only float ops). NULL
+    * values and NULL group keys are excluded (observed-values policy).
+    * The group key is carried as its STRING rendering (the
+    * [[groupedCum]] contract — cast back at the call site if a numeric
+    * key must round-trip); the output is a collected-eagerly
+    * |groups|-row frame, so no cache outlives the call.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
                       lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"winsorizedStats: bad bounds [$lo, $hi]")
-    val v = col(valCol).cast("double")
-    val obs = df.filter(col(valCol).isNotNull)
+    val counts = groupedCounts(df, groupCol, valCol)
+    val (cum, nByGroup) = groupedCumCore(counts, 32, 1_000_000L, "winsorizedStats")
     // bounds rounded to 6 dp BEFORE clipping: the decimal cast of a
     // clipped-to-bound value is then exact on both engines (no
     // double->decimal midpoint rule in play for the bound values)
-    val bounds = groupedInterpolatedQuantiles(obs, groupCol, valCol, Seq(lo, hi))
-      .groupBy(col(groupCol).as("g"))
+    val bounds = groupedInterpProbe(cum, nByGroup, Seq(lo, hi), "g")
+      .groupBy(col("g"))
       .agg(round(min(when(col("p") === lo, col("value"))), 6).as("p_lo"),
         round(min(when(col("p") === hi, col("value"))), 6).as("p_hi"))
-    val clipped = least(greatest(v, col("p_lo")), col("p_hi"))
-    obs.join(broadcast(bounds), col(groupCol).cast("string") === col("g")).drop("g")
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
+    val clipped = least(greatest(col("v"), col("p_lo")), col("p_hi"))
+    val inBand = col("v") >= col("p_lo") && col("v") <= col("p_hi")
+    val out = counts
+      .join(broadcast(bounds), Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(sum(col("c")).as("n"),
         first(col("p_lo")).as("p_lo"),
         first(col("p_hi")).as("p_hi"),
-        (sum(clipped.cast("decimal(28,6)")).cast("double") / count(lit(1)))
-          .as("winsor_mean"),
-        (sum(when(v >= col("p_lo") && v <= col("p_hi"),
-          v.cast("decimal(28,6)"))).cast("double") /
-          sum(when(v >= col("p_lo") && v <= col("p_hi"), 1L).otherwise(0L)))
-          .as("trimmed_mean"))
+        (sum(clipped.cast("decimal(28,6)") * col("c")).cast("double") /
+          sum(col("c"))).as("winsor_mean"),
+        (sum(when(inBand, col("v").cast("decimal(28,6)") * col("c"))).cast("double") /
+          sum(when(inBand, col("c")))).as("trimmed_mean"))
+      // |groups|-row result: materialize eagerly so the counts cache
+      // releases here instead of leaking past the return
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
   }
 
   /** Per-row NTILE(bins) + LEAD(value) over a GLOBAL (value, tie)
@@ -831,32 +978,38 @@ object Stats {
     require(bins >= 1, "ntileLead: bins must be >= 1")
     val session = df.sparkSession
     import session.implicits._
+    // NOT persisted: the output is corpus-sized (per-row), so an eager
+    // release point does not exist and a cache would leak past the
+    // return — the histogram job and the caller's action each pay one
+    // (filter-pushed, column-pruned) source scan instead
     val obs = df.filter(col(valueCol).isNotNull)
     // monotone double rendering of the ORDER position: negation flips
     // the bucket order for DESC; equal doubles from distinct values
     // only merge buckets (in-bucket order uses the original column)
     val ord = if (descending) -col(valueCol).cast("double")
       else col(valueCol).cast("double")
-    val bounds = approxBounds(obs.select(ord.as("__ord")), "__ord", buckets)
+    val cc = cellOf(session, col("__ord"))
+    // THE one planning job: per-cell row count + first row's value
+    // (min struct over the unique (ord, tie) order carries the value
+    // as payload) — boundaries, exact rank offsets, n, and the
+    // boundary-exchange values all come out of its single collect
+    val hist = obs.withColumn("__ord", ord)
+      .groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("__tc"),
+        min(struct(col("__ord"), col(tieCol), col(valueCol)))
+          .getField(valueCol).as("__first"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
     val withB = obs.withColumn("__ord", ord)
-      .withColumn("__b",
-        if (bounds.isEmpty) lit(0) else bucketExpr(bounds, col("__ord")))
+      .withColumn("__b", bucketOfCell(bounds, cc))
     val inB = Window.partitionBy(col("__b"))
       .orderBy(col("__ord"), col(tieCol))
     val local = withB
       .withColumn("__lr", row_number().over(inB).cast("long"))
       .withColumn("__lead", lead(col(valueCol), 1).over(inB))
-    // ONE planning-sized action: per-bucket row count + first row's
-    // value (min struct over the unique (ord, tie) order carries the
-    // value as payload) — ≤ buckets rows
-    val sums = withB.groupBy(col("__b"))
-      .agg(count(lit(1)).as("__tc"),
-        min(struct(col("__ord"), col(tieCol), col(valueCol)))
-          .getField(valueCol).as("__first"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.get(2)))
-      .sortBy(_._1)
-    val n = sums.map(_._2).sum
     if (n == 0L) {
       // empty in, empty out — with the output schema intact
       return local.filter(lit(false))
@@ -864,14 +1017,19 @@ object Stats {
         .withColumn("next_value", col("__lead"))
         .drop("__ord", "__b", "__lr", "__lead")
     }
+    // fold cells into per-bucket (offset, count, first value): a
+    // bucket's first value is its first nonempty cell's (cells are
+    // value-ordered)
+    val byBucket = hist.groupBy(h => bounds.count(_ <= h._1)).toSeq.sortBy(_._1)
+      .map { case (b, cells) => (b, cells.map(_._2).sum, cells.head._3) }
     var acc = 0L
     val vType = df.schema(df.schema.fieldIndex(valueCol)).dataType
-    val meta = sums.zipWithIndex.map { case ((b, tc, _), i) =>
-      val nextFirst = if (i + 1 < sums.length) sums(i + 1)._3 else null
+    val meta = byBucket.zipWithIndex.map { case ((b, tc, _), i) =>
+      val nextFirst = if (i + 1 < byBucket.length) byBucket(i + 1)._3 else null
       val row = (b, acc, tc, nextFirst)
       acc += tc
       row
-    }.toSeq
+    }
     val metaDf = meta.map { case (b, off, tc, nf) => (b, off, tc) }
       .toDF("__b", "__off", "__btc")
     // the boundary values ride as a typed literal column (per-bucket
@@ -909,43 +1067,57 @@ object Stats {
   def equiDepthBins(df: DataFrame, valueCol: String, tieCol: String,
                     bins: Int, buckets: Int = 32): DataFrame = {
     require(bins >= 1, "equiDepthBins: bins must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // global rank without a global window, in ONE bucketed pass:
     // bucket id is a function of v alone (so a tie group never
     // straddles buckets), per-bucket row_number over (v, tie) after
-    // one shuffle on the bucket id, then strictly-earlier-bucket row
-    // totals (≤ buckets rows, tiny window) broadcast back as offsets
+    // one shuffle on the bucket id, with exact offsets and the global
+    // row count folded from the SINGLE fine-cell histogram job (which
+    // also fills the cache — the ranking pass re-reads it)
     val keyed = df.select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    val bounds = approxBounds(keyed, "v", buckets)
-    val withB =
-      if (bounds.isEmpty) keyed.withColumn("b", lit(0))
-      else keyed.withColumn("b", bucketExpr(bounds, col("v")))
+      .persist(lvl)
+    val cc = cellOf(session, col("v"))
+    val hist = keyed.groupBy(cc.as("cell")).agg(count(lit(1)).as("tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = hist.map(_._2).sum
+    if (n == 0L) {
+      keyed.unpersist()
+      return Seq.empty[(Int, Long, Double, Double)].toDF("bin", "cnt", "lo", "hi")
+    }
+    // boundaries balanced by ROW count (the in-bucket window iterates
+    // rows here, not distinct values)
+    val bounds = coarseBoundaries(hist, buckets)
+    val withB = keyed.withColumn("b", bucketOfCell(bounds, cc))
     val inB = Window.partitionBy(col("b")).orderBy(col("v"), col("t"))
     val local = withB.withColumn("lr", row_number().over(inB).cast("long"))
-    // driver-folded offsets over ≤ buckets rows — see bucketedCdf's
-    // note on the lineage-sharing binding trap
-    val totals = withB.groupBy(col("b")).agg(count(lit(1)).as("tc"))
-      .collect().sortBy(_.getInt(0))
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues(_.map(_._2).sum).toMap
     var acc = 0L
-    val offRows = totals.map { r =>
-      val row = (r.getInt(0), acc); acc += r.getLong(1); row
-    }.toSeq
-    val session = df.sparkSession
-    import session.implicits._
-    val offsets = offRows.toDF("b", "off")
-    val withRank = local.join(broadcast(offsets), Seq("b"))
+    val offRows = (0 to bounds.length).map { b =>
+      val row = (b, acc); acc += perBucket.getOrElse(b, 0L); row
+    }
+    val withRank = local.join(broadcast(offRows.toDF("b", "off")), Seq("b"))
       .withColumn("rn", col("off") + col("lr"))
-    val n = broadcast(withRank.agg(count(lit(1)).as("n")))
     // NTILE semantics: first (n mod bins) bins take base+1 rows.
     // Integral div throughout — `/` on longs is double division in
-    // Spark SQL and mangles ranks past 2^53.
-    withRank.crossJoin(n)
-      .withColumn("base", expr(s"n div $bins"))
-      .withColumn("rem", expr(s"n % $bins"))
+    // Spark SQL and mangles ranks past 2^53. n is a fold literal, so
+    // no broadcast branch re-reads the data.
+    val out = withRank
+      .withColumn("base", lit(n / bins))
+      .withColumn("rem", lit(n % bins))
       .withColumn("cut", col("rem") * (col("base") + 1))
       .withColumn("bin",
         when(col("rn") <= col("cut"), expr("(rn - 1) div (base + 1)"))
           .otherwise(col("rem") + expr("(rn - cut - 1) div base")))
       .groupBy((col("bin") + 1).cast("int").as("bin"))
       .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      // ≤ bins rows: materialize eagerly so the cache releases here
+      .localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 }

@@ -41,7 +41,7 @@ object StatsQ {
     "x_ks_test" -> ((s, dir) =>
       // two-sample Kolmogorov-Smirnov over the value distributions of
       // view vs purchase events; the global CDF runs on the bucketed
-      // prefix sum (Stats.bucketedCdf) — no single-task global window
+      // prefix sum (Stats.ksTest fine-cell machinery) — no single-task global window
       Stats.ksTest(
           t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
           "value", col("event_type") === "view")

@@ -32,6 +32,23 @@ object GraftProperties extends Properties("graft") {
     cols <- Gen.nonEmptyListOf(genColumn).map(_.take(8))
   } yield TableMetadata(db, cluster, schema, name, desc, isView, cols)
 
+  property("sortable double bits: signed-long order == double order") = {
+    val genD: Gen[Double] = Gen.oneOf(
+      Gen.choose(-1e300, 1e300),
+      Gen.choose(-1.0, 1.0),
+      Gen.oneOf(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+        Double.MaxValue, Double.MinValue, 1e-310, -1e-310, // subnormals
+        Double.PositiveInfinity, Double.NegativeInfinity))
+    forAll(genD, genD) { (a, b) =>
+      val (sa, sb) = (graft.functions.SortableDoubleBits.compute(a),
+        graft.functions.SortableDoubleBits.compute(b))
+      (java.lang.Double.compare(a, b).sign == java.lang.Long.compare(sa, sb).sign) &&
+        // NaN sorts ABOVE +Infinity — Spark's NaN-greatest convention
+        (graft.functions.SortableDoubleBits.compute(Double.NaN) >
+          graft.functions.SortableDoubleBits.compute(Double.PositiveInfinity))
+    }
+  }
+
   property("graph expansion: every relation endpoint is an emitted node") =
     forAll(genTable) { tm =>
       val keys = tm.toNodes.map(_.key).toSet

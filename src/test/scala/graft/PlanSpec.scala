@@ -574,27 +574,30 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("x_ks_test/x_eqdepth: every data-side window is bucket-partitioned, offsets broadcast back") {
+  test("x_ks_test/x_eqdepth: materialized small results; the CDF window partitions on the bucket id") {
+    // round 11: these statistics materialize EAGERLY (1-row / ≤bins-row
+    // outputs — the quantile-family contract below), so the returned
+    // plan must be a literal/materialized scan with no corpus re-scan
     for (q <- Seq("x_ks_test", "x_eqdepth")) {
       val p = plan(q)
-      // the CDF windows must carry a partition spec (the bucket id) —
-      // an unpartitioned window over the data is the single-task global
-      // scan this operator exists to avoid. The only unpartitioned
-      // window allowed is the per-bucket-TOTALS cascade, which runs
-      // over <= buckets rows behind a tiny aggregate.
-      val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
-      assert(winSpecs.nonEmpty, p)
-      // a partitioned Window's Arguments carry three bracket groups:
-      // [exprs], [partition], [order] — the data-side cumsum must show
-      // the bucket id `b` as its partition group
-      assert(winSpecs.exists(_.matches(""".*\], \[b#\d+\], \[.*""")),
-        s"$q: the data-side CDF window must partition on the bucket id\n" +
-          winSpecs.mkString("\n"))
-      // offsets re-enter through a broadcast, never a sort-merge join
-      assert(p.contains("BroadcastHashJoin"), p)
-      assert(!p.contains("SortMergeJoin"), p)
-      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("Scan parquet"), s"$q\n$p")
+      assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+        s"$q\n$p")
     }
+    // the bucket-partitioned-window property now lives INSIDE the eager
+    // call: pin it on the equivalent lazy construction — ntileLead's
+    // rank/lead pass is the same fine-cell machinery and stays lazy
+    // (corpus-sized output), so its plan shows the in-bucket window
+    // partitioned on __b with the offsets re-entering via broadcast
+    val p = plan("x_ntile_lead")
+    val winSpecs = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(winSpecs.nonEmpty, p)
+    assert(winSpecs.forall(_.matches(""".*\], \[__b#\d+\], \[.*""")),
+      "every data-side window must partition on the bucket id\n" +
+        winSpecs.mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x_sorted_neighborhood: block-keyed window + lead, no self-join on data") {
