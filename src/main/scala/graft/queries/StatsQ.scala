@@ -266,6 +266,22 @@ object StatsQ {
           ps = Seq(0.5, 0.95))
         .orderBy("l_returnflag", "p")),
 
+    "x_weighted_quantiles" -> ((s, dir) =>
+      // multiplicity-WEIGHTED interpolated quantiles
+      // (Stats.groupedInterpolatedQuantilesWeighted — the seam
+      // madOutliers' deviation pass reuses, promoted to a first-class
+      // oracled op): value-weighted price percentiles per return flag,
+      // l_quantity as the integer multiplicity. Semantics: exactly the
+      // quantiles of the EXPANDED multiset (each row repeated weight
+      // times) — the oracle expands via range() and runs DuckDB's own
+      // quantile_cont, an independent implementation
+      Stats.groupedInterpolatedQuantilesWeighted(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity", ps = Seq(0.5, 0.9))
+        .select(col("l_returnflag"), col("p"), col("n"),
+          round(col("value"), 6).as("value"))
+        .orderBy("l_returnflag", "p")),
+
     "x_interp_quantiles" -> ((s, dir) =>
       // exact INTERPOLATED quantiles off the bucketed prefix-sum CDF
       // (Stats.interpolatedQuantiles) — the round-9 replacement for
@@ -631,6 +647,23 @@ object StatsQ {
         |SELECT k.g AS l_returnflag, k.p, k.k, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
         |ORDER BY l_returnflag, p""".stripMargin,
+    "x_weighted_quantiles" ->
+      // the expanded-multiset definition, with DuckDB's own
+      // quantile_cont as the independent implementation (constant p
+      // per branch, the x_interp_quantiles convention); range(w)
+      // repeats each row weight times
+      """WITH ex AS (
+        |  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem, unnest(range(CAST(l_quantity AS BIGINT)))
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL)
+        |SELECT * FROM (
+        |  SELECT g AS l_returnflag, CAST(0.5 AS DOUBLE) AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(quantile_cont(v, 0.5), 6) AS value FROM ex GROUP BY g
+        |  UNION ALL
+        |  SELECT g, CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT),
+        |    ROUND(quantile_cont(v, 0.9), 6) FROM ex GROUP BY g
+        |) t ORDER BY l_returnflag, p""".stripMargin,
     "x_interp_quantiles" ->
       // DuckDB's own quantile_cont (constant p per branch — DuckDB
       // requires a constant quantile argument) vs the engine's CDF
