@@ -102,6 +102,52 @@ class CodegenGuardSpec extends AnyFunSuite {
       s"codegen fell back to the interpreted path:\n${hits.mkString("\n")}")
   }
 
+  test("native expression registry compiles under codegen — zero fallbacks") {
+    // every graft native Expression in one sweep: a bad doGenCode (or a
+    // compute helper made non-public) degrades to the interpreted path
+    // with only a WARN — correct answers, 10-1000× slower, invisible to
+    // the oracle gate. Split into a few narrow selects so the sweep
+    // itself never trips the whole-stage 64KB method bailout.
+    import org.apache.spark.sql.functions.{col, expr, struct}
+    import graft.functions._
+    val hits = withCapture {
+      val df = Seq((1L, "the quick brown fox jumps", Array(0.5f, -0.25f, 0.125f),
+          0.75, 3, 7))
+        .toDF("id", "text", "vec", "d", "xi", "yi")
+      val sh = ShingleHashes.shingleHashes(spark, col("text"), 3)
+      df.select(
+        Fnv1a64.fnv64(spark, col("text")).as("a1"),
+        sh.as("a2"),
+        ShingleStrings.shingleStrings(spark, col("text"), 3).as("a3"),
+        SimHash64.simhash64(spark, sh).as("a4"),
+        MinHashSignature.signature(spark, sh, 8).as("a5"),
+        UnicodeNormalize.nfc(spark, col("text")).as("a6")).collect()
+      df.select(
+        CosineSimilarity.cosine(spark, col("vec"), col("vec")).as("b1"),
+        VectorFunctions.hyperplaneSignature(spark, col("vec"), 4, 42L).as("b2"),
+        RandomProjection.project(spark, col("vec"), 4, 7L).as("b3"),
+        QuantStats.stats(spark, col("vec")).as("b4"),
+        QuantizeVec.quantize(spark, col("vec"), 1000).as("b5"),
+        NearestCentroid.nearest(spark, col("vec"), expr(
+          "array(named_struct('cid', CAST(1 AS BIGINT), " +
+            "'cv', array(CAST(0.1 AS FLOAT), CAST(0.2 AS FLOAT), CAST(0.3 AS FLOAT))))"))
+          .as("b6")).collect()
+      df.select(
+        SortableDoubleBits.sortable(spark, col("d")).as("c1"),
+        ZOrder2.zorder(spark, col("xi").cast("long"), col("yi").cast("long")).as("c2"),
+        ChunkStrings.chunkStrings(spark, col("text"), 5).as("c3"),
+        ChunkHashes.chunkHashes(spark, col("text"), 5).as("c4"),
+        OverlapChunkStrings.overlapChunks(spark, col("text"), 5, 3).as("c5"),
+        RollingHashes.rollingHashes(spark, col("text"), 4).as("c6"),
+        HllRegister.registerCoords(spark, col("id"), 9).as("c7"),
+        CountMinBuckets.buckets(spark, col("id"), 3, 64).as("c8")).collect()
+      df.groupBy(col("id"))
+        .agg(TopK.topK(spark, struct(col("d"), col("id")), 2).as("t")).collect()
+    }
+    assert(hits.isEmpty,
+      s"a native expression fell back to the interpreted path:\n${hits.mkString("\n")}")
+  }
+
   test("the guard itself sees fallbacks (not vacuously green)") {
     // the EXACT round-8 incident shape, planted on purpose: a private
     // nested case class as a product encoder — the generated projection
