@@ -744,6 +744,183 @@ object Stats {
       .toDouble)).toDF("n", "total", "gini")
   }
 
+  /** Per-group exact Gini — [[gini]]'s grouped sibling (per-source
+    * length inequality, per-domain token concentration): the same
+    * tie-block rank-sum algebra, with the per-(group, distinct value)
+    * cumulative counts coming from [[groupedCumCore]]'s bucketed
+    * prefix sum — no per-group sort, no global window, ONE corpus
+    * scan. Per group: the decimal(38,0) Lorenz algebra with the same
+    * loud guards as the global form (non-negative INTEGER values,
+    * positive total — fractional data must be rescaled to an integer
+    * grid first). The group key is carried as its STRING rendering
+    * (the [[groupedCounts]] contract). Output: one row per group
+    * `(groupCol, n, total, gini)`, gini rounded to 6, sorted by group
+    * — a collected literal frame, so no cache outlives the call.
+    */
+  def groupedGini(df: DataFrame, groupCol: String, valueCol: String,
+                  buckets: Int = 32, maxFoldRows: Long = 1_000_000L): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = groupedCounts(df, groupCol, valueCol)
+    val (cum, nByGroup) = groupedCumCore(counts, buckets, maxFoldRows, "groupedGini")
+    if (nByGroup.isEmpty) {
+      counts.unpersist()
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF(groupCol, "n", "total", "gini")
+    }
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    // counts = (g, v, c); cum = (g, v, cum) off the same persisted
+    // frame — the join is |distinct|⋈|distinct| on (g, v)
+    val rows = cum.join(counts, Seq("g", "v"))
+      .groupBy(col("g"))
+      .agg(
+        min(col("v")).as("mn"),
+        sum(dec(col("v")) * dec(col("c"))).as("t"),
+        // Σ v·c·(2p + c + 1) = 2·Σ i·x (gini's doubled form — the
+        // decimal path never divides)
+        sum(dec(col("v")) * dec(col("c")) *
+          (dec(col("cum") - col("c")) * 2 + dec(col("c")) + 1)).as("s2"),
+        // integrality sentinel, same pass (gini's fractional guard)
+        sum(when(col("v") =!= floor(col("v")), 1L).otherwise(0L)).as("n_frac"))
+      .collect()
+    counts.unpersist()
+    val out = rows.map { r =>
+      val g = r.getString(0)
+      require(r.getLong(4) == 0L,
+        s"groupedGini: ${r.getLong(4)} fractional values in '$valueCol' " +
+          s"(group '$g') — the decimal(38,0) rank algebra is exact only on " +
+          "integers; rescale to an integer grid first (e.g. round(col * 100))")
+      require(r.getDouble(1) >= 0.0,
+        s"groupedGini: negative values break the Lorenz domain " +
+          s"(group '$g', min=${r.getDouble(1)})")
+      val t = BigInt(r.getDecimal(2).toBigInteger)
+      val s2 = BigInt(r.getDecimal(3).toBigInteger)
+      require(t > 0, s"groupedGini: total must be positive (group '$g')")
+      require(t.isValidLong,
+        s"groupedGini: total $t (group '$g') exceeds the BIGINT output " +
+          "contract — rescale the value column")
+      val n = nByGroup(g)
+      val nd = n.toDouble
+      // the SAME pinned IEEE order as gini: double(s2)/(n·t) − (n+1)/n
+      val gv = s2.toDouble / (nd * t.toDouble) - (nd + 1.0) / nd
+      (g, n, t.toLong,
+        BigDecimal(gv).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    out.toDF(groupCol, "n", "total", "gini")
+  }
+
+  /** Spearman rank correlation between two numeric columns — Pearson
+    * correlation of the MIDRANKS (tie groups ranked at the average of
+    * their span, the convention [[mannWhitneyU]] uses), which Spark
+    * has no distributed form of: the textbook formulation ranks each
+    * column with `RANK() OVER (ORDER BY v)` — two single-task global
+    * windows over the corpus.
+    *
+    * Scale shape: each column's midrank table is |distinct values|-
+    * sized, built from the bucketed prefix-sum CDF ([[globalCum]] —
+    * one fine-cell planning job per column); the corpus then equi-joins
+    * each rank table ON THE VALUE (AQE broadcasts them when small) and
+    * one codegen co-moment aggregate finishes (the Pearson division
+    * runs on the driver — ANSI-safe). Three column-pruned scans
+    * of the 2-column projection, shuffles keyed on values only,
+    * nothing corpus-sized cached, collected, or globally windowed.
+    * Rows with a NULL in either column are excluded (observed-pairs
+    * policy). One row out: `(n, rho)`; rho is NaN for degenerate
+    * inputs (n < 2 or a constant column), matching `corr`.
+    */
+  def spearman(df: DataFrame, colA: String, colB: String,
+               buckets: Int = 32): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val obs = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .select(col(colA).cast("double").as("a"), col(colB).cast("double").as("b"))
+    val (cumA, nA, cachedA) = globalCum(obs, "a", buckets)
+    if (nA == 0L) {
+      cachedA.unpersist()
+      return Seq.empty[(Long, Double)].toDF("n", "rho")
+    }
+    val (cumB, _, cachedB) = globalCum(obs, "b", buckets)
+    // midrank of a tie block (count c, inclusive cum): cum − (c−1)/2 —
+    // exact multiples of 0.5, so the rank tables are engine-stable
+    def rankTable(cum: DataFrame, counts: DataFrame, out: String) =
+      cum.join(counts, Seq("v"))
+        .select(col("v").as(out),
+          (col("cum").cast("double") - (col("c").cast("double") - 1.0) / 2.0)
+            .as(s"r_$out"))
+    // population co-moments, divided on the DRIVER: Spark's `corr`
+    // aggregate raises DIVIDE_BY_ZERO under ANSI when a column is
+    // constant — here a zero variance yields NaN (the documented
+    // degenerate contract) instead. The pop/samp normalizations cancel
+    // in the ratio, so this equals corr exactly in real arithmetic.
+    val row = obs
+      .join(rankTable(cumA, cachedA, "a"), Seq("a"))
+      .join(rankTable(cumB, cachedB, "b"), Seq("b"))
+      .agg(covar_pop(col("r_a"), col("r_b")).as("cov"),
+        var_pop(col("r_a")).as("va"), var_pop(col("r_b")).as("vb"))
+      .head()
+    cachedA.unpersist(); cachedB.unpersist()
+    val rho =
+      if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2)) Double.NaN
+      else {
+        val d = math.sqrt(row.getDouble(1) * row.getDouble(2))
+        if (d == 0.0) Double.NaN else row.getDouble(0) / d
+      }
+    Seq((nA, rho)).toDF("n", "rho")
+  }
+
+  /** Exact CUME_DIST — the rank/quantile-normalization transform
+    * (map every value to its cumulative-distribution position, the
+    * feature-scaling and histogram-equalization primitive) WITHOUT the
+    * single-task `CUME_DIST() OVER (ORDER BY v)` global window.
+    *
+    * cume_dist(v) = (# rows ≤ v) / n, read off the same bucketed
+    * prefix-sum CDF as [[ksTest]]: per-distinct-value counts, one
+    * fine-cell planning job (boundaries + exact offsets + n in a
+    * single collect), per-bucket PARTITIONED cumsum windows, then the
+    * |distinct|-sized CDF equi-joins back on the value. Returns every
+    * input column plus `outCol` (double); rows with a NULL value are
+    * excluded (observed-values policy — they have no rank).
+    *
+    * NOT persisted anywhere: the output is corpus-sized (per-row), so
+    * an eager release point does not exist ([[ntileLead]]'s
+    * convention) — the histogram job and the caller's action each pay
+    * one column-pruned source scan. Eager-materialization contract
+    * (object scaladoc) applies.
+    */
+  def cumeDist(df: DataFrame, valueCol: String, outCol: String = "cume_dist",
+               buckets: Int = 32): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val obs = df.filter(col(valueCol).isNotNull)
+    val counts = obs.groupBy(col(valueCol).cast("double").as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val cc = cellOf(session, col("__v"))
+    // THE one planning job: per-cell distinct-value and row totals
+    val hist = counts.groupBy(cc.as("cell"))
+      .agg(count(lit(1)).as("nd"), sum(col("__c")).as("tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = hist.map(_._3).sum
+    if (n == 0L) return obs.withColumn(outCol, lit(0.0)).filter(lit(false))
+    // boundaries balanced by DISTINCT-value count (the in-bucket
+    // window iterates distinct values)
+    val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    val withB = counts.withColumn("__b", bucketOfCell(bounds, cc))
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val local = withB.withColumn("__lc", sum(col("__c")).over(inBucket))
+    val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
+      .view.mapValues(_.map(_._3).sum).toMap
+    var acc = 0L
+    val offRows = (0 to bounds.length).map { b =>
+      val row = (b, acc); acc += perBucket.getOrElse(b, 0L); row
+    }
+    val cdf = local.join(broadcast(offRows.toDF("__b", "__off")), Seq("__b"))
+      .select(col("__v"),
+        ((col("__lc") + col("__off")).cast("double") / lit(n.toDouble)).as(outCol))
+    obs.join(cdf, obs(valueCol).cast("double") === cdf("__v")).drop("__v")
+  }
+
   /** Pareto concentration curve — "the top X% of keys hold Y% of the
     * value" (revenue concentration, corpus-source dominance, hot-key
     * share). Keys are ranked by DESCENDING per-key value and cut into

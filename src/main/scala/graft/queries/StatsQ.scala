@@ -282,6 +282,23 @@ object StatsQ {
           round(col("value"), 6).as("value"))
         .orderBy("l_returnflag", "p")),
 
+    "x_spearman" -> ((s, dir) =>
+      // Spearman rank correlation of quantity vs extended price
+      // (Stats.spearman): midranks off the bucketed prefix-sum CDF —
+      // no RANK() global window over the corpus at any scale; the
+      // final Pearson-of-ranks is one codegen corr aggregate
+      Stats.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+        .select(col("n"), round(col("rho"), 6).as("rho"))),
+
+    "x_cume_dist" -> ((s, dir) =>
+      // per-row CUME_DIST of order totals (Stats.cumeDist): the
+      // quantile-normalization transform without the single-task
+      // CUME_DIST() OVER (ORDER BY v) window — CDF equi-joined back
+      // on the value, corpus-sized output, partitioned windows only
+      Stats.cumeDist(t(s, dir, "orders"), "o_totalprice")
+        .select(col("o_orderkey"), round(col("cume_dist"), 6).as("cd"))
+        .orderBy("o_orderkey")),
+
     "x_interp_quantiles" -> ((s, dir) =>
       // exact INTERPOLATED quantiles off the bucketed prefix-sum CDF
       // (Stats.interpolatedQuantiles) — the round-9 replacement for
@@ -664,6 +681,38 @@ object StatsQ {
         |  SELECT g, CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT),
         |    ROUND(quantile_cont(v, 0.9), 6) FROM ex GROUP BY g
         |) t ORDER BY l_returnflag, p""".stripMargin,
+    "x_spearman" ->
+      // midrank replay (x_mannwhitney's CTE shape, one per column),
+      // then DuckDB's own corr over the rank pairs — an independent
+      // Pearson implementation; round(6) absorbs co-moment float noise
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS a,
+        |         CAST(l_extendedprice AS DOUBLE) AS b
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |ga AS (SELECT a AS v, COUNT(*) AS c FROM pts GROUP BY 1),
+        |ca AS (SELECT v, c,
+        |  SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM ga),
+        |rka AS (SELECT v,
+        |  CAST(cum AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0) / 2.0 AS r FROM ca),
+        |gb AS (SELECT b AS v, COUNT(*) AS c FROM pts GROUP BY 1),
+        |cb AS (SELECT v, c,
+        |  SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM gb),
+        |rkb AS (SELECT v,
+        |  CAST(cum AS DOUBLE) - (CAST(c AS DOUBLE) - 1.0) / 2.0 AS r FROM cb),
+        |j AS (SELECT rka.r AS ra, rkb.r AS rb
+        |      FROM pts JOIN rka ON pts.a = rka.v JOIN rkb ON pts.b = rkb.v)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n,
+        |  ROUND(corr(ra, rb), 6) AS rho FROM j""".stripMargin,
+    "x_cume_dist" ->
+      // DuckDB's own cume_dist window — an independent implementation
+      // of the same (# rows ≤ v) / n definition; both engines divide
+      // exact longs as doubles, round(6) absorbs nothing real
+      """SELECT o_orderkey,
+        |  ROUND(cume_dist() OVER (ORDER BY CAST(o_totalprice AS DOUBLE)), 6)
+        |    AS cd
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
     "x_interp_quantiles" ->
       // DuckDB's own quantile_cont (constant p per branch — DuckDB
       // requires a constant quantile argument) vs the engine's CDF

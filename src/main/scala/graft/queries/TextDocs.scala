@@ -153,6 +153,13 @@ object TextDocs {
       // decimal(38,0), two final IEEE divisions
       graft.operators.Stats.gini(docs(s, dir), "n_chars")),
 
+    "x_grouped_gini" -> ((s, dir) =>
+      // per-source length inequality (Stats.groupedGini): the same
+      // tie-block rank-sum algebra as x_gini, per group, off the
+      // grouped bucketed prefix sum — one corpus scan, no per-group
+      // sort, no global window
+      graft.operators.Stats.groupedGini(docs(s, dir), "source", "n_chars")),
+
     "x_bpe_tokens" -> ((s, dir) => {
       // BPE-ish pre-tokenizer counts (the "token counting: whitespace +
       // BPE-ish regex" extension): token total, distinct types, average
@@ -1244,6 +1251,23 @@ object TextDocs {
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
         |FROM m""".stripMargin,
+    // x_gini's PARTITIONED replay: per-source ROW_NUMBER rank sums
+    // (tie blocks make Σ i·x order-independent within each group),
+    // exact HUGEINT s, the same pinned division/subtraction order
+    "x_grouped_gini" ->
+      """WITH r AS (
+        |  SELECT source AS g, n_chars AS x,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS i
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+        |m AS (
+        |  SELECT g, COUNT(*) AS n, SUM(x) AS t,
+        |    SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS s
+        |  FROM r GROUP BY 1)
+        |SELECT g AS source, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        |  ROUND(2.0 * CAST(s AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+        |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+        |FROM m ORDER BY source""".stripMargin,
     "x_pad_waste" ->
       // the engine's tokenCount counts ALL \s+ split pieces (no empty
       // filter) — mirror len(string_split_regex) exactly, like

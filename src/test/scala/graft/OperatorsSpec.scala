@@ -1975,6 +1975,115 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(scaled.getDouble(2) - bruteF) < 1e-6)
   }
 
+  test("groupedGini: per-group values match global gini, guards fail loud") {
+    import graft.operators.Stats
+    // two planted groups: each group's row must equal the global
+    // gini of that group's values alone
+    val df = (Seq(1L, 2L, 3L, 4L).map(("u", _)) ++
+      Seq(0L, 0L, 0L, 12L).map(("v", _)) ++
+      Seq(5L, 5L, 5L).map(("w", _))).toDF("g", "x")
+    val got = Stats.groupedGini(df, "g", "x").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map("u" -> ((4L, 10L, 0.25)),
+      "v" -> ((4L, 12L, 0.75)), "w" -> ((3L, 15L, 0.0))))
+    // output is group-sorted (the literal-frame contract)
+    assert(Stats.groupedGini(df, "g", "x").collect().map(_.getString(0)).toSeq
+      == Seq("u", "v", "w"))
+    // bucket count never changes the exact integer rank sums
+    assert(Stats.groupedGini(df, "g", "x", buckets = 1).collect().toSeq ==
+      Stats.groupedGini(df, "g", "x", buckets = 64).collect().toSeq)
+    // NULL group keys and NULL values are excluded
+    val withNulls = df.union(Seq((null.asInstanceOf[String], 9L)).toDF("g", "x"))
+      .union(Seq(("u", null.asInstanceOf[java.lang.Long])).toDF("g", "x"))
+    assert(Stats.groupedGini(withNulls, "g", "x").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("u" -> 4L, "v" -> 4L, "w" -> 3L))
+    // a fractional value in ANY group fails loud with the group named
+    val fracErr = intercept[IllegalArgumentException] {
+      Stats.groupedGini(
+        (Seq(("a", 1.0), ("a", 2.0), ("b", 1.5))).toDF("g", "x"), "g", "x")
+    }
+    assert(fracErr.getMessage.contains("fractional"))
+    assert(fracErr.getMessage.contains("'b'"))
+    // negatives and zero totals fail loud; empty input → empty frame
+    intercept[IllegalArgumentException] {
+      Stats.groupedGini(Seq(("a", -1L), ("a", 2L)).toDF("g", "x"), "g", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.groupedGini(Seq(("a", 0L), ("a", 0L)).toDF("g", "x"), "g", "x")
+    }
+    assert(Stats.groupedGini(Seq.empty[(String, Long)].toDF("g", "x"),
+      "g", "x").count() == 0L)
+  }
+
+  test("spearman: monotone, anti-monotone, ties as midranks, degenerate") {
+    import graft.operators.Stats
+    def rho(xs: Seq[(Double, Double)]): (Long, Double) = {
+      val r = Stats.spearman(xs.toDF("a", "b"), "a", "b").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    // any monotone map has rho exactly 1 regardless of Pearson-r
+    val mono = (1 to 200).map(i => (i.toDouble, math.exp(i / 50.0)))
+    assert(rho(mono) == ((200L, 1.0)))
+    val anti = (1 to 200).map(i => (i.toDouble, -math.exp(i / 50.0)))
+    assert(rho(anti)._2 == -1.0)
+    // ties rank at midranks: matches a local midrank+Pearson replay
+    val rnd = new scala.util.Random(7)
+    val tied = Seq.fill(500)((rnd.nextInt(12).toDouble, rnd.nextInt(9).toDouble))
+    def midranks(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).view.mapValues(g => g.map(_._2).sum / g.size).toMap
+    }
+    val ra = midranks(tied.map(_._1)); val rb = midranks(tied.map(_._2))
+    val pairs = tied.map { case (a, b) => (ra(a), rb(b)) }
+    val n = pairs.length.toDouble
+    val (mx, my) = (pairs.map(_._1).sum / n, pairs.map(_._2).sum / n)
+    val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val sx = math.sqrt(pairs.map(p => (p._1 - mx) * (p._1 - mx)).sum)
+    val sy = math.sqrt(pairs.map(p => (p._2 - my) * (p._2 - my)).sum)
+    val expect = cov / (sx * sy)
+    val gotTied = rho(tied)
+    assert(gotTied._1 == 500L)
+    assert(math.abs(gotTied._2 - expect) < 1e-9)
+    // bucket count never changes the result
+    assert(Stats.spearman(tied.toDF("a", "b"), "a", "b", buckets = 3)
+      .head().getDouble(1) == gotTied._2)
+    // NULL in either column excludes the PAIR; constant column → NaN
+    val withNull = tied.map { case (a, b) => (Some(a), Some(b)) } :+
+      ((Some(1.0), Option.empty[Double])) :+ ((Option.empty[Double], Some(2.0)))
+    assert(Stats.spearman(withNull.toDF("a", "b"), "a", "b")
+      .head().getLong(0) == 500L)
+    assert(Stats.spearman(Seq((1.0, 2.0), (2.0, 2.0)).toDF("a", "b"),
+      "a", "b").head().getDouble(1).isNaN)
+    assert(Stats.spearman(Seq.empty[(Double, Double)].toDF("a", "b"),
+      "a", "b").count() == 0L)
+  }
+
+  test("cumeDist: equals the window form, ties share, no corpus window") {
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(13)
+    val df = (1 to 3000).map(i => (i.toLong, rnd.nextInt(400).toDouble))
+      .toDF("id", "v")
+    val got = Stats.cumeDist(df, "v", "cd")
+    // bit-equal to the textbook single-partition window on this size
+    val want = df.withColumn("cd",
+      cume_dist().over(org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+    assert(got.select("id", "cd").except(want.select("id", "cd")).count() == 0L)
+    assert(want.select("id", "cd").except(got.select("id", "cd")).count() == 0L)
+    // schema: every input column + the out column; NULL values drop
+    assert(got.columns.toSeq == Seq("id", "v", "cd"))
+    val withNull = df.union(Seq((9999L, null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "v"))
+    assert(Stats.cumeDist(withNull, "v").count() == 3000L)
+    // the engine plan has NO unpartitioned window over the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [cume_dist()"))
+    // empty input → empty frame with the out column present
+    assert(Stats.cumeDist(df.filter(lit(false)), "v").columns.contains("cume_dist"))
+    assert(Stats.cumeDist(df.filter(lit(false)), "v").count() == 0L)
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
