@@ -921,6 +921,180 @@ object Stats {
     obs.join(cdf, obs(valueCol).cast("double") === cdf("__v")).drop("__v")
   }
 
+  /** One-way ANOVA F statistic — does `valueCol`'s mean differ across
+    * the levels of `groupCol`? The variance decomposition runs on
+    * EXACT per-group decimal moments: ONE partial-agged hash pass
+    * yields each group's count, Σv and Σv² in decimal(18,6)-derived
+    * types (exact in any aggregation order for ≤6-dp inputs; a value
+    * needing MORE than 6 dp trips the same-pass sentinel and fails
+    * LOUD — the decimal cast would otherwise round it silently, the
+    * [[gini]] hazard class), and the |groups|-row driver fold
+    * finishes the double algebra in a pinned group-sorted order. One
+    * row out: `(k, n, ss_between, ss_within, f)`; NULL values/groups
+    * excluded. Requires ≥2 groups and n > k (a positive within-group
+    * degrees-of-freedom), fail loud.
+    */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val rows = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6(col(valueCol))).as("s"),
+        // (18,6)² = decimal(37,12): exact product, exact sum
+        sum(d6(col(valueCol)) * d6(col(valueCol))).as("q"),
+        // 6-dp sentinel, same pass (gini's contract: loud, not rounded)
+        sum(when(col(valueCol).cast("double") =!=
+          round(col(valueCol).cast("double"), 6), 1L).otherwise(0L)).as("nf"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)), r.getLong(4)))
+      .sortBy(_._1)
+    rows.foreach { case (g, _, _, _, nf) =>
+      require(nf == 0L,
+        s"anovaF: $nf values in group '$g' need more than 6 decimal " +
+          "places — the decimal(18,6) moments would round them silently; " +
+          "rescale to the 6-dp grid first")
+    }
+    val k = rows.length
+    val n = rows.map(_._2).sum
+    require(k >= 2, s"anovaF: need >= 2 groups, got $k")
+    require(n > k, s"anovaF: need n > k for within-group df (n=$n, k=$k)")
+    val s = rows.map(_._3).sum // exact grand sums
+    val q = rows.map(_._4).sum
+    // pinned group-sorted fold — the only float summation in the op
+    val sumSg2 = rows.foldLeft(0.0) { case (a, (_, ng, sg, _, _)) =>
+      a + sg.toDouble * sg.toDouble / ng.toDouble
+    }
+    val ssb = sumSg2 - s.toDouble * s.toDouble / n.toDouble
+    val ssw = q.toDouble - sumSg2
+    val f = (ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble)
+    Seq((k.toLong, n, ssb, ssw, f)).toDF("k", "n", "ss_between", "ss_within", "f")
+  }
+
+  /** Mutual information (and normalized MI) between two CATEGORICAL
+    * columns — the feature-association / corpus-mix diagnostic (how
+    * much does knowing the source tell you about the language?):
+    * MI = Σ_xy p(x,y)·ln(p(x,y) / (p(x)·p(y))), NMI = 2·MI/(H_x+H_y).
+    *
+    * Scale shape: ONE corpus scan into the |X|·|Y|-cell contingency
+    * frame (persisted — the legitimate intermediate; the marginals and
+    * every term re-read it, the corpus is never touched again); the
+    * marginals equi-join back onto the cells and three tiny aggs
+    * finish. Exact integer counts throughout — doubles only in the
+    * final p·ln terms. NULL in either column excludes the row. One row
+    * out: `(n, mi, nmi)`; NMI is NaN when both columns are constant.
+    */
+  def mutualInfo(df: DataFrame, colX: String, colY: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cells = df.filter(col(colX).isNotNull && col(colY).isNotNull)
+      .groupBy(col(colX).cast("string").as("x"), col(colY).cast("string").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(cells.agg(sum(col("nxy")).as("n")))
+    val nx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val miRow = cells.join(nx, Seq("x")).join(ny, Seq("y")).crossJoin(tot)
+      .agg(sum((dd(col("nxy")) / dd(col("n"))) *
+        log(dd(col("nxy")) * dd(col("n")) / (dd(col("nx")) * dd(col("ny"))))).as("mi"))
+      .head()
+    def entropy(marg: DataFrame, cnt: String): Double =
+      marg.crossJoin(tot)
+        .agg(sum((dd(col(cnt)) / dd(col("n"))) * log(dd(col("n")) / dd(col(cnt)))).as("h"))
+        .head() match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+    val hx = entropy(nx, "nx")
+    val hy = entropy(ny, "ny")
+    val nTotal = cells.agg(sum(col("nxy"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    cells.unpersist()
+    if (nTotal == 0L) return Seq.empty[(Long, Double, Double)].toDF("n", "mi", "nmi")
+    val mi = if (miRow.isNullAt(0)) 0.0 else miRow.getDouble(0)
+    val nmi = if (hx + hy == 0.0) Double.NaN else 2.0 * mi / (hx + hy)
+    Seq((nTotal, mi, nmi)).toDF("n", "mi", "nmi")
+  }
+
+  /** Theil T inequality index with its exact between/within-group
+    * decomposition — [[gini]]'s information-theoretic sibling, and the
+    * one inequality measure that decomposes ADDITIVELY by a grouping
+    * (how much of the corpus's length inequality is across sources vs
+    * inside them): T = Σ (x/X)·ln(x·N/X), and
+    * T = T_between + T_within with
+    * T_between = Σ_g (X_g/X)·ln((X_g/X)/(n_g/N)),
+    * T_within  = Σ_g (X_g/X)·T_g.
+    *
+    * Scale shape: ONE corpus scan into the per-(group, distinct value)
+    * counts frame ([[groupedCounts]]); per-group totals are exact
+    * (counts as longs, value sums in decimal — a value needing more
+    * than 6 dp fails the integrality sentinel LOUDLY, the [[gini]]
+    * hazard class), the per-group ln-moment Σ c·v·ln(v) is the one
+    * distributed double sum, and the |groups|-row driver fold finishes
+    * in pinned group-sorted order. Values must be STRICTLY POSITIVE
+    * (ln domain), fail loud. One row out:
+    * `(n, k, theil_total, theil_between, theil_within)`.
+    */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = groupedCounts(df, groupCol, valueCol)
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val rows = counts.groupBy(col("g"))
+      .agg(min(col("v")).as("mn"),
+        sum(col("c")).as("n"),
+        // (18,6)·(14,0) = decimal(33,6): exact product, exact sum
+        // (ANSI: a per-value multiplicity past 1e14 overflows LOUD)
+        sum(d6(col("v")) * col("c").cast("decimal(14,0)")).as("x"),
+        // ln guarded on the positive branch so a domain violation
+        // reaches the loud `require` below (ANSI log(≤0) would throw a
+        // bare SparkRuntimeException mid-aggregation instead)
+        sum(when(col("v") > 0,
+          col("c").cast("double") * col("v") * log(col("v")))
+          .otherwise(lit(0.0))).as("m"),
+        // 6-dp sentinel: the decimal(18,6) cast above ROUNDS deeper
+        // fractions — loud, never silent (gini's contract)
+        sum(when(col("v") =!= round(col("v"), 6), 1L).otherwise(0L)).as("nf"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        BigDecimal(r.getDecimal(3)), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    counts.unpersist()
+    if (rows.isEmpty)
+      return Seq.empty[(Long, Long, Double, Double, Double)]
+        .toDF("n", "k", "theil_total", "theil_between", "theil_within")
+    rows.foreach { case (g, mn, _, _, _, nf) =>
+      require(mn > 0.0,
+        s"theilDecomposition: values must be strictly positive (group '$g', min=$mn)")
+      require(nf == 0L,
+        s"theilDecomposition: $nf values in group '$g' need more than 6 " +
+          "decimal places — rescale to the 6-dp grid first")
+    }
+    val nTot = rows.map(_._3).sum
+    val xTot = rows.map(_._4).sum // exact decimal grand total
+    val xD = xTot.toDouble
+    // pinned group-sorted folds; per-group terms use the same ratio
+    // shapes the oracle replays
+    val mAll = rows.foldLeft(0.0) { case (a, r) => a + r._5 }
+    val total = mAll / xD - math.log(xD / nTot.toDouble)
+    val between = rows.foldLeft(0.0) { case (a, (_, _, ng, xg, _, _)) =>
+      val share = xg.toDouble / xD
+      a + share * math.log(share / (ng.toDouble / nTot.toDouble))
+    }
+    val within = rows.foldLeft(0.0) { case (a, (_, _, ng, xg, mg, _)) =>
+      val share = xg.toDouble / xD
+      a + share * (mg / xg.toDouble - math.log(xg.toDouble / ng.toDouble))
+    }
+    Seq((nTot, rows.length.toLong, total, between, within))
+      .toDF("n", "k", "theil_total", "theil_between", "theil_within")
+  }
+
   /** Pareto concentration curve — "the top X% of keys hold Y% of the
     * value" (revenue concentration, corpus-source dominance, hot-key
     * share). Keys are ranked by DESCENDING per-key value and cut into

@@ -282,6 +282,16 @@ object StatsQ {
           round(col("value"), 6).as("value"))
         .orderBy("l_returnflag", "p")),
 
+    "x_anova" -> ((s, dir) =>
+      // one-way ANOVA of quantity across return flags
+      // (Stats.anovaF): exact decimal per-group moments in ONE hash
+      // pass, double algebra only on the |groups|-row driver fold
+      Stats.anovaF(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
+        .select(col("k"), col("n"),
+          round(col("ss_between"), 4).as("ss_between"),
+          round(col("ss_within"), 4).as("ss_within"),
+          round(col("f"), 6).as("f"))),
+
     "x_spearman" -> ((s, dir) =>
       // Spearman rank correlation of quantity vs extended price
       // (Stats.spearman): midranks off the bucketed prefix-sum CDF —
@@ -681,6 +691,33 @@ object StatsQ {
         |  SELECT g, CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT),
         |    ROUND(quantile_cont(v, 0.9), 6) FROM ex GROUP BY g
         |) t ORDER BY l_returnflag, p""".stripMargin,
+    "x_anova" ->
+      // the same exact-decimal group moments (DuckDB (18,6)·(18,6)
+      // products are exact like Spark's), then the F algebra in the
+      // same ratio shapes; the ≤|groups| double sums are the only
+      // float folds and round(4/6) absorbs their ordering noise
+      """WITH g AS (
+        |  SELECT l_returnflag AS g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))) AS s,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,6))
+        |        * CAST(l_quantity AS DECIMAL(18,6))) AS q
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS n,
+        |    SUM(s) AS ss, SUM(q) AS qq,
+        |    SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS sg2
+        |  FROM g)
+        |SELECT k, n,
+        |  ROUND(sg2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 4) AS ss_between,
+        |  ROUND(CAST(qq AS DOUBLE) - sg2, 4) AS ss_within,
+        |  ROUND(((sg2 - CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(qq AS DOUBLE) - sg2) / CAST(n - k AS DOUBLE)), 6) AS f
+        |FROM t""".stripMargin,
     "x_spearman" ->
       // midrank replay (x_mannwhitney's CTE shape, one per column),
       // then DuckDB's own corr over the rank pairs — an independent

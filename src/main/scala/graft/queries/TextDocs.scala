@@ -160,6 +160,26 @@ object TextDocs {
       // sort, no global window
       graft.operators.Stats.groupedGini(docs(s, dir), "source", "n_chars")),
 
+    "x_mutual_info" -> ((s, dir) =>
+      // source↔language association (Stats.mutualInfo): how much does
+      // knowing the source tell you about the language — exact integer
+      // contingency cells, marginals equi-joined back, doubles only in
+      // the final p·ln terms
+      graft.operators.Stats.mutualInfo(docs(s, dir), "source", "lang")
+        .select(col("n"), round(col("mi"), 6).as("mi"),
+          round(col("nmi"), 6).as("nmi"))),
+
+    "x_theil" -> ((s, dir) =>
+      // Theil T of document length with the additive between/within
+      // source decomposition (Stats.theilDecomposition) — x_gini and
+      // x_grouped_gini's information-theoretic completion: the same
+      // one-scan counts frame, exact totals, pinned driver fold
+      graft.operators.Stats.theilDecomposition(docs(s, dir), "source", "n_chars")
+        .select(col("n"), col("k"),
+          round(col("theil_total"), 6).as("theil_total"),
+          round(col("theil_between"), 6).as("theil_between"),
+          round(col("theil_within"), 6).as("theil_within"))),
+
     "x_bpe_tokens" -> ((s, dir) => {
       // BPE-ish pre-tokenizer counts (the "token counting: whitespace +
       // BPE-ish regex" extension): token total, distinct types, average
@@ -1251,6 +1271,56 @@ object TextDocs {
         |      / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
         |FROM m""".stripMargin,
+    // exact contingency cells + marginals, the same p·ln term shapes;
+    // round(6) absorbs the unordered double-sum noise over the ≤
+    // |sources|·|langs| cells
+    "x_mutual_info" ->
+      """WITH cell AS (
+        |  SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cell GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cell),
+        |mi AS (
+        |  SELECT SUM((CAST(nxy AS DOUBLE) / t.n)
+        |    * ln(CAST(nxy AS DOUBLE) * t.n
+        |         / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))) AS mi
+        |  FROM cell JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t),
+        |hx AS (SELECT SUM((CAST(nx AS DOUBLE) / t.n)
+        |         * ln(CAST(t.n AS DOUBLE) / nx)) AS h FROM mx CROSS JOIN t),
+        |hy AS (SELECT SUM((CAST(ny AS DOUBLE) / t.n)
+        |         * ln(CAST(t.n AS DOUBLE) / ny)) AS h FROM my CROSS JOIN t)
+        |SELECT t.n, ROUND(mi.mi, 6) AS mi,
+        |  ROUND(2.0 * mi.mi / (hx.h + hy.h), 6) AS nmi
+        |FROM t CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
+    // the same exact group totals (decimal value sums, bigint counts)
+    // and the same ratio shapes per term; the ≤|groups| double folds
+    // and the one distributed Σ c·v·ln(v) land inside round(6)
+    "x_theil" ->
+      """WITH c AS (
+        |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+        |    SUM(CAST(v AS DECIMAL(18,6)) * CAST(c AS DECIMAL(14,0))) AS x,
+        |    SUM(CAST(c AS DOUBLE) * v * ln(v)) AS m
+        |  FROM c GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+        |             CAST(COUNT(*) AS BIGINT) AS k,
+        |             SUM(x) AS xx, SUM(m) AS mm FROM g)
+        |SELECT t.n, t.k,
+        |  ROUND(t.mm / CAST(t.xx AS DOUBLE)
+        |    - ln(CAST(t.xx AS DOUBLE) / t.n), 6) AS theil_total,
+        |  ROUND((SELECT SUM((CAST(x AS DOUBLE) / CAST(t.xx AS DOUBLE))
+        |      * ln((CAST(x AS DOUBLE) / CAST(t.xx AS DOUBLE))
+        |           / (CAST(n AS DOUBLE) / t.n))) FROM g), 6) AS theil_between,
+        |  ROUND((SELECT SUM((CAST(x AS DOUBLE) / CAST(t.xx AS DOUBLE))
+        |      * (m / CAST(x AS DOUBLE)
+        |         - ln(CAST(x AS DOUBLE) / n))) FROM g), 6) AS theil_within
+        |FROM t""".stripMargin,
     // x_gini's PARTITIONED replay: per-source ROW_NUMBER rank sums
     // (tie blocks make Σ i·x order-independent within each group),
     // exact HUGEINT s, the same pinned division/subtraction order

@@ -2084,6 +2084,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Stats.cumeDist(df.filter(lit(false)), "v").count() == 0L)
   }
 
+  test("anovaF: textbook decomposition, exact moments, guards") {
+    import graft.operators.Stats
+    // hand-computed: groups {1,2,3}, {2,3,4}, {4,5,6} → grand mean
+    // 30/9; SSB = 3·((2-10/3)² + (3-10/3)² + (5-10/3)²) = 14,
+    // SSW = 2+2+2 = 6, F = (14/2)/(6/6) = 7
+    val df = (Seq(1, 2, 3).map(("a", _)) ++ Seq(2, 3, 4).map(("b", _)) ++
+      Seq(4, 5, 6).map(("c", _))).toDF("g", "x")
+    val r = Stats.anovaF(df, "g", "x").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+    assert(math.abs(r.getDouble(2) - 14.0) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 6.0) < 1e-9)
+    assert(math.abs(r.getDouble(4) - 7.0) < 1e-9)
+    // 6-dp-representable values are exact; deeper fractions fail loud
+    assert(Stats.anovaF(Seq(("a", 1.25), ("a", 2.5), ("b", 3.75),
+      ("b", 1.0)).toDF("g", "x"), "g", "x").head().getLong(1) == 4L)
+    val fracErr = intercept[IllegalArgumentException] {
+      Stats.anovaF(Seq(("a", 1.2345678), ("a", 2.0), ("b", 3.0),
+        ("b", 1.0)).toDF("g", "x"), "g", "x")
+    }
+    assert(fracErr.getMessage.contains("6 decimal"))
+    // k < 2 and n <= k fail loud; NULLs excluded
+    intercept[IllegalArgumentException] {
+      Stats.anovaF(Seq(("a", 1), ("a", 2)).toDF("g", "x"), "g", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.anovaF(Seq(("a", 1), ("b", 2)).toDF("g", "x"), "g", "x")
+    }
+    val withNull = df.union(Seq((null.asInstanceOf[String], 9)).toDF("g", "x"))
+    assert(Stats.anovaF(withNull, "g", "x").head().getLong(1) == 9L)
+  }
+
+  test("mutualInfo: independence is zero, determinism is full, NMI bounds") {
+    import graft.operators.Stats
+    // perfectly independent 2×2 (every cell 25): MI exactly 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v");
+      _ <- 1 to 25 } yield (x, y)).toDF("x", "y")
+    val ri = Stats.mutualInfo(indep, "x", "y").head()
+    assert(ri.getLong(0) == 100L)
+    assert(math.abs(ri.getDouble(1)) < 1e-12)
+    assert(math.abs(ri.getDouble(2)) < 1e-12)
+    // y a deterministic function of x with equal masses: MI = H(x) =
+    // ln 2, NMI = 1
+    val det = (Seq.fill(30)(("a", "u")) ++ Seq.fill(30)(("b", "v")))
+      .toDF("x", "y")
+    val rd = Stats.mutualInfo(det, "x", "y").head()
+    assert(math.abs(rd.getDouble(1) - math.log(2.0)) < 1e-12)
+    assert(math.abs(rd.getDouble(2) - 1.0) < 1e-12)
+    // matches a local replay on a skewed table; NULL rows excluded
+    val rnd = new scala.util.Random(23)
+    val skew = Seq.fill(800)((s"s${rnd.nextInt(4)}", s"l${rnd.nextInt(3) * rnd.nextInt(2)}"))
+    val cells = skew.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val nx = skew.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val ny = skew.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val n = skew.size.toDouble
+    val miLocal = cells.map { case ((x, y), c) =>
+      (c / n) * math.log(c * n / (nx(x) * ny(y))) }.sum
+    val got = Stats.mutualInfo(skew.toDF("x", "y"), "x", "y").head()
+    assert(math.abs(got.getDouble(1) - miLocal) < 1e-9)
+    val withNull = skew.map { case (a, b) => (Option(a), Option(b)) } :+
+      ((Option.empty[String], Option("l0")))
+    assert(Stats.mutualInfo(withNull.toDF("x", "y"), "x", "y")
+      .head().getLong(0) == 800L)
+    // both columns constant → MI 0, NMI NaN; empty → empty frame
+    val const = Stats.mutualInfo(Seq.fill(5)(("a", "u")).toDF("x", "y"), "x", "y").head()
+    assert(const.getDouble(1) == 0.0 && const.getDouble(2).isNaN)
+    assert(Stats.mutualInfo(Seq.empty[(String, String)].toDF("x", "y"),
+      "x", "y").count() == 0L)
+  }
+
+  test("theilDecomposition: between+within = total, known values, guards") {
+    import graft.operators.Stats
+    // all-equal values → every component exactly 0 (ln(1) terms)
+    val eq = Seq.fill(6)(("a", 5L)).zipWithIndex
+      .map { case ((g, v), i) => (if (i < 3) "a" else "b", v) }.toDF("g", "x")
+    val re = Stats.theilDecomposition(eq, "g", "x").head()
+    assert(math.abs(re.getDouble(2)) < 1e-12)
+    assert(math.abs(re.getDouble(3)) < 1e-12)
+    assert(math.abs(re.getDouble(4)) < 1e-12)
+    // random positive data: decomposition is additive and matches a
+    // local replay of the defining sums
+    val rnd = new scala.util.Random(31)
+    val data = Seq.fill(2000)((s"g${rnd.nextInt(5)}", rnd.nextInt(900).toLong + 1L))
+    val r = Stats.theilDecomposition(data.toDF("g", "x"), "g", "x").head()
+    assert(r.getLong(0) == 2000L && r.getLong(1) == 5L)
+    val xTot = data.map(_._2).sum.toDouble
+    val nTot = data.size.toDouble
+    val tLocal = data.map { case (_, v) =>
+      (v / xTot) * math.log(v * nTot / xTot) }.sum
+    assert(math.abs(r.getDouble(2) - tLocal) < 1e-9)
+    assert(math.abs(r.getDouble(2) - (r.getDouble(3) + r.getDouble(4))) < 1e-9)
+    // non-positive values fail loud (ln domain), group named
+    val negErr = intercept[IllegalArgumentException] {
+      Stats.theilDecomposition(Seq(("a", 1L), ("b", 0L)).toDF("g", "x"), "g", "x")
+    }
+    assert(negErr.getMessage.contains("positive"))
+    // deeper-than-6-dp values fail loud (silent decimal rounding)
+    intercept[IllegalArgumentException] {
+      Stats.theilDecomposition(Seq(("a", 1.2345678), ("a", 2.0))
+        .toDF("g", "x"), "g", "x")
+    }
+    assert(Stats.theilDecomposition(Seq.empty[(String, Long)].toDF("g", "x"),
+      "g", "x").count() == 0L)
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
