@@ -25,6 +25,43 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Interval × interval OVERLAP join — "which left intervals
+    * intersect which right intervals" (sessions × campaign windows,
+    * downtime × job runs, span annotations × span annotations). The
+    * naive `a.lo < b.hi AND b.lo < a.hi` theta form runs as a
+    * broadcast nested loop / cartesian; [[pointInRange]]'s exactly-
+    * once trick doesn't apply directly because BOTH sides replicate
+    * across tiles.
+    *
+    * Scale path: both sides tile the number line in fixed-width
+    * chunks (an interval replicates to every tile it touches), the
+    * join is a plain EQUI join on the tile id, and each overlapping
+    * pair survives in EXACTLY ONE tile — the tile containing the
+    * overlap's start `max(a.lo, b.lo)`, which lies inside both
+    * intervals' tile spans — so no distinct/dedup shuffle ever runs
+    * over the (potentially huge) pair output. Intervals are half-open
+    * [lo, hi); a pair overlaps iff `a.lo < b.hi && b.lo < a.hi`.
+    * Column sets must be disjoint. Pick `tileWidth` near the typical
+    * interval span (same trade-off as [[pointInRange]]).
+    */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+                      right: DataFrame, rLo: String, rHi: String,
+                      tileWidth: Double): DataFrame = {
+    require(tileWidth > 0, "intervalOverlap: tileWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalOverlap: overlapping column names ${overlap.mkString(", ")}")
+    def chunk(c: Column): Column = floor(c / tileWidth).cast("long")
+    val l = left.withColumn("__tile",
+      explode(sequence(chunk(col(lLo)), chunk(col(lHi)))))
+    val r = right.withColumn("__tile",
+      explode(sequence(chunk(col(rLo)), chunk(col(rHi)))))
+    l.join(r, Seq("__tile"))
+      .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+        col("__tile") === chunk(greatest(col(lLo), col(rLo))))
+      .drop("__tile")
+  }
+
   /** Join `points` (value column `pCol`) to `ranges` ([`loCol`,
     * `hiCol`) half-open) on containment: lo <= v < hi. Column sets
     * must be disjoint. Output: all columns of both sides, one row per

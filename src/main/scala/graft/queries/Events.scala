@@ -130,6 +130,44 @@ object Events {
         .orderBy("user_id", "session_id")
     }),
 
+    "x_interval_overlap" -> ((s, dir) => {
+      // interval × interval overlap join (RangeJoin.intervalOverlap):
+      // user sessions × each day's peak-traffic hour — tiled equi-join
+      // on hour chunks, each overlapping pair kept exactly once by the
+      // overlap-start tile, never a nested-loop over the pair space
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = ev(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        // closed event span rendered half-open: [first, last + 1 µs)
+        .agg(min(unix_micros(col("ts"))).cast("double").as("s_lo"),
+          (max(unix_micros(col("ts"))) + 1L).cast("double").as("s_hi"))
+      val hours = ev(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      // per-day argmax hour, ties to the earliest hour (min over
+      // (−cnt, hour) — no window needed)
+      val peaks = hours.groupBy(col("day"))
+        .agg(min(struct((lit(0L) - col("cnt")).as("nc"),
+          unix_micros(col("hour")).as("hm"))).as("m"))
+        .select(col("day").cast("date").as("day"),
+          col("m.hm").cast("double").as("p_lo"),
+          (col("m.hm") + 3600L * 1000000L).cast("double").as("p_hi"))
+      graft.operators.RangeJoin.intervalOverlap(
+          sess, "s_lo", "s_hi", peaks, "p_lo", "p_hi",
+          tileWidth = 3600.0 * 1000000.0)
+        .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+          col("day"))
+        .orderBy("user_id", "session_id", "day")
+    }),
+
     "x_skew_report" -> ((s, dir) =>
       // join-key skew diagnostic on the stream's natural join key —
       // the report run before choosing plain vs salted vs AQE-split
@@ -333,6 +371,44 @@ object Events {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
         |       COUNT(*) AS n_events, CAST(MIN(ts) AS TIMESTAMP) AS sess_start
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    // x_sessionize's CTE for the left intervals, a ROW_NUMBER argmax
+    // for the peak hours, then the DEFINING overlap predicate as a
+    // plain theta join — an independent formulation of the same pairs
+    // (the engine's tiled exactly-once plan must reproduce it)
+    "x_interval_overlap" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g
+        |), iv AS (
+        |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |    CAST(epoch_us(MIN(ts)) AS DOUBLE) AS s_lo,
+        |    CAST(epoch_us(MAX(ts)) + 1 AS DOUBLE) AS s_hi
+        |  FROM sess GROUP BY 1, 2
+        |), h AS (
+        |  SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), pk AS (
+        |  SELECT day, hour FROM (
+        |    SELECT day, hour,
+        |      ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, hour) AS rn
+        |    FROM h) t WHERE rn = 1
+        |), pv AS (
+        |  SELECT CAST(day AS DATE) AS day,
+        |    CAST(epoch_us(hour) AS DOUBLE) AS p_lo,
+        |    CAST(epoch_us(hour) + 3600000000 AS DOUBLE) AS p_hi
+        |  FROM pk)
+        |SELECT iv.user_id, iv.session_id, pv.day
+        |FROM iv JOIN pv ON iv.s_lo < pv.p_hi AND pv.p_lo < iv.s_hi
+        |ORDER BY user_id, session_id, day""".stripMargin,
     "x_skew_report" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1)
         |SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,

@@ -2188,6 +2188,53 @@ class OperatorsSpec extends AnyFunSuite {
       "g", "x").count() == 0L)
   }
 
+  test("intervalOverlap: exactly-once pairs, equals theta join, half-open edges") {
+    import graft.operators.RangeJoin
+    val rnd = new scala.util.Random(41)
+    // random intervals on [0, 1000) with spans up to 120 — many cross
+    // several width-50 tiles, so the exactly-once rule is exercised
+    val left = (1 to 300).map { i =>
+      val lo = rnd.nextInt(1000).toDouble
+      (i.toLong, lo, lo + 1 + rnd.nextInt(120))
+    }.toDF("lid", "llo", "lhi")
+    val right = (1 to 80).map { j =>
+      val lo = rnd.nextInt(1000).toDouble
+      (j.toLong, lo, lo + 1 + rnd.nextInt(200))
+    }.toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, "llo", "lhi",
+      right, "rlo", "rhi", tileWidth = 50.0)
+      .select("lid", "rid")
+    // the defining theta join is the oracle
+    val want = left.join(right,
+      col("llo") < col("rhi") && col("rlo") < col("lhi"))
+      .select("lid", "rid")
+    assert(got.count() == want.count(), "exactly-once: no tile duplicates")
+    assert(got.except(want).count() == 0L && want.except(got).count() == 0L)
+    // half-open semantics: touching endpoints do NOT overlap, 1-unit
+    // overlap does — and across a tile boundary
+    val a = Seq((1L, 0.0, 100.0)).toDF("lid", "llo", "lhi")
+    def pairs(r: (Long, Double, Double)) =
+      RangeJoin.intervalOverlap(a, "llo", "lhi",
+        Seq(r).toDF("rid", "rlo", "rhi"), "rlo", "rhi", 30.0).count()
+    assert(pairs((1L, 100.0, 200.0)) == 0L) // touch at hi
+    assert(pairs((1L, -50.0, 0.0)) == 0L)   // touch at lo
+    assert(pairs((1L, 99.0, 300.0)) == 1L)  // 1-unit overlap, once
+    assert(pairs((1L, -500.0, 500.0)) == 1L) // containment, once
+    // the plan is an EQUI join on the tile — never a nested loop
+    val plan = RangeJoin.intervalOverlap(left, "llo", "lhi",
+      right, "rlo", "rhi", 50.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"))
+    // disjoint-columns and tile-width guards
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(left, "llo", "lhi",
+        left, "llo", "lhi", 50.0)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(left, "llo", "lhi",
+        right, "rlo", "rhi", 0.0)
+    }
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
