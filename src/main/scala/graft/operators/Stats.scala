@@ -1095,6 +1095,84 @@ object Stats {
       .toDF("n", "k", "theil_total", "theil_between", "theil_within")
   }
 
+  /** ROC AUC of a score column against a binary condition — the
+    * probability that a random positive outscores a random negative
+    * (ties count half), which is EXACTLY the Mann-Whitney U statistic
+    * normalized: AUC = U_A / (n_pos · n_neg). Rides entirely on
+    * [[mannWhitneyU]]'s bucketed prefix-sum midranks — the classifier-
+    * evaluation primitive at any scale, where the textbook
+    * trapezoid-over-sorted-scores form needs a global sort. One row
+    * out: `(n_pos, n_neg, auc)`; requires at least one positive AND
+    * one negative (AUC is undefined otherwise — fail loud), empty
+    * observed input → empty frame.
+    */
+  def auc(df: DataFrame, scoreCol: String,
+          positiveCond: org.apache.spark.sql.Column,
+          buckets: Int = 32): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val mw = mannWhitneyU(df, scoreCol, positiveCond, buckets).collect()
+    if (mw.isEmpty) return Seq.empty[(Long, Long, Double)].toDF("n_pos", "n_neg", "auc")
+    val r = mw(0)
+    val nPos = r.getLong(0); val nNeg = r.getLong(1)
+    require(nPos > 0 && nNeg > 0,
+      s"auc: need at least one positive and one negative (n_pos=$nPos, n_neg=$nNeg)")
+    val a = r.getDouble(3) / (nPos.toDouble * nNeg.toDouble)
+    Seq((nPos, nNeg, a)).toDF("n_pos", "n_neg", "auc")
+  }
+
+  /** Calibration / reliability report of a score column against a
+    * binary outcome: `bins` equal-width score bins over the observed
+    * [min, max] (the SAME closed-form bin rule as [[psi]] — exactly
+    * replayable, unlike quantile edges), and per bin the count, the
+    * mean score, and the positive rate. A well-calibrated scorer has
+    * mean_score ≈ pos_rate per bin.
+    *
+    * Scale shape: one persisted 2-column projection, a broadcast
+    * min/max probe, then ONE partial-agged hash aggregation to ≤ bins
+    * rows (eagerly collected — no cache outlives the call). Mean
+    * scores sum in decimal(28,6), exact in any order for ≤6-dp
+    * scores (deeper fractions trip the same-pass sentinel, the
+    * [[gini]] hazard class); positive counts are exact longs; the
+    * only doubles are the two final per-bin divisions. NULL scores
+    * are excluded (observed-values policy).
+    */
+  def calibration(df: DataFrame, scoreCol: String,
+                  positiveCond: org.apache.spark.sql.Column,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, "calibration: bins must be >= 1")
+    val session = df.sparkSession
+    import session.implicits._
+    val v = col(scoreCol).cast("double")
+    val pts = df.filter(col(scoreCol).isNotNull)
+      .select(v.as("v"), when(positiveCond, 1L).otherwise(0L).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = broadcast(pts.agg(min(col("v")).as("mn"), max(col("v")).as("mx")))
+    val rows = pts.crossJoin(bounds)
+      .withColumn("bin",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(floor((col("v") - col("mn")) /
+            ((col("mx") - col("mn")) / bins)), lit(bins - 1)))
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,6)")).as("s"),
+        sum(col("pos")).as("np"),
+        sum(when(col("v") =!= round(col("v"), 6), 1L).otherwise(0L)).as("nf"))
+      .collect()
+    pts.unpersist()
+    val nFrac = rows.map(_.getLong(4)).sum
+    require(nFrac == 0L,
+      s"calibration: $nFrac scores need more than 6 decimal places — the " +
+        "decimal(28,6) bin sums would round them silently; rescale first")
+    val out = rows.map { r =>
+      (r.getInt(0), r.getLong(1),
+        BigDecimal(r.getDecimal(2)).toDouble / r.getLong(1).toDouble,
+        r.getLong(3).toDouble / r.getLong(1).toDouble)
+    }.sortBy(_._1).toSeq
+    out.toDF("bin", "n", "mean_score", "pos_rate")
+  }
+
   /** Pareto concentration curve — "the top X% of keys hold Y% of the
     * value" (revenue concentration, corpus-source dominance, hot-key
     * share). Keys are ranked by DESCENDING per-key value and cut into

@@ -282,6 +282,28 @@ object StatsQ {
           round(col("value"), 6).as("value"))
         .orderBy("l_returnflag", "p")),
 
+    "x_auc" -> ((s, dir) =>
+      // ROC AUC: does the event value discriminate purchases from
+      // views — U/(n_pos·n_neg) off the same bucketed-midrank
+      // machinery as x_mannwhitney (ties count half); no global sort
+      // of the score column at any scale
+      Stats.auc(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "purchase")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc"))),
+
+    "x_calibration" -> ((s, dir) =>
+      // reliability report: 10 equal-width value bins (the psi
+      // closed-form bin rule), per-bin mean score vs purchase rate —
+      // exact decimal sums, doubles only in the final divisions
+      Stats.calibration(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "purchase")
+        .select(col("bin"), col("n"),
+          round(col("mean_score"), 6).as("mean_score"),
+          round(col("pos_rate"), 6).as("pos_rate"))
+        .orderBy("bin")),
+
     "x_anova" -> ((s, dir) =>
       // one-way ANOVA of quantity across return flags
       // (Stats.anovaF): exact decimal per-group moments in ONE hash
@@ -691,6 +713,49 @@ object StatsQ {
         |  SELECT g, CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT),
         |    ROUND(quantile_cont(v, 0.9), 6) FROM ex GROUP BY g
         |) t ORDER BY l_returnflag, p""".stripMargin,
+    // x_mannwhitney's midrank CTEs with purchase as sample A, then
+    // AUC = U_A/(n_a·n_b) in the same ratio shape
+    "x_auc" ->
+      """WITH pts AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
+        |g AS (SELECT v, CAST(SUM(ia) AS BIGINT) AS gna,
+        |             CAST(SUM(1 - ia) AS BIGINT) AS gnb FROM pts GROUP BY 1),
+        |cum AS (SELECT v, gna, gnb,
+        |  SUM(gna) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+        |  SUM(gnb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb FROM g),
+        |r AS (SELECT gna, gnb, ca, cb,
+        |  CAST(ca + cb AS DOUBLE) - CAST(gna + gnb - 1 AS DOUBLE) / 2.0 AS midrank
+        |  FROM cum),
+        |s AS (SELECT CAST(MAX(ca) AS BIGINT) AS n_a,
+        |             CAST(MAX(cb) AS BIGINT) AS n_b,
+        |             SUM(midrank * gna) AS r_a FROM r)
+        |SELECT n_a AS n_pos, n_b AS n_neg,
+        |  ROUND((r_a - CAST(n_a AS DOUBLE) * CAST(n_a + 1 AS DOUBLE) / 2.0)
+        |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS auc
+        |FROM s""".stripMargin,
+    // x_psi's closed-form equal-width bin rule, exact decimal score
+    // sums and integer positive counts, the same two final divisions
+    "x_calibration" ->
+      """WITH pts AS (
+        |  SELECT CAST(value AS DOUBLE) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
+        |bd AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM pts),
+        |b AS (
+        |  SELECT CAST(CASE WHEN bd.mx = bd.mn THEN 0
+        |    ELSE LEAST(FLOOR((v - bd.mn) / ((bd.mx - bd.mn) / 10)), 9)
+        |    END AS INT) AS bin, v, pos
+        |  FROM pts CROSS JOIN bd)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS mean_score,
+        |  ROUND(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS pos_rate
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "x_anova" ->
       // the same exact-decimal group moments (DuckDB (18,6)·(18,6)
       // products are exact like Spark's), then the F algebra in the

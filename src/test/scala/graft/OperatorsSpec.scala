@@ -2188,6 +2188,57 @@ class OperatorsSpec extends AnyFunSuite {
       "g", "x").count() == 0L)
   }
 
+  test("auc: perfect/random/reversed separation, ties count half, guards") {
+    import graft.operators.Stats
+    def a(xs: Seq[(Double, Boolean)]): Double =
+      Stats.auc(xs.toDF("s", "y"), "s", col("y")).head().getDouble(2)
+    // perfect separation → 1, reversed → 0
+    val pos = (1 to 50).map(i => (100.0 + i, true))
+    val neg = (1 to 70).map(i => (i.toDouble, false))
+    assert(a(pos ++ neg) == 1.0)
+    assert(a(pos.map { case (s, _) => (s, false) } ++
+      neg.map { case (s, _) => (s, true) }) == 0.0)
+    // all scores equal → every pair is a tie → exactly 0.5
+    assert(a(Seq.fill(30)((7.0, true)) ++ Seq.fill(40)((7.0, false))) == 0.5)
+    // matches the defining pair probability on random data with ties
+    val rnd = new scala.util.Random(47)
+    val data = Seq.fill(400)((rnd.nextInt(20).toDouble, rnd.nextBoolean()))
+    val ps = data.filter(_._2).map(_._1); val ns = data.filterNot(_._2).map(_._1)
+    val brute = ps.map(p => ns.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum /
+      (ps.size.toDouble * ns.size.toDouble)
+    assert(math.abs(a(data) - brute) < 1e-9)
+    // single-class input fails loud; empty → empty frame
+    intercept[IllegalArgumentException] {
+      Stats.auc(Seq((1.0, true), (2.0, true)).toDF("s", "y"), "s", col("y"))
+    }
+    assert(Stats.auc(Seq.empty[(Double, Boolean)].toDF("s", "y"), "s",
+      col("y")).count() == 0L)
+  }
+
+  test("calibration: bin rule matches psi's, exact means, rates") {
+    import graft.operators.Stats
+    // scores 0..99, positive iff score >= 60: upper bins pure positive
+    val data = (0 until 100).map(i => (i.toDouble, i >= 60))
+    val got = Stats.calibration(data.toDF("s", "y"), "s", col("y"), bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 10 && got.map(_._2).sum == 100L)
+    // bin 0 holds 0..9 (width 9.9, last bin clamps): mean 4.5, rate 0
+    assert(got(0)._2 == 10L && got(0)._3 == 4.5 && got(0)._4 == 0.0)
+    assert(got(9)._4 == 1.0) // top bin all positive
+    // monotone rate for this planted labeler
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    // degenerate single-value scores land in bin 0
+    val const = Stats.calibration(Seq.fill(5)((3.0, true)).toDF("s", "y"),
+      "s", col("y")).collect()
+    assert(const.length == 1 && const(0).getInt(0) == 0)
+    // >6-dp scores fail loud
+    intercept[IllegalArgumentException] {
+      Stats.calibration(Seq((0.12345678, true), (1.0, false)).toDF("s", "y"),
+        "s", col("y"))
+    }
+  }
+
   test("intervalOverlap: exactly-once pairs, equals theta join, half-open edges") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(41)
