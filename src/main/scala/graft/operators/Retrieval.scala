@@ -161,4 +161,59 @@ object Retrieval {
       .orderBy(col("rrf").desc, col(idCol))
       .limit(k)
   }
+
+  /** nDCG@k — the graded ranking-quality metric over a multi-query run
+    * (search eval, hard-negative miner QA, retrieval A/B): per query,
+    * DCG@k = Σ_{i≤k} (2^rel_i − 1)/log2(i+1) over the run's rank
+    * order, normalized by the ideal DCG from that query's best-possible
+    * ordering of its judged documents. Run rows beyond rank k and
+    * unjudged documents (rel defaults to 0) contribute nothing; queries
+    * with NO positively-judged document have IDCG = 0 and are DROPPED
+    * (nDCG is undefined there — dropping is the standard macro
+    * convention, and silent 0s would drag the mean).
+    *
+    * Scale shape: run and qrels are (query, doc, …) tables of
+    * per-query top-k lists / judgment sets — every window here is
+    * PARTITIONED BY the query column (ranks within one query's ≤k-row
+    * slice), the run↔qrels join is an equi-join on (query, doc), and
+    * the per-query DCG/IDCG folds are hash aggs. Millions of queries
+    * scale out on the query key; nothing is global.
+    *
+    * Returns `(queryCol, dcg, idcg, ndcg)` sorted by query.
+    */
+  def ndcgAtK(run: DataFrame, qrels: DataFrame, queryCol: String,
+              idCol: String, rankCol: String, relCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1, "ndcgAtK: k must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+    def lg2(c: org.apache.spark.sql.Column) = log(c) / log(lit(2.0))
+    val gain = (pow(lit(2.0), col("rel")) - 1.0) / lg2(col("pos") + 1.0)
+    // run side: re-rank defensively inside each query (ties in the
+    // producer's rank column would otherwise double-count a position),
+    // cut to k, left-join judgments, unjudged rel = 0
+    val dcg = run
+      .select(col(queryCol).as("q"), col(idCol).as("d"), col(rankCol).as("r"))
+      .withColumn("pos", row_number().over(
+        w.partitionBy(col("q")).orderBy(col("r"), col("d"))))
+      .filter(col("pos") <= k)
+      .join(qrels.select(col(queryCol).as("q"), col(idCol).as("d"),
+          col(relCol).cast("double").as("rel")),
+        Seq("q", "d"), "left")
+      .na.fill(0.0, Seq("rel"))
+      .groupBy(col("q")).agg(sum(gain).as("dcg"))
+    // ideal side: each query's judged docs by rel desc (doc id breaks
+    // ties — any tie order yields the same IDCG), top k
+    val idcg = qrels
+      .select(col(queryCol).as("q"), col(idCol).as("d"),
+        col(relCol).cast("double").as("rel"))
+      .filter(col("rel") > 0.0)
+      .withColumn("pos", row_number().over(
+        w.partitionBy(col("q")).orderBy(col("rel").desc, col("d"))))
+      .filter(col("pos") <= k)
+      .groupBy(col("q")).agg(sum(gain).as("idcg"))
+    dcg.join(idcg, Seq("q")) // inner: IDCG=0 queries drop (scaladoc)
+      .select(col("q").as(queryCol), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy(col(queryCol))
+  }
 }

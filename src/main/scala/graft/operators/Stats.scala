@@ -1021,6 +1021,153 @@ object Stats {
     Seq((nTotal, mi, nmi)).toDF("n", "mi", "nmi")
   }
 
+  /** Pearson chi-square test of independence between two CATEGORICAL
+    * columns, with Cramér's V as the [0,1] effect size — the
+    * significance-flavored sibling of [[mutualInfo]] (is the
+    * source × language association bigger than chance, and how big?).
+    * Uses the zero-cell-free identity
+    * χ² = N · Σ_observed n_xy² / (n_x·n_y) − N, so cells with zero
+    * observed count (which still contribute to the textbook
+    * Σ (O−E)²/E through their expectation) need never be enumerated —
+    * the |X|·|Y| dense cross product is never built.
+    *
+    * Scale shape: identical to [[mutualInfo]] — ONE corpus scan into
+    * the observed-cell contingency frame (persisted; marginals and the
+    * final term agg re-read it, the corpus is never touched again),
+    * marginals equi-join back, one tiny agg. Exact integer counts;
+    * doubles only in the final ratio terms. NULL in either column
+    * excludes the row. One row out:
+    * `(n, r, c, dof, chi2, cramers_v)`; needs ≥2 distinct values on
+    * BOTH sides (dof would be 0 — fail loud).
+    */
+  def chiSquare(df: DataFrame, colX: String, colY: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cells = df.filter(col(colX).isNotNull && col(colY).isNotNull)
+      .groupBy(col(colX).cast("string").as("x"), col(colY).cast("string").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // one pass over the joined cells: the ratio-term sum, the grand
+    // total, and both cardinalities (distinct-agg on the tiny frame)
+    val r0 = cells.join(nx, Seq("x")).join(ny, Seq("y"))
+      .agg(sum(dd(col("nxy")) * dd(col("nxy")) / (dd(col("nx")) * dd(col("ny")))).as("t"),
+        sum(col("nxy")).as("n"),
+        countDistinct(col("x")).as("r"),
+        countDistinct(col("y")).as("c"))
+      .head()
+    cells.unpersist()
+    if (r0.isNullAt(1))
+      return Seq.empty[(Long, Long, Long, Long, Double, Double)]
+        .toDF("n", "r", "c", "dof", "chi2", "cramers_v")
+    val n = r0.getLong(1); val r = r0.getLong(2); val c = r0.getLong(3)
+    require(r >= 2 && c >= 2,
+      s"chiSquare: need >= 2 distinct values on both sides (r=$r, c=$c)")
+    val chi2 = n.toDouble * r0.getDouble(0) - n.toDouble
+    val v = math.sqrt(math.max(chi2, 0.0) / (n.toDouble * (math.min(r, c) - 1).toDouble))
+    Seq((n, r, c, (r - 1) * (c - 1), chi2, v))
+      .toDF("n", "r", "c", "dof", "chi2", "cramers_v")
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * CATEGORICAL labelings of the same rows (two heuristic quality
+    * labelers, a model vs a gold column): κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed diagonal share and
+    * p_e = Σ_k (n_Ak/N)·(n_Bk/N) the chance-agreement share.
+    *
+    * Scale shape: the [[mutualInfo]] contingency pattern — ONE corpus
+    * scan into observed cells (persisted), the diagonal share read off
+    * cells where x = y, p_e from the marginal equi-join on the label
+    * value. Exact integer counts; doubles only in the final shares.
+    * NULL in either column excludes the row. One row out:
+    * `(n, po, pe, kappa)`; κ is undefined when p_e = 1 (both labelers
+    * constant on the same label) — fail loud.
+    */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cells = df.filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("x"), col(colB).cast("string").as("y"))
+      .agg(count(lit(1)).as("nxy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.agg(sum(col("nxy")).as("n"),
+      sum(when(col("x") === col("y"), col("nxy")).otherwise(0L)).as("diag")).head()
+    if (tot.isNullAt(0)) {
+      cells.unpersist()
+      return Seq.empty[(Long, Double, Double, Double)].toDF("n", "po", "pe", "kappa")
+    }
+    val n = tot.getLong(0); val diag = tot.getLong(1)
+    // chance agreement: marginals joined on the LABEL value — a label
+    // used by only one rater contributes 0, exactly as the formula says
+    val na = cells.groupBy(col("x").as("k")).agg(sum(col("nxy")).as("na"))
+    val nb = cells.groupBy(col("y").as("k")).agg(sum(col("nxy")).as("nb"))
+    val peRow = na.join(nb, Seq("k"))
+      .agg(sum(col("na").cast("double") * col("nb").cast("double")).as("s")).head()
+    cells.unpersist()
+    val pe = (if (peRow.isNullAt(0)) 0.0 else peRow.getDouble(0)) /
+      (n.toDouble * n.toDouble)
+    val po = diag.toDouble / n.toDouble
+    require(pe < 1.0,
+      s"cohenKappa: chance agreement p_e = 1 (both labelings constant on " +
+        "the same label) — kappa is undefined")
+    Seq((n, po, pe, (po - pe) / (1.0 - pe))).toDF("n", "po", "pe", "kappa")
+  }
+
+  /** Jensen-Shannon divergence between the distributions of a
+    * CATEGORICAL column in two cohorts — the bounded, symmetric
+    * distribution-drift measure (language mix of source A vs source B;
+    * [[psi]]'s categorical sibling that never blows up on empty bins):
+    * JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2, in nats,
+    * bounded by ln 2. Cohorts are arbitrary boolean conditions and may
+    * overlap; a category absent from one cohort contributes only the
+    * other cohort's half-term (finite, unlike KL or PSI).
+    *
+    * Scale shape: ONE corpus scan into the per-category
+    * (count_A, count_B) frame via conditional aggregation — no join
+    * between the cohorts and no second scan; totals broadcast back and
+    * one tiny agg folds the ≤|categories| terms. Exact integer counts,
+    * doubles only in the final p·ln terms. NULL categories are
+    * excluded. One row out: `(n_a, n_b, k, jsd)`; both cohorts must be
+    * non-empty (the divergence is undefined otherwise — fail loud).
+    */
+  def jensenShannon(df: DataFrame, catCol: String,
+                    condA: org.apache.spark.sql.Column,
+                    condB: org.apache.spark.sql.Column): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val cells = df.filter(col(catCol).isNotNull && (condA || condB))
+      .groupBy(col(catCol).cast("string").as("cat"))
+      .agg(sum(when(condA, 1L).otherwise(0L)).as("na"),
+        sum(when(condB, 1L).otherwise(0L)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = broadcast(cells.agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb")))
+    val totRow = tot.head()
+    if (totRow.isNullAt(0) && totRow.isNullAt(1)) {
+      cells.unpersist()
+      return Seq.empty[(Long, Long, Long, Double)].toDF("n_a", "n_b", "k", "jsd")
+    }
+    val ta = totRow.getLong(0); val tb = totRow.getLong(1)
+    require(ta > 0 && tb > 0,
+      s"jensenShannon: both cohorts must be non-empty (n_a=$ta, n_b=$tb)")
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    // per-category halves: p·ln(p/m) only where the count is positive
+    // (0·ln 0 = 0 by continuity); m > 0 on every retained category
+    val r = cells.crossJoin(tot)
+      .select((dd(col("na")) / dd(col("ta"))).as("p"),
+        (dd(col("nb")) / dd(col("tb"))).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2.0)
+      .agg(sum(when(col("p") > 0.0, col("p") * log(col("p") / col("m")))
+          .otherwise(0.0) * 0.5 +
+        when(col("q") > 0.0, col("q") * log(col("q") / col("m")))
+          .otherwise(0.0) * 0.5).as("jsd"),
+        count(lit(1)).as("k"))
+      .head()
+    cells.unpersist()
+    Seq((ta, tb, r.getLong(1), r.getDouble(0))).toDF("n_a", "n_b", "k", "jsd")
+  }
+
   /** Theil T inequality index with its exact between/within-group
     * decomposition — [[gini]]'s information-theoretic sibling, and the
     * one inequality measure that decomposes ADDITIVELY by a grouping

@@ -180,6 +180,62 @@ object TextDocs {
           round(col("theil_between"), 6).as("theil_between"),
           round(col("theil_within"), 6).as("theil_within"))),
 
+    "x_chi2" -> ((s, dir) =>
+      // source↔language independence test (Stats.chiSquare):
+      // x_mutual_info's significance-flavored sibling — the same exact
+      // integer contingency cells, χ² via the zero-cell-free
+      // N·Σ n²/(nx·ny) − N identity, Cramér's V effect size
+      graft.operators.Stats.chiSquare(docs(s, dir), "source", "lang")
+        .select(col("n"), col("r"), col("c"), col("dof"),
+          round(col("chi2"), 6).as("chi2"),
+          round(col("cramers_v"), 6).as("cramers_v"))),
+
+    "x_kappa" -> ((s, dir) => {
+      // chance-corrected agreement (Stats.cohenKappa) between two
+      // heuristic length labelers with offset thresholds — the
+      // label-QA primitive (do two noisy quality raters agree beyond
+      // chance?); disagreements live in the 200–220 / 330–350 bands
+      val d = docs(s, dir).filter(col("n_chars").isNotNull)
+        .withColumn("rater_a", when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "med").otherwise("long"))
+        .withColumn("rater_b", when(col("n_chars") < 220, "short")
+          .when(col("n_chars") < 330, "med").otherwise("long"))
+      graft.operators.Stats.cohenKappa(d, "rater_a", "rater_b")
+        .select(col("n"), round(col("po"), 6).as("po"),
+          round(col("pe"), 6).as("pe"), round(col("kappa"), 6).as("kappa"))
+    }),
+
+    "x_jsd" -> ((s, dir) =>
+      // language-mix drift between short and long documents
+      // (Stats.jensenShannon): the bounded symmetric divergence —
+      // finite even where one cohort misses a language entirely,
+      // unlike KL/PSI; one conditional-agg scan, no cohort join
+      graft.operators.Stats.jensenShannon(docs(s, dir), "lang",
+          col("n_chars") < 300, col("n_chars") >= 300)
+        .select(col("n_a"), col("n_b"), col("k"),
+          round(col("jsd"), 6).as("jsd"))),
+
+    "x_ndcg" -> ((s, dir) => {
+      // graded ranking quality (Retrieval.ndcgAtK): languages as
+      // queries, the per-language length-ranked top-20 as the run,
+      // source-derived graded judgments (src0–4 → rel 2, src5–9 →
+      // rel 1, rest unjudged) — every window partitioned by the query
+      // key, judgments equi-joined, per-query DCG/IDCG hash aggs
+      val d = docs(s, dir).filter(col("lang").isNotNull)
+      val srcNum = substring(col("source"), 4, 6).cast("int")
+      val run = d.withColumn("rank", row_number().over(
+          Window.partitionBy(col("lang"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("lang"), col("doc_id"), col("rank"))
+      val qrels = d.select(col("lang"), col("doc_id"),
+        when(srcNum < 5, 2).when(srcNum < 10, 1).otherwise(0).as("rel"))
+      Retrieval.ndcgAtK(run, qrels, "lang", "doc_id", "rank", "rel", k = 20)
+        .select(col("lang"), round(col("dcg"), 6).as("dcg"),
+          round(col("idcg"), 6).as("idcg"), round(col("ndcg"), 6).as("ndcg"))
+        .orderBy("lang")
+    }),
+
     "x_bpe_tokens" -> ((s, dir) => {
       // BPE-ish pre-tokenizer counts (the "token counting: whitespace +
       // BPE-ish regex" extension): token total, distinct types, average
@@ -1321,6 +1377,121 @@ object TextDocs {
         |      * (m / CAST(x AS DOUBLE)
         |         - ln(CAST(x AS DOUBLE) / n))) FROM g), 6) AS theil_within
         |FROM t""".stripMargin,
+    // x_mutual_info's cells/marginals, then the zero-cell-free
+    // χ² = N·Σ n²/(nx·ny) − N identity and the same clamped-sqrt V
+    "x_chi2" ->
+      """WITH cell AS (
+        |  SELECT source AS x, lang AS y, CAST(COUNT(*) AS BIGINT) AS nxy
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cell GROUP BY 1),
+        |my AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cell GROUP BY 1),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |             CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+        |             CAST(COUNT(DISTINCT y) AS BIGINT) AS c FROM cell),
+        |s AS (
+        |  SELECT SUM(CAST(nxy AS DOUBLE) * CAST(nxy AS DOUBLE)
+        |    / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))) AS st
+        |  FROM cell JOIN mx USING (x) JOIN my USING (y))
+        |SELECT t.n, t.r, t.c, (t.r - 1) * (t.c - 1) AS dof,
+        |  ROUND(CAST(t.n AS DOUBLE) * s.st - CAST(t.n AS DOUBLE), 6) AS chi2,
+        |  ROUND(SQRT(GREATEST(CAST(t.n AS DOUBLE) * s.st
+        |      - CAST(t.n AS DOUBLE), 0.0)
+        |    / (CAST(t.n AS DOUBLE)
+        |       * CAST(LEAST(t.r, t.c) - 1 AS DOUBLE))), 6) AS cramers_v
+        |FROM t CROSS JOIN s""".stripMargin,
+    // the same offset-threshold labelers, diagonal share, and
+    // marginal-product chance agreement — shares divide as doubles in
+    // the same order
+    "x_kappa" ->
+      """WITH l AS (
+        |  SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |    WHEN n_chars < 350 THEN 'med' ELSE 'long' END AS a,
+        |  CASE WHEN n_chars < 220 THEN 'short'
+        |    WHEN n_chars < 330 THEN 'med' ELSE 'long' END AS b
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nxy
+        |         FROM l GROUP BY 1, 2),
+        |t AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a = b THEN nxy ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cell),
+        |ma AS (SELECT a AS k, CAST(SUM(nxy) AS BIGINT) AS na
+        |       FROM cell GROUP BY 1),
+        |mb AS (SELECT b AS k, CAST(SUM(nxy) AS BIGINT) AS nb
+        |       FROM cell GROUP BY 1),
+        |ch AS (SELECT SUM(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS s
+        |       FROM ma JOIN mb USING (k))
+        |SELECT t.n,
+        |  ROUND(CAST(t.diag AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS po,
+        |  ROUND(ch.s / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)), 6) AS pe,
+        |  ROUND((CAST(t.diag AS DOUBLE) / CAST(t.n AS DOUBLE)
+        |      - ch.s / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)))
+        |    / (1.0 - ch.s / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))),
+        |    6) AS kappa
+        |FROM t CROSS JOIN ch""".stripMargin,
+    // per-language conditional counts for the two cohorts, then the
+    // same ½·p·ln(p/m) + ½·q·ln(q/m) halves (0 on the absent side)
+    "x_jsd" ->
+      """WITH cell AS (
+        |  SELECT lang AS cat,
+        |    CAST(SUM(CASE WHEN n_chars < 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS ta,
+        |             CAST(SUM(nb) AS BIGINT) AS tb FROM cell),
+        |terms AS (
+        |  SELECT CAST(na AS DOUBLE) / CAST(t.ta AS DOUBLE) AS p,
+        |         CAST(nb AS DOUBLE) / CAST(t.tb AS DOUBLE) AS q
+        |  FROM cell CROSS JOIN t),
+        |j AS (
+        |  SELECT SUM(
+        |      CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+        |        ELSE 0.0 END * 0.5
+        |    + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0))
+        |        ELSE 0.0 END * 0.5) AS jsd,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM terms)
+        |SELECT t.ta AS n_a, t.tb AS n_b, j.k, ROUND(j.jsd, 6) AS jsd
+        |FROM t CROSS JOIN j""".stripMargin,
+    // the same run (per-language length-ranked top-20), judgments, and
+    // (2^rel − 1)/log2(pos+1) gains; IDCG-0 queries drop via the
+    // inner join exactly as the operator contract says
+    "x_ndcg" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    CAST(SUBSTR(source, 4) AS INT) AS sn
+        |  FROM documents WHERE lang IS NOT NULL),
+        |run AS (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS pos
+        |  FROM d QUALIFY pos <= 20),
+        |rels AS (
+        |  SELECT lang, doc_id,
+        |    CASE WHEN sn < 5 THEN 2.0 WHEN sn < 10 THEN 1.0
+        |      ELSE 0.0 END AS rel
+        |  FROM d),
+        |dcg AS (
+        |  SELECT r.lang,
+        |    SUM((POWER(2.0, COALESCE(q.rel, 0.0)) - 1.0)
+        |      / (ln(r.pos + 1.0) / ln(2.0))) AS dcg
+        |  FROM run r LEFT JOIN rels q
+        |    ON r.lang = q.lang AND r.doc_id = q.doc_id
+        |  GROUP BY 1),
+        |ideal AS (
+        |  SELECT lang, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY rel DESC, doc_id) AS pos
+        |  FROM rels WHERE rel > 0 QUALIFY pos <= 20),
+        |idcg AS (
+        |  SELECT lang, SUM((POWER(2.0, rel) - 1.0)
+        |    / (ln(pos + 1.0) / ln(2.0))) AS idcg
+        |  FROM ideal GROUP BY 1)
+        |SELECT g.lang, ROUND(g.dcg, 6) AS dcg, ROUND(i.idcg, 6) AS idcg,
+        |  ROUND(g.dcg / i.idcg, 6) AS ndcg
+        |FROM dcg g JOIN idcg i USING (lang) ORDER BY lang""".stripMargin,
     // x_gini's PARTITIONED replay: per-source ROW_NUMBER rank sums
     // (tie blocks make Σ i·x order-independent within each group),
     // exact HUGEINT s, the same pinned division/subtraction order

@@ -2239,6 +2239,134 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquare: zero on exact independence, n on perfect association, brute parity") {
+    import graft.operators.Stats
+    def run(xs: Seq[(String, String)]) =
+      Stats.chiSquare(xs.toDF("x", "y"), "x", "y").head()
+    // exactly independent 2x2 (all four cells 25) -> chi2 = 0, V = 0
+    val ind = for (x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 25)
+      yield (x, y)
+    val ri = run(ind)
+    assert(ri.getLong(0) == 100L && ri.getLong(3) == 1L)
+    assert(math.abs(ri.getDouble(4)) < 1e-9 && math.abs(ri.getDouble(5)) < 1e-9)
+    // perfect association (diagonal only) -> chi2 = n, V = 1
+    val per = Seq.fill(30)(("a", "u")) ++ Seq.fill(20)(("b", "v"))
+    val rp = run(per)
+    assert(math.abs(rp.getDouble(4) - 50.0) < 1e-9)
+    assert(math.abs(rp.getDouble(5) - 1.0) < 1e-9)
+    // brute-force textbook sum over ALL cells (including a zero cell)
+    val rnd = new scala.util.Random(53)
+    val data = Seq.fill(500)((s"x${rnd.nextInt(3)}", s"y${rnd.nextInt(4)}"))
+      .filterNot { case (x, y) => x == "x0" && y == "y0" } // plant a zero cell
+    val cells = data.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val nx = data.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val ny = data.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val n = data.size.toDouble
+    val brute = (for (x <- nx.keys; y <- ny.keys) yield {
+      val e = nx(x) * ny(y) / n
+      val o = cells.getOrElse((x, y), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    val rb = run(data)
+    assert(math.abs(rb.getDouble(4) - brute) < 1e-8)
+    assert(rb.getLong(1) == 3L && rb.getLong(2) == 4L && rb.getLong(3) == 6L)
+    // single-category side fails loud; empty input -> empty frame
+    intercept[IllegalArgumentException] { run(Seq.fill(5)(("a", "u")) :+ ("a", "v")) }
+    assert(Stats.chiSquare(Seq.empty[(String, String)].toDF("x", "y"),
+      "x", "y").count() == 0L)
+  }
+
+  test("cohenKappa: perfect 1, independence ~0, brute parity, guards") {
+    import graft.operators.Stats
+    def run(xs: Seq[(String, String)]) =
+      Stats.cohenKappa(xs.toDF("a", "b"), "a", "b").head()
+    // perfect agreement over >= 2 labels -> kappa 1
+    val perf = Seq.fill(30)(("x", "x")) ++ Seq.fill(20)(("y", "y"))
+    assert(math.abs(run(perf).getDouble(3) - 1.0) < 1e-12)
+    // exactly independent raters -> po == pe -> kappa 0
+    val ind = for (a <- Seq("x", "y"); b <- Seq("x", "y"); _ <- 1 to 10)
+      yield (a, b)
+    assert(math.abs(run(ind).getDouble(3)) < 1e-12)
+    // brute parity on random labels incl. a rater-B-only label
+    val rnd = new scala.util.Random(59)
+    val labels = Array("p", "q", "r")
+    val data = Seq.fill(300)((labels(rnd.nextInt(2)), labels(rnd.nextInt(3))))
+    val n = data.size.toDouble
+    val po = data.count { case (a, b) => a == b } / n
+    val pe = labels.map { k =>
+      (data.count(_._1 == k) / n) * (data.count(_._2 == k) / n)
+    }.sum
+    val got = run(data)
+    assert(math.abs(got.getDouble(1) - po) < 1e-12)
+    assert(math.abs(got.getDouble(2) - pe) < 1e-9)
+    assert(math.abs(got.getDouble(3) - (po - pe) / (1.0 - pe)) < 1e-9)
+    // both raters constant on the same label -> pe = 1 -> loud
+    intercept[IllegalArgumentException] { run(Seq.fill(5)(("x", "x"))) }
+    assert(Stats.cohenKappa(Seq.empty[(String, String)].toDF("a", "b"),
+      "a", "b").count() == 0L)
+  }
+
+  test("jensenShannon: 0 on identical, ln2 on disjoint, brute parity, guards") {
+    import graft.operators.Stats
+    def run(xs: Seq[(String, Boolean)]) =
+      Stats.jensenShannon(xs.toDF("c", "ina"), "c", col("ina"), !col("ina")).head()
+    // identical distributions -> jsd 0
+    val same = Seq("u", "u", "v").flatMap(c => Seq((c, true), (c, false)))
+    assert(math.abs(run(same).getDouble(3)) < 1e-12)
+    // disjoint supports -> jsd = ln 2 (the upper bound)
+    val disj = Seq(("u", true), ("u", true), ("v", false))
+    assert(math.abs(run(disj).getDouble(3) - math.log(2.0)) < 1e-12)
+    // brute parity on random categorical cohorts
+    val rnd = new scala.util.Random(61)
+    val data = Seq.fill(400)((s"c${rnd.nextInt(6)}", rnd.nextBoolean()))
+    val as = data.filter(_._2).map(_._1); val bs = data.filterNot(_._2).map(_._1)
+    val cats = (as ++ bs).distinct
+    val brute = cats.map { c =>
+      val p = as.count(_ == c).toDouble / as.size
+      val q = bs.count(_ == c).toDouble / bs.size
+      val m = (p + q) / 2.0
+      (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+    }.sum
+    val got = run(data)
+    assert(got.getLong(0) == as.size.toLong && got.getLong(1) == bs.size.toLong)
+    assert(got.getLong(2) == cats.size.toLong)
+    assert(math.abs(got.getDouble(3) - brute) < 1e-9)
+    // an empty cohort is undefined -> loud; empty input -> empty frame
+    intercept[IllegalArgumentException] { run(Seq(("u", true), ("v", true))) }
+    assert(Stats.jensenShannon(Seq.empty[(String, Boolean)].toDF("c", "ina"),
+      "c", col("ina"), !col("ina")).count() == 0L)
+  }
+
+  test("ndcgAtK: perfect run 1, hand example, k cut, idcg-0 queries drop") {
+    import graft.operators.Retrieval
+    def run(rs: Seq[(String, Long, Int)], qs: Seq[(String, Long, Int)], k: Int) =
+      Retrieval.ndcgAtK(rs.toDF("q", "d", "rank"), qs.toDF("q", "d", "rel"),
+        "q", "d", "rank", "rel", k)
+    // ideally-ordered run -> ndcg exactly 1
+    val qrels = Seq(("a", 1L, 3), ("a", 2L, 2), ("a", 3L, 1), ("a", 4L, 0))
+    val ideal = Seq(("a", 1L, 1), ("a", 2L, 2), ("a", 3L, 3))
+    assert(math.abs(run(ideal, qrels, 10).head().getDouble(3) - 1.0) < 1e-12)
+    // hand-computed: run [d3(rel1), d1(rel3), d9(unjudged)] at k=3
+    //   dcg  = 1/log2(2) + 7/log2(3) + 0
+    //   idcg = 7/log2(2) + 3/log2(3) + 1/log2(4)
+    val rn = Seq(("a", 3L, 1), ("a", 1L, 2), ("a", 9L, 3))
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = 1.0 / lg2(2.0) + 7.0 / lg2(3.0)
+    val idcg = 7.0 / lg2(2.0) + 3.0 / lg2(3.0) + 1.0 / lg2(4.0)
+    val r = run(rn, qrels, 3).head()
+    assert(math.abs(r.getDouble(1) - dcg) < 1e-12)
+    assert(math.abs(r.getDouble(2) - idcg) < 1e-12)
+    assert(math.abs(r.getDouble(3) - dcg / idcg) < 1e-12)
+    // the k cut drops run rows AND ideal gains beyond k
+    val r1 = run(rn, qrels, 1).head()
+    assert(math.abs(r1.getDouble(1) - 1.0) < 1e-12) // only d3(rel1) at pos 1
+    assert(math.abs(r1.getDouble(2) - 7.0) < 1e-12) // ideal top-1 is rel 3
+    // a query with no positive judgments has no defined ndcg -> dropped
+    val two = run(rn ++ Seq(("b", 5L, 1)), qrels :+ (("b", 5L, 0)), 3)
+    assert(two.select("q").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("intervalOverlap: exactly-once pairs, equals theta join, half-open edges") {
     import graft.operators.RangeJoin
     val rnd = new scala.util.Random(41)
