@@ -143,15 +143,20 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$failedJson$sampleJson$floorJson,"sf":"$sfDir"}"""
-    println(line)
-    // also written as a file artifact: the driver's stdout capture has
-    // twice truncated the head of this line (BENCH_r03/r04 arrived
-    // with parsed=null), losing the total — the file is authoritative
+    // file artifact first: the driver's stdout capture has twice
+    // truncated the head of this line (BENCH_r03/r04 arrived with
+    // parsed=null), so the file is authoritative
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // stop Spark BEFORE printing: anything Spark writes to stdout
+    // during shutdown would land AFTER the JSON and break the driver's
+    // tail-parse (BENCH_r10/r11 both arrived with parsed=null) — the
+    // contract is that this line is the LAST stdout line of the run
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

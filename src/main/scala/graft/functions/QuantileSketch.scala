@@ -1,0 +1,244 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Mergeable KLL-style quantile-sketch buffer: a ladder of value
+  * arrays where level `i` holds items of weight `2^i`. Updates land in
+  * level 0; a level that reaches its capacity `k` is sorted and HALVED
+  * — every other element (alternating start parity per compaction, the
+  * deterministic KLL variant) survives into the level above at double
+  * weight. Memory is O(k·log(n/k)) doubles per group regardless of n;
+  * merge concatenates level-wise and re-compacts, so the aggregate is
+  * associative the way a shuffle needs.
+  *
+  * Rank error: each compaction of level i perturbs any rank by at most
+  * 2^i; with alternating parities the signed errors telescope, giving
+  * the usual KLL-in-practice accuracy (≲ 1/k relative rank error —
+  * QuantileSketchSpec measures it against the exact-rank operator on
+  * the sf-series data and pins ε). Because merge ORDER across shuffle
+  * partitions is not fixed, results are ε-reproducible, not
+  * byte-stable — this is the documented trade of the sketch path; the
+  * exact operators stay the oracle surface.
+  */
+private[graft] final class KllBuffer(val k: Int) {
+  var count: Long = 0L
+  /** level i: items of weight 2^i; UNSORTED between compactions. */
+  val levels: ArrayBuffer[ArrayBuffer[Double]] =
+    ArrayBuffer(new ArrayBuffer[Double](16))
+  /** per-level alternation bit for the deterministic compaction. */
+  val parities: ArrayBuffer[Boolean] = ArrayBuffer(false)
+
+  def add(v: Double): Unit = {
+    levels(0) += v
+    count += 1L
+    if (levels(0).length >= k) compact(0)
+  }
+
+  /** Sort level `i`, push every other element (starting at the level's
+    * parity) one level up at doubled weight, clear level `i`. An odd
+    * element count leaves the LAST (largest) element behind — a
+    * deterministic choice that never moves weight across the value
+    * line. Cascades if the level above fills. */
+  private def compact(i: Int): Unit = {
+    if (i + 1 >= levels.length) {
+      levels += new ArrayBuffer[Double](16)
+      parities += false
+    }
+    val buf = levels(i)
+    val sorted = buf.toArray
+    java.util.Arrays.sort(sorted)
+    val even = sorted.length - (sorted.length % 2)
+    val start = if (parities(i)) 1 else 0
+    parities(i) = !parities(i)
+    val up = levels(i + 1)
+    var j = start
+    while (j < even) { up += sorted(j); j += 2 }
+    buf.clear()
+    if (even < sorted.length) buf += sorted(sorted.length - 1)
+    if (up.length >= k) compact(i + 1)
+  }
+
+  def merge(other: KllBuffer): KllBuffer = {
+    count += other.count
+    var i = 0
+    while (i < other.levels.length) {
+      if (i >= levels.length) {
+        levels += new ArrayBuffer[Double](16)
+        parities += false
+      }
+      levels(i) ++= other.levels(i)
+      i += 1
+    }
+    // re-establish capacities bottom-up (a concat can overfill several)
+    i = 0
+    while (i < levels.length) {
+      if (levels(i).length >= k) compact(i)
+      i += 1
+    }
+    this
+  }
+
+  /** Value whose sketched cumulative weight first reaches rank
+    * `ceil(p·count)` — the sketch analogue of the exact-rank operators'
+    * `min(v) where cum >= k` probe. */
+  def quantiles(ps: Seq[Double]): Array[Double] = {
+    var m = 0
+    levels.foreach(m += _.length)
+    val vs = new Array[Double](m)
+    val ws = new Array[Long](m)
+    var o = 0
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach { v => vs(o) = v; ws(o) = w; o += 1 }
+      i += 1
+    }
+    val idx = Array.range(0, m).sortBy(vs(_))
+    val totalW = ws.sum
+    ps.toArray.map { p =>
+      // ranks in SKETCH weight (totalW can drift ±(levels) from count
+      // via odd-count leftovers; using totalW keeps p=1.0 exact-max)
+      val target = math.max(1L, math.ceil(p * totalW).toLong)
+      var acc = 0L
+      var j = 0
+      var out = vs(idx(m - 1))
+      var found = false
+      while (j < m && !found) {
+        acc += ws(idx(j))
+        if (acc >= target) { out = vs(idx(j)); found = true }
+        j += 1
+      }
+      out
+    }
+  }
+}
+
+/** Per-group mergeable quantile sketch aggregate — the beyond-
+  * `maxFoldRows` scale path of the grouped-quantile family: where
+  * [[graft.operators.Stats.groupedExactQuantiles]]'s driver fold is
+  * planning-sized only while |groups|·|occupied cells| stays under its
+  * guard, this aggregate is ONE hash-agg shuffle whose per-group state
+  * is an O(k·log n) [[KllBuffer]] — no driver fold, no cell histogram,
+  * any number of groups. Returns the `ps` quantile values as
+  * `array<double>` (null for an all-NULL group). Approximate with
+  * ε ≈ 1/k rank error (spec-measured); use the exact operators when
+  * the fold fits. */
+case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= (1 << 16),
+    s"graft_kll_quantiles: k must be in [8, 65536], got $k")
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+    s"graft_kll_quantiles: quantiles must be in (0, 1], got $ps")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_quantiles"
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = b1.merge(b2)
+
+  override def eval(buf: KllBuffer): Any =
+    if (buf.count == 0L) null
+    else new GenericArrayData(buf.quantiles(ps))
+
+  override def serialize(buf: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.count)
+    out.writeInt(buf.levels.length)
+    var i = 0
+    while (i < buf.levels.length) {
+      out.writeBoolean(buf.parities(i))
+      out.writeInt(buf.levels(i).length)
+      buf.levels(i).foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(k)
+    buf.count = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear(); buf.parities.clear()
+    var i = 0
+    while (i < nLevels) {
+      buf.parities += in.readBoolean()
+      val sz = in.readInt()
+      val lvl = new ArrayBuffer[Double](math.max(16, sz))
+      var j = 0
+      while (j < sz) { lvl += in.readDouble(); j += 1 }
+      buf.levels += lvl
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllQuantiles =
+    copy(child = newChild)
+}
+
+object KllQuantiles {
+
+  private val FnName = "graft_kll_quantiles"
+
+  /** SQL surface: `graft_kll_quantiles(v, array(0.5, 0.9), 256)` —
+    * quantile list and k must be literals (LitArgs convention). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      FnName, { exprs =>
+        require(exprs.length == 3,
+          s"$FnName(value, array(ps...), k): expected 3 args, got ${exprs.length}")
+        KllQuantiles(exprs.head, litDoubles(exprs(1), "ps"),
+          LitArgs.litInt(exprs(2), "k"))
+      }, "built-in")
+
+  private def litDoubles(e: Expression, what: String): Seq[Double] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal array of doubles, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of doubles, got $other")
+    }
+  }
+
+  /** Column form: `array<double>` of the `ps` quantiles of `value`. */
+  def kllQuantiles(spark: SparkSession, value: Column,
+                   ps: Seq[Double], k: Int): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function(FnName,
+      value.cast("double"),
+      org.apache.spark.sql.functions.array(
+        ps.map(org.apache.spark.sql.functions.lit): _*),
+      org.apache.spark.sql.functions.lit(k))
+  }
+}

@@ -83,7 +83,7 @@ object Hits {
     var liveRaws: Seq[DataFrame] = Nil
     var r = 0
     var converged = false
-    while (r < iters && !converged) {
+    while (r < iters && !(earlyStop && converged)) {
       // the previous round's certificate action materialized everything
       // derived from its raws — release them BEFORE persisting this
       // round's pair, so at most two raw frames are ever cached
@@ -120,7 +120,10 @@ object Hits {
         .agg(max(abs(col("h") - col("__h0"))).as("dh"))
         .head().getDouble(0)
       liveRaws = Seq(aRaw, hRaw)
-      if (earlyStop) converged = dh <= tol
+      // the certificate is recorded unconditionally — `earlyStop` only
+      // decides whether a passing round is the LAST round run, so a cap
+      // run that happens to end exactly at the fixpoint still certifies
+      converged = dh <= tol
     }
     val out = h.join(a, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))

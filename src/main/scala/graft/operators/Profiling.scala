@@ -109,7 +109,8 @@ object Profiling {
     * (Stats object scaladoc): planning jobs run at call time.
     */
   def madOutliers(df: DataFrame, groupCol: String, valCol: String,
-                  cut: Double = 3.0): DataFrame = {
+                  cut: Double = 3.0, buckets: Int = 32,
+                  maxFoldRows: Long = 1_000_000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // THE corpus scan: per-(group, distinct value) multiplicities
     val counts = df
@@ -119,14 +120,14 @@ object Profiling {
       .agg(count(lit(1)).as("c"))
       .persist(lvl)
     val med = Stats.groupedInterpolatedQuantilesWeighted(
-        counts, "g", "v", "c", Seq(0.5))
+        counts, "g", "v", "c", Seq(0.5), buckets, maxFoldRows)
       .select(col("g"), col("value").as("med"))
     // the deviation DISTRIBUTION from the cached counts — same
     // multiset as per-row |v − med|, weighted by multiplicity
     val dev = counts.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("adev"), col("c"))
     val mad = Stats.groupedInterpolatedQuantilesWeighted(
-        dev, "g", "adev", "c", Seq(0.5))
+        dev, "g", "adev", "c", Seq(0.5), buckets, maxFoldRows)
       .select(col("g"), col("value").as("mad"))
     val out = counts
       .join(broadcast(med), Seq("g"))

@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-row tile-replication guard: the tile list for [lo, hi] at
+    * `width` is `explode(sequence(chunk(lo), chunk(hi)))`, which with
+    * no cap builds a span/width-element array IN ONE ROW — a single
+    * extreme-span interval (or a mis-picked tiny width) kills an
+    * executor with an opaque OOM long before Spark's own ~2³¹ array
+    * limit errors. The guard runs inside the same codegen'd projection
+    * (a `when` around the `sequence`, zero extra jobs) and fails LOUD
+    * with the span-vs-width diagnosis instead. */
+  private def guardedTiles(lo: Column, hi: Column, width: Double,
+                           maxTiles: Long, op: String): Column = {
+    def chunk(c: Column): Column = floor(c / width).cast("long")
+    val n = chunk(hi) - chunk(lo) + lit(1L)
+    explode(when(n <= maxTiles, sequence(chunk(lo), chunk(hi)))
+      .otherwise(raise_error(concat(
+        lit(s"$op: interval ["), lo.cast("string"), lit(", "),
+        hi.cast("string"), lit(s") spans "), n.cast("string"),
+        lit(s" tiles at tileWidth=$width, over maxTilesPerRow=$maxTiles" +
+          " — pick a tileWidth near the typical interval span, or raise" +
+          " maxTilesPerRow if the replication is intended")))))
+  }
+
   /** Interval × interval OVERLAP join — "which left intervals
     * intersect which right intervals" (sessions × campaign windows,
     * downtime × job runs, span annotations × span annotations). The
@@ -43,19 +64,27 @@ object RangeJoin {
     * [lo, hi); a pair overlaps iff `a.lo < b.hi && b.lo < a.hi`.
     * Column sets must be disjoint. Pick `tileWidth` near the typical
     * interval span (same trade-off as [[pointInRange]]).
+    * `maxTilesPerRow` bounds per-interval replication and fails loud
+    * (see [[guardedTiles]]) when one interval would explode to more
+    * tiles than that.
     */
   def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
                       right: DataFrame, rLo: String, rHi: String,
-                      tileWidth: Double): DataFrame = {
+                      tileWidth: Double,
+                      maxTilesPerRow: Long = 100_000L): DataFrame = {
     require(tileWidth > 0, "intervalOverlap: tileWidth must be positive")
+    require(maxTilesPerRow >= 1,
+      "intervalOverlap: maxTilesPerRow must be >= 1")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalOverlap: overlapping column names ${overlap.mkString(", ")}")
     def chunk(c: Column): Column = floor(c / tileWidth).cast("long")
     val l = left.withColumn("__tile",
-      explode(sequence(chunk(col(lLo)), chunk(col(lHi)))))
+      guardedTiles(col(lLo), col(lHi), tileWidth, maxTilesPerRow,
+        "intervalOverlap"))
     val r = right.withColumn("__tile",
-      explode(sequence(chunk(col(rLo)), chunk(col(rHi)))))
+      guardedTiles(col(rLo), col(rHi), tileWidth, maxTilesPerRow,
+        "intervalOverlap"))
     l.join(r, Seq("__tile"))
       .filter(col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
         col("__tile") === chunk(greatest(col(lLo), col(rLo))))
@@ -68,14 +97,18 @@ object RangeJoin {
     * containing range. */
   def pointInRange(points: DataFrame, pCol: String,
                    ranges: DataFrame, loCol: String, hiCol: String,
-                   bucketWidth: Double): DataFrame = {
+                   bucketWidth: Double,
+                   maxTilesPerRow: Long = 100_000L): DataFrame = {
     require(bucketWidth > 0, "pointInRange: bucketWidth must be positive")
+    require(maxTilesPerRow >= 1,
+      "pointInRange: maxTilesPerRow must be >= 1")
     val overlap = points.columns.toSet.intersect(ranges.columns.toSet)
     require(overlap.isEmpty,
       s"pointInRange: overlapping column names ${overlap.mkString(", ")}")
     def chunk(c: Column): Column = floor(c / bucketWidth).cast("long")
     val r = ranges.withColumn("__chunk",
-      explode(sequence(chunk(col(loCol)), chunk(col(hiCol)))))
+      guardedTiles(col(loCol), col(hiCol), bucketWidth, maxTilesPerRow,
+        "pointInRange"))
     val p = points.withColumn("__chunk", chunk(col(pCol)))
     p.join(r, Seq("__chunk"))
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))

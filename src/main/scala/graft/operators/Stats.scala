@@ -128,16 +128,26 @@ object Stats {
     bs.result()
   }
 
-  /** Coarse bucket id of a fine cell: count of boundaries ≤ cell, as a
-    * PLAIN sum of chained when-expressions. NOT the `aggregate()`
-    * higher-order form: a lambda capturing an outer attribute trips a
-    * Spark 4.1 binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when
-    * the bucketed frame feeds a join under certain AQE partition
-    * counts — chained whens codegen identically and capture nothing. */
+  /** Coarse bucket id of a fine cell: count of boundaries ≤ cell, as
+    * ONE native binary search over a referenced `long[]`
+    * ([[graft.functions.CellBucket]]). The round-9/10 chained-when sum
+    * grew the generated code linearly with the boundary count — ~1k
+    * terms crossed the JVM 64 KB method limit and the whole stage
+    * SILENTLY fell back to interpreted eval (round-11 verdict item 2;
+    * CodegenGuardSpec drives a 1024-bucket plan to pin the fix) — and
+    * its left-deep Add chain overflowed the driver stack during
+    * Column-to-Expression conversion before codegen even ran. The
+    * native form is O(1) generated code at any bucket count. NOT the
+    * `aggregate()` higher-order form: a lambda capturing an outer
+    * attribute trips a Spark 4.1 binding bug
+    * (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) when the bucketed frame
+    * feeds a join under certain AQE partition counts — CellBucket
+    * captures nothing (the array is a plan-time reference object). */
   private[operators] def bucketOfCell(bounds: Array[Long],
       cellC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     if (bounds.isEmpty) lit(0)
-    else bounds.map(bd => when(lit(bd) <= cellC, 1).otherwise(0)).reduce(_ + _)
+    else graft.functions.CellBucket.bucket(
+      org.apache.spark.sql.SparkSession.active, cellC, bounds)
 
   /** The PERSISTED per-distinct-value pair-counts frame `(v, na, nb)`
     * the two-sample family shares (collapses ties BEFORE any ordering,
@@ -427,7 +437,9 @@ object Stats {
     require(hist.length <= maxFoldRows,
       s"$caller: ${hist.length} (group, cell) totals exceed " +
         s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
-        "driver fold; raise maxFoldRows deliberately or pre-aggregate the key")
+        "driver fold; raise maxFoldRows deliberately, pre-aggregate the " +
+        "key, or switch to groupedQuantilesSketch (the mergeable-sketch " +
+        "scale path: no driver fold at any group count, ~1/k rank error)")
     val rows = hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val marginal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
       .toArray.sortBy(_._1)
@@ -578,6 +590,47 @@ object Stats {
     val out = groupedInterpProbe(cum, nByGroup, ps, groupCol)
     counts.unpersist()
     out
+  }
+
+  /** Per-group quantiles via a MERGEABLE KLL sketch — the beyond-
+    * `maxFoldRows` scale path of the grouped-quantile family. The exact
+    * operators ([[groupedExactQuantiles]] / [[groupedInterpolatedQuantiles]])
+    * fold per-(group, cell) totals on the driver, which is planning-
+    * sized only while |groups|·|occupied cells| fits their loud guard;
+    * this form is ONE partial-aggregated hash-agg shuffle whose
+    * per-group state is an O(k·log n) [[graft.functions.KllBuffer]] —
+    * no driver fold, no collect, any number of groups, and the OUTPUT
+    * STAYS DISTRIBUTED (|groups|·|ps| rows), so it composes into
+    * downstream joins without a driver round-trip.
+    *
+    * Approximate: rank error ≈ 1/k (QuantileSketchSpec measures it
+    * against [[groupedExactQuantiles]] on the sf-series data and pins
+    * ε); merge order across shuffle partitions is not fixed, so results
+    * are ε-reproducible, not byte-stable — keep the exact operators for
+    * oracle surfaces and use this when the fold guard trips. Quantile
+    * semantics are the exact-rank form (value at the smallest sketched
+    * cumulative weight ≥ ⌈p·n⌉), matching [[groupedExactQuantiles]],
+    * not the interpolated lerp. NULL values/groups excluded (observed-
+    * values policy). Returns `(groupCol, p, n, value)`.
+    */
+  def groupedQuantilesSketch(df: DataFrame, groupCol: String,
+                             valueCol: String, ps: Seq[Double],
+                             k: Int = 256): DataFrame = {
+    require(ps.nonEmpty, "groupedQuantilesSketch: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedQuantilesSketch: quantiles must be in (0, 1], got $ps")
+    val session = df.sparkSession
+    val sketch = graft.functions.KllQuantiles.kllQuantiles(
+      session, col(valueCol), ps, k)
+    df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(count(col(valueCol)).as("n"), sketch.as("__qs"))
+      .select(col(groupCol), col("n"),
+        posexplode(col("__qs")).as(Seq("__i", "value")))
+      // p from the literal ps by position — no float re-derivation
+      .withColumn("p",
+        element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
+      .select(col(groupCol), col("p"), col("n"), col("value"))
   }
 
   /** The shared rank-bracket probe of the grouped interpolated family:
@@ -1345,7 +1398,12 @@ object Stats {
     // persisted: the fine-cell histogram fills the cache, the ranking
     // pass re-reads it — ONE corpus scan for the whole curve (the
     // pre-fusion form re-derived the per-key aggregation four times)
-    val perKey = df.groupBy(col(keyCol).as("k"))
+    // observed-values policy: a key whose values are ALL NULL would
+    // yield rev = NULL → NULL fine cell → bare NPE in the histogram
+    // collect; filtering NULL values up front drops such keys loud-and-
+    // documented instead (they contribute no revenue by definition)
+    val perKey = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
       .agg(sum(col(valueCol).cast("decimal(18,2)")).as("rev"))
       // descending rank = ascending rank of the NEGATED value (exact
       // for decimals); key breaks ties deterministically
@@ -1489,10 +1547,13 @@ object Stats {
     * |groups|-row frame, so no cache outlives the call.
     */
   def winsorizedStats(df: DataFrame, groupCol: String, valCol: String,
-                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+                      lo: Double = 0.05, hi: Double = 0.95,
+                      buckets: Int = 32,
+                      maxFoldRows: Long = 1_000_000L): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"winsorizedStats: bad bounds [$lo, $hi]")
     val counts = groupedCounts(df, groupCol, valCol)
-    val (cum, nByGroup) = groupedCumCore(counts, 32, 1_000_000L, "winsorizedStats")
+    val (cum, nByGroup) =
+      groupedCumCore(counts, buckets, maxFoldRows, "winsorizedStats")
     // bounds rounded to 6 dp BEFORE clipping: the decimal cast of a
     // clipped-to-bound value is then exact on both engines (no
     // double->decimal midpoint rule in play for the bound values)
@@ -1564,15 +1625,21 @@ object Stats {
     // only merge buckets (in-bucket order uses the original column)
     val ord = if (descending) -col(valueCol).cast("double")
       else col(valueCol).cast("double")
+    // exact in-bucket sort key: __ord is a double rendering, so
+    // distinct integral/decimal values beyond 2^53 can COLLIDE in it —
+    // the original column (negated for DESC; exact for every numeric
+    // type) breaks those collisions, keeping (ntile, next_value) on
+    // exact SQL NTILE/LEAD semantics even past double precision
+    val vKey = if (descending) -col(valueCol) else col(valueCol)
     val cc = cellOf(session, col("__ord"))
     // THE one planning job: per-cell row count + first row's value
-    // (min struct over the unique (ord, tie) order carries the value
-    // as payload) — boundaries, exact rank offsets, n, and the
+    // (min struct over the unique (ord, vKey, tie) order carries the
+    // value as payload) — boundaries, exact rank offsets, n, and the
     // boundary-exchange values all come out of its single collect
     val hist = obs.withColumn("__ord", ord)
       .groupBy(cc.as("cell"))
       .agg(count(lit(1)).as("__tc"),
-        min(struct(col("__ord"), col(tieCol), col(valueCol)))
+        min(struct(col("__ord"), vKey.as("__vk"), col(tieCol), col(valueCol)))
           .getField(valueCol).as("__first"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2)))
@@ -1582,7 +1649,7 @@ object Stats {
     val withB = obs.withColumn("__ord", ord)
       .withColumn("__b", bucketOfCell(bounds, cc))
     val inB = Window.partitionBy(col("__b"))
-      .orderBy(col("__ord"), col(tieCol))
+      .orderBy(col("__ord"), vKey, col(tieCol))
     val local = withB
       .withColumn("__lr", row_number().over(inB).cast("long"))
       .withColumn("__lead", lead(col(valueCol), 1).over(inB))
@@ -1652,7 +1719,11 @@ object Stats {
     // one shuffle on the bucket id, with exact offsets and the global
     // row count folded from the SINGLE fine-cell histogram job (which
     // also fills the cache — the ranking pass re-reads it)
-    val keyed = df.select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    // observed-values policy (ntileLead/cumeDist/globalCum convention):
+    // a NULL value would produce a NULL fine cell and crash the
+    // histogram collect with a bare NPE instead of ranking anywhere
+    val keyed = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
       .persist(lvl)
     val cc = cellOf(session, col("v"))
     val hist = keyed.groupBy(cc.as("cell")).agg(count(lit(1)).as("tc"))

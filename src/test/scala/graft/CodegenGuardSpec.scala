@@ -148,6 +148,58 @@ class CodegenGuardSpec extends AnyFunSuite {
       s"a native expression fell back to the interpreted path:\n${hits.mkString("\n")}")
   }
 
+  test("operator surface at NON-DEFAULT parameters — zero fallbacks") {
+    // the declared-queries sweep above runs every family at its query
+    // defaults; this axis re-runs one representative per family at
+    // aggressive parameters, because fallbacks can be PARAMETER-
+    // dependent: an expression that codegens fine at width 3 can cross
+    // the 64 KB generated-method limit at width 64 and silently drop to
+    // interpreted mode (round-11 verdict item 2)
+    import org.apache.spark.sql.functions.col
+    import graft.functions._
+    import graft.operators.Stats
+    val hits = withCapture {
+      // (1) the known depth hazard: the quantile family's bucket id
+      // was a chained-when with one term per coarse boundary — ~1k
+      // terms crossed the 64 KB method limit and the stage fell back
+      // to interpreted eval (this test CAUGHT that live). Now a native
+      // binary-search expression (CellBucket); 65536 values spread over
+      // ~20 octaves occupy ~1.3k fine cells, so buckets=1024 drives
+      // ~1k boundaries through it — zero fallbacks required
+      val wide = (0 until 65536).map(i => (math.pow(2.0, i / 3276.8), i))
+        .toDF("v", "t")
+      Stats.equiDepthBins(wide, "v", "t", bins = 16, buckets = 1024)
+        .collect()
+      // (2) one representative per native-expression family, params
+      // pushed well past the query defaults
+      val df = Seq((1L, "the quick brown fox jumps over the lazy dog",
+          Array.tabulate(64)(i => (i - 32) / 32.0f), 0.75))
+        .toDF("id", "text", "vec", "d")
+      val sh9 = ShingleHashes.shingleHashes(spark, col("text"), 9)
+      df.select(
+        sh9.as("a1"),
+        ShingleStrings.shingleStrings(spark, col("text"), 2).as("a2"),
+        MinHashSignature.signature(spark, sh9, 128).as("a3"),
+        SimHash64.simhash64(spark, sh9).as("a4"),
+        ChunkStrings.chunkStrings(spark, col("text"), 64).as("a5"),
+        ChunkHashes.chunkHashes(spark, col("text"), 64).as("a6"),
+        OverlapChunkStrings.overlapChunks(spark, col("text"), 64, 16).as("a7"),
+        RollingHashes.rollingHashes(spark, col("text"), 12).as("a8")).collect()
+      df.select(
+        VectorFunctions.hyperplaneSignature(spark, col("vec"), 32, 99L).as("b1"),
+        RandomProjection.project(spark, col("vec"), 16, 99L).as("b2"),
+        QuantizeVec.quantize(spark, col("vec"), 65535).as("b3"),
+        HllRegister.registerCoords(spark, col("id"), 14).as("b4"),
+        CountMinBuckets.buckets(spark, col("id"), 5, 4096).as("b5")).collect()
+      df.groupBy(col("id"))
+        .agg(TopK.topK(spark, col("d"), 1 << 10).as("t1"),
+          KllQuantiles.kllQuantiles(spark, col("d"),
+            Seq(0.1, 0.5, 0.9), 1024).as("t2")).collect()
+    }
+    assert(hits.isEmpty,
+      s"a non-default parameterization fell back to interpreted:\n${hits.mkString("\n")}")
+  }
+
   test("the guard itself sees fallbacks (not vacuously green)") {
     // the EXACT round-8 incident shape, planted on purpose: a private
     // nested case class as a product encoder — the generated projection

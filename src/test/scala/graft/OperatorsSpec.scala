@@ -2414,6 +2414,41 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("RangeJoin: extreme-span tile replication fails loud, not OOM") {
+    import graft.operators.RangeJoin
+    // one pathological interval spanning 10^9 units at tileWidth=1
+    // would replicate to a billion-element array in ONE row — the
+    // guard must fail with the span-vs-width diagnosis at run time
+    val wide = Seq((1L, 0.0, 1.0e9)).toDF("lid", "llo", "lhi")
+    val right = Seq((1L, 5.0, 6.0)).toDF("rid", "rlo", "rhi")
+    val exL = intercept[Exception] {
+      RangeJoin.intervalOverlap(wide, "llo", "lhi",
+        right, "rlo", "rhi", tileWidth = 1.0).count()
+    }
+    val msgL = Option(exL.getMessage).getOrElse("") +
+      Option(exL.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msgL.contains("maxTilesPerRow") && msgL.contains("tileWidth"),
+      s"want the span-vs-width diagnosis, got: $msgL")
+    val points = Seq((1L, 7.0)).toDF("pid", "v")
+    val exP = intercept[Exception] {
+      RangeJoin.pointInRange(points, "v",
+        wide.toDF("rid", "rlo", "rhi"), "rlo", "rhi",
+        bucketWidth = 1.0).count()
+    }
+    val msgP = Option(exP.getMessage).getOrElse("") +
+      Option(exP.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msgP.contains("maxTilesPerRow"))
+    // a raised cap admits the same interval (span 10 at width 1)
+    val ok = Seq((1L, 0.0, 10.0)).toDF("lid", "llo", "lhi")
+    assert(RangeJoin.intervalOverlap(ok, "llo", "lhi",
+      right, "rlo", "rhi", tileWidth = 1.0, maxTilesPerRow = 11L)
+      .count() == 1L)
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(ok, "llo", "lhi",
+        right, "rlo", "rhi", 1.0, maxTilesPerRow = 0L)
+    }
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
@@ -3425,11 +3460,12 @@ class OperatorsSpec extends AnyFunSuite {
     val early = df5.collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(early == full)
-    // without earlyStop the cap is honored and the certificate reports
-    // the fixpoint was reached
+    // without earlyStop the cap is honored AND the certificate still
+    // reports the fixpoint was reached (the check runs every round,
+    // earlyStop only controls whether a passing round ends the loop)
     val (_, rAll, cAll) =
       Hits.scoresConverged(star, "s", "d", iters = 4, earlyStop = false)
-    assert(rAll == 4 && !cAll)
+    assert(rAll == 4 && cAll)
   }
 
   test("adamicAdar: rare shared neighbour beats popular one, existing edges excluded") {

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{KllBuffer, KllQuantiles}
+import graft.operators.Stats
+
+/** The mergeable-sketch scale path of the grouped-quantile family:
+  * exact below the sketch's compaction threshold, ε-bounded rank error
+  * above it (measured against the exact-rank operator on sf0.1), and
+  * the aggregate invariants a shuffle relies on (merge associativity,
+  * serialization round-trip). */
+class QuantileSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sketch with k > n never compacts — exactly the exact-rank quantiles") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 500).map(i => (s"g${i % 3}", rnd.nextDouble() * 100))
+    val df = rows.toDF("g", "v")
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val exact = Stats.groupedExactQuantiles(df, "g", "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(4)).toMap
+    val sk = Stats.groupedQuantilesSketch(df, "g", "v", ps, k = 1024)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (key, v) =>
+      assert(v == exact(key), s"$key: sketch $v != exact ${exact(key)}")
+    }
+  }
+
+  test("NULL values and NULL groups excluded; all-NULL input -> empty") {
+    val df = Seq(("a", Some(1.0)), ("a", None), (null, Some(9.0)))
+      .toDF("g", "v")
+    val out = Stats.groupedQuantilesSketch(df, "g", "v", Seq(0.5), k = 64)
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "a"
+      && out(0).getLong(2) == 1L && out(0).getDouble(3) == 1.0)
+    val empty = Stats.groupedQuantilesSketch(
+      Seq((null.asInstanceOf[String], 1.0)).toDF("g", "v"), "g", "v", Seq(0.5))
+    assert(empty.count() == 0L)
+  }
+
+  test("buffer merge preserves count and stays rank-accurate; serde round-trips") {
+    // two disjoint halves of 1..20000, forced through compaction (k=64)
+    val b1 = new KllBuffer(64)
+    val b2 = new KllBuffer(64)
+    (1 to 10000).foreach(i => b1.add(i.toDouble))
+    (10001 to 20000).foreach(i => b2.add(i.toDouble))
+    // round-trip b2 through the aggregate's wire format first
+    val agg = KllQuantiles(org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+      Seq(0.5), 64)
+    val b2rt = agg.deserialize(agg.serialize(b2))
+    assert(b2rt.count == b2.count)
+    val merged = b1.merge(b2rt)
+    assert(merged.count == 20000L)
+    val qs = merged.quantiles(Seq(0.25, 0.5, 0.75))
+    // true quantiles 5000/10000/15000; k=64 -> generous 5% rank band
+    Seq(5000.0, 10000.0, 15000.0).zip(qs).foreach { case (want, got) =>
+      assert(math.abs(got - want) <= 1000.0, s"want ~$want got $got")
+    }
+  }
+
+  test("sf0.1: sketch rank error vs exact stays under eps = 2/k") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val k = 256
+    val sk = Stats.groupedQuantilesSketch(
+      li, "l_returnflag", "l_extendedprice", ps, k)
+    // measured rank of each sketched value inside its own group: the
+    // sketch returns an actual data value, so the error METRIC is rank
+    // displacement |rank(value) - ceil(p*n)| / n, the bound KLL states
+    val vals = li.select(col("l_returnflag").cast("string").as("g"),
+      col("l_extendedprice").cast("double").as("v"))
+    val errs = broadcast(sk).join(vals,
+        col("l_returnflag") === col("g") && col("v") <= col("value"), "left")
+      .groupBy(col("l_returnflag"), col("p"), col("n"))
+      .agg(count(col("v")).as("rk"))
+      .select((abs(col("rk") - ceil(col("p") * col("n"))) /
+        col("n")).as("eps"))
+      .collect().map(_.getDouble(0))
+    assert(errs.nonEmpty)
+    val worst = errs.max
+    // stated ε: 2/k rank error (KLL-in-practice with deterministic
+    // alternation; 2x headroom over the 1/k design point)
+    assert(worst <= 2.0 / k,
+      f"worst rank error $worst%.5f exceeds eps=${2.0 / k}%.5f at k=$k")
+  }
+
+  test("SQL registration: graft_kll_quantiles over groups, literal guards") {
+    KllQuantiles.register(spark)
+    Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
+      .toDF("g", "v").createOrReplaceTempView("kll_in")
+    val out = spark.sql(
+      "SELECT g, graft_kll_quantiles(v, array(0.5D, 1.0D), 64) AS q " +
+        "FROM kll_in GROUP BY g ORDER BY g")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1))
+    assert(out(0) == ("a" -> Seq(2.0, 3.0)))
+    assert(out(1) == ("b" -> Seq(5.0, 5.0)))
+    // non-literal ps / k fail with the LitArgs-style message
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_kll_quantiles(v, array(v), 64) FROM kll_in")
+        .collect()
+    }
+    assert(ex.getMessage.contains("literal"))
+    intercept[Exception] {
+      Stats.groupedQuantilesSketch(Seq(("a", 1.0)).toDF("g", "v"),
+        "g", "v", Seq(1.5))
+    }
+    intercept[Exception] {
+      Stats.groupedQuantilesSketch(Seq(("a", 1.0)).toDF("g", "v"),
+        "g", "v", Seq(0.5), k = 4)
+    }
+  }
+}
