@@ -266,6 +266,21 @@ object StatsQ {
           ps = Seq(0.5, 0.95))
         .orderBy("l_returnflag", "p")),
 
+    "x_sketch_quantiles" -> ((s, dir) =>
+      // mergeable KLL quantile sketch (Stats.groupedQuantilesSketch —
+      // the beyond-maxFoldRows scale path: one hash-agg shuffle, no
+      // driver fold at any group count). ORACLED IN ITS EXACT REGIME:
+      // k = 65536 exceeds every group's size at the driver SFs, so no
+      // compactor ever fires and the sketch quantile IS the exact
+      // k-th order statistic (the documented exact-below-compaction
+      // property; QuantileSketchSpec pins the ε-regime at sf0.1
+      // against the exact operator). Raw-double values — the
+      // per-group ROW_NUMBER oracle matches with no rounding.
+      Stats.groupedQuantilesSketch(
+          t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+          ps = Seq(0.5, 0.9), k = 65536)
+        .orderBy("o_orderpriority", "p")),
+
     "x_weighted_quantiles" -> ((s, dir) =>
       // multiplicity-WEIGHTED interpolated quantiles
       // (Stats.groupedInterpolatedQuantilesWeighted — the seam
@@ -696,6 +711,24 @@ object StatsQ {
         |SELECT k.g AS l_returnflag, k.p, k.k, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
         |ORDER BY l_returnflag, p""".stripMargin,
+    "x_sketch_quantiles" ->
+      // the exact-regime contract: with k above every group size the
+      // sketch returns the k = ceil(p·n_g) order statistic exactly —
+      // the same ROW_NUMBER probe as x_grouped_quantiles, on orders
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.9]) AS p),
+        |ks AS (SELECT n.g, p.p, n.n,
+        |  GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS k
+        |  FROM n CROSS JOIN ps p),
+        |ord AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals)
+        |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
+        |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
+        |ORDER BY o_orderpriority, p""".stripMargin,
     "x_weighted_quantiles" ->
       // the expanded-multiset definition, with DuckDB's own
       // quantile_cont as the independent implementation (constant p
