@@ -123,6 +123,49 @@ private[graft] final class KllBuffer(val k: Int) {
   }
 }
 
+private[graft] object KllBuffer {
+
+  /** Wire format (k, count, levels with parity bits) — shared by the
+    * aggregate's shuffle serialization and the streaming rolling-
+    * quantile state ([[graft.streaming.TwsQuantiles]]); self-contained
+    * (k travels in the bytes), so a reader needs no side channel. */
+  def toBytes(buf: KllBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.count)
+    out.writeInt(buf.levels.length)
+    var i = 0
+    while (i < buf.levels.length) {
+      out.writeBoolean(buf.parities(i))
+      out.writeInt(buf.levels(i).length)
+      buf.levels(i).foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): KllBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new KllBuffer(in.readInt())
+    buf.count = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear(); buf.parities.clear()
+    var i = 0
+    while (i < nLevels) {
+      buf.parities += in.readBoolean()
+      val sz = in.readInt()
+      val lvl = new ArrayBuffer[Double](math.max(16, sz))
+      var j = 0
+      while (j < sz) { lvl += in.readDouble(); j += 1 }
+      buf.levels += lvl
+      i += 1
+    }
+    buf
+  }
+}
+
 /** Per-group mergeable quantile sketch aggregate — the beyond-
   * `maxFoldRows` scale path of the grouped-quantile family: where
   * [[graft.operators.Stats.groupedExactQuantiles]]'s driver fold is
@@ -162,40 +205,11 @@ case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
     if (buf.count == 0L) null
     else new GenericArrayData(buf.quantiles(ps))
 
-  override def serialize(buf: KllBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeLong(buf.count)
-    out.writeInt(buf.levels.length)
-    var i = 0
-    while (i < buf.levels.length) {
-      out.writeBoolean(buf.parities(i))
-      out.writeInt(buf.levels(i).length)
-      buf.levels(i).foreach(out.writeDouble)
-      i += 1
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: KllBuffer): Array[Byte] =
+    KllBuffer.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllBuffer = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new KllBuffer(k)
-    buf.count = in.readLong()
-    val nLevels = in.readInt()
-    buf.levels.clear(); buf.parities.clear()
-    var i = 0
-    while (i < nLevels) {
-      buf.parities += in.readBoolean()
-      val sz = in.readInt()
-      val lvl = new ArrayBuffer[Double](math.max(16, sz))
-      var j = 0
-      while (j < sz) { lvl += in.readDouble(); j += 1 }
-      buf.levels += lvl
-      i += 1
-    }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    KllBuffer.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantiles =
     copy(mutableAggBufferOffset = newOffset)

@@ -404,6 +404,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState rolling quantiles: sketch state accumulates across batches") {
+    // the KLL sketch as streaming state (TwsQuantiles): per-key
+    // all-history quantile snapshots at O(k log n) state. k exceeds
+    // the value counts here, so the no-compaction exact regime applies
+    // and every snapshot is the exact ceil(p*n) order statistic of
+    // everything the key has EVER sent — batch 2's snapshot proves the
+    // RocksDB-serialized sketch survived the batch boundary.
+    import graft.streaming.{StatefulSessions, TwsQuantiles}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatefulSessions.Event]
+    def vev(id: Long, user: Long, v: Double) = StatefulSessions.Event(
+      id, Timestamp.valueOf("2024-01-01 00:00:00"), user, "a", v)
+    val q = TwsQuantiles.rollingQuantiles(
+        in.toDS(), ps = Seq(0.5, 1.0), k = 1024)
+      .writeStream.format("memory").queryName("tws_q_out")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 10).map(i => vev(i, 1L, i.toDouble)) :+ vev(90, 2L, 100.0): _*)
+      q.processAllAvailable()
+      in.addData((11 to 20).map(i => vev(i, 1L, i.toDouble)): _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_q_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+        .toSeq
+      // batch 1: user 1 over 1..10 → p50 = 5 (ceil(.5·10)), max = 10
+      assert(snaps.contains((1L, 10L, Seq(5.0, 10.0))), snaps.toString)
+      // batch 2: user 1 over 1..20 — history NOT forgotten → p50 = 10
+      assert(snaps.contains((1L, 20L, Seq(10.0, 20.0))), snaps.toString)
+      // user 2 got no batch-2 rows: exactly one snapshot, no re-emit
+      assert(snaps.count(_._1 == 2L) == 1 &&
+        snaps.contains((2L, 1L, Seq(100.0, 100.0))), snaps.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState rolling distinct: MapState prunes to the watermark horizon") {
     import graft.streaming.{StatefulSessions, TwsRollingDistinct}
     implicit val sqlCtx = spark.sqlContext
