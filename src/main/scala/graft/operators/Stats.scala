@@ -1026,6 +1026,120 @@ object Stats {
     Seq((k.toLong, n, ssb, ssw, f)).toDF("k", "n", "ss_between", "ss_within", "f")
   }
 
+  /** Welch's two-sample t statistic (unequal variances) between the
+    * rows where `sampleACond` holds and the rest — the "did the mean
+    * move" companion of [[mannWhitneyU]] (U sees location shift
+    * nonparametrically, t sees it in means with a variance model) for
+    * A/B metric reads and corpus-slice comparisons. Includes Cohen's d
+    * (pooled-SD effect size) so significance and magnitude travel
+    * together.
+    *
+    * Scale shape: [[anovaF]]'s — ONE partial-agged conditional-moment
+    * pass yields each sample's count, Σv and Σv² in exact decimals
+    * (order-independent; the 6-dp integrality sentinel rides the same
+    * pass and fails LOUD on finer values — the [[gini]] hazard class),
+    * and the driver finishes the double algebra in a pinned order:
+    * t = (m_A − m_B)/√(s²_A/n_A + s²_B/n_B), Welch–Satterthwaite df.
+    * One row out: `(n_a, n_b, mean_a, mean_b, t, df, cohen_d)` — raw
+    * doubles (callers round; both engines replay the identical decimal
+    * totals, so the algebra matches to the last ulp). NULL values
+    * excluded; each sample needs ≥2 rows (a variance), fail loud.
+    */
+  def welchT(df: DataFrame, valueCol: String,
+             sampleACond: org.apache.spark.sql.Column): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    // a NULL condition row counts as sample B in EVERY aggregate (the
+    // pairCounts convention) — deriving an explicit 0/1 indicator first
+    // keeps the count and the moment sums consistent on such rows
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val r0 = df.filter(v.isNotNull)
+      .agg(
+        sum(ia).as("na"),
+        sum(when(ia === 1L, d6(v))).as("sa"),
+        sum(when(ia === 1L, d6(v) * d6(v))).as("qa"),
+        sum(lit(1L) - ia).as("nb"),
+        sum(when(ia === 0L, d6(v))).as("sb"),
+        sum(when(ia === 0L, d6(v) * d6(v))).as("qb"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .head()
+    require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
+      s"welchT: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    val (na, nb) = (r0.getLong(0), r0.getLong(3))
+    require(na >= 2 && nb >= 2,
+      s"welchT: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
+    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
+    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    // pinned double algebra — the only float ops in the statistic
+    val mA = sa.toDouble / na.toDouble
+    val mB = sb.toDouble / nb.toDouble
+    val varA = (qa.toDouble - sa.toDouble * sa.toDouble / na.toDouble) / (na - 1).toDouble
+    val varB = (qb.toDouble - sb.toDouble * sb.toDouble / nb.toDouble) / (nb - 1).toDouble
+    val seA = varA / na.toDouble
+    val seB = varB / nb.toDouble
+    val t = (mA - mB) / math.sqrt(seA + seB)
+    val dfW = (seA + seB) * (seA + seB) /
+      (seA * seA / (na - 1).toDouble + seB * seB / (nb - 1).toDouble)
+    val sPooled = math.sqrt(
+      ((na - 1).toDouble * varA + (nb - 1).toDouble * varB) / (na + nb - 2).toDouble)
+    val d = (mA - mB) / sPooled
+    Seq((na, nb, mA, mB, t, dfW, d))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
+  }
+
+  /** Benjamini–Hochberg FDR threshold over a column of p-values — the
+    * multiple-testing gate a metrics pipeline needs the moment it runs
+    * one test per slice (thousands of per-segment KS/t/χ² reads):
+    * sort the m p-values ascending, find the largest i with
+    * p₍ᵢ₎ ≤ q·i/m, reject everything at or below that p. The rank
+    * i of each distinct p is its cumulative count off the SAME bucketed
+    * prefix-sum CDF as [[exactQuantiles]] — no global sort, no
+    * single-task window; for a tie block the cumulative count IS the
+    * block's largest index, which is exactly the most lenient (and
+    * correct) BH candidate. ONE corpus scan (the persisted counts
+    * frame), the step-up test and the rejection count run on the
+    * |distinct|-sized CDF. One row out:
+    * `(m, q, threshold, n_rejected)` — threshold is the largest
+    * rejected p-value (NULL when nothing rejects), a raw data double.
+    * p-values outside [0, 1] fail LOUD (same-frame sentinel); NULLs
+    * excluded (observed-values policy).
+    */
+  def bhFdr(df: DataFrame, pCol: String, q: Double = 0.05,
+            buckets: Int = 32): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"bhFdr: q must be in (0, 1), got $q")
+    val session = df.sparkSession
+    import session.implicits._
+    val (cum, m, cached) = globalCum(df, pCol, buckets)
+    if (m == 0L) {
+      cached.unpersist()
+      return Seq.empty[(Long, Double, Option[Double], Long)]
+        .toDF("m", "q", "threshold", "n_rejected")
+    }
+    // domain sentinel on the cached |distinct|-sized frame (no extra
+    // corpus scan): a p-value outside [0,1] is a caller bug that would
+    // silently shift every rank below it
+    val bad = cached.filter(col("v") < 0.0 || col("v") > 1.0).count()
+    require(bad == 0L,
+      s"bhFdr: $bad distinct value(s) outside [0, 1] — '$pCol' is not a " +
+        "p-value column")
+    // the step-up test on the CDF: i = cum(p) (a tie block's largest
+    // index); reject-threshold = max p with p <= q*i/m
+    val row = cum
+      .filter(col("v") <= lit(q) * col("cum").cast("double") / lit(m.toDouble))
+      .agg(max(col("v")).as("thr"), max(col("cum")).as("nrej"))
+      .head()
+    cached.unpersist()
+    val (thr, nrej) =
+      if (row.isNullAt(0)) (None: Option[Double], 0L)
+      else (Some(row.getDouble(0)), row.getLong(1))
+    Seq((m, q, thr, nrej)).toDF("m", "q", "threshold", "n_rejected")
+  }
+
   /** Mutual information (and normalized MI) between two CATEGORICAL
     * columns — the feature-association / corpus-mix diagnostic (how
     * much does knowing the source tell you about the language?):

@@ -329,6 +329,34 @@ object StatsQ {
           round(col("ss_within"), 4).as("ss_within"),
           round(col("f"), 6).as("f"))),
 
+    "x_welch_t" -> ((s, dir) =>
+      // Welch two-sample t + Cohen's d: did the purchase/view value
+      // means move, and by how many pooled SDs (Stats.welchT) — exact
+      // decimal conditional moments in ONE hash pass, pinned double
+      // algebra on the driver; same input slice as x_mannwhitney so
+      // the parametric and nonparametric reads pair up
+      Stats.welchT(
+          t(s, dir, "events").filter(col("event_type").isin("view", "purchase")),
+          "value", col("event_type") === "view")
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("t"), 6).as("t"),
+          round(col("df"), 4).as("df"),
+          round(col("cohen_d"), 6).as("cohen_d"))),
+
+    "x_bh_fdr" -> ((s, dir) =>
+      // Benjamini-Hochberg FDR gate (Stats.bhFdr): the multiple-
+      // testing threshold over m per-document p-values — ranks off the
+      // bucketed prefix-sum CDF, no global sort/window. The synthetic
+      // p-values (cube of a deterministic uniform) concentrate near 0
+      // so the step-up test actually rejects a nontrivial prefix
+      Stats.bhFdr(
+        t(s, dir, "documents").select({
+          val u = (col("n_chars") % 997).cast("double") / 996.0
+          (u * u * u).as("p")
+        }), "p", q = 0.05)),
+
     "x_spearman" -> ((s, dir) =>
       // Spearman rank correlation of quantity vs extended price
       // (Stats.spearman): midranks off the bucketed prefix-sum CDF —
@@ -789,6 +817,61 @@ object StatsQ {
         |  ROUND(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
         |    AS pos_rate
         |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
+    "x_welch_t" ->
+      // the same exact-decimal conditional moments, then the Welch
+      // algebra in the same ratio shapes — identical doubles from
+      // identical decimal totals; round(6/4) pins the last ulp
+      """WITH pts AS (
+        |  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |    AND value IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+        |    SUM(CASE WHEN ia = 1 THEN v * v END) AS qa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN v END) AS sb,
+        |    SUM(CASE WHEN ia = 0 THEN v * v END) AS qb
+        |  FROM pts),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM m),
+        |se AS (SELECT na, nb, ma, mb, va, vb,
+        |  va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+        |  FROM alg)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+        |  ROUND((ma - mb) / sqrt(sea + seb), 6) AS t,
+        |  ROUND((sea + seb) * (sea + seb) /
+        |    (sea * sea / CAST(na - 1 AS DOUBLE)
+        |      + seb * seb / CAST(nb - 1 AS DOUBLE)), 4) AS df,
+        |  ROUND((ma - mb) / sqrt((CAST(na - 1 AS DOUBLE) * va
+        |      + CAST(nb - 1 AS DOUBLE) * vb)
+        |    / CAST(na + nb - 2 AS DOUBLE)), 6) AS cohen_d
+        |FROM se""".stripMargin,
+    "x_bh_fdr" ->
+      // independent implementation: ROW_NUMBER ranks (a tie block's
+      // largest index wins MAX(p), matching the engine's cumulative-
+      // count form), the step-up filter, rejected = count <= threshold
+      """WITH us AS (
+        |  SELECT CAST(n_chars % 997 AS DOUBLE) / 996.0 AS u
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |vals AS (SELECT u * u * u AS p FROM us),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM vals),
+        |ord AS (SELECT p, ROW_NUMBER() OVER (ORDER BY p) AS rn FROM vals),
+        |sel AS (SELECT MAX(p) AS thr FROM ord, mm
+        |  WHERE p <= 0.05 * CAST(rn AS DOUBLE) / CAST(m AS DOUBLE))
+        |SELECT mm.m AS m, CAST(0.05 AS DOUBLE) AS q, sel.thr AS threshold,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vals, sel
+        |     WHERE p <= sel.thr) AS n_rejected
+        |FROM mm, sel""".stripMargin,
     "x_anova" ->
       // the same exact-decimal group moments (DuckDB (18,6)·(18,6)
       // products are exact like Spark's), then the F algebra in the

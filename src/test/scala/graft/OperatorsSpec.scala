@@ -2449,6 +2449,62 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("welchT: hand-computed statistic, NULL-cond rows are sample B, guards") {
+    import graft.operators.Stats
+    // A = {1,2,3} (mean 2, var 1), B = {2,4,6,8} (mean 5, var 20/3)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val r = Stats.welchT(df, "v", col("g") === "a").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 5.0)
+    val (seA, seB) = (1.0 / 3.0, (20.0 / 3.0) / 4.0)
+    val tWant = (2.0 - 5.0) / math.sqrt(seA + seB)
+    val dfWant = (seA + seB) * (seA + seB) /
+      (seA * seA / 2.0 + seB * seB / 3.0)
+    val dWant = (2.0 - 5.0) / math.sqrt((2.0 * 1.0 + 3.0 * (20.0 / 3.0)) / 5.0)
+    assert(math.abs(r.getDouble(4) - tWant) < 1e-12)
+    assert(math.abs(r.getDouble(5) - dfWant) < 1e-12)
+    assert(math.abs(r.getDouble(6) - dWant) < 1e-12)
+    // a NULL condition row lands in sample B consistently (count AND moments)
+    val withNull = Seq((Some("a"), 1.0), (Some("a"), 2.0),
+      (None, 5.0), (Some("b"), 3.0)).toDF("g", "v")
+    val r2 = Stats.welchT(withNull, "v", col("g") === "a").head()
+    assert(r2.getLong(1) == 2L && r2.getDouble(3) == 4.0) // B = {5, 3}
+    // guards: a one-row sample has no variance; 7-dp values fail loud
+    intercept[IllegalArgumentException] {
+      Stats.welchT(Seq(("a", 1.0), ("b", 2.0), ("b", 3.0)).toDF("g", "v"),
+        "v", col("g") === "a").collect()
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Stats.welchT(Seq(("a", 0.1234567), ("a", 1.0), ("b", 2.0), ("b", 3.0))
+        .toDF("g", "v"), "v", col("g") === "a").collect()
+    }
+    assert(ex.getMessage.contains("6 decimal"))
+  }
+
+  test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {
+    import graft.operators.Stats
+    // m=5, q=0.25: cutoffs 0.05/0.10/0.15/0.20/0.25 — only i=1,2 pass
+    val ps = Seq(0.01, 0.02, 0.2, 0.5, 0.9).toDF("p")
+    val r = Stats.bhFdr(ps, "p", q = 0.25).head()
+    assert(r.getLong(0) == 5L && r.getDouble(2) == 0.02 && r.getLong(3) == 2L)
+    // tie block: its LARGEST index is the operative BH candidate
+    val tied = Seq(0.1, 0.1, 0.1, 0.9).toDF("p")
+    val rt = Stats.bhFdr(tied, "p", q = 0.4).head()
+    assert(rt.getDouble(2) == 0.1 && rt.getLong(3) == 3L)
+    // nothing rejects: NULL threshold, zero rejected
+    val none = Stats.bhFdr(Seq(0.8, 0.9).toDF("p"), "p", q = 0.05).head()
+    assert(none.isNullAt(2) && none.getLong(3) == 0L)
+    // guards: non-p-values fail loud; q domain checked
+    val ex = intercept[IllegalArgumentException] {
+      Stats.bhFdr(Seq(0.5, 1.5).toDF("p"), "p").collect()
+    }
+    assert(ex.getMessage.contains("p-value"))
+    intercept[IllegalArgumentException] {
+      Stats.bhFdr(Seq(0.5).toDF("p"), "p", q = 1.0)
+    }
+  }
+
   test("groupedExactQuantiles: per-group ranks, hot group bounded, fold guard") {
     import graft.operators.Stats
     // group A = 1..10, group B = [5,5,5] (tied), NULL group dropped
