@@ -778,6 +778,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x_sketch_quantiles: sketches merge map-side — one keyed shuffle, no window/sort-join") {
+    val p = plan("x_sketch_quantiles")
+    // the whole point of the mergeable sketch: a partial
+    // ObjectHashAggregate BELOW the exchange and a final one above, so
+    // the shuffle carries O(k log n) sketch buffers per (group,
+    // partition) — never the values. A plan that lost the partial
+    // stage would shuffle the corpus to the reducers and silently
+    // reintroduce the buffer-everything percentile shape.
+    val objAggs = p.linesIterator.count(_.trim.matches("""\(\d+\) ObjectHashAggregate"""))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    // exchanges: the keyed agg shuffle + the output ORDER BY range
+    // exchange only — no join, no window, nothing corpus-wide
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"expected <= 2 exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("(\\d+) Window"), p)
+  }
+
   test("no unpartitioned window over an unbounded input anywhere in SparkEntry.queries") {
     // the round-10 scale audit: a Window with an EMPTY partitionSpec
     // serializes its entire input through ONE task — acceptable only
