@@ -5,7 +5,8 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -219,6 +220,144 @@ case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
     copy(child = newChild)
 }
 
+/** Sketch-STATE aggregate: same buffer as [[KllQuantiles]], but eval
+  * returns the serialized sketch (`binary`) instead of quantile values
+  * — the persistable shard/day artifact of the roll-up pattern
+  * ([[graft.operators.Hll]]'s register tables for distinct counts):
+  * write one sketch row per (group, shard/day), then fold any horizon
+  * with [[KllMerge]] without rescanning history. */
+case class KllSketchAgg(child: Expression, k: Int,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= (1 << 16),
+    s"graft_kll_sketch: k must be in [8, 65536], got $k")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_sketch"
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+  override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = b1.merge(b2)
+  override def eval(buf: KllBuffer): Any = KllBuffer.toBytes(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Fold a column of serialized sketches into one — the roll-up
+  * aggregate (daily sketch rows → any horizon, history never
+  * rescanned). Wire k rides in each sketch's bytes; mixing k values
+  * fails loud (a silent merge would quietly degrade every percentile
+  * to the coarser sketch's error). */
+case class KllMerge(child: Expression,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with UnaryLike[Expression] {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_merge"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_merge needs a binary sketch column, got ${other.catalogString}")
+    }
+
+  /** empty sentinel: k resolves from the first sketch absorbed. */
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(0)
+
+  private def absorb(acc: KllBuffer, other: KllBuffer): KllBuffer = {
+    if (other.k == 0) return acc // other side never saw a sketch
+    if (acc.k == 0) return other
+    require(acc.k == other.k,
+      s"graft_kll_merge: mixed sketch widths k=${acc.k} vs k=${other.k} — " +
+        "merging different-precision sketches silently degrades accuracy; " +
+        "rebuild at one k")
+    acc.merge(other)
+  }
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else absorb(buf, KllBuffer.fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+  override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = absorb(b1, b2)
+  override def eval(buf: KllBuffer): Any = {
+    require(buf.k > 0, "graft_kll_merge: no sketches to merge (empty input)")
+    KllBuffer.toBytes(buf)
+  }
+  override def serialize(buf: KllBuffer): Array[Byte] =
+    if (buf.k == 0) Array.emptyByteArray else KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer =
+    if (bytes.isEmpty) new KllBuffer(0) else KllBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KllMerge =
+    copy(child = newChild)
+}
+
+/** Scalar extraction: quantiles of a serialized sketch — native
+  * codegen (one static call), so reading a sketch table costs no UDF
+  * penalty. Returns `array<double>` (one per `ps`). */
+case class KllValues(child: Expression, ps: Seq[Double])
+  extends UnaryExpression {
+
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+    s"graft_kll_values: quantiles must be in (0, 1], got $ps")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_kll_values"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_values needs a binary sketch column, got ${other.catalogString}")
+    }
+
+  @transient private lazy val psArr: Array[Double] = ps.toArray
+
+  protected override def nullSafeEval(input: Any): Any =
+    KllValues.compute(input.asInstanceOf[Array[Byte]], psArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kllPs", psArr, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.KllValues.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KllValues =
+    copy(child = newChild)
+}
+
+object KllValues {
+  def compute(bytes: Array[Byte], ps: Array[Double]): GenericArrayData =
+    new GenericArrayData(
+      KllBuffer.fromBytes(bytes).quantiles(ps.toIndexedSeq))
+}
+
 object KllQuantiles {
 
   private val FnName = "graft_kll_quantiles"
@@ -254,5 +393,53 @@ object KllQuantiles {
       org.apache.spark.sql.functions.array(
         ps.map(org.apache.spark.sql.functions.lit): _*),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  // ---- the roll-up trio: build sketch STATE, merge it, read it ------
+
+  private val SketchFn = "graft_kll_sketch"
+  private val MergeFn = "graft_kll_merge"
+  private val ValuesFn = "graft_kll_values"
+
+  def registerRollup(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SketchFn, { exprs =>
+        require(exprs.length == 2,
+          s"$SketchFn(value, k): expected 2 args, got ${exprs.length}")
+        KllSketchAgg(exprs.head, LitArgs.litInt(exprs(1), "k"))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MergeFn, { exprs =>
+        require(exprs.length == 1,
+          s"$MergeFn(sketch): expected 1 arg, got ${exprs.length}")
+        KllMerge(exprs.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ValuesFn, { exprs =>
+        require(exprs.length == 2,
+          s"$ValuesFn(sketch, array(ps...)): expected 2 args, got ${exprs.length}")
+        KllValues(exprs.head, litDoubles(exprs(1), "ps"))
+      }, "built-in")
+  }
+
+  /** Aggregate to a persistable serialized sketch (`binary`). */
+  def kllSketch(spark: SparkSession, value: Column, k: Int): Column = {
+    registerRollup(spark)
+    org.apache.spark.sql.functions.call_function(SketchFn,
+      value.cast("double"), org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Fold a column of serialized sketches into one (`binary`). */
+  def kllMerge(spark: SparkSession, sketch: Column): Column = {
+    registerRollup(spark)
+    org.apache.spark.sql.functions.call_function(MergeFn, sketch)
+  }
+
+  /** Quantiles of a serialized sketch (`array<double>`). */
+  def kllValues(spark: SparkSession, sketch: Column, ps: Seq[Double]): Column = {
+    registerRollup(spark)
+    org.apache.spark.sql.functions.call_function(ValuesFn, sketch,
+      org.apache.spark.sql.functions.array(
+        ps.map(org.apache.spark.sql.functions.lit): _*))
   }
 }

@@ -281,6 +281,33 @@ object StatsQ {
           ps = Seq(0.5, 0.9), k = 65536)
         .orderBy("o_orderpriority", "p")),
 
+    "x_sketch_merge" -> ((s, dir) => {
+      // the sketch ROLL-UP contract (x_hll_merge's pattern for
+      // quantiles): per-(priority, shard) serialized sketch rows — the
+      // persistable daily artifact — folded with graft_kll_merge, read
+      // with graft_kll_values; the oracle replays the SINGLE-PASS
+      // exact quantiles over all shards, so the hash match PROVES the
+      // merge is lossless end-to-end (exact no-compaction regime:
+      // k = 65536 exceeds every merged group's size at the driver SFs)
+      val ps = Seq(0.5, 0.9)
+      val o = t(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+      val shards = o
+        .groupBy(col("o_orderpriority"), (col("o_orderkey") % 2).as("__shard"))
+        .agg(graft.functions.KllQuantiles
+            .kllSketch(s, col("o_totalprice"), 65536).as("__sk"),
+          count(lit(1)).as("__n"))
+      shards.groupBy(col("o_orderpriority"))
+        .agg(graft.functions.KllQuantiles.kllMerge(s, col("__sk")).as("__m"),
+          sum(col("__n")).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          posexplode(graft.functions.KllQuantiles.kllValues(s, col("__m"), ps))
+            .as(Seq("__i", "value")))
+        .withColumn("p",
+          element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
+        .select(col("o_orderpriority"), col("p"), col("n"), col("value"))
+        .orderBy("o_orderpriority", "p")
+    }),
+
     "x_weighted_quantiles" -> ((s, dir) =>
       // multiplicity-WEIGHTED interpolated quantiles
       // (Stats.groupedInterpolatedQuantilesWeighted — the seam
@@ -743,6 +770,23 @@ object StatsQ {
       // the exact-regime contract: with k above every group size the
       // sketch returns the k = ceil(p·n_g) order statistic exactly —
       // the same ROW_NUMBER probe as x_grouped_quantiles, on orders
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.9]) AS p),
+        |ks AS (SELECT n.g, p.p, n.n,
+        |  GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS k
+        |  FROM n CROSS JOIN ps p),
+        |ord AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals)
+        |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
+        |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
+        |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_sketch_merge" ->
+      // the single-pass exact replay over ALL shards: if the merge
+      // lost or duplicated anything, the ranks shift and the hash breaks
       """WITH vals AS (
         |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
         |  FROM orders

@@ -90,6 +90,52 @@ class QuantileSketchSpec extends AnyFunSuite {
       f"worst rank error $worst%.5f exceeds eps=${2.0 / k}%.5f at k=$k")
   }
 
+  test("roll-up trio: sketch state persists, merge is lossless/loud, values read back") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // exact regime: two shard sketches of disjoint halves merge into
+    // exactly the single-pass result
+    val rows = (1 to 2000).map(i => (i % 2, i.toDouble)).toDF("shard", "v")
+    val shards = rows.groupBy(col("shard"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"), 4096).as("sk"),
+        count(lit(1)).as("n"))
+    val merged = shards.agg(KllQuantiles.kllMerge(spark, col("sk")).as("m"))
+      .select(KllQuantiles.kllValues(spark, col("m"), Seq(0.25, 0.5, 1.0)).as("qs"))
+      .head().getSeq[Double](0)
+    assert(merged == Seq(500.0, 1000.0, 2000.0), merged.toString)
+    // compacted sketches still merge within the rank-error contract:
+    // k=64 forces compaction on both sides; p50 of 1..20000 ≈ 10000
+    val big = (1 to 20000).map(i => (i % 2, i.toDouble)).toDF("shard", "v")
+    val mBig = big.groupBy(col("shard"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"), 64).as("sk"))
+      .agg(KllQuantiles.kllMerge(spark, col("sk")).as("m"))
+      .select(KllQuantiles.kllValues(spark, col("m"), Seq(0.5)).as("qs"))
+      .head().getSeq[Double](0).head
+    assert(math.abs(mBig - 10000.0) <= 20000.0 * (4.0 / 64.0),
+      s"merged p50 $mBig drifted past the doubled rank-error band")
+    // mixed sketch widths fail LOUD (silent precision loss otherwise)
+    val mixed = rows.limit(100)
+      .groupBy(col("shard"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"),
+        // width depends on the shard: 64 vs 128
+        64).as("sk"))
+      .union(rows.limit(100).groupBy(col("shard"))
+        .agg(KllQuantiles.kllSketch(spark, col("v"), 128).as("sk")))
+    val ex = intercept[Exception] {
+      mixed.agg(KllQuantiles.kllMerge(spark, col("sk"))).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("mixed sketch widths"), msg)
+    // empty merge input fails loud, not a garbage sketch
+    val exEmpty = intercept[Exception] {
+      shards.filter(lit(false))
+        .agg(KllQuantiles.kllMerge(spark, col("sk"))).collect()
+    }
+    val msgE = Option(exEmpty.getMessage).getOrElse("") +
+      Option(exEmpty.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msgE.contains("no sketches"), msgE)
+  }
+
   test("SQL registration: graft_kll_quantiles over groups, literal guards") {
     KllQuantiles.register(spark)
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
