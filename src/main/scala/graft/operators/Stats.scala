@@ -1092,6 +1092,60 @@ object Stats {
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
   }
 
+  /** Two-proportion z-test — did a RATE move between the rows where
+    * `sampleACond` holds and the rest (conversion share per variant,
+    * success rate per cohort)? z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))
+    * with p̂ the pooled share; the categorical sibling of [[welchT]]
+    * (means of a 0/1 indicator ARE proportions, but the pooled-variance
+    * null is the textbook form for rates).
+    *
+    * Scale shape: the whole statistic is FOUR integer counts from ONE
+    * partial-agged pass (successes/trials per sample — exact longs, no
+    * decimal machinery needed), then pinned double algebra on the
+    * driver. A NULL success indicator excludes the row (observed-values
+    * policy); a NULL condition row counts as sample B (the
+    * [[welchT]]/pairCounts convention). One row out:
+    * `(n_a, n_b, rate_a, rate_b, z)` — raw doubles, callers round.
+    * Both samples need ≥1 trial and the pooled rate must not be 0 or 1
+    * (zero null variance), fail loud.
+    */
+  def propZTest(df: DataFrame, successCol: String,
+                sampleACond: org.apache.spark.sql.Column): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val s = col(successCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    // the indicator must be 0/1: anything else silently biases the
+    // rate, so the domain sentinel rides the same pass
+    val r0 = df.filter(s.isNotNull)
+      .agg(
+        sum(ia).as("na"),
+        sum(when(ia === 1L, s.cast("long")).otherwise(0L)).as("ka"),
+        sum(lit(1L) - ia).as("nb"),
+        sum(when(ia === 0L, s.cast("long")).otherwise(0L)).as("kb"),
+        sum(when(s.cast("long") =!= 0L && s.cast("long") =!= 1L, 1L)
+          .otherwise(0L)).as("bad"))
+      .head()
+    require(!r0.isNullAt(0),
+      "propZTest: no non-NULL success indicators")
+    require(r0.getLong(4) == 0L,
+      s"propZTest: ${r0.getLong(4)} value(s) in '$successCol' are not 0/1 — " +
+        "a non-indicator column would silently bias the rates")
+    val (na, ka, nb, kb) =
+      (r0.getLong(0), r0.getLong(1), r0.getLong(2), r0.getLong(3))
+    require(na >= 1 && nb >= 1,
+      s"propZTest: both samples need >= 1 trial (n_a=$na, n_b=$nb)")
+    val pA = ka.toDouble / na.toDouble
+    val pB = kb.toDouble / nb.toDouble
+    val pPool = (ka + kb).toDouble / (na + nb).toDouble
+    require(pPool > 0.0 && pPool < 1.0,
+      s"propZTest: pooled rate $pPool has zero variance under the null " +
+        "(all successes or all failures) — z is undefined")
+    val z = (pA - pB) /
+      math.sqrt(pPool * (1.0 - pPool) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+    Seq((na, nb, pA, pB, z)).toDF("n_a", "n_b", "rate_a", "rate_b", "z")
+  }
+
   /** Benjamini–Hochberg FDR threshold over a column of p-values — the
     * multiple-testing gate a metrics pipeline needs the moment it runs
     * one test per slice (thousands of per-segment KS/t/χ² reads):

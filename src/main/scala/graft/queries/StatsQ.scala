@@ -384,6 +384,21 @@ object StatsQ {
           (u * u * u).as("p")
         }), "p", q = 0.05)),
 
+    "x_prop_ztest" -> ((s, dir) =>
+      // two-proportion z-test (Stats.propZTest): did the purchase RATE
+      // move between even- and odd-id users — four exact integer
+      // counts from ONE pass, pooled-variance null, pinned algebra
+      Stats.propZTest(
+          t(s, dir, "events")
+            .filter(col("event_type").isin("view", "purchase"))
+            .withColumn("is_purchase",
+              (col("event_type") === "purchase").cast("long")),
+          "is_purchase", col("user_id") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          round(col("rate_a"), 6).as("rate_a"),
+          round(col("rate_b"), 6).as("rate_b"),
+          round(col("z"), 6).as("z"))),
+
     "x_spearman" -> ((s, dir) =>
       // Spearman rank correlation of quantity vs extended price
       // (Stats.spearman): midranks off the bucketed prefix-sum CDF —
@@ -916,6 +931,30 @@ object StatsQ {
         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM vals, sel
         |     WHERE p <= sel.thr) AS n_rejected
         |FROM mm, sel""".stripMargin,
+    "x_prop_ztest" ->
+      // four exact integer counts + the same pooled-variance ratio
+      // shapes — identical doubles from identical longs
+      """WITH pts AS (
+        |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS sx,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN ia = 1 THEN sx ELSE 0 END) AS BIGINT) AS ka,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN ia = 0 THEN sx ELSE 0 END) AS BIGINT) AS kb
+        |  FROM pts),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(ka AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+        |    CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+        |    CAST(ka + kb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+        |  FROM m)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(pa, 6) AS rate_a, ROUND(pb, 6) AS rate_b,
+        |  ROUND((pa - pb) / sqrt(pp * (1 - pp)
+        |    * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))), 6) AS z
+        |FROM alg""".stripMargin,
     "x_anova" ->
       // the same exact-decimal group moments (DuckDB (18,6)·(18,6)
       // products are exact like Spark's), then the F algebra in the

@@ -2482,6 +2482,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("6 decimal"))
   }
 
+  test("propZTest: hand rates, domain sentinel, degenerate-pool guards") {
+    import graft.operators.Stats
+    // A: 3/4 success; B: 1/4 — z from the textbook pooled form
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L), ("a", 0L),
+      ("b", 1L), ("b", 0L), ("b", 0L), ("b", 0L)).toDF("g", "s")
+    val r = Stats.propZTest(df, "s", col("g") === "a").head()
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 0.75 && r.getDouble(3) == 0.25)
+    val zWant = (0.75 - 0.25) / math.sqrt(0.5 * 0.5 * (0.25 + 0.25))
+    assert(math.abs(r.getDouble(4) - zWant) < 1e-12)
+    // non-0/1 indicator fails loud
+    val ex = intercept[IllegalArgumentException] {
+      Stats.propZTest(Seq(("a", 2L), ("b", 0L)).toDF("g", "s"),
+        "s", col("g") === "a").collect()
+    }
+    assert(ex.getMessage.contains("not 0/1"))
+    // all-success pool: zero null variance — loud, not NaN
+    intercept[IllegalArgumentException] {
+      Stats.propZTest(Seq(("a", 1L), ("b", 1L)).toDF("g", "s"),
+        "s", col("g") === "a").collect()
+    }
+  }
+
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {
     import graft.operators.Stats
     // m=5, q=0.25: cutoffs 0.05/0.10/0.15/0.20/0.25 — only i=1,2 pass
