@@ -1,6 +1,14 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "abmetadatapusherspark"
+// The driver tail-parses `runMain graft.Bench` stdout for the bench
+// JSON line; sbt's own `[success] Total time: …` epilogue prints AFTER
+// program stdout and breaks that parse — suppress it globally.
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by settings/tasks —
+// exclude it from the unused-key lint so the warning doesn't precede
+// every batch invocation's stdout.
+Global / excludeLintKeys += showSuccess
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

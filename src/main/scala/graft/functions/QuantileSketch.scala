@@ -45,6 +45,33 @@ private[graft] final class KllBuffer(val k: Int) {
     if (levels(0).length >= k) compact(0)
   }
 
+  /** Weighted insert: a weight-`w` item is the binary decomposition of
+    * `w` across the ladder — one copy of `v` at every level `i` whose
+    * bit is set in `w` (level `i` items carry weight `2^i`), so the
+    * insert itself is EXACT (total inserted weight is exactly `w` and
+    * no rank moves); only compactions perturb ranks, the same ±2^i per
+    * compaction as the unweighted path, giving the same ≈1/k rank
+    * error measured in WEIGHT. Cost: popcount(w) ≤ 64 appends, no
+    * expansion of the multiset. */
+  def addWeighted(v: Double, w: Long): Unit = {
+    require(w > 0L, s"KllBuffer.addWeighted: weight must be positive, got $w")
+    count += w
+    var rem = w
+    var i = 0
+    while (rem != 0L) {
+      if ((rem & 1L) == 1L) {
+        while (i >= levels.length) {
+          levels += new ArrayBuffer[Double](16)
+          parities += false
+        }
+        levels(i) += v
+        if (levels(i).length >= k) compact(i)
+      }
+      rem >>>= 1
+      i += 1
+    }
+  }
+
   /** Sort level `i`, push every other element (starting at the level's
     * parity) one level up at doubled weight, clear level `i`. An odd
     * element count leaves the LAST (largest) element behind — a
@@ -95,6 +122,10 @@ private[graft] final class KllBuffer(val k: Int) {
   def quantiles(ps: Seq[Double]): Array[Double] = {
     var m = 0
     levels.foreach(m += _.length)
+    if (m == 0)
+      throw new IllegalArgumentException(
+        "KLL sketch is empty (no values) — quantiles are undefined; " +
+          "readers should treat an empty sketch as NULL")
     val vs = new Array[Double](m)
     val ws = new Array[Long](m)
     var o = 0
@@ -192,6 +223,19 @@ case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
   override def nullable: Boolean = true
   override def prettyName: String = "graft_kll_quantiles"
 
+  // analysis-time type error for the SQL surface (the Scala column API
+  // casts to double; a raw SQL int column would otherwise CCE in
+  // executors) — the CellBucket/QuantStats convention in this package
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_quantiles needs a double value column, got " +
+            s"${other.catalogString} — cast(value as double)")
+    }
+
   override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
 
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
@@ -220,6 +264,83 @@ case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
     copy(child = newChild)
 }
 
+/** WEIGHTED per-group quantile sketch — the beyond-`maxFoldRows` scale
+  * path of the PRE-COUNTED quantile family
+  * ([[graft.operators.Stats.groupedInterpolatedQuantilesWeighted]] and
+  * its dependents winsorizedStats / madOutliers / grouped Gini): rows
+  * are `(value, weight)` where weight is the positive integer
+  * multiplicity of that value in the underlying distribution. Each row
+  * costs popcount(weight) ≤ 64 buffer appends ([[KllBuffer.addWeighted]]
+  * — the insert is exact, only compactions add the usual ≈1/k rank
+  * error in WEIGHT), so a billion-weight row never expands. Quantile
+  * semantics are the exact-rank form over the EXPANDED multiset (value
+  * at the smallest cumulative weight ≥ ⌈p·W⌉). NULL value or NULL
+  * weight excludes the row (observed-values policy); a NEGATIVE weight
+  * fails loud (silently dropping or absorbing it would bias every
+  * percentile); weight 0 is a no-op row. */
+case class KllQuantilesWeighted(value: Expression, weight: Expression,
+                                ps: Seq[Double], k: Int,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 8 && k <= (1 << 16),
+    s"graft_kll_quantiles_w: k must be in [8, 65536], got $k")
+  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+    s"graft_kll_quantiles_w: quantiles must be in (0, 1], got $ps")
+
+  override def left: Expression = value
+  override def right: Expression = weight
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_kll_quantiles_w"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (value.dataType, weight.dataType) match {
+      case (DoubleType, org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (v, w) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_quantiles_w needs (double value, bigint weight), got " +
+            s"(${v.catalogString}, ${w.catalogString}) — cast explicitly")
+    }
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = value.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0L,
+        s"graft_kll_quantiles_w: negative weight $wl — a negative " +
+          "multiplicity has no quantile meaning and silently skipping it " +
+          "would bias every percentile")
+      if (wl > 0L) buf.addWeighted(v.asInstanceOf[Double], wl)
+    }
+    buf
+  }
+
+  override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = b1.merge(b2)
+
+  override def eval(buf: KllBuffer): Any =
+    if (buf.count == 0L) null
+    else new GenericArrayData(buf.quantiles(ps))
+
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantilesWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantilesWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantilesWeighted =
+    copy(value = newLeft, weight = newRight)
+}
+
 /** Sketch-STATE aggregate: same buffer as [[KllQuantiles]], but eval
   * returns the serialized sketch (`binary`) instead of quantile values
   * — the persistable shard/day artifact of the roll-up pattern
@@ -238,6 +359,16 @@ case class KllSketchAgg(child: Expression, k: Int,
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullable: Boolean = false
   override def prettyName: String = "graft_kll_sketch"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_sketch needs a double value column, got " +
+            s"${other.catalogString} — cast(value as double)")
+    }
 
   override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
   override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
@@ -318,7 +449,10 @@ case class KllMerge(child: Expression,
 
 /** Scalar extraction: quantiles of a serialized sketch — native
   * codegen (one static call), so reading a sketch table costs no UDF
-  * penalty. Returns `array<double>` (one per `ps`). */
+  * penalty. Returns `array<double>` (one per `ps`); NULL for an EMPTY
+  * sketch (a group whose values were all NULL still serializes a
+  * count=0 buffer — quantiles of nothing are undefined, and NULL is
+  * the SQL-honest answer, not an index error). */
 case class KllValues(child: Expression, ps: Seq[Double])
   extends UnaryExpression {
 
@@ -339,13 +473,17 @@ case class KllValues(child: Expression, ps: Seq[Double])
 
   @transient private lazy val psArr: Array[Double] = ps.toArray
 
+  override def nullable: Boolean = true
+
   protected override def nullSafeEval(input: Any): Any =
     KllValues.compute(input.asInstanceOf[Array[Byte]], psArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllPs", psArr, "double[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.KllValues.compute($c, $ref)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.KllValues.compute($c, $ref);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
   }
 
   override protected def withNewChildInternal(newChild: Expression): KllValues =
@@ -353,9 +491,12 @@ case class KllValues(child: Expression, ps: Seq[Double])
 }
 
 object KllValues {
-  def compute(bytes: Array[Byte], ps: Array[Double]): GenericArrayData =
-    new GenericArrayData(
-      KllBuffer.fromBytes(bytes).quantiles(ps.toIndexedSeq))
+  /** null for an empty sketch (all-NULL group) — see class doc. */
+  def compute(bytes: Array[Byte], ps: Array[Double]): GenericArrayData = {
+    val buf = KllBuffer.fromBytes(bytes)
+    if (buf.count == 0L) null
+    else new GenericArrayData(buf.quantiles(ps.toIndexedSeq))
+  }
 }
 
 object KllQuantiles {
@@ -390,6 +531,32 @@ object KllQuantiles {
     register(spark)
     org.apache.spark.sql.functions.call_function(FnName,
       value.cast("double"),
+      org.apache.spark.sql.functions.array(
+        ps.map(org.apache.spark.sql.functions.lit): _*),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  private val WeightedFn = "graft_kll_quantiles_w"
+
+  /** SQL surface: `graft_kll_quantiles_w(v, w, array(0.5, 0.9), 256)`
+    * — weighted (pre-counted) quantile sketch. */
+  def registerWeighted(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WeightedFn, { exprs =>
+        require(exprs.length == 4,
+          s"$WeightedFn(value, weight, array(ps...), k): expected 4 args, " +
+            s"got ${exprs.length}")
+        KllQuantilesWeighted(exprs.head, exprs(1),
+          litDoubles(exprs(2), "ps"), LitArgs.litInt(exprs(3), "k"))
+      }, "built-in")
+
+  /** Column form: `array<double>` of the `ps` quantiles of the
+    * expanded multiset (`value` with integer multiplicity `weight`). */
+  def kllQuantilesWeighted(spark: SparkSession, value: Column,
+                           weight: Column, ps: Seq[Double], k: Int): Column = {
+    registerWeighted(spark)
+    org.apache.spark.sql.functions.call_function(WeightedFn,
+      value.cast("double"), weight.cast("long"),
       org.apache.spark.sql.functions.array(
         ps.map(org.apache.spark.sql.functions.lit): _*),
       org.apache.spark.sql.functions.lit(k))

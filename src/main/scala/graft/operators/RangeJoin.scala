@@ -32,18 +32,23 @@ object RangeJoin {
     * executor with an opaque OOM long before Spark's own ~2³¹ array
     * limit errors. The guard runs inside the same codegen'd projection
     * (a `when` around the `sequence`, zero extra jobs) and fails LOUD
-    * with the span-vs-width diagnosis instead. */
+    * with the span-vs-width diagnosis instead. The over-cap test is the
+    * WHEN branch (not the otherwise) so a NULL bound falls through to a
+    * NULL `sequence` and the row simply drops — consistent with join
+    * semantics (a NULL-bounded interval can never match), and matching
+    * the unguarded `explode(sequence(null, …))` behavior; the inverted
+    * form would `raise_error` a NULL message on such rows. */
   private def guardedTiles(lo: Column, hi: Column, width: Double,
                            maxTiles: Long, op: String): Column = {
     def chunk(c: Column): Column = floor(c / width).cast("long")
     val n = chunk(hi) - chunk(lo) + lit(1L)
-    explode(when(n <= maxTiles, sequence(chunk(lo), chunk(hi)))
-      .otherwise(raise_error(concat(
+    explode(when(n > maxTiles, raise_error(concat(
         lit(s"$op: interval ["), lo.cast("string"), lit(", "),
         hi.cast("string"), lit(s") spans "), n.cast("string"),
         lit(s" tiles at tileWidth=$width, over maxTilesPerRow=$maxTiles" +
           " — pick a tileWidth near the typical interval span, or raise" +
-          " maxTilesPerRow if the replication is intended")))))
+          " maxTilesPerRow if the replication is intended"))))
+      .otherwise(sequence(chunk(lo), chunk(hi))))
   }
 
   /** Interval × interval OVERLAP join — "which left intervals

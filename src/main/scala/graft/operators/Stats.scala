@@ -438,8 +438,11 @@ object Stats {
       s"$caller: ${hist.length} (group, cell) totals exceed " +
         s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
         "driver fold; raise maxFoldRows deliberately, pre-aggregate the " +
-        "key, or switch to groupedQuantilesSketch (the mergeable-sketch " +
-        "scale path: no driver fold at any group count, ~1/k rank error)")
+        "key, or switch to the mergeable-sketch scale path — " +
+        "groupedQuantilesSketch (raw rows) / groupedQuantilesSketchWeighted " +
+        "(pre-counted weighted frames: the winsorizedStats/madOutliers/" +
+        "grouped-Gini shape) — no driver fold at any group count, " +
+        "~1/k rank error")
     val rows = hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val marginal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
       .toArray.sortBy(_._1)
@@ -628,6 +631,51 @@ object Stats {
       .select(col(groupCol), col("n"),
         posexplode(col("__qs")).as(Seq("__i", "value")))
       // p from the literal ps by position — no float re-derivation
+      .withColumn("p",
+        element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
+      .select(col(groupCol), col("p"), col("n"), col("value"))
+  }
+
+  /** WEIGHTED [[groupedQuantilesSketch]] — the beyond-`maxFoldRows`
+    * scale path of the PRE-COUNTED quantile family: where
+    * [[groupedInterpolatedQuantilesWeighted]] (and its dependents
+    * winsorizedStats / [[Profiling.madOutliers]] / grouped Gini) folds
+    * per-(group, cell) totals on the driver under a loud guard, this is
+    * ONE partial-aggregated hash-agg shuffle whose per-group state is an
+    * O(k·log W) [[graft.functions.KllBuffer]] — a weight-w row costs
+    * popcount(w) ≤ 64 buffer appends
+    * ([[graft.functions.KllBuffer.addWeighted]]), never an expansion,
+    * so billion-weight rows are fine at any group count.
+    *
+    * Approximate: rank error ≈ 1/k measured in WEIGHT
+    * (QuantileSketchSpec measures it against the expanded multiset's
+    * exact ranks on the sf-series data); quantile semantics are the
+    * exact-rank form over the expanded multiset (value at the smallest
+    * cumulative weight ≥ ⌈p·W⌉) — matching [[groupedExactQuantiles]] on
+    * the expansion, not the interpolated lerp, so keep
+    * [[groupedInterpolatedQuantilesWeighted]] for oracle surfaces and
+    * use this when its fold guard trips. NULL values/groups/weights
+    * excluded; negative weights fail loud inside the aggregate. Returns
+    * `(groupCol, p, n, value)` with n = Σ weight (the expanded count).
+    */
+  def groupedQuantilesSketchWeighted(weighted: DataFrame, groupCol: String,
+                                     valueCol: String, weightCol: String,
+                                     ps: Seq[Double], k: Int = 256): DataFrame = {
+    require(ps.nonEmpty,
+      "groupedQuantilesSketchWeighted: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"groupedQuantilesSketchWeighted: quantiles must be in (0, 1], got $ps")
+    val session = weighted.sparkSession
+    val w = col(weightCol).cast("long")
+    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+      session, col(valueCol), w, ps, k)
+    weighted
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull &&
+        w.isNotNull)
+      .groupBy(col(groupCol).cast("string").as(groupCol))
+      .agg(sum(w).as("n"), sketch.as("__qs"))
+      .select(col(groupCol), col("n"),
+        posexplode(col("__qs")).as(Seq("__i", "value")))
       .withColumn("p",
         element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
       .select(col(groupCol), col("p"), col("n"), col("value"))
@@ -1123,7 +1171,9 @@ object Stats {
         sum(when(ia === 1L, s.cast("long")).otherwise(0L)).as("ka"),
         sum(lit(1L) - ia).as("nb"),
         sum(when(ia === 0L, s.cast("long")).otherwise(0L)).as("kb"),
-        sum(when(s.cast("long") =!= 0L && s.cast("long") =!= 1L, 1L)
+        // sentinel runs on the ORIGINAL numeric value: a long cast
+        // would truncate 0.7 to 0 and silently count it as a failure
+        sum(when(s.cast("double") =!= 0.0 && s.cast("double") =!= 1.0, 1L)
           .otherwise(0L)).as("bad"))
       .head()
     require(!r0.isNullAt(0),

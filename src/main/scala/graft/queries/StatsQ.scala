@@ -17,6 +17,20 @@ object StatsQ {
   private type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, dir: String, n: String) = Tables.load(s, dir, n)
 
+  /** Pid-scoped scratch dir under java.io.tmpdir (the TextDocs
+    * round-trip convention): shutdown hook registered once per path,
+    * however many times the query lambda re-runs. */
+  private val scratchHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def scratchDir(prefix: String, dir: String): java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${prefix}_${Integer.toHexString(dir.hashCode)}_p${ProcessHandle.current().pid()}")
+    if (scratchHooked.add(f.getAbsolutePath))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(f): Unit))
+    f
+  }
+
   val defs: Map[String, Q] = Map(
     "x_ols" -> ((s, dir) =>
       // per-returnflag OLS of extended price on quantity: Spark's
@@ -301,6 +315,62 @@ object StatsQ {
           sum(col("__n")).as("n"))
         .select(col("o_orderpriority"), col("n"),
           posexplode(graft.functions.KllQuantiles.kllValues(s, col("__m"), ps))
+            .as(Seq("__i", "value")))
+        .withColumn("p",
+          element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
+        .select(col("o_orderpriority"), col("p"), col("n"), col("value"))
+        .orderBy("o_orderpriority", "p")
+    }),
+
+    "x_sketch_weighted" -> ((s, dir) =>
+      // WEIGHTED mergeable KLL sketch (Stats.groupedQuantilesSketchWeighted
+      // — the beyond-maxFoldRows scale path of the pre-counted quantile
+      // family: one hash-agg shuffle, popcount(w) appends per row, no
+      // multiset expansion, no driver fold). ORACLED IN ITS EXACT
+      // REGIME: weights are o_orderkey % 7 + 1 (≤ 3 set bits), so each
+      // ladder level receives at most |group| items — far under
+      // k = 65536 at the driver SFs, no compactor ever fires, and the
+      // sketch quantile IS the exact ⌈p·W⌉-th order statistic of the
+      // EXPANDED multiset, which the oracle replays via range(w)
+      Stats.groupedQuantilesSketchWeighted(
+          t(s, dir, "orders")
+            .withColumn("w", col("o_orderkey") % 7 + lit(1)),
+          "o_orderpriority", "o_totalprice", "w",
+          ps = Seq(0.5, 0.9), k = 65536)
+        .orderBy("o_orderpriority", "p")),
+
+    "x_sketch_rollup" -> ((s, dir) => {
+      // the PERSISTED day-partitioned sketch roll-up — x_sketch_merge's
+      // pattern taken through an actual parquet round trip: one
+      // KllSketchAgg row per (priority, month) written to a
+      // month-partitioned table (the daily-artifact shape; month keeps
+      // the driver-SF file counts sane — the mechanics are identical),
+      // then an arbitrary horizon (calendar 1995) folded with
+      // graft_kll_merge + read with graft_kll_values. Partition pruning
+      // on the horizon filter is PlanSpec-locked: the merge job reads
+      // ONLY the 12 selected month partitions — history is never
+      // rescanned. Exact no-compaction regime (k = 65536 exceeds every
+      // merged group's size at the driver SFs), so the single-pass
+      // exact oracle hash-matches.
+      val ps = Seq(0.5, 0.9)
+      val store = scratchDir("sketch_rollup", dir)
+      t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
+          col("o_orderpriority").isNotNull)
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+        .agg(graft.functions.KllQuantiles
+            .kllSketch(s, col("o_totalprice"), 65536).as("sk"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").partitionBy("mon")
+        .parquet(store.getAbsolutePath)
+      s.read.parquet(store.getAbsolutePath)
+        .filter(col("mon") >= "1995-01" && col("mon") <= "1995-12")
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.KllQuantiles.kllMerge(s, col("sk")).as("m"),
+          sum(col("cnt")).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          posexplode(graft.functions.KllQuantiles.kllValues(s, col("m"), ps))
             .as(Seq("__i", "value")))
         .withColumn("p",
           element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
@@ -806,6 +876,49 @@ object StatsQ {
         |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
         |  FROM orders
         |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.9]) AS p),
+        |ks AS (SELECT n.g, p.p, n.n,
+        |  GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS k
+        |  FROM n CROSS JOIN ps p),
+        |ord AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM vals)
+        |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
+        |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
+        |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_sketch_weighted" ->
+      // the exact-regime contract for the WEIGHTED sketch: no level
+      // ever fills at k = 65536, so the sketch returns the
+      // k = ceil(p·W) order statistic of the EXPANDED multiset exactly
+      // — replayed by repeating each row weight times via range(w)
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+        |    CAST(o_orderkey % 7 + 1 AS BIGINT) AS w
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |ex AS (SELECT g, v FROM vals, unnest(range(w))),
+        |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM ex GROUP BY 1),
+        |ps AS (SELECT unnest([0.5, 0.9]) AS p),
+        |ks AS (SELECT n.g, p.p, n.n,
+        |  GREATEST(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS k
+        |  FROM n CROSS JOIN ps p),
+        |ord AS (SELECT g, v,
+        |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM ex)
+        |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
+        |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
+        |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_sketch_rollup" ->
+      // the single-pass exact replay over the SAME calendar-1995
+      // horizon the roll-up folds from its month-partitioned store: if
+      // the parquet round trip, the partition-pruned horizon read, or
+      // the merge lost/duplicated anything, the ranks shift and the
+      // hash breaks
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_orderdate IS NOT NULL
+        |    AND strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'),
         |n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM vals GROUP BY 1),
         |ps AS (SELECT unnest([0.5, 0.9]) AS p),
         |ks AS (SELECT n.g, p.p, n.n,

@@ -2498,11 +2498,45 @@ class OperatorsSpec extends AnyFunSuite {
         "s", col("g") === "a").collect()
     }
     assert(ex.getMessage.contains("not 0/1"))
+    // FRACTIONAL indicator (0.7 in a double column) fails loud too —
+    // a long-cast sentinel would truncate it to 0 and silently count
+    // it as a failure, exactly the bias the sentinel exists to stop
+    val exF = intercept[IllegalArgumentException] {
+      Stats.propZTest(Seq(("a", 0.7), ("a", 1.0), ("b", 0.0))
+        .toDF("g", "s"), "s", col("g") === "a").collect()
+    }
+    assert(exF.getMessage.contains("not 0/1"))
     // all-success pool: zero null variance — loud, not NaN
     intercept[IllegalArgumentException] {
       Stats.propZTest(Seq(("a", 1L), ("b", 1L)).toDF("g", "s"),
         "s", col("g") === "a").collect()
     }
+  }
+
+  test("graft_kll_merge grouping edges: empty-after-filter group vanishes, global empty is loud by name") {
+    import graft.functions.KllQuantiles
+    val shards = Seq(("a", 1.0), ("a", 2.0), ("b", 9.0)).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"), 64).as("sk"))
+    // a group filtered to zero sketch rows never reaches eval — it
+    // simply has no output row (hash-agg semantics), no wrapper trace
+    val kept = shards.filter(col("g") === "a")
+      .groupBy(col("g"))
+      .agg(KllQuantiles.kllMerge(spark, col("sk")).as("m"))
+      .select(col("g"),
+        KllQuantiles.kllValues(spark, col("m"), Seq(1.0)).as("q"))
+      .collect()
+    assert(kept.map(_.getString(0)).toSeq == Seq("a"))
+    assert(kept(0).getSeq[Double](1) == Seq(2.0))
+    // a GLOBAL merge over an empty input does evaluate — the failure
+    // must surface the aggregate's own message, not an opaque trace
+    val ex = intercept[Exception] {
+      shards.filter(lit(false))
+        .agg(KllQuantiles.kllMerge(spark, col("sk"))).collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("no sketches to merge"), msg)
   }
 
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {

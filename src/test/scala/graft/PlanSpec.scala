@@ -792,7 +792,33 @@ class PlanSpec extends AnyFunSuite {
     // exchange only — no join, no window, nothing corpus-wide
     val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
     assert(exchanges <= 2, s"expected <= 2 exchanges:\n$p")
-    assert(!p.contains("SortMergeJoin") && !p.contains("(\\d+) Window"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains(" Window"), p)
+  }
+
+  test("x_sketch_weighted: same partial+final sketch-agg shape, no window/sort-join") {
+    val p = plan("x_sketch_weighted")
+    val objAggs = p.linesIterator.count(_.trim.matches("""\(\d+\) ObjectHashAggregate"""))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange"""))
+    assert(exchanges <= 2, s"expected <= 2 exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains(" Window"), p)
+  }
+
+  test("x_sketch_rollup: horizon fold reads ONLY the selected month partitions") {
+    // the roll-up's whole scale claim — "fold any horizon without
+    // rescanning history" — is the partition pruning on the sketch
+    // store: the merge job's scan must carry the mon bounds as
+    // PartitionFilters (pruned at planning, zero files outside the
+    // horizon opened), not as a post-scan Filter over all of history.
+    val p = plan("x_sketch_rollup")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.isDefined, s"no PartitionFilters line:\n$p")
+    assert(pf.get.contains("mon") && pf.get.contains("1995-01")
+      && pf.get.contains("1995-12"), pf.get)
+    // and the fold itself keeps the mergeable-sketch agg shape
+    val objAggs = p.linesIterator.count(_.trim.matches("""\(\d+\) ObjectHashAggregate"""))
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains(" Window"), p)
   }
 
   test("no unpartitioned window over an unbounded input anywhere in SparkEntry.queries") {

@@ -136,6 +136,115 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(msgE.contains("no sketches"), msgE)
   }
 
+  test("weighted sketch with no compaction = exact expanded-multiset rank quantiles") {
+    // weights small enough that no level fills at k=1024: the weighted
+    // insert is the binary decomposition, so the sketch IS the exact
+    // multiset — compare against a literal Scala expansion
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (s"g${i % 2}", rnd.nextDouble() * 100, (rnd.nextInt(9) + 1).toLong))
+    val df = rows.toDF("g", "v", "w")
+    val ps = Seq(0.1, 0.5, 0.9, 1.0)
+    val sk = Stats.groupedQuantilesSketchWeighted(df, "g", "v", "w", ps, k = 1024)
+      .collect().map(r =>
+        (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val expanded = rs.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      val bigW = expanded.length.toLong
+      ps.foreach { p =>
+        val want = expanded((math.max(1L,
+          math.ceil(p * bigW).toLong) - 1L).toInt)
+        val (n, got) = sk((g, p))
+        assert(n == bigW, s"$g n: $n != $bigW")
+        assert(got == want, s"($g, $p): sketch $got != exact $want")
+      }
+    }
+  }
+
+  test("weighted sketch: NULL/zero weights drop rows, negative weight fails loud") {
+    val df = Seq(("a", 1.0, Some(2L)), ("a", 9.0, None), ("a", 5.0, Some(0L)))
+      .toDF("g", "v", "w")
+    val out = Stats.groupedQuantilesSketchWeighted(df, "g", "v", "w", Seq(1.0))
+      .collect()
+    assert(out.length == 1 && out(0).getLong(2) == 2L
+      && out(0).getDouble(3) == 1.0, out.mkString(","))
+    val ex = intercept[Exception] {
+      Stats.groupedQuantilesSketchWeighted(
+        Seq(("a", 1.0, -3L)).toDF("g", "v", "w"), "g", "v", "w", Seq(0.5))
+        .collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("negative weight"), msg)
+  }
+
+  test("sf0.1: WEIGHTED sketch rank error in weight vs expansion stays under eps = 2/k") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory, s"$dir not present")
+    val li = graft.core.Tables.load(spark, dir, "lineitem")
+    val ps = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val k = 256
+    val sk = Stats.groupedQuantilesSketchWeighted(
+      li, "l_returnflag", "l_extendedprice", "l_quantity", ps, k)
+    // rank displacement measured in WEIGHT: rank(value) = sum of
+    // weights at or below the sketched value, target = ceil(p * W)
+    val vals = li.select(col("l_returnflag").cast("string").as("g"),
+      col("l_extendedprice").cast("double").as("v"),
+      col("l_quantity").cast("long").as("w"))
+    val errs = broadcast(sk).join(vals,
+        col("l_returnflag") === col("g") && col("v") <= col("value"), "left")
+      .groupBy(col("l_returnflag"), col("p"), col("n"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("rk"))
+      .select((abs(col("rk") - ceil(col("p") * col("n"))) /
+        col("n")).as("eps"))
+      .collect().map(_.getDouble(0))
+    assert(errs.nonEmpty)
+    val worst = errs.max
+    assert(worst <= 2.0 / k,
+      f"worst weighted rank error $worst%.5f exceeds eps=${2.0 / k}%.5f at k=$k")
+  }
+
+  test("KllValues reads an EMPTY sketch (all-NULL group) as NULL, not an index error") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(("a", Some(1.0)), ("b", None), ("b", None)).toDF("g", "v")
+    val out = df.groupBy(col("g"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"), 64).as("sk"))
+      .select(col("g"),
+        KllQuantiles.kllValues(spark, col("sk"), Seq(0.5)).as("q"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Double](1) == Seq(1.0))
+    assert(out(1).isNullAt(1), "empty sketch must read as NULL")
+    // direct buffer read stays loud for programmatic callers
+    val exB = intercept[IllegalArgumentException] {
+      new KllBuffer(64).quantiles(Seq(0.5))
+    }
+    assert(exB.getMessage.contains("empty"))
+  }
+
+  test("SQL surface type checks: int value column fails analysis, not executors") {
+    KllQuantiles.register(spark)
+    KllQuantiles.registerWeighted(spark)
+    spark.range(5).selectExpr("id AS g", "CAST(id AS INT) AS iv",
+      "CAST(id AS DOUBLE) AS dv", "id AS w").createOrReplaceTempView("kll_ty")
+    val ex = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_kll_quantiles(iv, array(0.5D), 64) FROM kll_ty GROUP BY g")
+        .collect()
+    }
+    assert(ex.getMessage.contains("double"), ex.getMessage)
+    val exW = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_kll_quantiles_w(dv, CAST(w AS INT), array(0.5D), 64) " +
+          "FROM kll_ty GROUP BY g").collect()
+    }
+    assert(exW.getMessage.contains("bigint"), exW.getMessage)
+    // the happy path through SQL: weighted quantiles over one group
+    val ok = spark.sql(
+      "SELECT graft_kll_quantiles_w(dv, w, array(1.0D), 4096) AS q FROM kll_ty")
+      .head().getSeq[Double](0)
+    assert(ok == Seq(4.0), ok.toString)
+  }
+
   test("SQL registration: graft_kll_quantiles over groups, literal guards") {
     KllQuantiles.register(spark)
     Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 5.0))
