@@ -487,6 +487,77 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState windowed quantiles: horizon rolls off, state survives restart") {
+    // the bounded-horizon sibling of the all-history rolling quantiles
+    // (TwsWindowedQuantiles): per-key ring of per-window KLL sketches
+    // in MapState, merged on read. k exceeds the value counts, so the
+    // exact no-compaction regime applies and every snapshot is the
+    // exact ceil(p·n) order statistic of the HORIZON values. The
+    // restart leg (q2 from q1's checkpoint) proves the per-window
+    // RocksDB map rows survive a query restart; the roll-off leg
+    // proves an advancing key drops windows past numWindows, and a
+    // LATE row older than the horizon cannot resurrect one.
+    import graft.streaming.{StatefulSessions, TwsWindowedQuantiles}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatefulSessions.Event]
+    def vev(id: Long, minute: Int, v: Double) = StatefulSessions.Event(
+      id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      1L, "a", v)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_twswq").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Seq[Double])]()
+    def start(): StreamingQuery =
+      TwsWindowedQuantiles.windowedQuantiles(
+          in.toDS(), ps = Seq(0.5, 1.0), windowMinutes = 10, numWindows = 2,
+          k = 1024)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[TwsWindowedQuantiles.WindowedSnapshot],
+           _: Long) =>
+            seen.synchronized {
+              seen ++= b.collect().map(s => (s.key, s.window_start_ms, s.n, s.qs))
+            }
+            ()
+        }.start()
+    def winMs(minute: Int): Long =
+      Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00").getTime
+    val q1 = start()
+    try {
+      in.addData(vev(1, 0, 1.0), vev(2, 1, 2.0), vev(3, 2, 3.0), vev(4, 3, 4.0))
+      q1.processAllAvailable() // window [0,10): n=4, p50=2, max=4
+      in.addData(vev(5, 10, 5.0), vev(6, 11, 6.0))
+      q1.processAllAvailable() // windows {0,10}: n=6, p50=3, max=6
+    } finally q1.stop()
+    val q2 = start() // recover — the per-window sketches must come back
+    try {
+      in.addData(vev(7, 20, 7.0))
+      q2.processAllAvailable() // horizon slides to {10,20}: [0,10) rolls OFF
+      in.addData(vev(8, 1, 99.0))
+      q2.processAllAvailable() // late row in the dead window: no resurrection
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val snaps = seen.toSeq
+    assert(snaps.contains((1L, winMs(0), 4L, Seq(2.0, 4.0))), snaps.toString)
+    assert(snaps.contains((1L, winMs(10), 6L, Seq(3.0, 6.0))), snaps.toString)
+    // post-restart: pre-restart values 5,6 still present (state
+    // survived), window [0,10)'s 1..4 gone (rolled off) → 5,6,7
+    assert(snaps.contains((1L, winMs(20), 3L, Seq(6.0, 7.0))), snaps.toString)
+    // the late row was absorbed then evicted with its dead window:
+    // horizon numbers unchanged, 99 nowhere
+    assert(snaps.count(s => s._1 == 1L && s._2 == winMs(20) && s._3 == 3L) == 2,
+      snaps.toString)
+    assert(!snaps.exists(_._4.exists(_ == 99.0)), snaps.toString)
+  }
+
   test("sliding window assigns each event to 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
