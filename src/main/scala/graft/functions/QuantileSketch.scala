@@ -116,6 +116,53 @@ private[graft] final class KllBuffer(val k: Int) {
     this
   }
 
+  /** INTERPOLATED quantiles in sketch-weight space — the sketch
+    * analogue of `percentile`/`quantile_cont`'s lerp semantics (the
+    * exact-rank [[quantiles]] is the `min(v) where cum >= k` probe):
+    * pos = (W−1)·p, bracket order statistics at ranks ⌊pos⌋+1 / ⌈pos⌉+1
+    * of the weighted multiset, then v_lo + (pos−⌊pos⌋)·(v_hi−v_lo) in
+    * the aggregate's operand order (the x_percentiles parity form). In
+    * the no-compaction regime this IS `quantile_cont` over the expanded
+    * multiset bit-for-bit; beyond it the bracketing ranks carry the
+    * sketch's ≈1/k rank error. */
+  def interpolated(ps: Seq[Double]): Array[Double] = {
+    var m = 0
+    levels.foreach(m += _.length)
+    if (m == 0)
+      throw new IllegalArgumentException(
+        "KLL sketch is empty (no values) — quantiles are undefined; " +
+          "readers should treat an empty sketch as NULL")
+    val vs = new Array[Double](m)
+    val ws = new Array[Long](m)
+    var o = 0
+    var i = 0
+    while (i < levels.length) {
+      val w = 1L << i
+      levels(i).foreach { v => vs(o) = v; ws(o) = w; o += 1 }
+      i += 1
+    }
+    val idx = Array.range(0, m).sortBy(vs(_))
+    val totalW = ws.sum
+    // one cumulative pass serves every p: order statistic at 1-based
+    // rank r = first sorted value whose cumulative weight reaches r
+    def orderStat(r: Long): Double = {
+      var acc = 0L
+      var j = 0
+      while (j < m) {
+        acc += ws(idx(j))
+        if (acc >= r) return vs(idx(j))
+        j += 1
+      }
+      vs(idx(m - 1))
+    }
+    ps.toArray.map { p =>
+      val pos = (totalW - 1).toDouble * p
+      val lo = orderStat(math.floor(pos).toLong + 1L)
+      val hi = orderStat(math.ceil(pos).toLong + 1L)
+      lo + (pos - math.floor(pos)) * (hi - lo)
+    }
+  }
+
   /** Value whose sketched cumulative weight first reaches rank
     * `ceil(p·count)` — the sketch analogue of the exact-rank operators'
     * `min(v) where cum >= k` probe. */
@@ -388,6 +435,68 @@ case class KllSketchAgg(child: Expression, k: Int,
     copy(child = newChild)
 }
 
+/** WEIGHTED sketch-STATE aggregate — [[KllSketchAgg]] for pre-counted
+  * `(value, weight)` frames ([[KllQuantilesWeighted]]'s insert, the
+  * persistable-artifact eval): lets a weighted distribution (daily
+  * per-value counts, histogram shards) persist its sketch state and
+  * join the same [[KllMerge]]/[[KllValues]] roll-up as raw rows —
+  * weighted and unweighted sketches at the same k merge freely, the
+  * wire format is identical. */
+case class KllSketchAggWeighted(value: Expression, weight: Expression, k: Int,
+                                mutableAggBufferOffset: Int = 0,
+                                inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k >= 8 && k <= (1 << 16),
+    s"graft_kll_sketch_w: k must be in [8, 65536], got $k")
+
+  override def left: Expression = value
+  override def right: Expression = weight
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kll_sketch_w"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (value.dataType, weight.dataType) match {
+      case (DoubleType, org.apache.spark.sql.types.LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (v, w) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_kll_sketch_w needs (double value, bigint weight), got " +
+            s"(${v.catalogString}, ${w.catalogString}) — cast explicitly")
+    }
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+
+  override def update(buf: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = value.eval(input)
+    val w = weight.eval(input)
+    if (v != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0L,
+        s"graft_kll_sketch_w: negative weight $wl — a negative " +
+          "multiplicity has no quantile meaning and silently skipping it " +
+          "would bias every percentile")
+      if (wl > 0L) buf.addWeighted(v.asInstanceOf[Double], wl)
+    }
+    buf
+  }
+
+  override def merge(b1: KllBuffer, b2: KllBuffer): KllBuffer = b1.merge(b2)
+  override def eval(buf: KllBuffer): Any = KllBuffer.toBytes(buf)
+  override def serialize(buf: KllBuffer): Array[Byte] = KllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = KllBuffer.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAggWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAggWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllSketchAggWeighted =
+    copy(value = newLeft, weight = newRight)
+}
+
 /** Fold a column of serialized sketches into one — the roll-up
   * aggregate (daily sketch rows → any horizon, history never
   * rescanned). Wire k rides in each sketch's bytes; mixing k values
@@ -452,15 +561,22 @@ case class KllMerge(child: Expression,
   * penalty. Returns `array<double>` (one per `ps`); NULL for an EMPTY
   * sketch (a group whose values were all NULL still serializes a
   * count=0 buffer — quantiles of nothing are undefined, and NULL is
-  * the SQL-honest answer, not an index error). */
-case class KllValues(child: Expression, ps: Seq[Double])
+  * the SQL-honest answer, not an index error). Two read semantics:
+  * exact-rank (`interp = false`, the groupedExactQuantiles probe) and
+  * INTERPOLATED (`interp = true` / `graft_kll_values_interp` — the
+  * `percentile`/`quantile_cont` lerp, which in the no-compaction
+  * regime matches them bit-for-bit; [[KllBuffer.interpolated]]). */
+case class KllValues(child: Expression, ps: Seq[Double],
+                     interp: Boolean = false)
   extends UnaryExpression {
 
-  require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
-    s"graft_kll_values: quantiles must be in (0, 1], got $ps")
+  private def fn = if (interp) "graft_kll_values_interp" else "graft_kll_values"
+  require(ps.nonEmpty && ps.forall(p =>
+      (p > 0.0 || interp) && p >= 0.0 && p <= 1.0),
+    s"$fn: quantiles must be in ${if (interp) "[0, 1]" else "(0, 1]"}, got $ps")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "graft_kll_values"
+  override def prettyName: String = fn
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -476,12 +592,12 @@ case class KllValues(child: Expression, ps: Seq[Double])
   override def nullable: Boolean = true
 
   protected override def nullSafeEval(input: Any): Any =
-    KllValues.compute(input.asInstanceOf[Array[Byte]], psArr)
+    KllValues.compute(input.asInstanceOf[Array[Byte]], psArr, interp)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("kllPs", psArr, "double[]")
     nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.KllValues.compute($c, $ref);
+      ${ev.value} = graft.functions.KllValues.compute($c, $ref, $interp);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -492,10 +608,13 @@ case class KllValues(child: Expression, ps: Seq[Double])
 
 object KllValues {
   /** null for an empty sketch (all-NULL group) — see class doc. */
-  def compute(bytes: Array[Byte], ps: Array[Double]): GenericArrayData = {
+  def compute(bytes: Array[Byte], ps: Array[Double],
+              interp: Boolean): GenericArrayData = {
     val buf = KllBuffer.fromBytes(bytes)
     if (buf.count == 0L) null
-    else new GenericArrayData(buf.quantiles(ps.toIndexedSeq))
+    else new GenericArrayData(
+      if (interp) buf.interpolated(ps.toIndexedSeq)
+      else buf.quantiles(ps.toIndexedSeq))
   }
 }
 
@@ -565,10 +684,24 @@ object KllQuantiles {
   // ---- the roll-up trio: build sketch STATE, merge it, read it ------
 
   private val SketchFn = "graft_kll_sketch"
+  private val SketchWFn = "graft_kll_sketch_w"
   private val MergeFn = "graft_kll_merge"
   private val ValuesFn = "graft_kll_values"
+  private val ValuesInterpFn = "graft_kll_values_interp"
 
   def registerRollup(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SketchWFn, { exprs =>
+        require(exprs.length == 3,
+          s"$SketchWFn(value, weight, k): expected 3 args, got ${exprs.length}")
+        KllSketchAggWeighted(exprs.head, exprs(1), LitArgs.litInt(exprs(2), "k"))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ValuesInterpFn, { exprs =>
+        require(exprs.length == 2,
+          s"$ValuesInterpFn(sketch, array(ps...)): expected 2 args, got ${exprs.length}")
+        KllValues(exprs.head, litDoubles(exprs(1), "ps"), interp = true)
+      }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       SketchFn, { exprs =>
         require(exprs.length == 2,
@@ -606,6 +739,26 @@ object KllQuantiles {
   def kllValues(spark: SparkSession, sketch: Column, ps: Seq[Double]): Column = {
     registerRollup(spark)
     org.apache.spark.sql.functions.call_function(ValuesFn, sketch,
+      org.apache.spark.sql.functions.array(
+        ps.map(org.apache.spark.sql.functions.lit): _*))
+  }
+
+  /** Weighted (pre-counted) aggregate to a persistable sketch. */
+  def kllSketchWeighted(spark: SparkSession, value: Column, weight: Column,
+                        k: Int): Column = {
+    registerRollup(spark)
+    org.apache.spark.sql.functions.call_function(SketchWFn,
+      value.cast("double"), weight.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** INTERPOLATED quantiles of a serialized sketch (`array<double>`) —
+    * `percentile`/`quantile_cont` lerp semantics; exact parity with
+    * them in the no-compaction regime. */
+  def kllValuesInterp(spark: SparkSession, sketch: Column,
+                      ps: Seq[Double]): Column = {
+    registerRollup(spark)
+    org.apache.spark.sql.functions.call_function(ValuesInterpFn, sketch,
       org.apache.spark.sql.functions.array(
         ps.map(org.apache.spark.sql.functions.lit): _*))
   }

@@ -362,6 +362,12 @@ object StatsQ {
         .agg(graft.functions.KllQuantiles
             .kllSketch(s, col("o_totalprice"), 65536).as("sk"),
           count(lit(1)).as("cnt"))
+        // co-locate each month's (few) sketch rows in one task before
+        // the partitioned write: without this every shuffle partition
+        // holding a month's rows opens its own file in that month's
+        // dir (~4 tiny files per partition at local[32]) — one file
+        // per month is the shape a daily-artifact store wants
+        .repartition(col("mon"))
         .write.mode("overwrite").partitionBy("mon")
         .parquet(store.getAbsolutePath)
       s.read.parquet(store.getAbsolutePath)
@@ -375,6 +381,35 @@ object StatsQ {
         .withColumn("p",
           element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
         .select(col("o_orderpriority"), col("p"), col("n"), col("value"))
+        .orderBy("o_orderpriority", "p")
+    }),
+
+    "x_sketch_interp" -> ((s, dir) => {
+      // the INTERPOLATED sketch read + the WEIGHTED sketch STATE in one
+      // oracled round trip: a pre-counted (value, weight) frame builds
+      // persistable sketch state with graft_kll_sketch_w (binary-
+      // decomposition insert — no multiset expansion), and
+      // graft_kll_values_interp reads it back with percentile/
+      // quantile_cont lerp semantics (pos = (W−1)·p, bracket order
+      // statistics, operand-order lerp). Exact no-compaction regime
+      // (the x_sketch_weighted argument: ≤3 set bits per weight, each
+      // level ≤ |group| items « k = 65536 at the driver SFs), so the
+      // value IS DuckDB's quantile_cont over the expanded multiset.
+      val ps = Seq(0.5, 0.9)
+      t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+        .withColumn("w", col("o_orderkey") % 7 + lit(1))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.functions.KllQuantiles
+            .kllSketchWeighted(s, col("o_totalprice"), col("w"), 65536).as("sk"),
+          sum(col("w").cast("long")).as("n"))
+        .select(col("o_orderpriority"), col("n"),
+          posexplode(graft.functions.KllQuantiles
+            .kllValuesInterp(s, col("sk"), ps)).as(Seq("__i", "value")))
+        .withColumn("p",
+          element_at(array(ps.map(lit): _*), col("__i").cast("int") + 1))
+        .select(col("o_orderpriority"), col("p"), col("n"),
+          round(col("value"), 6).as("value"))
         .orderBy("o_orderpriority", "p")
     }),
 
@@ -929,6 +964,24 @@ object StatsQ {
         |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
         |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_sketch_interp" ->
+      // quantile_cont over the range(w) expansion — DuckDB's own lerp
+      // as the independent implementation of the interpolated sketch
+      // read (constant p per branch, the x_weighted_quantiles pattern)
+      """WITH vals AS (
+        |  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+        |    CAST(o_orderkey % 7 + 1 AS BIGINT) AS w
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |ex AS (SELECT g, v FROM vals, unnest(range(w)))
+        |SELECT * FROM (
+        |  SELECT g AS o_orderpriority, CAST(0.5 AS DOUBLE) AS p,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(quantile_cont(v, 0.5), 6) AS value FROM ex GROUP BY g
+        |  UNION ALL
+        |  SELECT g, CAST(0.9 AS DOUBLE), CAST(COUNT(*) AS BIGINT),
+        |    ROUND(quantile_cont(v, 0.9), 6) FROM ex GROUP BY g
+        |) t ORDER BY o_orderpriority, p""".stripMargin,
     "x_weighted_quantiles" ->
       // the expanded-multiset definition, with DuckDB's own
       // quantile_cont as the independent implementation (constant p

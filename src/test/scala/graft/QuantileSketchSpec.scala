@@ -221,6 +221,41 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(exB.getMessage.contains("empty"))
   }
 
+  test("interpolated sketch read: percentile lerp in the exact regime; weighted state merges with raw state") {
+    import org.apache.spark.sql.functions.col
+    // unweighted 1..5: pos = (5−1)·p — exact-index and fractional lerp
+    val df = (1 to 5).map(i => ("a", i.toDouble, 1L)).toDF("g", "v", "w")
+    val sk = df.groupBy(col("g"))
+      .agg(KllQuantiles.kllSketchWeighted(spark, col("v"), col("w"), 64).as("sk"))
+    val qs = sk.select(KllQuantiles.kllValuesInterp(spark, col("sk"),
+      Seq(0.0, 0.25, 0.5, 1.0)).as("q")).head().getSeq[Double](0)
+    assert(qs == Seq(1.0, 2.0, 3.0, 5.0), qs.toString)
+    val q2 = sk.select(KllQuantiles.kllValuesInterp(spark, col("sk"),
+      Seq(0.3)).as("q")).head().getSeq[Double](0)
+    assert(math.abs(q2.head - 2.2) < 1e-12, q2.toString) // 2 + 0.2·(3−2)
+    // parity with Spark's own percentile on the EXPANDED multiset:
+    // values 1..4 with weight = value → expansion (1,2,2,3,3,3,4,4,4,4)
+    val wdf = (1 to 4).map(i => ("a", i.toDouble, i.toLong)).toDF("g", "v", "w")
+    val exp = wdf.selectExpr("g", "explode(sequence(1, w)) AS i", "v")
+    val want = exp.selectExpr("percentile(v, array(0.1D, 0.5D, 0.77D)) AS p")
+      .head().getSeq[Double](0)
+    val got = wdf.groupBy(col("g"))
+      .agg(KllQuantiles.kllSketchWeighted(spark, col("v"), col("w"), 64).as("sk"))
+      .select(KllQuantiles.kllValuesInterp(spark, col("sk"),
+        Seq(0.1, 0.5, 0.77)).as("q")).head().getSeq[Double](0)
+    assert(got == want, s"sketch $got != percentile $want")
+    // weighted + unweighted state at the same k merge freely (same
+    // wire format): two copies of each value ≡ weight-2 inserts
+    val raw = (1 to 5).map(i => ("a", i.toDouble)).toDF("g", "v")
+      .groupBy(col("g"))
+      .agg(KllQuantiles.kllSketch(spark, col("v"), 64).as("sk"))
+    val merged = sk.select(col("sk")).union(raw.select(col("sk")))
+      .agg(KllQuantiles.kllMerge(spark, col("sk")).as("m"))
+      .select(KllQuantiles.kllValues(spark, col("m"), Seq(0.5, 1.0)).as("q"))
+      .head().getSeq[Double](0)
+    assert(merged == Seq(3.0, 5.0), merged.toString) // 1,1,2,2,...,5,5
+  }
+
   test("SQL surface type checks: int value column fails analysis, not executors") {
     KllQuantiles.register(spark)
     KllQuantiles.registerWeighted(spark)
