@@ -558,6 +558,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(!snaps.exists(_._4.exists(_ == 99.0)), snaps.toString)
   }
 
+  test("transformWithState HLL distinct: snapshot equals the batch estimator; ring rolls off") {
+    // the sketch-as-state pattern applied to cardinality: fixed
+    // 2^p-byte registers per key at ANY distinct count (where the
+    // exact rolling distinct keeps one state row per live value). The
+    // load-bearing assertion is EQUALITY with operators.Hll on the
+    // same id multiset — the streaming estimate is the batch number,
+    // not merely close to it.
+    import graft.streaming.{StatefulSessions, TwsHllDistinct}
+    import graft.operators.Hll
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def iev(id: Long, minute: Int, user: Long) = StatefulSessions.Event(
+      id, Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"),
+      user, "a", 1.0)
+    def batchEst(ids: Seq[Long]): Double =
+      Hll.estimateDistinct(ids.toDF("id"), Seq.empty, $"id", p = 9)
+        .head().getDouble(0)
+    // ---- all-history processor ----
+    val in = MemoryStream[StatefulSessions.Event]
+    val q = TwsHllDistinct.distinctIds(in.toDS(), p = 9)
+      .writeStream.format("memory").queryName("twshll_out")
+      .outputMode("update").start()
+    try {
+      in.addData(((1L to 60L) ++ (1L to 10L)).map(i => iev(i, 0, 1L)): _*)
+      q.processAllAvailable() // 70 events, 60 distinct
+      in.addData((41L to 100L).map(i => iev(i, 1, 1L)): _*)
+      q.processAllAvailable() // 130 events, 100 distinct all-history
+      val snaps = spark.table("twshll_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      assert(snaps.contains((70L, batchEst(1L to 60L))), snaps.toString)
+      assert(snaps.contains((130L, batchEst(1L to 100L))), snaps.toString)
+    } finally q.stop()
+    // ---- bounded-horizon ring ----
+    val in2 = MemoryStream[StatefulSessions.Event]
+    val q2 = TwsHllDistinct.windowedDistinctIds(
+        in2.toDS(), windowMinutes = 10, numWindows = 2, p = 9)
+      .writeStream.format("memory").queryName("twshllw_out")
+      .outputMode("update").start()
+    try {
+      in2.addData((1L to 40L).map(i => iev(i, 0, 2L)): _*)   // window [0,10)
+      q2.processAllAvailable()
+      in2.addData((21L to 60L).map(i => iev(i, 12, 2L)): _*) // window [10,20)
+      q2.processAllAvailable() // horizon {w0,w1}: distinct 1..60
+      in2.addData(iev(999L, 25, 2L))                         // window [20,30)
+      q2.processAllAvailable() // w0 rolls OFF: distinct = {21..60, 999}
+      val snaps = spark.table("twshllw_out").collect()
+        .map(r => (r.getLong(2), r.getDouble(3))).toSet
+      assert(snaps.contains((80L, batchEst(1L to 60L))), snaps.toString)
+      // post-roll-off: w0's unique 1..20 no longer counted — n drops
+      // to the horizon's 41 events and the estimate is the union of
+      // the LIVE windows only (byte-max merge = registers of the union)
+      assert(snaps.contains((41L, batchEst((21L to 60L) :+ 999L))), snaps.toString)
+    } finally {
+      q2.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sliding window assigns each event to 4 overlapping windows") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
