@@ -1140,6 +1140,104 @@ object Stats {
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
+    * Sensitivity of Online Controlled Experiments by Utilizing
+    * Pre-Experiment Data"): adjust metric Y by a correlated covariate X
+    * (classically the same metric pre-experiment), Ŷ = Y − θ(X − X̄)
+    * with θ = cov(X,Y)/var(X) estimated on the POOLED samples, then
+    * read the A−B difference on Ŷ — same expectation as the raw
+    * difference (θ(X̄_A − X̄_B) has mean 0 under randomization), but
+    * variance shrunk by the factor ρ²(X,Y). The standard sensitivity
+    * lever an experimentation platform applies before [[welchT]] calls
+    * a metric flat.
+    *
+    * Scale shape: the [[welchT]] contract extended — ONE partial-agged
+    * conditional-moment pass over (Y, X): per sample n, ΣY, ΣX, ΣY²,
+    * ΣX², ΣXY in exact decimals (order-independent; the 6-dp
+    * integrality sentinel covers BOTH columns in the same pass),
+    * pinned double algebra on the driver. One row out:
+    * `(n_a, n_b, theta, rho2, diff_raw, diff_adj, t_adj)` — raw
+    * doubles, callers round; rho2 is the fraction of metric variance
+    * the covariate removes (the how-much-sensitivity-did-we-buy
+    * number), t_adj is Welch's t on the adjusted metric (per-sample
+    * adjusted variances var(Y) − 2θcov + θ²var(X)). NULL Y or X
+    * excludes the row; a NULL condition row is sample B (the
+    * [[welchT]] convention); degenerate var(X) = 0 or var(Y) = 0
+    * fails loud (θ / ρ² undefined), as do samples with < 2 rows.
+    */
+  def cuped(df: DataFrame, metricCol: String, covariateCol: String,
+            sampleACond: org.apache.spark.sql.Column): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val y = col(metricCol)
+    val x = col(covariateCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val r0 = df.filter(y.isNotNull && x.isNotNull)
+      .agg(
+        sum(ia).as("na"),
+        sum(when(ia === 1L, d6(y))).as("sya"),
+        sum(when(ia === 1L, d6(x))).as("sxa"),
+        sum(when(ia === 1L, d6(y) * d6(y))).as("qya"),
+        sum(when(ia === 1L, d6(x) * d6(x))).as("qxa"),
+        sum(when(ia === 1L, d6(x) * d6(y))).as("pa"),
+        sum(lit(1L) - ia).as("nb"),
+        sum(when(ia === 0L, d6(y))).as("syb"),
+        sum(when(ia === 0L, d6(x))).as("sxb"),
+        sum(when(ia === 0L, d6(y) * d6(y))).as("qyb"),
+        sum(when(ia === 0L, d6(x) * d6(x))).as("qxb"),
+        sum(when(ia === 0L, d6(x) * d6(y))).as("pb"),
+        sum(when(y.cast("double") =!= round(y.cast("double"), 6), 1L)
+          .when(x.cast("double") =!= round(x.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .head()
+    require(!r0.isNullAt(0) && r0.getLong(12) == 0L,
+      s"cuped: ${if (r0.isNullAt(0)) "no" else r0.getLong(12)} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    val (na, nb) = (r0.getLong(0), r0.getLong(6))
+    require(na >= 2 && nb >= 2,
+      s"cuped: both samples need >= 2 rows (n_a=$na, n_b=$nb)")
+    def bd(i: Int) = BigDecimal(r0.getDecimal(i))
+    val (sya, sxa, qya, qxa, pa) = (bd(1), bd(2), bd(3), bd(4), bd(5))
+    val (syb, sxb, qyb, qxb, pb) = (bd(7), bd(8), bd(9), bd(10), bd(11))
+    // pooled exact totals (decimal addition is exact), then pinned
+    // double algebra — the ratio shapes the oracle replays verbatim
+    val n = na + nb
+    val sy = (sya + syb).toDouble; val sx = (sxa + sxb).toDouble
+    val qy = (qya + qyb).toDouble; val qx = (qxa + qxb).toDouble
+    val pxy = (pa + pb).toDouble
+    val nD = n.toDouble
+    val covP = (pxy - sx * sy / nD) / (n - 1).toDouble
+    val varXP = (qx - sx * sx / nD) / (n - 1).toDouble
+    val varYP = (qy - sy * sy / nD) / (n - 1).toDouble
+    require(varXP > 0.0,
+      "cuped: covariate has zero pooled variance — theta is undefined " +
+        "(a constant covariate cannot reduce anything)")
+    require(varYP > 0.0,
+      "cuped: metric has zero pooled variance — rho2 is undefined")
+    val theta = covP / varXP
+    val rho2 = covP * covP / (varXP * varYP)
+    val mYA = sya.toDouble / na.toDouble; val mYB = syb.toDouble / nb.toDouble
+    val mXA = sxa.toDouble / na.toDouble; val mXB = sxb.toDouble / nb.toDouble
+    val diffRaw = mYA - mYB
+    val diffAdj = diffRaw - theta * (mXA - mXB)
+    // per-sample adjusted variances: var(Y − θX) = varY − 2θcov + θ²varX
+    def adjVar(nS: Long, syS: BigDecimal, sxS: BigDecimal, qyS: BigDecimal,
+               qxS: BigDecimal, pS: BigDecimal): Double = {
+      val nd = nS.toDouble
+      val covS = (pS.toDouble - sxS.toDouble * syS.toDouble / nd) / (nS - 1).toDouble
+      val vxS = (qxS.toDouble - sxS.toDouble * sxS.toDouble / nd) / (nS - 1).toDouble
+      val vyS = (qyS.toDouble - syS.toDouble * syS.toDouble / nd) / (nS - 1).toDouble
+      vyS - 2.0 * theta * covS + theta * theta * vxS
+    }
+    val vA = adjVar(na, sya, sxa, qya, qxa, pa)
+    val vB = adjVar(nb, syb, sxb, qyb, qxb, pb)
+    val tAdj = diffAdj / math.sqrt(vA / na.toDouble + vB / nb.toDouble)
+    Seq((na, nb, theta, rho2, diffRaw, diffAdj, tAdj))
+      .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
+  }
+
   /** Two-proportion z-test — did a RATE move between the rows where
     * `sampleACond` holds and the rest (conversion share per variant,
     * success rate per cohort)? z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))

@@ -384,6 +384,22 @@ object StatsQ {
         .orderBy("o_orderpriority", "p")
     }),
 
+    "x_cuped" -> ((s, dir) =>
+      // CUPED variance reduction (Stats.cuped — the experimentation
+      // platform's sensitivity lever): adjust the price metric by the
+      // strongly-correlated quantity covariate, read the R-vs-rest
+      // difference on the adjusted metric. ONE conditional decimal-
+      // moment pass + pinned driver algebra; the oracle replays the
+      // identical decimal totals through the identical ratio shapes
+      Stats.cuped(t(s, dir, "lineitem"), "l_extendedprice", "l_quantity",
+          col("l_returnflag") === "R")
+        .select(col("n_a"), col("n_b"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"),
+          round(col("diff_raw"), 6).as("diff_raw"),
+          round(col("diff_adj"), 6).as("diff_adj"),
+          round(col("t_adj"), 6).as("t_adj"))),
+
     "x_sketch_interp" -> ((s, dir) => {
       // the INTERPOLATED sketch read + the WEIGHTED sketch STATE in one
       // oracled round trip: a pre-counted (value, weight) frame builds
@@ -964,6 +980,81 @@ object StatsQ {
         |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
         |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_cuped" ->
+      // the welch_t pattern extended to (Y, X) cross moments: identical
+      // exact-decimal conditional totals, identical ratio shapes, so
+      // theta/rho2/diffs/t match to the last ulp; round(6) pins them.
+      // DECIMAL(19,6) (not 18) forces DuckDB's int128 lane — the
+      // int64-backed 18-width overflows squaring ~1e5-scale prices;
+      // the VALUES are identical either way (both widths exact)
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+        |    CAST(l_quantity AS DECIMAL(19,6)) AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN y END) AS sya,
+        |    SUM(CASE WHEN ia = 1 THEN x END) AS sxa,
+        |    SUM(CASE WHEN ia = 1 THEN y * y END) AS qya,
+        |    SUM(CASE WHEN ia = 1 THEN x * x END) AS qxa,
+        |    SUM(CASE WHEN ia = 1 THEN x * y END) AS pa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN y END) AS syb,
+        |    SUM(CASE WHEN ia = 0 THEN x END) AS sxb,
+        |    SUM(CASE WHEN ia = 0 THEN y * y END) AS qyb,
+        |    SUM(CASE WHEN ia = 0 THEN x * x END) AS qxb,
+        |    SUM(CASE WHEN ia = 0 THEN x * y END) AS pb
+        |  FROM pts),
+        |pool AS (
+        |  SELECT na, nb, sya, sxa, qya, qxa, pa, syb, sxb, qyb, qxb, pb,
+        |    CAST(na + nb AS DOUBLE) AS nd,
+        |    CAST(na + nb - 1 AS DOUBLE) AS nm1,
+        |    CAST(sya + syb AS DOUBLE) AS sy, CAST(sxa + sxb AS DOUBLE) AS sx,
+        |    CAST(qya + qyb AS DOUBLE) AS qy, CAST(qxa + qxb AS DOUBLE) AS qx,
+        |    CAST(pa + pb AS DOUBLE) AS pxy
+        |  FROM m),
+        |alg AS (
+        |  SELECT na, nb,
+        |    (pxy - sx * sy / nd) / nm1 AS covp,
+        |    (qx - sx * sx / nd) / nm1 AS varxp,
+        |    (qy - sy * sy / nd) / nm1 AS varyp,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mya,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS myb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb,
+        |    (CAST(pa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS cova,
+        |    (CAST(qxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS vxa,
+        |    (CAST(qya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS vya,
+        |    (CAST(pb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS covb,
+        |    (CAST(qxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vxb,
+        |    (CAST(qyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vyb
+        |  FROM pool),
+        |th AS (
+        |  SELECT na, nb, mya, myb, mxa, mxb, cova, vxa, vya, covb, vxb, vyb,
+        |    covp / varxp AS theta,
+        |    covp * covp / (varxp * varyp) AS rho2
+        |  FROM alg),
+        |fin AS (
+        |  SELECT na, nb, theta, rho2,
+        |    mya - myb AS diff_raw,
+        |    (mya - myb) - theta * (mxa - mxb) AS diff_adj,
+        |    vya - 2 * theta * cova + theta * theta * vxa AS va,
+        |    vyb - 2 * theta * covb + theta * theta * vxb AS vb
+        |  FROM th)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(theta, 6) AS theta, ROUND(rho2, 6) AS rho2,
+        |  ROUND(diff_raw, 6) AS diff_raw, ROUND(diff_adj, 6) AS diff_adj,
+        |  ROUND(diff_adj / sqrt(va / CAST(na AS DOUBLE)
+        |    + vb / CAST(nb AS DOUBLE)), 6) AS t_adj
+        |FROM fin""".stripMargin,
     "x_sketch_interp" ->
       // quantile_cont over the range(w) expansion — DuckDB's own lerp
       // as the independent implementation of the interpolated sketch

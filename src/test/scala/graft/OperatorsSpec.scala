@@ -2539,6 +2539,49 @@ class OperatorsSpec extends AnyFunSuite {
     assert(msg.contains("no sketches to merge"), msg)
   }
 
+  test("cuped: hand-computed theta/rho2/adjusted diff, guards loud") {
+    import graft.operators.Stats
+    val aRows = Seq((10.0, 1.0), (20.0, 3.0), (12.0, 2.0))
+    val bRows = Seq((5.0, 1.0), (15.0, 3.0))
+    val df = (aRows.map { case (y, x) => ("a", y, x) } ++
+      bRows.map { case (y, x) => ("b", y, x) }).toDF("g", "y", "x")
+    val r = Stats.cuped(df, "y", "x", col("g") === "a").head()
+    // independent plain-Scala replication of the definition
+    val ys = (aRows ++ bRows).map(_._1)
+    val xs = (aRows ++ bRows).map(_._2)
+    val n = ys.length
+    def mean(v: Seq[Double]) = v.sum / n
+    val (my, mx) = (mean(ys), mean(xs))
+    val cov = ys.zip(xs).map { case (y, x) => (y - my) * (x - mx) }.sum / (n - 1)
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum / (n - 1)
+    val vary = ys.map(y => (y - my) * (y - my)).sum / (n - 1)
+    val theta = cov / varx
+    val rho2 = cov * cov / (varx * vary)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - theta) < 1e-9, s"theta ${r.getDouble(2)} != $theta")
+    assert(math.abs(r.getDouble(3) - rho2) < 1e-9)
+    val diffRaw = aRows.map(_._1).sum / 3 - bRows.map(_._1).sum / 2
+    val diffAdj = diffRaw - theta * (aRows.map(_._2).sum / 3 - bRows.map(_._2).sum / 2)
+    assert(math.abs(r.getDouble(4) - diffRaw) < 1e-9)
+    assert(math.abs(r.getDouble(5) - diffAdj) < 1e-9)
+    // a NULL condition row is sample B (the welchT convention)
+    val withNull = df.union(Seq((null.asInstanceOf[String], 9.0, 2.0)).toDF("g", "y", "x"))
+    val rn = Stats.cuped(withNull, "y", "x", col("g") === "a").head()
+    assert(rn.getLong(0) == 3L && rn.getLong(1) == 3L)
+    // constant covariate: theta undefined — loud
+    val exC = intercept[IllegalArgumentException] {
+      Stats.cuped(Seq(("a", 1.0, 5.0), ("a", 2.0, 5.0), ("b", 3.0, 5.0),
+        ("b", 4.0, 5.0)).toDF("g", "y", "x"), "y", "x", col("g") === "a")
+    }
+    assert(exC.getMessage.contains("zero pooled variance"))
+    // finer-than-6dp values fail loud, never silently rounded
+    val exF = intercept[IllegalArgumentException] {
+      Stats.cuped(Seq(("a", 1.0000001, 1.0), ("a", 2.0, 2.0), ("b", 3.0, 1.0),
+        ("b", 4.0, 2.0)).toDF("g", "y", "x"), "y", "x", col("g") === "a")
+    }
+    assert(exF.getMessage.contains("6 decimal"))
+  }
+
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {
     import graft.operators.Stats
     // m=5, q=0.25: cutoffs 0.05/0.10/0.15/0.20/0.25 — only i=1,2 pass
