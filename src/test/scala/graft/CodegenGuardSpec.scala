@@ -194,7 +194,19 @@ class CodegenGuardSpec extends AnyFunSuite {
       df.groupBy(col("id"))
         .agg(TopK.topK(spark, col("d"), 1 << 10).as("t1"),
           KllQuantiles.kllQuantiles(spark, col("d"),
-            Seq(0.1, 0.5, 0.9), 1024).as("t2")).collect()
+            Seq(0.1, 0.5, 0.9), 1024).as("t2"),
+          KllQuantiles.kllQuantilesWeighted(spark, col("d"), col("id"),
+            Seq(0.1, 0.5, 0.9), 1024).as("t3")).collect()
+      // (3) the sketch READERS at a 99-point quantile grid: both read
+      // modes are one static call over a referenced double[], so the
+      // generated code must stay flat no matter how many ps ride along
+      val manyPs = (1 to 99).map(_ / 100.0)
+      df.groupBy(col("id"))
+        .agg(KllQuantiles.kllSketch(spark, col("d"), 1024).as("sk"))
+        .select(
+          KllQuantiles.kllValues(spark, col("sk"), manyPs).as("r1"),
+          KllQuantiles.kllValuesInterp(spark, col("sk"), manyPs).as("r2"))
+        .collect()
     }
     assert(hits.isEmpty,
       s"a non-default parameterization fell back to interpreted:\n${hits.mkString("\n")}")
