@@ -99,6 +99,50 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.HllRegister(exprs.head,
         graft.functions.LitArgs.litInt(exprs(1), "p"))))
 
+    // ---- the mergeable KLL quantile-sketch family (rounds 12-13) ----
+    import graft.functions.LitArgs.{litDoubles, litInt}
+
+    e.injectFunction((FunctionIdentifier("graft_kll_quantiles"),
+      info("graft_kll_quantiles",
+        "graft_kll_quantiles(value, array(ps...), k) - aggregate: KLL-sketched quantile values, ~1/k rank error"),
+      (exprs: Seq[Expression]) => graft.functions.KllQuantiles(
+        exprs.head, litDoubles(exprs(1), "ps"), litInt(exprs(2), "k"))))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_quantiles_w"),
+      info("graft_kll_quantiles_w",
+        "graft_kll_quantiles_w(value, weight, array(ps...), k) - aggregate: weighted (pre-counted) sketch quantiles"),
+      (exprs: Seq[Expression]) => graft.functions.KllQuantilesWeighted(
+        exprs.head, exprs(1), litDoubles(exprs(2), "ps"), litInt(exprs(3), "k"))))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_sketch"),
+      info("graft_kll_sketch",
+        "graft_kll_sketch(value, k) - aggregate: persistable serialized sketch state (binary)"),
+      (exprs: Seq[Expression]) => graft.functions.KllSketchAgg(
+        exprs.head, litInt(exprs(1), "k"))))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_sketch_w"),
+      info("graft_kll_sketch_w",
+        "graft_kll_sketch_w(value, weight, k) - aggregate: weighted persistable sketch state (binary)"),
+      (exprs: Seq[Expression]) => graft.functions.KllSketchAggWeighted(
+        exprs.head, exprs(1), litInt(exprs(2), "k"))))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_merge"),
+      info("graft_kll_merge",
+        "graft_kll_merge(sketch) - aggregate: fold serialized sketches (shards/days) into one; mixed k fails loud"),
+      (exprs: Seq[Expression]) => graft.functions.KllMerge(exprs.head)))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_values"),
+      info("graft_kll_values",
+        "graft_kll_values(sketch, array(ps...)) - exact-rank quantile read of a serialized sketch"),
+      (exprs: Seq[Expression]) => graft.functions.KllValues(
+        exprs.head, litDoubles(exprs(1), "ps"))))
+
+    e.injectFunction((FunctionIdentifier("graft_kll_values_interp"),
+      info("graft_kll_values_interp",
+        "graft_kll_values_interp(sketch, array(ps...)) - percentile/quantile_cont lerp read of a serialized sketch"),
+      (exprs: Seq[Expression]) => graft.functions.KllValues(
+        exprs.head, litDoubles(exprs(1), "ps"), interp = true)))
+
     e.injectOptimizerRule(_ => SelfCosineRule)
   }
 }

@@ -31,4 +31,17 @@ private[graft] object LitArgs {
       s"$what must fit in an int, got $v")
     v.toInt
   }
+
+  /** Literal `array(0.5D, …)` argument (the quantile-list convention of
+    * the KLL family). */
+  def litDoubles(e: Expression, what: String): Seq[Double] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal array of doubles, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toDoubleArray().toSeq
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of doubles, got $other")
+    }
+  }
 }

@@ -633,16 +633,8 @@ object KllQuantiles {
           LitArgs.litInt(exprs(2), "k"))
       }, "built-in")
 
-  private def litDoubles(e: Expression, what: String): Seq[Double] = {
-    if (!e.foldable) throw new IllegalArgumentException(
-      s"$what must be a literal array of doubles, got ${e.sql}")
-    e.eval() match {
-      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-        a.toDoubleArray().toSeq
-      case other => throw new IllegalArgumentException(
-        s"$what must be a literal array of doubles, got $other")
-    }
-  }
+  private def litDoubles(e: Expression, what: String): Seq[Double] =
+    LitArgs.litDoubles(e, what)
 
   /** Column form: `array<double>` of the `ps` quantiles of `value`. */
   def kllQuantiles(spark: SparkSession, value: Column,

@@ -52,6 +52,36 @@ class ExtensionsSpec extends AnyFunSuite {
       graft.functions.HllRegister.compute(0xaf63dc4c8601ec8cL, 9).getInt(1)))
   }
 
+  test("KLL sketch family callable from SQL on an extended session — full roll-up chain") {
+    // build per-shard sketch state, merge, read both ways, plus the
+    // direct quantile aggregates (raw + weighted) — all through plain
+    // SQL on the extension registry, no column-API registration calls
+    spark.range(100)
+      .selectExpr("id % 2 AS shard", "CAST(id + 1 AS DOUBLE) AS v", "id % 3 + 1 AS w")
+      .createOrReplaceTempView("ext_kll_in")
+    val r = spark.sql(
+      """WITH shards AS (
+        |  SELECT shard, graft_kll_sketch(v, 4096) AS sk,
+        |         graft_kll_sketch_w(v, w, 4096) AS skw
+        |  FROM ext_kll_in GROUP BY shard),
+        |m AS (SELECT graft_kll_merge(sk) AS m1, graft_kll_merge(skw) AS m2
+        |      FROM shards)
+        |SELECT graft_kll_values(m1, array(0.5D, 1.0D)) AS ex,
+        |       graft_kll_values_interp(m1, array(0.0D, 0.5D)) AS ip,
+        |       graft_kll_values(m2, array(1.0D)) AS wx
+        |FROM m""".stripMargin).head()
+    // 1..100 unweighted: exact-rank p50 = 50, max = 100; interp p0 = 1,
+    // p50 = (99·0.5 lerp) = 50.5
+    assert(r.getSeq[Double](0) == Seq(50.0, 100.0), r.toString)
+    assert(r.getSeq[Double](1) == Seq(1.0, 50.5), r.toString)
+    assert(r.getSeq[Double](2) == Seq(100.0), r.toString)
+    val agg = spark.sql(
+      """SELECT graft_kll_quantiles(v, array(1.0D), 4096) AS q,
+        |       graft_kll_quantiles_w(v, w, array(1.0D), 4096) AS qw
+        |FROM ext_kll_in""".stripMargin).head()
+    assert(agg.getSeq[Double](0) == Seq(100.0) && agg.getSeq[Double](1) == Seq(100.0))
+  }
+
   test("chunk/rolling/overlap/top-k functions callable from SQL") {
     val r = spark.sql(
       """SELECT graft_chunk_strings('a b c d e', 2) AS cs,
