@@ -1173,34 +1173,39 @@ object Stats {
     val y = col(metricCol)
     val x = col(covariateCol)
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(y.isNotNull && x.isNotNull)
+    // ONE pass, grouped by the 0/1 indicator (2 groups) rather than 12
+    // conditional aggregates: each decimal product is evaluated ONCE
+    // per row instead of once per sample arm (the conditional form ran
+    // ~2x slower at sf0.1), and decimal sums are order-independent so
+    // the per-sample totals are bit-identical either way
+    val rows = df.filter(y.isNotNull && x.isNotNull)
+      .groupBy(ia.as("ia"))
       .agg(
-        sum(ia).as("na"),
-        sum(when(ia === 1L, d6(y))).as("sya"),
-        sum(when(ia === 1L, d6(x))).as("sxa"),
-        sum(when(ia === 1L, d6(y) * d6(y))).as("qya"),
-        sum(when(ia === 1L, d6(x) * d6(x))).as("qxa"),
-        sum(when(ia === 1L, d6(x) * d6(y))).as("pa"),
-        sum(lit(1L) - ia).as("nb"),
-        sum(when(ia === 0L, d6(y))).as("syb"),
-        sum(when(ia === 0L, d6(x))).as("sxb"),
-        sum(when(ia === 0L, d6(y) * d6(y))).as("qyb"),
-        sum(when(ia === 0L, d6(x) * d6(x))).as("qxb"),
-        sum(when(ia === 0L, d6(x) * d6(y))).as("pb"),
+        count(lit(1)).as("n"),
+        sum(d6(y)).as("sy"),
+        sum(d6(x)).as("sx"),
+        sum(d6(y) * d6(y)).as("qy"),
+        sum(d6(x) * d6(x)).as("qx"),
+        sum(d6(x) * d6(y)).as("pxy"),
         sum(when(y.cast("double") =!= round(y.cast("double"), 6), 1L)
           .when(x.cast("double") =!= round(x.cast("double"), 6), 1L)
           .otherwise(0L)).as("nf"))
-      .head()
-    require(!r0.isNullAt(0) && r0.getLong(12) == 0L,
-      s"cuped: ${if (r0.isNullAt(0)) "no" else r0.getLong(12)} values need " +
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+        BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
+        BigDecimal(r.getDecimal(5)), BigDecimal(r.getDecimal(6)),
+        r.getLong(7)))).toMap
+    val nfTotal = rows.valuesIterator.map(_._7).sum
+    require(rows.nonEmpty && nfTotal == 0L,
+      s"cuped: ${if (rows.isEmpty) "no" else nfTotal} values need " +
         "more than 6 decimal places — the decimal(18,6) moments would " +
         "round them silently; rescale to the 6-dp grid first")
-    val (na, nb) = (r0.getLong(0), r0.getLong(6))
+    val zero = (0L, BigDecimal(0), BigDecimal(0), BigDecimal(0),
+      BigDecimal(0), BigDecimal(0), 0L)
+    val (na, sya, sxa, qya, qxa, pa, _) = rows.getOrElse(1L, zero)
+    val (nb, syb, sxb, qyb, qxb, pb, _) = rows.getOrElse(0L, zero)
     require(na >= 2 && nb >= 2,
       s"cuped: both samples need >= 2 rows (n_a=$na, n_b=$nb)")
-    def bd(i: Int) = BigDecimal(r0.getDecimal(i))
-    val (sya, sxa, qya, qxa, pa) = (bd(1), bd(2), bd(3), bd(4), bd(5))
-    val (syb, sxb, qyb, qxb, pb) = (bd(7), bd(8), bd(9), bd(10), bd(11))
     // pooled exact totals (decimal addition is exact), then pinned
     // double algebra — the ratio shapes the oracle replays verbatim
     val n = na + nb
