@@ -1243,6 +1243,84 @@ object Stats {
       .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
   }
 
+  /** Poisson-bootstrap confidence interval for a mean — the bootstrap
+    * at corpus scale: instead of materializing B index-resampled
+    * copies (impossible at 100 TB), every row carries B independent
+    * Poisson(1) multiplicities ([[graft.functions.BootstrapWeights]] —
+    * deterministic, hash-derived, cross-engine replayable), each
+    * resample's mean is a weighted aggregate, and the CI is the
+    * [α/2, 1−α/2] order statistics of the B resample means. ONE corpus
+    * scan: the weights array explodes to (resample, weight) pairs that
+    * partial-aggregate map-side to ≤ B+1 groups per partition, so the
+    * shuffle carries O(partitions·B) tiny rows no matter the corpus
+    * size; index 0 is the identity resample, so the full-sample mean
+    * rides the same shuffle (no second scan). Exact-decimal weighted
+    * sums (the [[welchT]] 6-dp contract, sentinel in the same pass);
+    * the only doubles are the B+1 mean divisions and the rank picks.
+    *
+    * Resamples whose total weight is 0 (probability e⁻ⁿ per resample —
+    * real only for tiny n) are dropped; `b_eff` reports the count that
+    * survived. One row out:
+    * `(b_eff, n, mean, ci_lo, ci_hi)` — raw doubles, callers round.
+    */
+  def bootstrapMeanCI(df: DataFrame, valueCol: String, keyCol: String,
+                      b: Int = 200, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapMeanCI: alpha must be in (0, 1), got $alpha")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+      .select(d6(v).as("v"),
+        when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L).as("nf"),
+        col(keyCol).cast("long").as("__k"))
+    // the explode multiplies rows (b+1)x BEFORE the partial agg: if the
+    // source collapses to a handful of input splits (one small parquet
+    // file), the whole expansion runs in those few tasks — fan out
+    // first (a corpus-sized shuffle of 2 narrow columns, amortized
+    // (b+1)x by what follows). Skipped when the source already has
+    // enough splits, which is the 100 TB case.
+    val par = session.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val rows = src
+      .select(col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("j"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((BigDecimal(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
+      .toMap
+    require(rows.contains(0), "bootstrapMeanCI: no rows after the NULL filter")
+    val (s0, n0, nf0) = rows(0)
+    require(nf0 == 0L,
+      s"bootstrapMeanCI: $nf0 values need more than 6 decimal places — " +
+        "the decimal(18,6) sums would round them silently; rescale first")
+    require(n0 >= 2, s"bootstrapMeanCI: need >= 2 rows, got $n0")
+    val mean = s0.toDouble / n0.toDouble
+    val means = rows.toSeq.collect {
+      case (j, (s, n, _)) if j >= 1 && n > 0L => s.toDouble / n.toDouble
+    }.sorted
+    val bEff = means.length.toLong
+    require(bEff >= 10L,
+      s"bootstrapMeanCI: only $bEff non-empty resamples survived — " +
+        "raise b or supply more rows")
+    // rank arithmetic in the SAME double chain the oracle replays
+    // (alpha/2 then 1 - alpha/2 — NOT a separate 0.975-style literal,
+    // whose last ulp could flip a ceil at an integer boundary)
+    val aLo = alpha / 2.0
+    val aHi = 1.0 - aLo
+    val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+    val rHi = math.ceil(aHi * bEff.toDouble).toLong
+    Seq((bEff, n0, mean, means((rLo - 1).toInt), means((rHi - 1).toInt)))
+      .toDF("b_eff", "n", "mean", "ci_lo", "ci_hi")
+  }
+
   /** Two-proportion z-test — did a RATE move between the rows where
     * `sampleACond` holds and the rest (conversion share per variant,
     * success rate per cohort)? z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))

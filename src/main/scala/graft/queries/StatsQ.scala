@@ -384,6 +384,20 @@ object StatsQ {
         .orderBy("o_orderpriority", "p")
     }),
 
+    "x_bootstrap" -> ((s, dir) =>
+      // Poisson-bootstrap CI for the mean order price
+      // (Stats.bootstrapMeanCI): 200 deterministic hash-derived
+      // Poisson(1) resamples ride ONE corpus scan (explode -> map-side
+      // partial agg to <= 201 groups); the oracle replays the full
+      // splitmix chain (HashReplay CTEs), the SHARED Poisson CDF
+      // thresholds, the exact decimal weighted sums, and the identical
+      // rank arithmetic — a value-level oracle for a resampling method
+      Stats.bootstrapMeanCI(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", b = 200, alpha = 0.05)
+        .select(col("b_eff"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))),
+
     "x_cuped" -> ((s, dir) =>
       // CUPED variance reduction (Stats.cuped — the experimentation
       // platform's sensitivity lever): adjust the price metric by the
@@ -980,6 +994,49 @@ object StatsQ {
         |SELECT k.g AS o_orderpriority, k.p, k.n, o.v AS value
         |FROM ks k JOIN ord o ON o.g = k.g AND o.rn = k.k
         |ORDER BY o_orderpriority, p""".stripMargin,
+    "x_bootstrap" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val m = HashReplay.MSql
+      // the SHARED Poisson(1) CDF thresholds, rendered verbatim —
+      // Double.toString round-trips through DuckDB's literal parser,
+      // so both engines compare the identical doubles
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      s"""WITH src AS (
+         |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
+         |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "key, v, j")},
+         |w AS (SELECT v, j, $caseSum AS w FROM
+         |  (SELECT v, j,
+         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |wall AS (SELECT v, j, w FROM w
+         |  UNION ALL SELECT v, 0 AS j, 1 AS w FROM src),
+         |sums AS (SELECT j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |  FROM wall GROUP BY j),
+         |fullm AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n
+         |  FROM sums WHERE j = 0),
+         |means AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn
+         |  FROM sums WHERE j >= 1 AND n > 0),
+         |eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff FROM means),
+         |ord AS (SELECT mn, ROW_NUMBER() OVER (ORDER BY mn) AS rn FROM means)
+         |SELECT e.b_eff, f.n, ROUND(f.mean, 6) AS mean,
+         |  ROUND((SELECT mn FROM ord WHERE rn = GREATEST(1,
+         |    CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT))), 6)
+         |    AS ci_lo,
+         |  ROUND((SELECT mn FROM ord WHERE rn =
+         |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
+         |    AS ci_hi
+         |FROM eff e CROSS JOIN fullm f""".stripMargin
+    },
     "x_cuped" ->
       // the welch_t pattern extended to (Y, X) cross moments: identical
       // exact-decimal conditional totals, identical ratio shapes, so

@@ -2539,6 +2539,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(msg.contains("no sketches to merge"), msg)
   }
 
+  test("bootstrapMeanCI: deterministic, identity resample exact, CI brackets; weights Poisson(1)-ish") {
+    import graft.operators.Stats
+    val df = (1L to 500L).map(i => (i, (i % 100).toDouble)).toDF("k", "v")
+    val r1 = Stats.bootstrapMeanCI(df, "v", "k", b = 100).head()
+    val r2 = Stats.bootstrapMeanCI(df, "v", "k", b = 100).head()
+    assert(r1 == r2, "hash-derived weights must make the bootstrap deterministic")
+    assert(r1.getLong(1) == 500L)
+    val exact = (1L to 500L).map(i => (i % 100).toDouble).sum / 500.0
+    assert(math.abs(r1.getDouble(2) - exact) < 1e-9,
+      "identity resample must yield the exact full-sample mean")
+    assert(r1.getDouble(3) <= r1.getDouble(2) && r1.getDouble(2) <= r1.getDouble(4))
+    assert(r1.getDouble(3) < r1.getDouble(4), "CI must have positive width")
+    // the weights kernel directly: in range, empirically Poisson(1)
+    val seeds = graft.functions.BootstrapWeights.seedsFor(50)
+    val ws = (1 to 2000).flatMap { k =>
+      val a = graft.functions.BootstrapWeights.compute(k.toLong, seeds)
+      (1 until a.numElements()).map(a.getInt)
+    }
+    assert(ws.forall(w => w >= 0 && w <= 17))
+    val mw = ws.sum.toDouble / ws.size
+    assert(math.abs(mw - 1.0) < 0.02, s"weight mean $mw drifted from 1")
+    // zero-total-weight resamples drop and b_eff reports it: with 2
+    // rows ~e^-2 of resamples are empty
+    val tiny = Stats.bootstrapMeanCI(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), "v", "k", b = 200).head()
+    assert(tiny.getLong(0) < 200L && tiny.getLong(0) >= 100L, tiny.toString)
+  }
+
   test("cuped: hand-computed theta/rho2/adjusted diff, guards loud") {
     import graft.operators.Stats
     val aRows = Seq((10.0, 1.0), (20.0, 3.0), (12.0, 2.0))
