@@ -190,7 +190,8 @@ class CodegenGuardSpec extends AnyFunSuite {
         RandomProjection.project(spark, col("vec"), 16, 99L).as("b2"),
         QuantizeVec.quantize(spark, col("vec"), 65535).as("b3"),
         HllRegister.registerCoords(spark, col("id"), 14).as("b4"),
-        CountMinBuckets.buckets(spark, col("id"), 5, 4096).as("b5")).collect()
+        CountMinBuckets.buckets(spark, col("id"), 5, 4096).as("b5"),
+        BootstrapWeights.weights(spark, col("id"), 2000).as("b6")).collect()
       df.groupBy(col("id"))
         .agg(TopK.topK(spark, col("d"), 1 << 10).as("t1"),
           KllQuantiles.kllQuantiles(spark, col("d"),
