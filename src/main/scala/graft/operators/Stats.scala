@@ -1321,6 +1321,78 @@ object Stats {
       .toDF("b_eff", "n", "mean", "ci_lo", "ci_hi")
   }
 
+  /** Poisson-bootstrap CI for a DIFFERENCE in means — the A/B form of
+    * [[bootstrapMeanCI]] and the distribution-free companion of
+    * [[welchT]]: each resample draws BOTH samples (per-row Poisson
+    * weights are sample-agnostic), the statistic is
+    * mean_A(j) − mean_B(j), and the CI is the [α/2, 1−α/2] order
+    * statistics over the B resampled diffs — no normality assumption,
+    * so it stays honest on the skewed heavy-tailed metrics (revenue,
+    * tokens, latency) where the t-interval lies. Same ONE-scan shape:
+    * groupBy((resample, sample)) partial-aggregates map-side to
+    * ≤ 2(B+1) groups; index 0 is the identity resample. Resamples
+    * where either side has zero total weight are dropped (`b_eff`).
+    * NULL condition rows are sample B (the [[welchT]] convention). One
+    * row out: `(b_eff, n_a, n_b, diff, ci_lo, ci_hi)`. */
+  def bootstrapDiffCI(df: DataFrame, valueCol: String, keyCol: String,
+                      sampleACond: org.apache.spark.sql.Column,
+                      b: Int = 200, alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapDiffCI: alpha must be in (0, 1), got $alpha")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+      .select(d6(v).as("v"),
+        when(sampleACond, 1L).otherwise(0L).as("ia"),
+        when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L).as("nf"),
+        col(keyCol).cast("long").as("__k"))
+    val par = session.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val cells = src
+      .select(col("v"), col("ia"), col("nf"),
+        posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("j"), col("ia"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))))
+      .toMap
+    def cell(j: Int, ia: Long) =
+      cells.getOrElse((j, ia), (BigDecimal(0), 0L, 0L))
+    val (sa0, na0, nfa0) = cell(0, 1L)
+    val (sb0, nb0, nfb0) = cell(0, 0L)
+    require(nfa0 + nfb0 == 0L,
+      s"bootstrapDiffCI: ${nfa0 + nfb0} values need more than 6 decimal " +
+        "places — the decimal(18,6) sums would round them silently")
+    require(na0 >= 2 && nb0 >= 2,
+      s"bootstrapDiffCI: both samples need >= 2 rows (n_a=$na0, n_b=$nb0)")
+    val diff = sa0.toDouble / na0.toDouble - sb0.toDouble / nb0.toDouble
+    val diffs = (1 to b).iterator.flatMap { j =>
+      val (sa, na, _) = cell(j, 1L)
+      val (sb, nb, _) = cell(j, 0L)
+      if (na > 0L && nb > 0L)
+        Some(sa.toDouble / na.toDouble - sb.toDouble / nb.toDouble)
+      else None
+    }.toArray.sorted
+    val bEff = diffs.length.toLong
+    require(bEff >= 10L,
+      s"bootstrapDiffCI: only $bEff resamples had both samples non-empty — " +
+        "raise b or supply more rows")
+    val aLo = alpha / 2.0
+    val aHi = 1.0 - aLo
+    val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+    val rHi = math.ceil(aHi * bEff.toDouble).toLong
+    Seq((bEff, na0, nb0, diff, diffs((rLo - 1).toInt), diffs((rHi - 1).toInt)))
+      .toDF("b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi")
+  }
+
   /** Two-proportion z-test — did a RATE move between the rows where
     * `sampleACond` holds and the rest (conversion share per variant,
     * success rate per cohort)? z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))

@@ -398,6 +398,20 @@ object StatsQ {
           round(col("ci_lo"), 6).as("ci_lo"),
           round(col("ci_hi"), 6).as("ci_hi"))),
 
+    "x_bootstrap_diff" -> ((s, dir) =>
+      // the A/B readout: bootstrap CI for the urgent-vs-rest mean
+      // price difference (Stats.bootstrapDiffCI) — distribution-free,
+      // same one-scan shape as x_bootstrap with (resample, sample)
+      // groups; the oracle replays the identical chain with the
+      // sample indicator carried through
+      Stats.bootstrapDiffCI(t(s, dir, "orders"), "o_totalprice",
+          "o_orderkey", col("o_orderpriority") === "1-URGENT",
+          b = 200, alpha = 0.05)
+        .select(col("b_eff"), col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))),
+
     "x_cuped" -> ((s, dir) =>
       // CUPED variance reduction (Stats.cuped — the experimentation
       // platform's sensitivity lever): adjust the price metric by the
@@ -1036,6 +1050,51 @@ object StatsQ {
          |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
          |    AS ci_hi
          |FROM eff e CROSS JOIN fullm f""".stripMargin
+    },
+    "x_bootstrap_diff" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val m = HashReplay.MSql
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      s"""WITH src AS (
+         |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
+         |    CAST(o_totalprice AS DECIMAL(18,6)) AS v,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.key, s.v, s.ia, d.j,
+         |         (xor(s.key, d.z) + $gamma) % $m AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "key, v, ia, j")},
+         |w AS (SELECT v, ia, j, $caseSum AS w FROM
+         |  (SELECT v, ia, j,
+         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |wall AS (SELECT v, ia, j, w FROM w
+         |  UNION ALL SELECT v, ia, 0 AS j, 1 AS w FROM src),
+         |sums AS (SELECT j, ia, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |  FROM wall GROUP BY j, ia),
+         |pv AS (SELECT a.j, a.n AS na, bb.n AS nb,
+         |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+         |      - CAST(bb.s AS DOUBLE) / CAST(bb.n AS DOUBLE) AS d
+         |  FROM sums a JOIN sums bb ON a.j = bb.j AND a.ia = 1 AND bb.ia = 0
+         |  WHERE a.n > 0 AND bb.n > 0),
+         |fullr AS (SELECT d AS diff, na, nb FROM pv WHERE j = 0),
+         |ds AS (SELECT d FROM pv WHERE j >= 1),
+         |eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff FROM ds),
+         |ord AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM ds)
+         |SELECT e.b_eff, f.na AS n_a, f.nb AS n_b, ROUND(f.diff, 6) AS diff,
+         |  ROUND((SELECT d FROM ord WHERE rn = GREATEST(1,
+         |    CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT))), 6)
+         |    AS ci_lo,
+         |  ROUND((SELECT d FROM ord WHERE rn =
+         |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
+         |    AS ci_hi
+         |FROM eff e CROSS JOIN fullr f""".stripMargin
     },
     "x_cuped" ->
       // the welch_t pattern extended to (Y, X) cross moments: identical

@@ -2567,6 +2567,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(tiny.getLong(0) < 200L && tiny.getLong(0) >= 100L, tiny.toString)
   }
 
+  test("bootstrapDiffCI: identity diff exact, CI brackets, NULL cond is sample B, deterministic") {
+    import graft.operators.Stats
+    val df = (1L to 400L).map { i =>
+      val g = if (i % 4 == 0L) "a" else "b"
+      // A runs ~10 higher than B on the same base signal
+      val v = (i % 50).toDouble + (if (g == "a") 10.0 else 0.0)
+      (i, g, v)
+    }.toDF("k", "g", "v")
+    val r1 = Stats.bootstrapDiffCI(df, "v", "k", col("g") === "a", b = 100).head()
+    val r2 = Stats.bootstrapDiffCI(df, "v", "k", col("g") === "a", b = 100).head()
+    assert(r1 == r2, "hash-derived weights must make the bootstrap deterministic")
+    assert(r1.getLong(1) == 100L && r1.getLong(2) == 300L)
+    val as = (1L to 400L).filter(_ % 4 == 0L).map(i => (i % 50).toDouble + 10.0)
+    val bs = (1L to 400L).filterNot(_ % 4 == 0L).map(i => (i % 50).toDouble)
+    val exact = as.sum / as.size - bs.sum / bs.size
+    assert(math.abs(r1.getDouble(3) - exact) < 1e-9,
+      "identity resample must yield the exact full-sample diff")
+    assert(r1.getDouble(4) <= r1.getDouble(3) && r1.getDouble(3) <= r1.getDouble(5))
+    assert(r1.getDouble(4) > 0.0,
+      "a planted +10 shift must have a CI excluding zero")
+    // NULL condition rows land in sample B
+    val withNull = df.union(Seq((500L, null.asInstanceOf[String], 1.0))
+      .toDF("k", "g", "v"))
+    val rn = Stats.bootstrapDiffCI(withNull, "v", "k", col("g") === "a",
+      b = 100).head()
+    assert(rn.getLong(1) == 100L && rn.getLong(2) == 301L)
+  }
+
   test("cuped: hand-computed theta/rho2/adjusted diff, guards loud") {
     import graft.operators.Stats
     val aRows = Seq((10.0, 1.0), (20.0, 3.0), (12.0, 2.0))
