@@ -19,6 +19,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through VERBATIM (no `[info] `
+// prefix per line): the driver tail-parses the LAST stdout line of
+// `runMain graft.Bench` as JSON, and a logger-prefixed line may not
+// parse. Stderr keeps the logger so compile diagnostics stay visible.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -142,18 +142,25 @@ private[graft] final class KllBuffer(val k: Int) {
       i += 1
     }
     val idx = Array.range(0, m).sortBy(vs(_))
-    val totalW = ws.sum
-    // one cumulative pass serves every p: order statistic at 1-based
-    // rank r = first sorted value whose cumulative weight reaches r
+    // the sorted cumulative-weight array is built ONCE (cum(j) = weight
+    // of the first j+1 sorted items); each order statistic is then a
+    // binary search for the first j with cum(j) >= r — O(m log m + |ps|
+    // log m) total, not a fresh O(m) rescan per bracketing rank
+    val cum = new Array[Long](m)
+    var acc = 0L
+    var j = 0
+    while (j < m) { acc += ws(idx(j)); cum(j) = acc; j += 1 }
+    val totalW = acc
+    // first index whose cumulative weight reaches r (cum is strictly
+    // increasing — weights are positive — so lower bound is exact)
     def orderStat(r: Long): Double = {
-      var acc = 0L
-      var j = 0
-      while (j < m) {
-        acc += ws(idx(j))
-        if (acc >= r) return vs(idx(j))
-        j += 1
+      var lo = 0
+      var hi = m - 1
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cum(mid) >= r) hi = mid else lo = mid + 1
       }
-      vs(idx(m - 1))
+      vs(idx(lo))
     }
     ps.toArray.map { p =>
       val pos = (totalW - 1).toDouble * p

@@ -148,6 +148,53 @@ object Profiling {
     out
   }
 
+  /** Sketch-backed [[madOutliers]] — the beyond-`maxFoldRows` scale
+    * path: where the exact operator's counts frame is |group, distinct
+    * value|-sized (corpus-sized on high-cardinality values — the fold
+    * guard's trip condition), this runs THREE bounded-state corpus
+    * passes with O(k·log n) per group and NO driver fold at any group
+    * count or cardinality:
+    *
+    *   1. per-group KLL sketch → interpolated median;
+    *   2. medians joined back (AQE broadcasts the |groups|-row frame),
+    *      per-group sketch of the DEVIATIONS |v − med| → MAD;
+    *   3. med+MAD joined back, one conditional counting pass for the
+    *      outlier flags — the counts are EXACT given (med, mad).
+    *
+    * Only med/MAD carry the sketch's ≈1/k rank error; SketchScaleSpec
+    * pins the ε vs [[madOutliers]] at sf0.1. Same output schema
+    * `(groupCol, med, mad, n_outliers, n, outlier_rate)`, but the
+    * result STAYS DISTRIBUTED (no localCheckpoint — nothing is cached
+    * that must release). Keep the exact operator for oracle surfaces.
+    */
+  def madOutliersSketch(df: DataFrame, groupCol: String, valCol: String,
+                        cut: Double = 3.0, k: Int = 4096): DataFrame = {
+    val session = df.sparkSession
+    val base = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+    def p50(sk: org.apache.spark.sql.Column) = element_at(
+      graft.functions.KllQuantiles.kllValuesInterp(session, sk, Seq(0.5)), 1)
+    val med = base.groupBy(col("g"))
+      .agg(graft.functions.KllQuantiles.kllSketch(session, col("v"), k).as("__sk"))
+      .select(col("g"), p50(col("__sk")).as("med"))
+    val mad = base.join(med, Seq("g"))
+      .groupBy(col("g"))
+      .agg(first(col("med")).as("med"),
+        graft.functions.KllQuantiles
+          .kllSketch(session, abs(col("v") - col("med")), k).as("__dk"))
+      .select(col("g"), col("med"), p50(col("__dk")).as("mad"))
+    base.join(mad, Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(
+        round(first(col("med")), 4).as("med"),
+        round(first(col("mad")), 4).as("mad"),
+        sum(when(abs(col("v") - col("med")) > lit(cut) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+      .withColumn("outlier_rate", round(col("n_outliers") / col("n"), 4))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns: the statistic Σ (observed − expected)² / expected over
     * the contingency table, plus degrees of freedom. The cell counts

@@ -439,10 +439,10 @@ object Stats {
         s"maxFoldRows=$maxFoldRows — the grouping key is too fine for the " +
         "driver fold; raise maxFoldRows deliberately, pre-aggregate the " +
         "key, or switch to the mergeable-sketch scale path — " +
-        "groupedQuantilesSketch (raw rows) / groupedQuantilesSketchWeighted " +
-        "(pre-counted weighted frames: the winsorizedStats/madOutliers/" +
-        "grouped-Gini shape) — no driver fold at any group count, " +
-        "~1/k rank error")
+        "groupedQuantilesSketch / groupedQuantilesSketchWeighted for " +
+        "quantiles, winsorizedStatsSketch / Profiling.madOutliersSketch / " +
+        "groupedGiniSketch for the derived statistics — no driver fold " +
+        "at any group count, ~1/k rank error")
     val rows = hist.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val marginal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
       .toArray.sortBy(_._1)
@@ -562,6 +562,26 @@ object Stats {
     out
   }
 
+  /** The weighted family's integrality sentinel: the weight column is
+    * an integer MULTIPLICITY, and a bare `cast("long")` on a fractional
+    * value truncates silently (1.7 → 1 — plausible-but-wrong quantiles,
+    * the class the propZTest sentinel eliminated). This checked cast
+    * rides the operator's own pass: `w != floor(w)` raises, everything
+    * else casts exactly. Distributed and codegen'd (`raise_error`
+    * inside a when branch), so it costs one comparison per row and
+    * fails loud on the FIRST offending row at any scale.
+    */
+  private def integralWeight(weightCol: String, op: String): org.apache.spark.sql.Column = {
+    val wd = col(weightCol).cast("double")
+    when(wd =!= floor(wd),
+      raise_error(concat(
+        lit(s"$op: fractional weight "), wd.cast("string"),
+        lit(" — the long cast would truncate it silently; weights are " +
+          "integer multiplicities, pre-round explicitly if that is meant"))))
+      .otherwise(col(weightCol))
+      .cast("long")
+  }
+
   /** [[groupedInterpolatedQuantiles]] over a PRE-COUNTED frame: rows
     * are `(groupCol, valueCol, weightCol)` where the weight is the
     * positive integer multiplicity of that value in the underlying
@@ -572,6 +592,8 @@ object Stats {
     * shape). Identical arithmetic to the unweighted form on the
     * expanded multiset; NULL values/groups excluded; (group, value)
     * need not be unique (re-aggregated here, a |rows|-sized hash agg).
+    * A fractional weight fails loud in the same pass (the integrality
+    * sentinel — a bare long cast would truncate it silently).
     */
   def groupedInterpolatedQuantilesWeighted(weighted: DataFrame,
                                            groupCol: String, valueCol: String,
@@ -586,7 +608,8 @@ object Stats {
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
-      .agg(sum(col(weightCol).cast("long")).as("c"))
+      .agg(sum(integralWeight(weightCol,
+        "groupedInterpolatedQuantilesWeighted")).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cum, nByGroup) = groupedCumCore(counts, buckets, maxFoldRows,
       "groupedInterpolatedQuantilesWeighted")
@@ -655,7 +678,11 @@ object Stats {
     * the expansion, not the interpolated lerp, so keep
     * [[groupedInterpolatedQuantilesWeighted]] for oracle surfaces and
     * use this when its fold guard trips. NULL values/groups/weights
-    * excluded; negative weights fail loud inside the aggregate. Returns
+    * excluded; negative weights fail loud inside the aggregate, and a
+    * FRACTIONAL weight fails loud in the same pass (the integrality
+    * sentinel — a bare long cast would truncate 1.7 to 1 and yield
+    * plausible-but-wrong quantiles, the [[gini]] silent-truncation
+    * hazard class). Returns
     * `(groupCol, p, n, value)` with n = Σ weight (the expanded count).
     */
   def groupedQuantilesSketchWeighted(weighted: DataFrame, groupCol: String,
@@ -666,7 +693,7 @@ object Stats {
     require(ps.forall(p => p > 0.0 && p <= 1.0),
       s"groupedQuantilesSketchWeighted: quantiles must be in (0, 1], got $ps")
     val session = weighted.sparkSession
-    val w = col(weightCol).cast("long")
+    val w = integralWeight(weightCol, "groupedQuantilesSketchWeighted")
     val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
       session, col(valueCol), w, ps, k)
     weighted
@@ -910,6 +937,62 @@ object Stats {
     out.toDF(groupCol, "n", "total", "gini")
   }
 
+  /** Sketch-backed [[groupedGini]] — the beyond-`maxFoldRows` scale
+    * path: ONE corpus pass builds a per-group KLL sketch (plus n, Σv,
+    * min in the SAME hash agg), then the Gini reads off the sketch's
+    * quantile function by midpoint quadrature of the Lorenz identity
+    *
+    *   G = 2·∫₀¹ Q(p)·p dp / ∫₀¹ Q(p) dp − 1
+    *
+    * over a `grid`-point INTERPOLATED read (p_i = (i−½)/grid — the
+    * continuous form of the exact operator's rank-sum algebra; for the
+    * uniform distribution both give exactly 1/3). Error is
+    * O(1/grid + 1/k) — SketchScaleSpec pins the ε vs [[groupedGini]]
+    * at sf0.1. No driver fold at any group count, no integrality
+    * requirement (the quantile path never needs the decimal(38,0) rank
+    * algebra), and the output STAYS DISTRIBUTED. Lorenz-domain guards
+    * stay loud but DISTRIBUTED (`raise_error` on a negative min or
+    * non-positive total — the exact operator's guards without its
+    * collect). `total` is the exact decimal Σv as a double (the exact
+    * operator's long contract needs the integer grid this path drops).
+    * Keep [[groupedGini]] for oracle surfaces.
+    */
+  def groupedGiniSketch(df: DataFrame, groupCol: String, valueCol: String,
+                        k: Int = 4096, grid: Int = 1024): DataFrame = {
+    require(grid >= 16, s"groupedGiniSketch: grid must be >= 16, got $grid")
+    val session = df.sparkSession
+    val base = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+    val agg = base.groupBy(col("g"))
+      .agg(graft.functions.KllQuantiles.kllSketch(session, col("v"), k).as("__sk"),
+        count(lit(1)).as("n"),
+        min(col("v")).as("__mn"),
+        sum(col("v").cast("decimal(38,6)")).as("__t"))
+    val ps = (1 to grid).map(i => (i - 0.5) / grid)
+    agg
+      .select(col("g"), col("n"), col("__mn"), col("__t"),
+        posexplode(graft.functions.KllQuantiles
+          .kllValuesInterp(session, col("__sk"), ps)).as(Seq("__i", "__q")))
+      .withColumn("__p", (col("__i").cast("double") + 0.5) / grid)
+      .groupBy(col("g").as(groupCol))
+      .agg(first(col("n")).as("n"),
+        first(col("__t")).cast("double").as("total"),
+        first(col("__mn")).as("__mn"),
+        sum(col("__q") * col("__p")).as("__num"),
+        sum(col("__q")).as("__den"))
+      .select(col(groupCol), col("n"), col("total"),
+        when(col("__mn") < 0, raise_error(concat(
+          lit("groupedGiniSketch: negative values break the Lorenz domain " +
+            "(group '"), col(groupCol), lit("', min "), col("__mn").cast("string"),
+          lit(")"))))
+          .when(col("__den") <= 0, raise_error(concat(
+            lit("groupedGiniSketch: total must be positive (group '"),
+            col(groupCol), lit("')"))))
+          .otherwise(round(lit(2.0) * col("__num") / col("__den") - 1.0, 6))
+          .as("gini"))
+  }
+
   /** Spearman rank correlation between two numeric columns — Pearson
     * correlation of the MIDRANKS (tie groups ranked at the average of
     * their span, the convention [[mannWhitneyU]] uses), which Spark
@@ -928,6 +1011,19 @@ object Stats {
     * Rows with a NULL in either column are excluded (observed-pairs
     * policy). One row out: `(n, rho)`; rho is NaN for degenerate
     * inputs (n < 2 or a constant column), matching `corr`.
+    *
+    * Determinism: midranks are exact multiples of 0.5 (tie block of
+    * count c at inclusive cum ranks at cum − (c−1)/2), so the
+    * co-moments Σr_a·r_b, Σr_a², Σr_b², Σr_a, Σr_b are EXACT decimal
+    * sums — order-independent under any shuffle-fetch order, unlike
+    * `covar_pop`/`var_pop` whose online partial-state merges are
+    * fetch-order-dependent at the last ulp (the one-ulp CI coin-flip
+    * this replaced; the [[welchT]]/[[cuped]] moment doctrine). The
+    * driver finishes in a pinned double chain on the centered exact
+    * integers n·Σab − Σa·Σb etc., so rho is bit-deterministic — and
+    * exactly ±1.0 for perfect (anti)monotone inputs, because
+    * n·Σab − Σa·Σb = ∓(n·Σa² − (Σa)²) holds exactly in decimal and
+    * IEEE sqrt(x·x) == |x|.
     */
   def spearman(df: DataFrame, colA: String, colB: String,
                buckets: Int = 32): DataFrame = {
@@ -948,24 +1044,35 @@ object Stats {
         .select(col("v").as(out),
           (col("cum").cast("double") - (col("c").cast("double") - 1.0) / 2.0)
             .as(s"r_$out"))
-    // population co-moments, divided on the DRIVER: Spark's `corr`
-    // aggregate raises DIVIDE_BY_ZERO under ANSI when a column is
-    // constant — here a zero variance yields NaN (the documented
-    // degenerate contract) instead. The pop/samp normalizations cancel
-    // in the ratio, so this equals corr exactly in real arithmetic.
+    // EXACT decimal co-moments, divided on the DRIVER: midranks are
+    // multiples of 0.5 ≤ n, so decimal(18,1) casts are exact, products
+    // are decimal(37,2), and the sums are order-independent integers —
+    // bit-deterministic where covar_pop/var_pop's online merges are
+    // shuffle-fetch-ordered. A zero variance yields NaN (the documented
+    // degenerate contract; corr would raise DIVIDE_BY_ZERO under ANSI).
+    def d1(c: org.apache.spark.sql.Column) = c.cast("decimal(18,1)")
     val row = obs
       .join(rankTable(cumA, cachedA, "a"), Seq("a"))
       .join(rankTable(cumB, cachedB, "b"), Seq("b"))
-      .agg(covar_pop(col("r_a"), col("r_b")).as("cov"),
-        var_pop(col("r_a")).as("va"), var_pop(col("r_b")).as("vb"))
+      .agg(sum(d1(col("r_a")) * d1(col("r_b"))).as("sab"),
+        sum(d1(col("r_a")) * d1(col("r_a"))).as("saa"),
+        sum(d1(col("r_b")) * d1(col("r_b"))).as("sbb"),
+        sum(d1(col("r_a"))).as("sa"), sum(d1(col("r_b"))).as("sb"))
       .head()
     cachedA.unpersist(); cachedB.unpersist()
-    val rho =
-      if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2)) Double.NaN
-      else {
-        val d = math.sqrt(row.getDouble(1) * row.getDouble(2))
-        if (d == 0.0) Double.NaN else row.getDouble(0) / d
-      }
+    val rho = {
+      val nBig = BigDecimal(nA)
+      val sab = BigDecimal(row.getDecimal(0)); val saa = BigDecimal(row.getDecimal(1))
+      val sbb = BigDecimal(row.getDecimal(2)); val sa = BigDecimal(row.getDecimal(3))
+      val sb = BigDecimal(row.getDecimal(4))
+      // centered co-moments as EXACT decimals; only the final divide
+      // and sqrt are float — a pinned chain, identical on every run
+      val numCov = nBig * sab - sa * sb
+      val numVa = nBig * saa - sa * sa
+      val numVb = nBig * sbb - sb * sb
+      if (numVa.signum == 0 || numVb.signum == 0) Double.NaN
+      else numCov.toDouble / math.sqrt(numVa.toDouble * numVb.toDouble)
+    }
     Seq((nA, rho)).toDF("n", "rho")
   }
 
@@ -1243,6 +1350,24 @@ object Stats {
       .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
   }
 
+  /** The bootstrap family's key-uniqueness sentinel: the Poisson
+    * weights are a pure hash of `__k`, so duplicate keys share a
+    * weight vector and always resample together — an invalid
+    * (typically too-narrow) CI with no visible symptom. One narrow
+    * hash-agg pass (count + exact countDistinct over the single key
+    * column), fail loud on any duplicate.
+    */
+  private def requireUniqueBootstrapKeys(base: DataFrame, op: String): Unit = {
+    val r = base.agg(count(lit(1)).as("n"),
+      count_distinct(col("__k")).as("nk")).head()
+    val n = r.getLong(0); val nk = r.getLong(1)
+    require(n == nk,
+      s"$op: the key column must uniquely identify rows (after the long " +
+        s"cast) — ${n - nk} duplicate key(s) among $n rows; duplicates " +
+        "share a Poisson weight vector, correlating draws and " +
+        "invalidating the CI. Supply a unique row id.")
+  }
+
   /** Poisson-bootstrap confidence interval for a mean — the bootstrap
     * at corpus scale: instead of materializing B index-resampled
     * copies (impossible at 100 TB), every row carries B independent
@@ -1262,6 +1387,15 @@ object Stats {
     * real only for tiny n) are dropped; `b_eff` reports the count that
     * survived. One row out:
     * `(b_eff, n, mean, ci_lo, ci_hi)` — raw doubles, callers round.
+    *
+    * PRECONDITION: `keyCol` must uniquely identify rows (after the
+    * long cast) — the Poisson weights are a pure hash of the key, so
+    * duplicate keys share a weight vector and always resample
+    * TOGETHER, correlating draws and silently narrowing the CI. A
+    * sentinel compares countDistinct(key) to n in a narrow pre-pass
+    * and fails LOUD on duplicates (the [[gini]] fail-loud convention;
+    * riding the explode pass instead would plan a distinct-agg Expand
+    * over the (B+1)× rows — the separate 2-column scan is cheaper).
     */
   def bootstrapMeanCI(df: DataFrame, valueCol: String, keyCol: String,
                       b: Int = 200, alpha: Double = 0.05): DataFrame = {
@@ -1276,6 +1410,7 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
+    requireUniqueBootstrapKeys(base, "bootstrapMeanCI")
     // the explode multiplies rows (b+1)x BEFORE the partial agg: if the
     // source collapses to a handful of input splits (one small parquet
     // file), the whole expansion runs in those few tasks — fan out
@@ -1332,8 +1467,9 @@ object Stats {
     * groupBy((resample, sample)) partial-aggregates map-side to
     * ≤ 2(B+1) groups; index 0 is the identity resample. Resamples
     * where either side has zero total weight are dropped (`b_eff`).
-    * NULL condition rows are sample B (the [[welchT]] convention). One
-    * row out: `(b_eff, n_a, n_b, diff, ci_lo, ci_hi)`. */
+    * NULL condition rows are sample B (the [[welchT]] convention).
+    * [[bootstrapMeanCI]]'s key-uniqueness precondition and sentinel
+    * apply. One row out: `(b_eff, n_a, n_b, diff, ci_lo, ci_hi)`. */
   def bootstrapDiffCI(df: DataFrame, valueCol: String, keyCol: String,
                       sampleACond: org.apache.spark.sql.Column,
                       b: Int = 200, alpha: Double = 0.05): DataFrame = {
@@ -1349,6 +1485,7 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
+    requireUniqueBootstrapKeys(base, "bootstrapDiffCI")
     val par = session.sparkContext.defaultParallelism
     val src =
       if (base.rdd.getNumPartitions < par) base.repartition(par) else base
@@ -2049,6 +2186,59 @@ object Stats {
       .localCheckpoint(true)
     counts.unpersist()
     out
+  }
+
+  /** Sketch-backed [[winsorizedStats]] — the beyond-`maxFoldRows` scale
+    * path: where the exact operator folds per-(group, cell) totals on
+    * the driver under a loud guard, this is TWO corpus passes with
+    * O(k·log n) state per group and NO driver fold at any group count
+    * or value cardinality:
+    *
+    *   1. one KLL-sketch hash agg per group reads the INTERPOLATED
+    *      [lo, hi] clip bounds ([[graft.functions.KllBuffer.interpolated]]
+    *      — `percentile` lerp semantics, rounded to 6 dp exactly as the
+    *      exact operator rounds its bounds);
+    *   2. one clipped/conditional exact-decimal moment pass with the
+    *      |groups|-row bounds frame joined back (AQE broadcasts it when
+    *      small; at extreme group counts it stays a keyed equi-join).
+    *
+    * The means are EXACT GIVEN THE BOUNDS (same decimal(28,6) sums and
+    * double divisions as the exact operator); only the bounds carry the
+    * sketch's ≈1/k rank error — so the result converges to
+    * [[winsorizedStats]] as k grows, and SketchScaleSpec pins the ε at
+    * sf0.1. The output STAYS DISTRIBUTED (|groups| rows, same schema),
+    * composing into downstream joins without a driver round-trip. Keep
+    * the exact operator for oracle surfaces.
+    */
+  def winsorizedStatsSketch(df: DataFrame, groupCol: String, valCol: String,
+                            lo: Double = 0.05, hi: Double = 0.95,
+                            k: Int = 4096): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"winsorizedStatsSketch: bad bounds [$lo, $hi]")
+    val session = df.sparkSession
+    val base = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+    val bounds = base.groupBy(col("g"))
+      .agg(graft.functions.KllQuantiles.kllSketch(session, col("v"), k).as("__sk"))
+      .select(col("g"),
+        graft.functions.KllQuantiles
+          .kllValuesInterp(session, col("__sk"), Seq(lo, hi)).as("__b"))
+      // 6-dp bound rounding: the decimal cast of a clipped-to-bound
+      // value is then exact (the exact operator's convention)
+      .select(col("g"), round(element_at(col("__b"), 1), 6).as("p_lo"),
+        round(element_at(col("__b"), 2), 6).as("p_hi"))
+    val clipped = least(greatest(col("v"), col("p_lo")), col("p_hi"))
+    val inBand = col("v") >= col("p_lo") && col("v") <= col("p_hi")
+    base.join(bounds, Seq("g"))
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        first(col("p_lo")).as("p_lo"),
+        first(col("p_hi")).as("p_hi"),
+        (sum(clipped.cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("winsor_mean"),
+        (sum(when(inBand, col("v").cast("decimal(28,6)"))).cast("double") /
+          sum(when(inBand, 1L))).as("trimmed_mean"))
   }
 
   /** Per-row NTILE(bins) + LEAD(value) over a GLOBAL (value, tie)

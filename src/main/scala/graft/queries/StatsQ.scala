@@ -31,6 +31,28 @@ object StatsQ {
     f
   }
 
+  /** The x_sketch_* family's EXACT-REGIME guard: those oracles are
+    * valid only while no KLL compactor ever fires — the sketch value
+    * is then the exact order statistic the DuckDB replay computes. The
+    * binding bound is the FINAL (post-merge) group's per-level item
+    * count, which every member bounds by its rows-per-group (merge
+    * concatenates levels; a weighted insert puts ≤ the group's rows on
+    * each level). At the driver SFs max(rows per group) « k = 65536;
+    * at a larger SF this guard turns what would be an opaque ~1/k-rank
+    * hash mismatch into a named failure that says to raise k or
+    * re-oracle in the approximate regime. One tiny count-groupBy job.
+    */
+  private def requireExactSketchRegime(df: DataFrame, k: Int, q: String,
+                                       groupCols: org.apache.spark.sql.Column*): Unit = {
+    val r = df.groupBy(groupCols: _*).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head()
+    val m = if (r.isNullAt(0)) 0L else r.getLong(0)
+    require(m < k,
+      s"$q: exact-regime oracle broken — max per-group item count $m >= " +
+        s"k=$k, so the KLL compactor fires and the sketch carries ~1/k " +
+        "rank error; raise k or move this oracle to the approximate regime")
+  }
+
   val defs: Map[String, Q] = Map(
     "x_ols" -> ((s, dir) =>
       // per-returnflag OLS of extended price on quantity: Spark's
@@ -290,10 +312,17 @@ object StatsQ {
       // property; QuantileSketchSpec pins the ε-regime at sf0.1
       // against the exact operator). Raw-double values — the
       // per-group ROW_NUMBER oracle matches with no rounding.
-      Stats.groupedQuantilesSketch(
-          t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
-          ps = Seq(0.5, 0.9), k = 65536)
-        .orderBy("o_orderpriority", "p")),
+      // requireExactSketchRegime: a regime break fails LOUD here, not
+      // as an opaque hash mismatch.
+      {
+        requireExactSketchRegime(
+          t(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+          65536, "x_sketch_quantiles", col("o_orderpriority"))
+        Stats.groupedQuantilesSketch(
+            t(s, dir, "orders"), "o_orderpriority", "o_totalprice",
+            ps = Seq(0.5, 0.9), k = 65536)
+          .orderBy("o_orderpriority", "p")
+      }),
 
     "x_sketch_merge" -> ((s, dir) => {
       // the sketch ROLL-UP contract (x_hll_merge's pattern for
@@ -305,6 +334,10 @@ object StatsQ {
       // k = 65536 exceeds every merged group's size at the driver SFs)
       val ps = Seq(0.5, 0.9)
       val o = t(s, dir, "orders").filter(col("o_totalprice").isNotNull)
+      // merge CONCATENATES the shard sketches' levels, so the binding
+      // regime bound is the merged (per-priority) count, not per-shard
+      requireExactSketchRegime(o, 65536, "x_sketch_merge",
+        col("o_orderpriority"))
       val shards = o
         .groupBy(col("o_orderpriority"), (col("o_orderkey") % 2).as("__shard"))
         .agg(graft.functions.KllQuantiles
@@ -331,13 +364,21 @@ object StatsQ {
       // ladder level receives at most |group| items — far under
       // k = 65536 at the driver SFs, no compactor ever fires, and the
       // sketch quantile IS the exact ⌈p·W⌉-th order statistic of the
-      // EXPANDED multiset, which the oracle replays via range(w)
-      Stats.groupedQuantilesSketchWeighted(
-          t(s, dir, "orders")
-            .withColumn("w", col("o_orderkey") % 7 + lit(1)),
-          "o_orderpriority", "o_totalprice", "w",
-          ps = Seq(0.5, 0.9), k = 65536)
-        .orderBy("o_orderpriority", "p")),
+      // EXPANDED multiset, which the oracle replays via range(w).
+      // requireExactSketchRegime: each level receives at most the
+      // group's ROW count (rows with that weight-bit set), so the
+      // rows-per-priority guard bounds every level.
+      {
+        requireExactSketchRegime(
+          t(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+          65536, "x_sketch_weighted", col("o_orderpriority"))
+        Stats.groupedQuantilesSketchWeighted(
+            t(s, dir, "orders")
+              .withColumn("w", col("o_orderkey") % 7 + lit(1)),
+            "o_orderpriority", "o_totalprice", "w",
+            ps = Seq(0.5, 0.9), k = 65536)
+          .orderBy("o_orderpriority", "p")
+      }),
 
     "x_sketch_rollup" -> ((s, dir) => {
       // the PERSISTED day-partitioned sketch roll-up — x_sketch_merge's
@@ -354,6 +395,12 @@ object StatsQ {
       // exact oracle hash-matches.
       val ps = Seq(0.5, 0.9)
       val store = scratchDir("sketch_rollup", dir)
+      // the horizon fold merges a priority's 12 month-sketches — the
+      // binding regime bound is the merged per-priority count (the
+      // unfiltered count bounds any horizon)
+      requireExactSketchRegime(
+        t(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+        65536, "x_sketch_rollup", col("o_orderpriority"))
       t(s, dir, "orders")
         .filter(col("o_totalprice").isNotNull && col("o_orderdate").isNotNull &&
           col("o_orderpriority").isNotNull)
@@ -440,6 +487,9 @@ object StatsQ {
       // level ≤ |group| items « k = 65536 at the driver SFs), so the
       // value IS DuckDB's quantile_cont over the expanded multiset.
       val ps = Seq(0.5, 0.9)
+      requireExactSketchRegime(
+        t(s, dir, "orders").filter(col("o_totalprice").isNotNull),
+        65536, "x_sketch_interp", col("o_orderpriority"))
       t(s, dir, "orders")
         .filter(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
         .withColumn("w", col("o_orderkey") % 7 + lit(1))
