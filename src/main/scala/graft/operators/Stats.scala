@@ -1350,6 +1350,129 @@ object Stats {
       .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
   }
 
+  /** Delta-method CI for a RATIO-metric difference (Deng, Knoblich &
+    * Lu, KDD 2018 — "Applying the Delta Method in Metric Analytics"):
+    * the A/B readout for metrics like revenue-per-session or
+    * clicks-per-view where each ROW is one randomization unit carrying
+    * a (numerator y, denominator x) pair and the metric is the ratio
+    * of TOTALS R = Σy/Σx — NOT mean(y/x), and not a mean at all, so
+    * [[welchT]]'s per-row variance is wrong for it: y and x are
+    * correlated within a unit, and the delta method gives
+    *
+    *   Var(R) ≈ (var(y) − 2R·cov(x,y) + R²·var(x)) / (n·x̄²).
+    *
+    * Scale shape: [[cuped]]'s exactly — ONE pass grouped by the 0/1
+    * sample indicator, per sample n / Σy / Σx / Σy² / Σx² / Σxy in
+    * exact decimals (order-independent; 6-dp integrality sentinel on
+    * BOTH columns in the same pass), pinned double algebra on the
+    * driver. `z` is the normal quantile for the CI half-width,
+    * SUPPLIED by the caller (default the two-sided-95% 1.959963984…)
+    * — the engine pins arithmetic, not a normal-CDF implementation.
+    * NULL condition rows are sample B (the [[welchT]] convention); a
+    * zero denominator total fails loud (the ratio is undefined). One
+    * row out: `(n_a, n_b, ratio_a, ratio_b, diff, se, ci_lo, ci_hi)`
+    * — raw doubles, callers round.
+    */
+  def deltaRatioCI(df: DataFrame, numCol: String, denCol: String,
+                   sampleACond: org.apache.spark.sql.Column,
+                   z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0.0, s"deltaRatioCI: z must be positive, got $z")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val y = col(numCol); val x = col(denCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val rows = df.filter(y.isNotNull && x.isNotNull)
+      .groupBy(ia.as("ia"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d6(y)).as("sy"),
+        sum(d6(x)).as("sx"),
+        sum(d6(y) * d6(y)).as("qy"),
+        sum(d6(x) * d6(x)).as("qx"),
+        sum(d6(x) * d6(y)).as("pxy"),
+        sum(when(y.cast("double") =!= round(y.cast("double"), 6), 1L)
+          .when(x.cast("double") =!= round(x.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), BigDecimal(r.getDecimal(2)),
+        BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)),
+        BigDecimal(r.getDecimal(5)), BigDecimal(r.getDecimal(6)),
+        r.getLong(7)))).toMap
+    val nfTotal = rows.valuesIterator.map(_._7).sum
+    require(rows.nonEmpty && nfTotal == 0L,
+      s"deltaRatioCI: ${if (rows.isEmpty) "no" else nfTotal} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    require(rows.contains(1L) && rows.contains(0L),
+      "deltaRatioCI: both samples need rows " +
+        s"(present: ${rows.keys.toSeq.sorted.mkString(", ")})")
+    // per-sample delta-method variance of R = Σy/Σx, pinned chain
+    def side(s: Long): (Long, Double, Double) = {
+      val (n, sy, sx, qy, qx, pxy, _) = rows(s)
+      require(n >= 2, s"deltaRatioCI: sample ${if (s == 1L) "A" else "B"} " +
+        s"needs >= 2 units, got $n")
+      require(sx.signum != 0, s"deltaRatioCI: sample " +
+        s"${if (s == 1L) "A" else "B"}'s denominator total is zero — " +
+        "the ratio metric is undefined")
+      val nd = n.toDouble
+      val r = sy.toDouble / sx.toDouble
+      val mx = sx.toDouble / nd
+      val covS = (pxy.toDouble - sx.toDouble * sy.toDouble / nd) / (n - 1).toDouble
+      val vx = (qx.toDouble - sx.toDouble * sx.toDouble / nd) / (n - 1).toDouble
+      val vy = (qy.toDouble - sy.toDouble * sy.toDouble / nd) / (n - 1).toDouble
+      val varR = (vy - 2.0 * r * covS + r * r * vx) / (nd * mx * mx)
+      (n, r, varR)
+    }
+    val (na, ra, va) = side(1L)
+    val (nb, rb, vb) = side(0L)
+    val diff = ra - rb
+    val se = math.sqrt(va + vb)
+    Seq((na, nb, ra, rb, diff, se, diff - z * se, diff + z * se))
+      .toDF("n_a", "n_b", "ratio_a", "ratio_b", "diff", "se", "ci_lo", "ci_hi")
+  }
+
+  /** Sample-ratio-mismatch (SRM) guard — the experimentation
+    * platform's data-quality tripwire: if units were assigned to A
+    * with probability `ratioA` but the OBSERVED split deviates more
+    * than chance allows, the experiment's data pipeline is broken
+    * (bot filtering, logging loss, redirect bias) and every downstream
+    * readout ([[welchT]], [[cuped]], the bootstrap CIs) is invalid.
+    * The test is the one-degree-of-freedom chi-square against the
+    * expected split, alarmed at p < 0.001 — the industry-standard SRM
+    * threshold (χ²₁ 0.999 quantile = 10.827566170662733, a pinned
+    * literal: the engine ships arithmetic, not a chi-square CDF).
+    *
+    * Scale shape: the whole statistic is TWO integer counts from ONE
+    * partial-agged pass ([[propZTest]]'s shape), then pinned double
+    * algebra on the driver. NULL condition rows are sample B. One row
+    * out: `(n_a, n_b, expected_a, expected_b, chi2, srm)` with `srm`
+    * the boolean alarm — raw doubles, callers round.
+    */
+  def srmCheck(df: DataFrame, sampleACond: org.apache.spark.sql.Column,
+               ratioA: Double = 0.5,
+               threshold: Double = 10.827566170662733): DataFrame = {
+    require(ratioA > 0.0 && ratioA < 1.0,
+      s"srmCheck: ratioA must be in (0, 1), got $ratioA")
+    require(threshold > 0.0, s"srmCheck: threshold must be positive")
+    val session = df.sparkSession
+    import session.implicits._
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val r0 = df.agg(sum(ia).as("na"), sum(lit(1L) - ia).as("nb")).head()
+    require(!r0.isNullAt(0), "srmCheck: no rows")
+    val na = r0.getLong(0); val nb = r0.getLong(1)
+    val n = na + nb
+    require(na > 0 && nb > 0,
+      s"srmCheck: both arms need rows (n_a=$na, n_b=$nb) — a one-armed " +
+        "split is a routing failure, not a ratio mismatch")
+    val ea = ratioA * n.toDouble
+    val eb = (1.0 - ratioA) * n.toDouble
+    val chi2 = (na.toDouble - ea) * (na.toDouble - ea) / ea +
+      (nb.toDouble - eb) * (nb.toDouble - eb) / eb
+    Seq((na, nb, ea, eb, chi2, chi2 > threshold))
+      .toDF("n_a", "n_b", "expected_a", "expected_b", "chi2", "srm")
+  }
+
   /** The bootstrap family's key-uniqueness sentinel: the Poisson
     * weights are a pure hash of `__k`, so duplicate keys share a
     * weight vector and always resample together — an invalid
@@ -1454,6 +1577,80 @@ object Stats {
     val rHi = math.ceil(aHi * bEff.toDouble).toLong
     Seq((bEff, n0, mean, means((rLo - 1).toInt), means((rHi - 1).toInt)))
       .toDF("b_eff", "n", "mean", "ci_lo", "ci_hi")
+  }
+
+  /** Poisson-bootstrap confidence intervals for QUANTILES — the
+    * [[bootstrapMeanCI]] machinery composed with the weighted KLL
+    * sketch: per resample j, every row feeds (value, w_j) into
+    * [[graft.functions.KllQuantilesWeighted]], so each of the B+1
+    * resample quantile sets is ONE weighted sketch and the whole
+    * statistic is ONE corpus scan — explode to (resample, weight)
+    * pairs (zero weights dropped: a w=0 row has no mass), partial-agg
+    * map-side to ≤ B+1 sketch groups, so the shuffle carries
+    * O(partitions·B) sketches of O(k·log W) regardless of corpus size;
+    * a weight-w row costs popcount(w) ≤ 64 appends, never an
+    * expansion. Index 0 is the identity resample — the point estimate
+    * rides the same shuffle. The CI per p is the [α/2, 1−α/2] order
+    * statistics of the B resample quantiles (the [[bootstrapMeanCI]]
+    * rank chain) — the distribution-free uncertainty readout for p50
+    * latency / p99 tokens where the mean CI misses the tails entirely.
+    *
+    * Quantile semantics are the exact-rank form over the weighted
+    * multiset (value at the smallest cumulative weight ≥ ⌈p·W⌉ —
+    * [[groupedQuantilesSketchWeighted]]'s contract): EXACT in the
+    * no-compaction regime (every per-level item count < k — the
+    * x_sketch_weighted oracle trick), ≈1/k rank error beyond it, so
+    * size k to the regime you need. [[bootstrapMeanCI]]'s
+    * key-uniqueness precondition and sentinel apply. One row per p:
+    * `(p, b_eff, n, q, ci_lo, ci_hi)` — raw doubles, callers round.
+    */
+  def bootstrapQuantileCI(df: DataFrame, valueCol: String, keyCol: String,
+                          ps: Seq[Double] = Seq(0.5, 0.9), b: Int = 200,
+                          alpha: Double = 0.05, k: Int = 256): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapQuantileCI: alpha must be in (0, 1), got $alpha")
+    require(ps.nonEmpty, "bootstrapQuantileCI: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"bootstrapQuantileCI: quantiles must be in (0, 1], got $ps")
+    val session = df.sparkSession
+    import session.implicits._
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+      .select(v.cast("double").as("v"), col(keyCol).cast("long").as("__k"))
+    requireUniqueBootstrapKeys(base, "bootstrapQuantileCI")
+    val par = session.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+      session, col("v"), col("w"), ps, k)
+    val rows = src
+      .select(col("v"), posexplode(wArr).as(Seq("j", "w")))
+      .filter(col("w") > 0)
+      .groupBy(col("j"))
+      .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+      .toMap
+    require(rows.contains(0), "bootstrapQuantileCI: no rows after the NULL filter")
+    val (q0, n0) = rows(0)
+    require(n0 >= 2, s"bootstrapQuantileCI: need >= 2 rows, got $n0")
+    // a resample is live when any weight was positive (its group
+    // exists); every live sketch answers every p, so b_eff is shared
+    val live = (1 to b).flatMap(j => rows.get(j).map(_._1))
+    val bEff = live.length.toLong
+    require(bEff >= 10L,
+      s"bootstrapQuantileCI: only $bEff non-empty resamples survived — " +
+        "raise b or supply more rows")
+    val aLo = alpha / 2.0
+    val aHi = 1.0 - aLo
+    val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+    val rHi = math.ceil(aHi * bEff.toDouble).toLong
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      val qs = live.map(_(i)).sorted
+      (p, bEff, n0, q0(i), qs((rLo - 1).toInt), qs((rHi - 1).toInt))
+    }
+    out.toDF("p", "b_eff", "n", "q", "ci_lo", "ci_hi")
   }
 
   /** Poisson-bootstrap CI for a DIFFERENCE in means — the A/B form of

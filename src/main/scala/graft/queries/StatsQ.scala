@@ -445,6 +445,72 @@ object StatsQ {
           round(col("ci_lo"), 6).as("ci_lo"),
           round(col("ci_hi"), 6).as("ci_hi"))),
 
+    "x_delta_ratio" -> ((s, dir) => {
+      // delta-method CI for a RATIO metric (Stats.deltaRatioCI):
+      // revenue-per-order with the CUSTOMER as the randomization unit
+      // — R = Σrevenue/Σorders per arm; the naive per-row variance is
+      // wrong because a unit's numerator and denominator are
+      // correlated, the delta method is the standard correction. Unit
+      // rows are one groupBy over orders, then ONE conditional
+      // decimal-moment pass; the oracle replays the identical decimal
+      // totals through the identical double chain
+      // prices are doubles on the 2-dp grid: sum on the EXACT decimal
+      // grid (a double sum accumulates binary residue finer than 6 dp
+      // and trips the operator's integrality sentinel — correctly)
+      val units = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("y"),
+          count(lit(1)).cast("double").as("x"))
+      Stats.deltaRatioCI(units, "y", "x", col("o_custkey") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          round(col("ratio_a"), 6).as("ratio_a"),
+          round(col("ratio_b"), 6).as("ratio_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("se"), 6).as("se"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
+    "x_srm" -> ((s, dir) =>
+      // sample-ratio-mismatch guard (Stats.srmCheck): the chi-square
+      // tripwire every A/B readout should gate on — two integer counts
+      // from ONE partial-agged pass, pinned driver algebra, alarm at
+      // the standard p < 0.001 threshold (a pinned chi-square-quantile
+      // literal, replayed verbatim by the oracle)
+      Stats.srmCheck(t(s, dir, "events"), col("user_id") % 2 === 0,
+          ratioA = 0.5)
+        .select(col("n_a"), col("n_b"),
+          round(col("expected_a"), 6).as("expected_a"),
+          round(col("expected_b"), 6).as("expected_b"),
+          round(col("chi2"), 6).as("chi2"),
+          col("srm").cast("long").as("srm"))),
+
+    "x_bootstrap_quantiles" -> ((s, dir) => {
+      // Poisson-bootstrap CIs for the p50/p90 of 1995 order prices
+      // (Stats.bootstrapQuantileCI): the bootstrap weight machinery
+      // COMPOSED with the weighted KLL sketch — each of the B+1
+      // resamples is one weighted sketch, all built in ONE corpus scan
+      // (explode -> map-side partial agg to <= B+1 sketch groups).
+      // ORACLED IN ITS EXACT REGIME: the 1995 horizon keeps every
+      // per-level item count (rows with that weight-bit set <= n)
+      // under k = 65536 at the driver SFs (guarded below), so each
+      // resample quantile IS the exact ceil(p*W)-th weighted order
+      // statistic — the oracle replays it with cumulative weights over
+      // the replayed splitmix chain, never an expansion
+      val o95 = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull &&
+          col("o_orderdate").isNotNull && year(col("o_orderdate")) === 1995)
+      requireExactSketchRegime(o95, 65536, "x_bootstrap_quantiles")
+      Stats.bootstrapQuantileCI(o95, "o_totalprice", "o_orderkey",
+          ps = Seq(0.5, 0.9), b = 200, alpha = 0.05, k = 65536)
+        .select(col("p"), col("b_eff"), col("n"),
+          round(col("q"), 6).as("q"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("p")
+    }),
+
     "x_bootstrap_diff" -> ((s, dir) =>
       // the A/B readout: bootstrap CI for the urgent-vs-rest mean
       // price difference (Stats.bootstrapDiffCI) — distribution-free,
@@ -1100,6 +1166,148 @@ object StatsQ {
          |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
          |    AS ci_hi
          |FROM eff e CROSS JOIN fullm f""".stripMargin
+    },
+    "x_delta_ratio" ->
+      // the cuped oracle pattern for the ratio-metric delta method:
+      // identical DECIMAL(19,6) unit totals (19 forces DuckDB's int128
+      // lane — squares of ~1e6-scale customer revenues overflow the
+      // int64-backed 18-width), identical double chain; round(6) pins
+      """WITH units AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,6)) AS y,
+        |    CAST(COUNT(*) AS DECIMAL(19,6)) AS x,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        |  GROUP BY o_custkey),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN y END) AS sya,
+        |    SUM(CASE WHEN ia = 1 THEN x END) AS sxa,
+        |    SUM(CASE WHEN ia = 1 THEN y * y END) AS qya,
+        |    SUM(CASE WHEN ia = 1 THEN x * x END) AS qxa,
+        |    SUM(CASE WHEN ia = 1 THEN x * y END) AS pa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN y END) AS syb,
+        |    SUM(CASE WHEN ia = 0 THEN x END) AS sxb,
+        |    SUM(CASE WHEN ia = 0 THEN y * y END) AS qyb,
+        |    SUM(CASE WHEN ia = 0 THEN x * x END) AS qxb,
+        |    SUM(CASE WHEN ia = 0 THEN x * y END) AS pb
+        |  FROM units),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(sya AS DOUBLE) / CAST(sxa AS DOUBLE) AS ra,
+        |    CAST(syb AS DOUBLE) / CAST(sxb AS DOUBLE) AS rb,
+        |    CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+        |    CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb,
+        |    (CAST(pa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS cova,
+        |    (CAST(qxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS vxa,
+        |    (CAST(qya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS vya,
+        |    (CAST(pb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS covb,
+        |    (CAST(qxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vxb,
+        |    (CAST(qyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vyb
+        |  FROM m),
+        |vr AS (
+        |  SELECT na, nb, ra, rb,
+        |    (vya - 2 * ra * cova + ra * ra * vxa)
+        |      / (CAST(na AS DOUBLE) * mxa * mxa) AS va,
+        |    (vyb - 2 * rb * covb + rb * rb * vxb)
+        |      / (CAST(nb AS DOUBLE) * mxb * mxb) AS vb
+        |  FROM alg),
+        |fin AS (
+        |  SELECT na, nb, ra, rb, ra - rb AS diff, sqrt(va + vb) AS se
+        |  FROM vr)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(ra, 6) AS ratio_a, ROUND(rb, 6) AS ratio_b,
+        |  ROUND(diff, 6) AS diff, ROUND(se, 6) AS se,
+        |  ROUND(diff - CAST(1.959963984540054 AS DOUBLE) * se, 6) AS ci_lo,
+        |  ROUND(diff + CAST(1.959963984540054 AS DOUBLE) * se, 6) AS ci_hi
+        |FROM fin""".stripMargin,
+    "x_srm" ->
+      // two integer counts + the identical pinned double chain; the
+      // alarm threshold literal round-trips through both parsers
+      """WITH m AS (
+        |  SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS nb
+        |  FROM events),
+        |e AS (
+        |  SELECT na, nb,
+        |    CAST(0.5 AS DOUBLE) * CAST(na + nb AS DOUBLE) AS ea,
+        |    (1.0 - CAST(0.5 AS DOUBLE)) * CAST(na + nb AS DOUBLE) AS eb
+        |  FROM m),
+        |c AS (
+        |  SELECT na, nb, ea, eb,
+        |    (CAST(na AS DOUBLE) - ea) * (CAST(na AS DOUBLE) - ea) / ea
+        |      + (CAST(nb AS DOUBLE) - eb) * (CAST(nb AS DOUBLE) - eb) / eb
+        |      AS chi2
+        |  FROM e)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(ea, 6) AS expected_a, ROUND(eb, 6) AS expected_b,
+        |  ROUND(chi2, 6) AS chi2,
+        |  CAST(chi2 > CAST(10.827566170662733 AS DOUBLE) AS BIGINT) AS srm
+        |FROM c""".stripMargin,
+    "x_bootstrap_quantiles" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val m = HashReplay.MSql
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      // replay the identical splitmix chain + Poisson CDF, then each
+      // resample's exact-rank weighted quantile via CUMULATIVE weights
+      // (the x_weighted pattern — no range(w) expansion), and the same
+      // rank-pick chain as x_bootstrap for the CI
+      s"""WITH src AS (
+         |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
+         |    CAST(o_totalprice AS DOUBLE) AS v
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "key, v, j")},
+         |w AS (SELECT v, j, $caseSum AS w FROM
+         |  (SELECT v, j,
+         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |wall AS (SELECT v, j, w FROM w WHERE w > 0
+         |  UNION ALL SELECT v, 0 AS j, 1 AS w FROM src),
+         |wt AS (SELECT j, CAST(SUM(w) AS BIGINT) AS wtot FROM wall GROUP BY j),
+         |qps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+         |tg AS (SELECT j, p,
+         |    GREATEST(1, CAST(ceil(p * CAST(wtot AS DOUBLE)) AS BIGINT)) AS tgt
+         |  FROM wt CROSS JOIN qps),
+         |gv AS (SELECT j, v, SUM(w) AS wv FROM wall GROUP BY j, v),
+         |cm AS (SELECT j, v,
+         |  SUM(wv) OVER (PARTITION BY j ORDER BY v) AS cum FROM gv),
+         |qp AS (SELECT t.j, t.p, MIN(c.v) AS q
+         |  FROM tg t JOIN cm c ON c.j = t.j AND c.cum >= t.tgt
+         |  GROUP BY t.j, t.p),
+         |pt AS (SELECT p, q FROM qp WHERE j = 0),
+         |n0 AS (SELECT wtot AS n FROM wt WHERE j = 0),
+         |eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff FROM wt WHERE j >= 1),
+         |rs AS (SELECT p, q,
+         |  ROW_NUMBER() OVER (PARTITION BY p ORDER BY q) AS rn
+         |  FROM qp WHERE j >= 1)
+         |SELECT pt.p, e.b_eff, n0.n, ROUND(pt.q, 6) AS q,
+         |  ROUND((SELECT q FROM rs WHERE rs.p = pt.p AND rn = GREATEST(1,
+         |    CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT))), 6)
+         |    AS ci_lo,
+         |  ROUND((SELECT q FROM rs WHERE rs.p = pt.p AND rn =
+         |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
+         |    AS ci_hi
+         |FROM pt CROSS JOIN eff e CROSS JOIN n0
+         |ORDER BY p""".stripMargin
     },
     "x_bootstrap_diff" -> {
       import graft.queries.HashReplay

@@ -135,6 +135,37 @@ class SketchScaleSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("Lorenz")), e.getMessage)
   }
 
+  test("bootstrapQuantileCI: CI brackets the point estimate, deterministic, exact regime") {
+    val rows = (1 to 400).map(i => (i.toDouble, i.toLong))
+    val df = rows.toDF("v", "key")
+    val out = Stats.bootstrapQuantileCI(df, "v", "key",
+      ps = Seq(0.5, 0.9), b = 100, k = 65536)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet == Set(0.5, 0.9))
+    val (bEff, n, q50, lo50, hi50) = out(0.5)
+    assert(n == 400L && bEff >= 95L)
+    // exact regime: the identity resample's p50 is the exact order
+    // statistic ceil(0.5*400) = 200
+    assert(q50 == 200.0, s"q50 $q50")
+    assert(lo50 <= q50 && q50 <= hi50, s"[$lo50, $hi50] vs $q50")
+    assert(lo50 < hi50) // a real interval, not a point
+    val (_, _, q90, lo90, hi90) = out(0.9)
+    assert(q90 == 360.0 && lo90 <= q90 && q90 <= hi90)
+    // hash-derived weights: bit-identical across runs
+    val again = Stats.bootstrapQuantileCI(df, "v", "key",
+      ps = Seq(0.5, 0.9), b = 100, k = 65536)
+      .collect().map(r => (r.getDouble(0), r.getDouble(4), r.getDouble(5))).toSet
+    assert(again == Set((0.5, lo50, hi50), (0.9, lo90, hi90)))
+    // duplicate keys fail loud (the shared bootstrap sentinel)
+    val dup = (1 to 40).map(i => (i.toDouble, (i % 7).toLong)).toDF("v", "key")
+    val e = intercept[IllegalArgumentException] {
+      Stats.bootstrapQuantileCI(dup, "v", "key").collect()
+    }
+    assert(e.getMessage.contains("uniquely identify"))
+  }
+
   test("bootstrap CIs fail loud on duplicate keys (correlated draws)") {
     val df = (1 to 50).map(i => (i.toDouble, (i % 10).toLong)).toDF("v", "k")
     val e1 = intercept[IllegalArgumentException] {

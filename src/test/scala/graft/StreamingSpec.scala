@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -620,6 +621,67 @@ class StreamingSpec extends AnyFunSuite {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("streaming HLL registers EXPORT into the batch register table: union + re-max, estimate equals batch over the union") {
+    // the TwsHllDistinct scaladoc claims its register state "could be
+    // exported and merged into the batch register tables (union +
+    // re-max) without translation" — proven here against REAL
+    // persisted state: the checkpoint's RocksDB state is read back
+    // with the state data source, the register blob becomes (bucket,
+    // rho) rows, Hll.merge folds them into a batch-side register
+    // table of a DIFFERENT id set, and the combined estimate is
+    // EXACTLY the batch estimate over the union of inputs (same
+    // splitmix64 coordinates both sides — the merged registers ARE
+    // the union's registers, not an approximation of them).
+    import graft.streaming.{StatefulSessions, TwsHllDistinct}
+    import graft.operators.Hll
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val p = 9
+    def iev(id: Long): StatefulSessions.Event = StatefulSessions.Event(
+      id, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "a", 1.0)
+    val streamIds = 1L to 60L   // absorbed by the stream
+    val batchIds = 41L to 120L  // live only in the batch table (overlap 41..60)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hll_export").toString
+    val in = MemoryStream[StatefulSessions.Event]
+    val q = TwsHllDistinct.distinctIds(in.toDS(), p = p)
+      .writeStream.format("memory").queryName("twshll_export")
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    try {
+      in.addData(streamIds.map(iev): _*)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // the EXPORT: the persisted value state, read back from the
+    // checkpoint — no processor code in the loop
+    val state = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "regs").load()
+    val blobs = state.select(col("value.*")).collect()
+    assert(blobs.length == 1, state.schema.treeString + blobs.mkString("; "))
+    val regs = blobs(0).getAs[Array[Byte]](0)
+    assert(regs.length == (1 << p))
+    val exported = regs.zipWithIndex.collect {
+      case (rho, bucket) if rho != 0 => (bucket, rho.toInt)
+    }.toSeq.toDF("bucket", "rho")
+    // merge with a batch-side register table via the x_hll_merge
+    // machinery, then estimate — must EQUAL the batch estimate over
+    // the union of the two id sets
+    val batchRegs = Hll.registers(batchIds.toDF("id"), Seq.empty, $"id", p)
+    val combined = Hll.estimate(
+      Hll.merge(exported, batchRegs, Seq.empty), Seq.empty, p).head().getDouble(0)
+    val unionEst = Hll.estimateDistinct(
+      (streamIds ++ batchIds).toDF("id"), Seq.empty, $"id", p).head().getDouble(0)
+    assert(combined == unionEst, s"combined $combined != union $unionEst")
   }
 
   test("sliding window assigns each event to 4 overlapping windows") {
