@@ -1247,6 +1247,78 @@ object Stats {
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
   }
 
+  /** Mixture-SPRT always-valid p-value (Johari, Koomen, Pekelis &
+    * Walsh, KDD 2017 — "Peeking at A/B Tests: Why it matters, and what
+    * to do about it"): the sequential-testing companion of [[welchT]].
+    * A fixed-horizon t-test is only valid when read ONCE at a
+    * pre-registered n; dashboards are read continuously, and repeated
+    * peeking inflates the false-positive rate without bound. The mSPRT
+    * wraps the running mean difference in a mixture likelihood ratio
+    *
+    *   Λ = √(V/(V+τ²)) · exp(θ̂²·τ² / (2·V·(V+τ²)))
+    *
+    * (normal approximation, mixing variance τ²) whose reciprocal is a
+    * p-value valid at EVERY n simultaneously — stop whenever
+    * p = min(1, 1/Λ) < α and the type-I error is still controlled.
+    *
+    * Scale shape: [[welchT]]'s exactly — ONE partial-agged
+    * conditional-moment pass (per sample n, Σv, Σv² in exact decimals,
+    * 6-dp sentinel in the same pass), pinned double algebra on the
+    * driver: θ̂ = m_A − m_B, V = s²_A/n_A + s²_B/n_B (the Welch
+    * variance), then the Λ chain. τ² is the analyst's prior scale on
+    * the effect (their platform constant); it tunes power, not
+    * validity. One row out:
+    * `(n_a, n_b, diff, v, lambda, p, significant)` — raw doubles,
+    * callers round; `significant` = p < alpha.
+    */
+  def msprt(df: DataFrame, valueCol: String,
+            sampleACond: org.apache.spark.sql.Column,
+            tau2: Double = 1.0, alpha: Double = 0.05): DataFrame = {
+    require(tau2 > 0.0, s"msprt: tau2 must be positive, got $tau2")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"msprt: alpha must be in (0, 1), got $alpha")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val r0 = df.filter(v.isNotNull)
+      .agg(
+        sum(ia).as("na"),
+        sum(when(ia === 1L, d6(v))).as("sa"),
+        sum(when(ia === 1L, d6(v) * d6(v))).as("qa"),
+        sum(lit(1L) - ia).as("nb"),
+        sum(when(ia === 0L, d6(v))).as("sb"),
+        sum(when(ia === 0L, d6(v) * d6(v))).as("qb"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .head()
+    require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
+      s"msprt: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    val (na, nb) = (r0.getLong(0), r0.getLong(3))
+    require(na >= 2 && nb >= 2,
+      s"msprt: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
+    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
+    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    // the welchT chain verbatim up to V, then the Λ algebra
+    val mA = sa.toDouble / na.toDouble
+    val mB = sb.toDouble / nb.toDouble
+    val varA = (qa.toDouble - sa.toDouble * sa.toDouble / na.toDouble) / (na - 1).toDouble
+    val varB = (qb.toDouble - sb.toDouble * sb.toDouble / nb.toDouble) / (nb - 1).toDouble
+    val vn = varA / na.toDouble + varB / nb.toDouble
+    require(vn > 0.0,
+      "msprt: zero variance in both samples — the normal approximation " +
+        "is undefined (constant metric)")
+    val diff = mA - mB
+    val lambda = math.sqrt(vn / (vn + tau2)) *
+      math.exp(diff * diff * tau2 / (2.0 * vn * (vn + tau2)))
+    val p = math.min(1.0, 1.0 / lambda)
+    Seq((na, nb, diff, vn, lambda, p, p < alpha))
+      .toDF("n_a", "n_b", "diff", "v", "lambda", "p", "significant")
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
     * Sensitivity of Online Controlled Experiments by Utilizing
     * Pre-Experiment Data"): adjust metric Y by a correlated covariate X
@@ -1651,6 +1723,85 @@ object Stats {
       (p, bEff, n0, q0(i), qs((rLo - 1).toInt), qs((rHi - 1).toInt))
     }
     out.toDF("p", "b_eff", "n", "q", "ci_lo", "ci_hi")
+  }
+
+  /** Per-GROUP Poisson-bootstrap mean CIs — [[bootstrapMeanCI]] with a
+    * segment key (per-country revenue CI, per-source quality-score CI):
+    * the same ONE-scan shape with (group, resample) cells, so the
+    * shuffle partial-aggregates map-side to ≤ |groups|·(B+1) tiny rows
+    * and a segment breakdown costs the SAME single corpus scan as the
+    * global readout — not |groups| separate jobs. Identity resample
+    * (j = 0) rides along per group; the CI assembly is a
+    * planning-sized driver fold over the cells, guarded loud by
+    * `maxGroups` (the [[groupedCumCore]] convention — never a silent
+    * giant collect). Group keys carried as their STRING rendering (the
+    * grouped-family contract); groups sorted in the output. The
+    * key-uniqueness precondition and sentinel apply ([[bootstrapMeanCI]]);
+    * per-group n ≥ 2 and b_eff ≥ 10 fail loud naming the group. One
+    * row per group: `(groupCol, b_eff, n, mean, ci_lo, ci_hi)`.
+    */
+  def bootstrapMeanCIByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                             keyCol: String, b: Int = 200,
+                             alpha: Double = 0.05,
+                             maxGroups: Long = 10_000L): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapMeanCIByGroup: alpha must be in (0, 1), got $alpha")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull && col(keyCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"), d6(v).as("v"),
+        when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L).as("nf"),
+        col(keyCol).cast("long").as("__k"))
+    requireUniqueBootstrapKeys(base, "bootstrapMeanCIByGroup")
+    val par = session.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val cells = src
+      .select(col("g"), col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("g"), col("j"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+    // loud planning-size guard BEFORE the collect: |groups|·(B+1) cells
+    val cellRows = cells.limit((maxGroups * (b + 1) + 1).toInt).collect()
+    require(cellRows.length <= maxGroups * (b + 1),
+      s"bootstrapMeanCIByGroup: more than $maxGroups groups — the CI " +
+        "assembly fold would not be planning-sized; raise maxGroups " +
+        "deliberately or pre-aggregate the group key")
+    val byCell = cellRows.map(r => (r.getString(0), r.getInt(1)) ->
+      ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4)))).toMap
+    val nfTotal = byCell.valuesIterator.map(_._3).sum
+    require(byCell.nonEmpty && nfTotal == 0L,
+      s"bootstrapMeanCIByGroup: ${if (byCell.isEmpty) "no" else nfTotal} " +
+        "values need more than 6 decimal places — the decimal(18,6) sums " +
+        "would round them silently; rescale first")
+    val groups = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
+    val aLo = alpha / 2.0
+    val aHi = 1.0 - aLo
+    val out = groups.map { g =>
+      val (s0, n0, _) = byCell.getOrElse((g, 0),
+        (BigDecimal(0), 0L, 0L))
+      require(n0 >= 2,
+        s"bootstrapMeanCIByGroup: group '$g' needs >= 2 rows, got $n0")
+      val mean = s0.toDouble / n0.toDouble
+      val means = (1 to b).flatMap { j =>
+        byCell.get((g, j)).collect { case (s, n, _) if n > 0L =>
+          s.toDouble / n.toDouble }
+      }.sorted
+      val bEff = means.length.toLong
+      require(bEff >= 10L,
+        s"bootstrapMeanCIByGroup: group '$g' kept only $bEff non-empty " +
+          "resamples — raise b or supply more rows")
+      val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+      val rHi = math.ceil(aHi * bEff.toDouble).toLong
+      (g, bEff, n0, mean, means((rLo - 1).toInt), means((rHi - 1).toInt))
+    }
+    out.toDF(groupCol, "b_eff", "n", "mean", "ci_lo", "ci_hi")
   }
 
   /** Poisson-bootstrap CI for a DIFFERENCE in means — the A/B form of

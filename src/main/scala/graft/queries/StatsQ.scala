@@ -445,6 +445,37 @@ object StatsQ {
           round(col("ci_lo"), 6).as("ci_lo"),
           round(col("ci_hi"), 6).as("ci_hi"))),
 
+    "x_msprt" -> ((s, dir) =>
+      // always-valid sequential p-value (Stats.msprt, the mSPRT of
+      // Johari et al. 2017): the anti-peeking wrapper around the Welch
+      // mean difference — ONE conditional decimal-moment pass (the
+      // welch_t shape), then the mixture likelihood-ratio chain; the
+      // oracle replays the identical decimal totals through the
+      // identical double chain incl. the same tau^2 literal
+      Stats.msprt(t(s, dir, "lineitem"), "l_extendedprice",
+          col("l_returnflag") === "R", tau2 = 10000.0)
+        .select(col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("v"), 6).as("v"),
+          round(col("lambda"), 6).as("lambda"),
+          round(col("p"), 6).as("p"),
+          col("significant").cast("long").as("significant"))),
+
+    "x_bootstrap_group" -> ((s, dir) =>
+      // per-SEGMENT bootstrap mean CIs (Stats.bootstrapMeanCIByGroup):
+      // the x_bootstrap machinery with (group, resample) cells — a
+      // five-priority revenue-CI breakdown from the SAME single corpus
+      // scan, <= |groups|*(B+1) partial-agged cells; the oracle is the
+      // x_bootstrap replay with the group carried through every CTE
+      Stats.bootstrapMeanCIByGroup(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", "o_orderkey",
+          b = 200, alpha = 0.05)
+        .select(col("o_orderpriority"), col("b_eff"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("o_orderpriority")),
+
     "x_delta_ratio" -> ((s, dir) => {
       // delta-method CI for a RATIO metric (Stats.deltaRatioCI):
       // revenue-per-order with the CUSTOMER as the randomization unit
@@ -1166,6 +1197,93 @@ object StatsQ {
          |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
          |    AS ci_hi
          |FROM eff e CROSS JOIN fullm f""".stripMargin
+    },
+    "x_msprt" ->
+      // the welch_t replay up to V, then the mixture-LR chain with the
+      // identical tau^2 literal; sqrt/exp ulps absorbed by round(6)
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+        |    SUM(CASE WHEN ia = 1 THEN v * v END) AS qa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN v END) AS sb,
+        |    SUM(CASE WHEN ia = 0 THEN v * v END) AS qb
+        |  FROM pts),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)
+        |      / CAST(na AS DOUBLE)
+        |    + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS vn
+        |  FROM m),
+        |lr AS (
+        |  SELECT na, nb, diff, vn,
+        |    sqrt(vn / (vn + CAST(10000.0 AS DOUBLE)))
+        |      * exp(diff * diff * CAST(10000.0 AS DOUBLE)
+        |        / (2 * vn * (vn + CAST(10000.0 AS DOUBLE)))) AS lambda
+        |  FROM alg)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(diff, 6) AS diff, ROUND(vn, 6) AS v,
+        |  ROUND(lambda, 6) AS lambda,
+        |  ROUND(LEAST(1.0, 1.0 / lambda), 6) AS p,
+        |  CAST(LEAST(1.0, 1.0 / lambda) < CAST(0.05 AS DOUBLE) AS BIGINT)
+        |    AS significant
+        |FROM lr""".stripMargin,
+    "x_bootstrap_group" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val m = HashReplay.MSql
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      s"""WITH src AS (
+         |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
+         |    o_orderpriority AS g,
+         |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+         |    AND o_orderpriority IS NOT NULL),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.key, s.g, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "key, g, v, j")},
+         |w AS (SELECT g, v, j, $caseSum AS w FROM
+         |  (SELECT g, v, j,
+         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |wall AS (SELECT g, v, j, w FROM w
+         |  UNION ALL SELECT g, v, 0 AS j, 1 AS w FROM src),
+         |sums AS (SELECT g, j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |  FROM wall GROUP BY g, j),
+         |fullm AS (SELECT g, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n
+         |  FROM sums WHERE j = 0),
+         |means AS (SELECT g, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mn
+         |  FROM sums WHERE j >= 1 AND n > 0),
+         |eff AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS b_eff FROM means GROUP BY g),
+         |ord AS (SELECT g, mn,
+         |  ROW_NUMBER() OVER (PARTITION BY g ORDER BY mn) AS rn FROM means),
+         |rk AS (SELECT g, b_eff,
+         |  GREATEST(1, CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT))
+         |    AS rlo,
+         |  CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT) AS rhi
+         |  FROM eff)
+         |SELECT r.g AS o_orderpriority, r.b_eff, f.n,
+         |  ROUND(f.mean, 6) AS mean,
+         |  ROUND(lo.mn, 6) AS ci_lo, ROUND(hi.mn, 6) AS ci_hi
+         |FROM rk r
+         |JOIN fullm f ON f.g = r.g
+         |JOIN ord lo ON lo.g = r.g AND lo.rn = r.rlo
+         |JOIN ord hi ON hi.g = r.g AND hi.rn = r.rhi
+         |ORDER BY o_orderpriority""".stripMargin
     },
     "x_delta_ratio" ->
       // the cuped oracle pattern for the ratio-metric delta method:
