@@ -268,8 +268,8 @@ case class KllQuantiles(child: Expression, ps: Seq[Double], k: Int,
   extends TypedImperativeAggregate[KllBuffer]
   with UnaryLike[Expression] {
 
-  require(k >= 8 && k <= (1 << 16),
-    s"graft_kll_quantiles: k must be in [8, 65536], got $k")
+  require(k >= 8 && k <= (1 << 20),
+    s"graft_kll_quantiles: k must be in [8, 1048576], got $k")
   require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
     s"graft_kll_quantiles: quantiles must be in (0, 1], got $ps")
 
@@ -339,8 +339,8 @@ case class KllQuantilesWeighted(value: Expression, weight: Expression,
   extends TypedImperativeAggregate[KllBuffer]
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
-  require(k >= 8 && k <= (1 << 16),
-    s"graft_kll_quantiles_w: k must be in [8, 65536], got $k")
+  require(k >= 8 && k <= (1 << 20),
+    s"graft_kll_quantiles_w: k must be in [8, 1048576], got $k")
   require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
     s"graft_kll_quantiles_w: quantiles must be in (0, 1], got $ps")
 
@@ -407,8 +407,8 @@ case class KllSketchAgg(child: Expression, k: Int,
   extends TypedImperativeAggregate[KllBuffer]
   with UnaryLike[Expression] {
 
-  require(k >= 8 && k <= (1 << 16),
-    s"graft_kll_sketch: k must be in [8, 65536], got $k")
+  require(k >= 8 && k <= (1 << 20),
+    s"graft_kll_sketch: k must be in [8, 1048576], got $k")
 
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullable: Boolean = false
@@ -455,8 +455,8 @@ case class KllSketchAggWeighted(value: Expression, weight: Expression, k: Int,
   extends TypedImperativeAggregate[KllBuffer]
   with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
-  require(k >= 8 && k <= (1 << 16),
-    s"graft_kll_sketch_w: k must be in [8, 65536], got $k")
+  require(k >= 8 && k <= (1 << 20),
+    s"graft_kll_sketch_w: k must be in [8, 1048576], got $k")
 
   override def left: Expression = value
   override def right: Expression = weight

@@ -445,6 +445,26 @@ object StatsQ {
           round(col("ci_lo"), 6).as("ci_lo"),
           round(col("ci_hi"), 6).as("ci_hi"))),
 
+    "x_winsorize_sketch" -> ((s, dir) => {
+      // the sketch-backed winsorize scale path (Stats.winsorizedStatsSketch
+      // — no driver fold at any group count) ORACLED IN ITS EXACT
+      // REGIME: k = 2^19 exceeds every return flag's row count at the
+      // driver SFs (guarded), so the interpolated sketch bounds ARE the
+      // exact p05/p95 — and on the INTEGER l_quantity domain the two
+      // lerp operand orders coincide exactly (tie blocks make v_lo =
+      // v_hi or the fraction lands on halves), so the whole output
+      // matches the exact operator's oracle hash-for-hash
+      val li = t(s, dir, "lineitem")
+      requireExactSketchRegime(li.filter(col("l_quantity").isNotNull),
+        1 << 19, "x_winsorize_sketch", col("l_returnflag"))
+      Stats.winsorizedStatsSketch(li, "l_returnflag", "l_quantity",
+          k = 1 << 19)
+        .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
+          round(col("winsor_mean"), 6).as("winsor_mean"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag")
+    }),
+
     "x_msprt" -> ((s, dir) =>
       // always-valid sequential p-value (Stats.msprt, the mSPRT of
       // Johari et al. 2017): the anti-peeking wrapper around the Welch
@@ -1198,6 +1218,27 @@ object StatsQ {
          |    AS ci_hi
          |FROM eff e CROSS JOIN fullm f""".stripMargin
     },
+    "x_winsorize_sketch" ->
+      // the x_winsorize oracle verbatim: in the guarded exact regime
+      // the sketch path's bounds and clipped decimal sums are
+      // value-identical to the exact operator's
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    ROUND(quantile_cont(l_quantity, 0.05), 6) AS p_lo,
+        |    ROUND(quantile_cont(l_quantity, 0.95), 6) AS p_hi
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v, p_lo, p_hi
+        |  FROM lineitem JOIN b ON l_returnflag = b.g)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ANY_VALUE(p_lo) AS p_lo, ANY_VALUE(p_hi) AS p_hi,
+        |  ROUND(CAST(SUM(CAST(LEAST(GREATEST(v, p_lo), p_hi)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS winsor_mean,
+        |  ROUND(CAST(SUM(CASE WHEN v >= p_lo AND v <= p_hi
+        |      THEN CAST(v AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    / SUM(CASE WHEN v >= p_lo AND v <= p_hi THEN 1 ELSE 0 END), 6)
+        |    AS trimmed_mean
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "x_msprt" ->
       // the welch_t replay up to V, then the mixture-LR chain with the
       // identical tau^2 literal; sqrt/exp ulps absorbed by round(6)
