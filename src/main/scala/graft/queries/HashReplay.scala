@@ -26,6 +26,10 @@ object HashReplay {
   /** 2^64 as BigInt and as SQL text. */
   val M: BigInt = BigInt(1) << 64
   val MSql: String = "18446744073709551616"
+  /** 2^64 − 1 as SQL text — the bitwise-AND twin of [[MSql]] for
+    * mod-2^64 on the non-negative HUGEINT domain (`&` is a cheap
+    * int128 op where `%` is a full 128-bit division). */
+  val Mask: String = "18446744073709551615"
   private val TwoPow32 = BigInt(1) << 32
 
   // decimal (unsigned) renderings of the JVM constants in
@@ -37,23 +41,41 @@ object HashReplay {
   val SplitmixC2: BigInt = BigInt("10723151780598845931")    // 0x94d049bb133111eb
   val SignBit: BigInt = BigInt("9223372036854775808")        // 2^63
 
-  /** SQL: (z * c) mod 2^64 without overflowing signed HUGEINT. */
+  /** SQL: (z * c) mod 2^64 without overflowing signed HUGEINT.
+    *
+    * The mod-2^k / div-2^k steps are BITWISE (& mask, >> k, << k) —
+    * identities on the non-negative domain (z < 2^64, every
+    * intermediate < 2^97, well inside signed 128-bit) — because
+    * DuckDB's HUGEINT `%`/`//` are full 128-bit divisions: with the
+    * division form ONE mix stage over a 30M-row replay measured 120 s
+    * at sf0.1; the bitwise form is a handful of cheap int128 ops. */
   def mulmodSql(z: String, c: BigInt): String =
-    s"((($z) % 4294967296) * $c + ((($z) // 4294967296) * $c % 4294967296) * 4294967296) % $MSql"
+    s"(((($z) & 4294967295) * $c + ((((($z) >> 32) * $c) & 4294967295) << 32)) & ${M - 1})"
 
-  /** BigInt model of [[mulmodSql]] — the identical decomposition, so a
-    * wrong split in the SQL text means a wrong split here too and the
-    * property against the JVM multiply catches it. */
+  /** BigInt model of [[mulmodSql]] — the identical bitwise
+    * decomposition, so a wrong split in the SQL text means a wrong
+    * split here too and the property against the JVM multiply catches
+    * it. */
   def mulmod(z: BigInt, c: BigInt): BigInt =
-    ((z % TwoPow32) * c + ((z / TwoPow32) * c % TwoPow32) * TwoPow32) % M
+    ((z & (TwoPow32 - 1)) * c + ((((z >> 32) * c) & (TwoPow32 - 1)) << 32)) & (M - 1)
 
   /** splitmix64 finalizer as chained SQL CTEs over column `z` of
     * `src`, keyed by `keys` (the SQL twin of [[mix]]); callers add the
-    * gamma term in their `_z` source CTE. */
+    * gamma term in their `_z` source CTE.
+    *
+    * MATERIALIZED is load-bearing: DuckDB flattens plain CTE
+    * projections into per-REFERENCE expressions with no common
+    * subexpression elimination, and each mix stage references its
+    * input z 4 times (2 in the xor, doubled by the mulmod split) — the
+    * three chained stages therefore expand to ~32 evaluations of the
+    * full upstream HUGEINT chain (measured 335 s for a 30M-row replay
+    * at sf0.1; materialized stages run each op once). Values are
+    * identical either way.
+    */
   def mixCtesSql(prefix: String, src: String, keys: String): String =
-    s"""${prefix}_a AS (SELECT $keys, ${mulmodSql("xor(z, z >> 30)", SplitmixC1)} AS z FROM $src),
-       |${prefix}_b AS (SELECT $keys, ${mulmodSql("xor(z, z >> 27)", SplitmixC2)} AS z FROM ${prefix}_a),
-       |$prefix AS (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
+    s"""${prefix}_a AS MATERIALIZED (SELECT $keys, ${mulmodSql("xor(z, z >> 30)", SplitmixC1)} AS z FROM $src),
+       |${prefix}_b AS MATERIALIZED (SELECT $keys, ${mulmodSql("xor(z, z >> 27)", SplitmixC2)} AS z FROM ${prefix}_a),
+       |$prefix AS MATERIALIZED (SELECT $keys, xor(z, z >> 31) AS z FROM ${prefix}_b)""".stripMargin
 
   /** splitmix64 finalizer over an unsigned z — BigInt model of the
     * mixCtes SQL chain in [[TextDocs]]. */

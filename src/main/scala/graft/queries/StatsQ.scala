@@ -1178,30 +1178,31 @@ object StatsQ {
     "x_bootstrap" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma
-      val m = HashReplay.MSql
+      val mask = HashReplay.Mask
       // the SHARED Poisson(1) CDF thresholds, rendered verbatim —
       // Double.toString round-trips through DuckDB's literal parser,
       // so both engines compare the identical doubles
       val caseSum = graft.functions.BootstrapWeights.Cdf
         .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString("\n|      + ")
-      s"""WITH src AS (
+      s"""WITH src AS MATERIALIZED (
          |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
          |js AS (SELECT unnest(range(1, 201)) AS j),
-         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
-         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) & $mask AS z
          |       FROM src s CROSS JOIN seed d),
          |${HashReplay.mixCtesSql("vals", "pz", "key, v, j")},
-         |w AS (SELECT v, j, $caseSum AS w FROM
-         |  (SELECT v, j,
-         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |uu AS MATERIALIZED (SELECT v, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT v, j, $caseSum AS w FROM uu),
          |wall AS (SELECT v, j, w FROM w
          |  UNION ALL SELECT v, 0 AS j, 1 AS w FROM src),
-         |sums AS (SELECT j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |sums AS MATERIALIZED (
+         |  SELECT j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
          |  FROM wall GROUP BY j),
          |fullm AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n
          |  FROM sums WHERE j = 0),
@@ -1281,11 +1282,11 @@ object StatsQ {
     "x_bootstrap_group" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma
-      val m = HashReplay.MSql
+      val mask = HashReplay.Mask
       val caseSum = graft.functions.BootstrapWeights.Cdf
         .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString("\n|      + ")
-      s"""WITH src AS (
+      s"""WITH src AS MATERIALIZED (
          |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
          |    o_orderpriority AS g,
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
@@ -1293,17 +1294,18 @@ object StatsQ {
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
          |    AND o_orderpriority IS NOT NULL),
          |js AS (SELECT unnest(range(1, 201)) AS j),
-         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
-         |pz AS (SELECT s.key, s.g, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |pz AS (SELECT s.key, s.g, s.v, d.j, (xor(s.key, d.z) + $gamma) & $mask AS z
          |       FROM src s CROSS JOIN seed d),
          |${HashReplay.mixCtesSql("vals", "pz", "key, g, v, j")},
-         |w AS (SELECT g, v, j, $caseSum AS w FROM
-         |  (SELECT g, v, j,
-         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |uu AS MATERIALIZED (SELECT g, v, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT g, v, j, $caseSum AS w FROM uu),
          |wall AS (SELECT g, v, j, w FROM w
          |  UNION ALL SELECT g, v, 0 AS j, 1 AS w FROM src),
-         |sums AS (SELECT g, j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |sums AS MATERIALIZED (
+         |  SELECT g, j, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
          |  FROM wall GROUP BY g, j),
          |fullm AS (SELECT g, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, n
          |  FROM sums WHERE j = 0),
@@ -1416,84 +1418,95 @@ object StatsQ {
     "x_bootstrap_quantiles" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma
-      val m = HashReplay.MSql
+      val mask = HashReplay.Mask
       val caseSum = graft.functions.BootstrapWeights.Cdf
         .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString("\n|      + ")
       // replay the identical splitmix chain + Poisson CDF, then each
       // resample's exact-rank weighted quantile via CUMULATIVE weights
       // (the x_weighted pattern — no range(w) expansion), and the same
-      // rank-pick chain as x_bootstrap for the CI
-      s"""WITH src AS (
+      // rank-pick chain as x_bootstrap for the CI. MATERIALIZED on the
+      // uniform draws and the per-(j, v) weights is load-bearing:
+      // DuckDB flattens chained CTE projections into per-REFERENCE
+      // expressions without CSE, so every CDF CASE branch (and every
+      // downstream reference) would re-run the full HUGEINT splitmix
+      // chain — an hour-class blowup at sf0.1 measured at 30x+
+      s"""WITH src AS MATERIALIZED (
          |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
          |    CAST(o_totalprice AS DOUBLE) AS v
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
          |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995),
          |js AS (SELECT unnest(range(1, 201)) AS j),
-         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
-         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) % $m AS z
+         |pz AS (SELECT s.key, s.v, d.j, (xor(s.key, d.z) + $gamma) & $mask AS z
          |       FROM src s CROSS JOIN seed d),
          |${HashReplay.mixCtesSql("vals", "pz", "key, v, j")},
-         |w AS (SELECT v, j, $caseSum AS w FROM
-         |  (SELECT v, j,
-         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |uu AS MATERIALIZED (SELECT v, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT v, j, $caseSum AS w FROM uu),
          |wall AS (SELECT v, j, w FROM w WHERE w > 0
          |  UNION ALL SELECT v, 0 AS j, 1 AS w FROM src),
-         |wt AS (SELECT j, CAST(SUM(w) AS BIGINT) AS wtot FROM wall GROUP BY j),
+         |gv AS MATERIALIZED (SELECT j, v, SUM(w) AS wv FROM wall GROUP BY j, v),
+         |wt AS MATERIALIZED (
+         |  SELECT j, CAST(SUM(wv) AS BIGINT) AS wtot FROM gv GROUP BY j),
          |qps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
          |tg AS (SELECT j, p,
          |    GREATEST(1, CAST(ceil(p * CAST(wtot AS DOUBLE)) AS BIGINT)) AS tgt
          |  FROM wt CROSS JOIN qps),
-         |gv AS (SELECT j, v, SUM(w) AS wv FROM wall GROUP BY j, v),
          |cm AS (SELECT j, v,
          |  SUM(wv) OVER (PARTITION BY j ORDER BY v) AS cum FROM gv),
-         |qp AS (SELECT t.j, t.p, MIN(c.v) AS q
+         |qp AS MATERIALIZED (SELECT t.j, t.p, MIN(c.v) AS q
          |  FROM tg t JOIN cm c ON c.j = t.j AND c.cum >= t.tgt
          |  GROUP BY t.j, t.p),
          |pt AS (SELECT p, q FROM qp WHERE j = 0),
          |n0 AS (SELECT wtot AS n FROM wt WHERE j = 0),
          |eff AS (SELECT CAST(COUNT(*) AS BIGINT) AS b_eff FROM wt WHERE j >= 1),
+         |rk AS (SELECT p, b_eff,
+         |  GREATEST(1, CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT))
+         |    AS rlo,
+         |  CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT) AS rhi
+         |  FROM pt CROSS JOIN eff),
          |rs AS (SELECT p, q,
          |  ROW_NUMBER() OVER (PARTITION BY p ORDER BY q) AS rn
          |  FROM qp WHERE j >= 1)
-         |SELECT pt.p, e.b_eff, n0.n, ROUND(pt.q, 6) AS q,
-         |  ROUND((SELECT q FROM rs WHERE rs.p = pt.p AND rn = GREATEST(1,
-         |    CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT))), 6)
-         |    AS ci_lo,
-         |  ROUND((SELECT q FROM rs WHERE rs.p = pt.p AND rn =
-         |    CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * e.b_eff) AS BIGINT)), 6)
-         |    AS ci_hi
-         |FROM pt CROSS JOIN eff e CROSS JOIN n0
-         |ORDER BY p""".stripMargin
+         |SELECT r.p, r.b_eff, n0.n, ROUND(pt.q, 6) AS q,
+         |  ROUND(lo.q, 6) AS ci_lo, ROUND(hi.q, 6) AS ci_hi
+         |FROM rk r
+         |JOIN pt ON pt.p = r.p
+         |JOIN rs lo ON lo.p = r.p AND lo.rn = r.rlo
+         |JOIN rs hi ON hi.p = r.p AND hi.rn = r.rhi
+         |CROSS JOIN n0
+         |ORDER BY r.p""".stripMargin
     },
     "x_bootstrap_diff" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma
-      val m = HashReplay.MSql
+      val mask = HashReplay.Mask
       val caseSum = graft.functions.BootstrapWeights.Cdf
         .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
         .mkString("\n|      + ")
-      s"""WITH src AS (
+      s"""WITH src AS MATERIALIZED (
          |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v,
          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
          |js AS (SELECT unnest(range(1, 201)) AS j),
-         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) % $m AS z FROM js),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
          |pz AS (SELECT s.key, s.v, s.ia, d.j,
-         |         (xor(s.key, d.z) + $gamma) % $m AS z
+         |         (xor(s.key, d.z) + $gamma) & $mask AS z
          |       FROM src s CROSS JOIN seed d),
          |${HashReplay.mixCtesSql("vals", "pz", "key, v, ia, j")},
-         |w AS (SELECT v, ia, j, $caseSum AS w FROM
-         |  (SELECT v, ia, j,
-         |     CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals)),
+         |uu AS MATERIALIZED (SELECT v, ia, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT v, ia, j, $caseSum AS w FROM uu),
          |wall AS (SELECT v, ia, j, w FROM w
          |  UNION ALL SELECT v, ia, 0 AS j, 1 AS w FROM src),
-         |sums AS (SELECT j, ia, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
+         |sums AS MATERIALIZED (
+         |  SELECT j, ia, SUM(v * w) AS s, CAST(SUM(w) AS BIGINT) AS n
          |  FROM wall GROUP BY j, ia),
          |pv AS (SELECT a.j, a.n AS na, bb.n AS nb,
          |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)

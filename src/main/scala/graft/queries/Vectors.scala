@@ -433,7 +433,7 @@ object Vectors {
     s"""w_z AS (
        |  SELECT p.p, d.d,
        |    ($lshSeedTerm + ${HashReplay.mulmodSql("CAST(p.p AS HUGEINT)", HashReplay.SplitmixC1)}
-       |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) % ${HashReplay.MSql} AS z
+       |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) & ${HashReplay.Mask} AS z
        |  FROM range($lshPlanes) p(p)
        |  -- list-function range (not the table function, which rejects
        |  -- subquery parameters): dimension derived from the data
@@ -868,7 +868,7 @@ object Vectors {
       s"""WITH jw_z AS (
          |  SELECT p.p, d.d,
          |    ($jlSeedTerm + ${HashReplay.mulmodSql("CAST(p.p AS HUGEINT)", HashReplay.SplitmixC1)}
-         |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) % ${HashReplay.MSql} AS z
+         |      + CAST(d.d AS HUGEINT) + ${HashReplay.SplitmixGamma}) & ${HashReplay.Mask} AS z
          |  FROM range($jlPlanes) p(p)
          |  CROSS JOIN (SELECT unnest(range(CAST(
          |      (SELECT MAX(len(embedding)) FROM embeddings) AS BIGINT))) AS d) d),
