@@ -1302,21 +1302,39 @@ object Stats {
       s"msprt: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
     val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
     val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
-    // the welchT chain verbatim up to V, then the Λ algebra
+    val (diff, vn, lambda, p) = msprtChain(na, sa, qa, nb, sb, qb, tau2)
+    require(vn > 0.0,
+      "msprt: zero variance in both samples — the normal approximation " +
+        "is undefined (constant metric)")
+    Seq((na, nb, diff, vn, lambda, p, p < alpha))
+      .toDF("n_a", "n_b", "diff", "v", "lambda", "p", "significant")
+  }
+
+  /** The mSPRT Λ/p double chain — the welchT chain verbatim up to V,
+    * then the mixture likelihood-ratio algebra — factored out so the
+    * batch [[msprt]] and the streaming monitor
+    * ([[graft.streaming.TwsMsprt]]) run ONE implementation: the
+    * stream's final readout then EQUALS the batch test on the same
+    * rows bit-for-bit (exact decimal moments are order-independent;
+    * StreamingSpec pins the equality). Returns (diff, v, lambda, p);
+    * lambda/p are NaN when v ≤ 0 (degenerate — callers gate or skip).
+    */
+  private[graft] def msprtChain(na: Long, sa: BigDecimal, qa: BigDecimal,
+                                nb: Long, sb: BigDecimal, qb: BigDecimal,
+                                tau2: Double): (Double, Double, Double, Double) = {
     val mA = sa.toDouble / na.toDouble
     val mB = sb.toDouble / nb.toDouble
     val varA = (qa.toDouble - sa.toDouble * sa.toDouble / na.toDouble) / (na - 1).toDouble
     val varB = (qb.toDouble - sb.toDouble * sb.toDouble / nb.toDouble) / (nb - 1).toDouble
     val vn = varA / na.toDouble + varB / nb.toDouble
-    require(vn > 0.0,
-      "msprt: zero variance in both samples — the normal approximation " +
-        "is undefined (constant metric)")
     val diff = mA - mB
-    val lambda = math.sqrt(vn / (vn + tau2)) *
-      math.exp(diff * diff * tau2 / (2.0 * vn * (vn + tau2)))
-    val p = math.min(1.0, 1.0 / lambda)
-    Seq((na, nb, diff, vn, lambda, p, p < alpha))
-      .toDF("n_a", "n_b", "diff", "v", "lambda", "p", "significant")
+    if (vn <= 0.0) (diff, vn, Double.NaN, Double.NaN)
+    else {
+      val lambda = math.sqrt(vn / (vn + tau2)) *
+        math.exp(diff * diff * tau2 / (2.0 * vn * (vn + tau2)))
+      val p = math.min(1.0, 1.0 / lambda)
+      (diff, vn, lambda, p)
+    }
   }
 
   /** CUPED variance reduction (Deng et al., WSDM 2013 — "Improving the
@@ -1401,7 +1419,10 @@ object Stats {
     require(varYP > 0.0,
       "cuped: metric has zero pooled variance — rho2 is undefined")
     val theta = covP / varXP
-    val rho2 = covP * covP / (varXP * varYP)
+    // rho2 in the θ-form (θ·cov/varY — mathematically covP²/(varXP·varYP),
+    // same value class): the chain [[cupedMulti]]'s k=1 case reduces to
+    // bit-for-bit, so the two operators agree exactly, not just to an ulp
+    val rho2 = theta * covP / varYP
     val mYA = sya.toDouble / na.toDouble; val mYB = syb.toDouble / nb.toDouble
     val mXA = sxa.toDouble / na.toDouble; val mXB = sxb.toDouble / nb.toDouble
     val diffRaw = mYA - mYB
@@ -1420,6 +1441,169 @@ object Stats {
     val tAdj = diffAdj / math.sqrt(vA / na.toDouble + vB / nb.toDouble)
     Seq((na, nb, theta, rho2, diffRaw, diffAdj, tAdj))
       .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
+  }
+
+  /** Multi-covariate CUPED (the CUPAC shape — Deng et al. 2013 §3.2's
+    * vector extension, the industry form where the covariate is a
+    * pre-experiment feature VECTOR or a model prediction's feature
+    * set): Ŷ = Y − θᵀ(X − X̄) with θ solving the k×k pooled
+    * normal equations Var(X)·θ = Cov(X, Y) — the variance-optimal
+    * linear adjustment; ρ² = θᵀCov(X,Y)/Var(Y) is the variance
+    * fraction the vector removes.
+    *
+    * Scale shape: [[cuped]]'s exactly — ONE pass grouped by the 0/1
+    * sample indicator carrying ALL cross moments in exact decimals
+    * (n, ΣY, ΣY², and per covariate ΣXᵢ, ΣXᵢY, plus the upper
+    * triangle ΣXᵢXⱼ — 3 + 2k + k(k+1)/2 aggregate columns; the 6-dp
+    * integrality sentinel covers Y and every Xᵢ in the same pass),
+    * then pinned double algebra on the driver. The solve is Gaussian
+    * elimination WITHOUT pivoting in covariate-declaration order — a
+    * fixed deterministic operation sequence an oracle can replay
+    * term-for-term (k ≤ 8 keeps it planning-sized AND numerically
+    * honest; partial pivoting would be data-dependent and
+    * unreplayable). A zero (or negative — Var(X) is SPD when
+    * nondegenerate) pivot fails loud naming the covariate: a constant
+    * or collinear covariate has no unique θ. With ONE covariate the
+    * whole chain — θ = cov/var, ρ², diff_adj, per-sample adjusted
+    * variances, t — reduces BIT-FOR-BIT to [[cuped]] (CupedSpec pins
+    * the equality). One row per covariate (scalars repeated —
+    * SQL-friendly long form, no array columns):
+    * `(covariate, theta, n_a, n_b, rho2, diff_raw, diff_adj, t_adj)`.
+    */
+  def cupedMulti(df: DataFrame, metricCol: String,
+                 covariateCols: Seq[String],
+                 sampleACond: org.apache.spark.sql.Column): DataFrame = {
+    val k = covariateCols.size
+    require(k >= 1 && k <= 8,
+      s"cupedMulti: need 1..8 covariates (got $k) — the k x k driver " +
+        "solve is planning-sized by construction, and unpivoted " +
+        "elimination past ~8 columns stops being numerically honest")
+    require(covariateCols.distinct.size == k,
+      s"cupedMulti: duplicate covariate columns in $covariateCols — a " +
+        "repeated column makes the normal equations exactly singular")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val y = col(metricCol)
+    val xs = covariateCols.map(col)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val fracChecks = (y +: xs).map(c =>
+      c.cast("double") =!= round(c.cast("double"), 6))
+    val nfCol = fracChecks.tail
+      .foldLeft(when(fracChecks.head, 1L))((acc, c) => acc.when(c, 1L))
+      .otherwise(0L)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n"), sum(d6(y)).as("sy"),
+        sum(d6(y) * d6(y)).as("qy")) ++
+      (0 until k).map(i => sum(d6(xs(i))).as(s"sx$i")) ++
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(d6(xs(i)) * d6(xs(j))).as(s"q${i}_$j")) ++
+      (0 until k).map(i => sum(d6(xs(i)) * d6(y)).as(s"p$i")) ++
+      Seq(sum(nfCol).as("nf"))
+    val rows = df
+      .filter(xs.foldLeft(y.isNotNull)((acc, x) => acc && x.isNotNull))
+      .groupBy(ia.as("ia"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[Long]("ia") -> r)
+      .toMap
+    val nfTotal = rows.valuesIterator.map(_.getAs[Long]("nf")).sum
+    require(rows.nonEmpty && nfTotal == 0L,
+      s"cupedMulti: ${if (rows.isEmpty) "no" else nfTotal} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    require(rows.contains(1L) && rows.contains(0L),
+      "cupedMulti: both samples need rows after the NULL filter")
+    case class Moments(n: Long, sy: BigDecimal, qy: BigDecimal,
+                       sx: Array[BigDecimal], q: Array[Array[BigDecimal]],
+                       p: Array[BigDecimal])
+    def momentsOf(r: org.apache.spark.sql.Row): Moments = {
+      def dec(name: String) = BigDecimal(r.getAs[java.math.BigDecimal](name))
+      val q = Array.ofDim[BigDecimal](k, k)
+      for (i <- 0 until k; j <- i until k) {
+        q(i)(j) = dec(s"q${i}_$j"); q(j)(i) = q(i)(j)
+      }
+      Moments(r.getAs[Long]("n"), dec("sy"), dec("qy"),
+        Array.tabulate(k)(i => dec(s"sx$i")), q,
+        Array.tabulate(k)(i => dec(s"p$i")))
+    }
+    val ma = momentsOf(rows(1L))
+    val mb = momentsOf(rows(0L))
+    require(ma.n >= 2 && mb.n >= 2,
+      s"cupedMulti: both samples need >= 2 rows (n_a=${ma.n}, n_b=${mb.n})")
+    // pooled exact totals, then the cuped double chains entry-by-entry
+    val n = ma.n + mb.n
+    val nD = n.toDouble
+    val nm1 = (n - 1).toDouble
+    val sy = (ma.sy + mb.sy).toDouble
+    val qy = (ma.qy + mb.qy).toDouble
+    val sx = Array.tabulate(k)(i => (ma.sx(i) + mb.sx(i)).toDouble)
+    val varYP = (qy - sy * sy / nD) / nm1
+    require(varYP > 0.0,
+      "cupedMulti: metric has zero pooled variance — rho2 is undefined")
+    val sxy = Array.tabulate(k) { i =>
+      ((ma.p(i) + mb.p(i)).toDouble - sx(i) * sy / nD) / nm1
+    }
+    val sxx = Array.tabulate(k, k) { (i, j) =>
+      ((ma.q(i)(j) + mb.q(i)(j)).toDouble - sx(i) * sx(j) / nD) / nm1
+    }
+    // Gaussian elimination, natural order, no pivoting (see scaladoc)
+    val a = Array.tabulate(k, k)((i, j) => sxx(i)(j))
+    val rhs = sxy.clone()
+    for (c <- 0 until k) {
+      require(a(c)(c) > 0.0,
+        s"cupedMulti: non-positive pivot at covariate " +
+          s"'${covariateCols(c)}' — a constant or collinear covariate " +
+          "makes the normal equations singular; drop or reorder it")
+      for (r <- c + 1 until k) {
+        val m = a(r)(c) / a(c)(c)
+        for (j <- c until k) a(r)(j) = a(r)(j) - m * a(c)(j)
+        rhs(r) = rhs(r) - m * rhs(c)
+      }
+    }
+    val theta = new Array[Double](k)
+    for (c <- k - 1 to 0 by -1) {
+      var acc = rhs(c)
+      for (j <- c + 1 until k) acc = acc - a(c)(j) * theta(j)
+      theta(c) = acc / a(c)(c)
+    }
+    var dot = 0.0
+    for (i <- 0 until k) dot += theta(i) * sxy(i)
+    val rho2 = dot / varYP
+    val mYA = ma.sy.toDouble / ma.n.toDouble
+    val mYB = mb.sy.toDouble / mb.n.toDouble
+    val diffRaw = mYA - mYB
+    var adj = 0.0
+    for (i <- 0 until k)
+      adj += theta(i) * (ma.sx(i).toDouble / ma.n.toDouble
+        - mb.sx(i).toDouble / mb.n.toDouble)
+    val diffAdj = diffRaw - adj
+    // per-sample var(Y − θᵀX) = varY − 2θᵀcov + θᵀVar(X)θ, each
+    // entry in [[cuped]].adjVar's exact chain
+    def adjVarOf(s: Moments): Double = {
+      val nd = s.n.toDouble
+      val nm = (s.n - 1).toDouble
+      val covS = Array.tabulate(k) { i =>
+        (s.p(i).toDouble - s.sx(i).toDouble * s.sy.toDouble / nd) / nm
+      }
+      val vxS = Array.tabulate(k, k) { (i, j) =>
+        (s.q(i)(j).toDouble - s.sx(i).toDouble * s.sx(j).toDouble / nd) / nm
+      }
+      val vyS = (s.qy.toDouble - s.sy.toDouble * s.sy.toDouble / nd) / nm
+      var dc = 0.0
+      for (i <- 0 until k) dc += theta(i) * covS(i)
+      var quad = 0.0
+      for (i <- 0 until k; j <- 0 until k)
+        quad += theta(i) * theta(j) * vxS(i)(j)
+      vyS - 2.0 * dc + quad
+    }
+    val vA = adjVarOf(ma)
+    val vB = adjVarOf(mb)
+    val tAdj = diffAdj / math.sqrt(vA / ma.n.toDouble + vB / mb.n.toDouble)
+    covariateCols.zipWithIndex.map { case (c, i) =>
+      (c, theta(i), ma.n, mb.n, rho2, diffRaw, diffAdj, tAdj)
+    }.toDF("covariate", "theta", "n_a", "n_b", "rho2", "diff_raw",
+      "diff_adj", "t_adj")
   }
 
   /** Delta-method CI for a RATIO-metric difference (Deng, Knoblich &
@@ -1590,7 +1774,8 @@ object Stats {
     * sentinel compares countDistinct(key) to n in a narrow pre-pass
     * and fails LOUD on duplicates (the [[gini]] fail-loud convention;
     * riding the explode pass instead would plan a distinct-agg Expand
-    * over the (B+1)× rows — the separate 2-column scan is cheaper).
+    * over the (B+1)× rows — the separate pass reads the PERSISTED
+    * filtered frame, so it costs one cached scan, not a source rescan).
     */
   def bootstrapMeanCI(df: DataFrame, valueCol: String, keyCol: String,
                       b: Int = 200, alpha: Double = 0.05): DataFrame = {
@@ -1605,7 +1790,6 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    requireUniqueBootstrapKeys(base, "bootstrapMeanCI")
     // the explode multiplies rows (b+1)x BEFORE the partial agg: if the
     // source collapses to a handful of input splits (one small parquet
     // file), the whole expansion runs in those few tasks — fan out
@@ -1615,17 +1799,26 @@ object Stats {
     val par = session.sparkContext.defaultParallelism
     val src =
       if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-    val rows = src
-      .select(col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
-      .groupBy(col("j"))
-      .agg(sum(col("v") * col("w")).as("s"),
-        sum(col("w").cast("long")).as("n"),
-        sum(col("nf")).as("nfs"))
-      .collect()
-      .map(r => r.getInt(0) ->
-        ((BigDecimal(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
-      .toMap
+    // ONE materialization pays for BOTH the key-uniqueness sentinel and
+    // the weights pass (the ksTest persist lifecycle, released in the
+    // finally): the sentinel pre-pass used to re-scan the source — a
+    // deliberate round-14 trade measured at +55% in-sweep, bought back
+    // by caching the narrow filtered frame between the two actions
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = try {
+      requireUniqueBootstrapKeys(src, "bootstrapMeanCI")
+      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+      src
+        .select(col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+        .groupBy(col("j"))
+        .agg(sum(col("v") * col("w")).as("s"),
+          sum(col("w").cast("long")).as("n"),
+          sum(col("nf")).as("nfs"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((BigDecimal(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
+        .toMap
+    } finally src.unpersist()
     require(rows.contains(0), "bootstrapMeanCI: no rows after the NULL filter")
     val (s0, n0, nf0) = rows(0)
     require(nf0 == 0L,
@@ -1689,21 +1882,26 @@ object Stats {
     val v = col(valueCol)
     val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
       .select(v.cast("double").as("v"), col(keyCol).cast("long").as("__k"))
-    requireUniqueBootstrapKeys(base, "bootstrapQuantileCI")
     val par = session.sparkContext.defaultParallelism
     val src =
       if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
-      session, col("v"), col("w"), ps, k)
-    val rows = src
-      .select(col("v"), posexplode(wArr).as(Seq("j", "w")))
-      .filter(col("w") > 0)
-      .groupBy(col("j"))
-      .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
-      .toMap
+    // one materialization for both the sentinel and the sketch pass
+    // (the [[bootstrapMeanCI]] persist lifecycle)
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = try {
+      requireUniqueBootstrapKeys(src, "bootstrapQuantileCI")
+      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+      val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+        session, col("v"), col("w"), ps, k)
+      src
+        .select(col("v"), posexplode(wArr).as(Seq("j", "w")))
+        .filter(col("w") > 0)
+        .groupBy(col("j"))
+        .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+        .toMap
+    } finally src.unpersist()
     require(rows.contains(0), "bootstrapQuantileCI: no rows after the NULL filter")
     val (q0, n0) = rows(0)
     require(n0 >= 2, s"bootstrapQuantileCI: need >= 2 rows, got $n0")
@@ -1756,26 +1954,39 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    requireUniqueBootstrapKeys(base, "bootstrapMeanCIByGroup")
     val par = session.sparkContext.defaultParallelism
     val src =
       if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-    val cells = src
-      .select(col("g"), col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
-      .groupBy(col("g"), col("j"))
-      .agg(sum(col("v") * col("w")).as("s"),
-        sum(col("w").cast("long")).as("n"),
-        sum(col("nf")).as("nfs"))
-    // loud planning-size guard BEFORE the collect: |groups|·(B+1) cells
-    val cellRows = cells.limit((maxGroups * (b + 1) + 1).toInt).collect()
+    // one materialization for both the sentinel and the cell pass
+    // (the [[bootstrapMeanCI]] persist lifecycle)
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cellRows = try {
+      requireUniqueBootstrapKeys(src, "bootstrapMeanCIByGroup")
+      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+      val cells = src
+        .select(col("g"), col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+        .groupBy(col("g"), col("j"))
+        .agg(sum(col("v") * col("w")).as("s"),
+          sum(col("w").cast("long")).as("n"),
+          sum(col("nf")).as("nfs"))
+      // loud planning-size guard BEFORE the collect: |groups|·(B+1) cells.
+      // Clamp the limit to Int.MaxValue — a huge caller-supplied maxGroups
+      // (or b) must degrade to the loudest guard we can plan, not overflow
+      // to a negative limit and fail as a confusing runtime error
+      val cellCap = math.min(maxGroups * (b + 1L) + 1L, Int.MaxValue.toLong).toInt
+      cells.limit(cellCap).collect()
+    } finally src.unpersist()
     require(cellRows.length <= maxGroups * (b + 1),
       s"bootstrapMeanCIByGroup: more than $maxGroups groups — the CI " +
         "assembly fold would not be planning-sized; raise maxGroups " +
         "deliberately or pre-aggregate the group key")
     val byCell = cellRows.map(r => (r.getString(0), r.getInt(1)) ->
       ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4)))).toMap
-    val nfTotal = byCell.valuesIterator.map(_._3).sum
+    // each source row's nf flag lands in ALL b+1 of its (group, resample)
+    // cells — divide the cell total back down so the message reports the
+    // offending ROW count, not (b+1)x it (the trigger is unchanged:
+    // the sum is zero iff no row is fractional)
+    val nfTotal = byCell.valuesIterator.map(_._3).sum / (b + 1L)
     require(byCell.nonEmpty && nfTotal == 0L,
       s"bootstrapMeanCIByGroup: ${if (byCell.isEmpty) "no" else nfTotal} " +
         "values need more than 6 decimal places — the decimal(18,6) sums " +
@@ -1833,22 +2044,27 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    requireUniqueBootstrapKeys(base, "bootstrapDiffCI")
     val par = session.sparkContext.defaultParallelism
     val src =
       if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-    val cells = src
-      .select(col("v"), col("ia"), col("nf"),
-        posexplode(wArr).as(Seq("j", "w")))
-      .groupBy(col("j"), col("ia"))
-      .agg(sum(col("v") * col("w")).as("s"),
-        sum(col("w").cast("long")).as("n"),
-        sum(col("nf")).as("nfs"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1)) ->
-        ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))))
-      .toMap
+    // one materialization for both the sentinel and the cell pass
+    // (the [[bootstrapMeanCI]] persist lifecycle)
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = try {
+      requireUniqueBootstrapKeys(src, "bootstrapDiffCI")
+      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+      src
+        .select(col("v"), col("ia"), col("nf"),
+          posexplode(wArr).as(Seq("j", "w")))
+        .groupBy(col("j"), col("ia"))
+        .agg(sum(col("v") * col("w")).as("s"),
+          sum(col("w").cast("long")).as("n"),
+          sum(col("nf")).as("nfs"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))))
+        .toMap
+    } finally src.unpersist()
     def cell(j: Int, ia: Long) =
       cells.getOrElse((j, ia), (BigDecimal(0), 0L, 0L))
     val (sa0, na0, nfa0) = cell(0, 1L)
@@ -1876,6 +2092,97 @@ object Stats {
     val rHi = math.ceil(aHi * bEff.toDouble).toLong
     Seq((bEff, na0, nb0, diff, diffs((rLo - 1).toInt), diffs((rHi - 1).toInt)))
       .toDF("b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi")
+  }
+
+  /** Poisson-bootstrap CI for a DIFFERENCE in QUANTILES (A/B) — the
+    * composition of [[bootstrapQuantileCI]] and [[bootstrapDiffCI]]:
+    * did p50/p99 latency (tokens, revenue) MOVE between the rows where
+    * `sampleACond` holds and the rest, with a distribution-free CI —
+    * the readout the mean-diff CI misses entirely on heavy-tailed
+    * metrics whose treatment effect lives in the tail. Per resample j
+    * each ARM is one weighted KLL sketch over the SHARED per-row
+    * Poisson(1) weights (both arms of a resample draw the same weight
+    * vector — the paired-resample form), the statistic is
+    * q_A(j, p) − q_B(j, p), and the CI is the [α/2, 1−α/2] order
+    * statistics of the B resampled diffs. ONE corpus scan: explode to
+    * (resample, weight) pairs (zero weights dropped), partial-agg
+    * map-side to ≤ 2(B+1) sketch groups, so the shuffle carries
+    * O(partitions·B) sketches of O(k·log W) regardless of corpus size.
+    * Index 0 is the identity resample — the point estimate rides the
+    * same shuffle. Quantile semantics (exact ⌈p·W⌉-rank over the
+    * weighted multiset, EXACT in the no-compaction regime, ≈1/k rank
+    * error beyond), the key-uniqueness precondition + sentinel, and
+    * the persist lifecycle are [[bootstrapQuantileCI]]'s; NULL
+    * condition rows are sample B (the [[welchT]] convention).
+    * Resamples where either arm kept zero total weight are dropped
+    * (`b_eff`). One row per p:
+    * `(p, b_eff, n_a, n_b, diff, ci_lo, ci_hi)` — raw doubles, callers
+    * round.
+    */
+  def bootstrapQuantileDiffCI(df: DataFrame, valueCol: String, keyCol: String,
+                              sampleACond: org.apache.spark.sql.Column,
+                              ps: Seq[Double] = Seq(0.5, 0.9), b: Int = 200,
+                              alpha: Double = 0.05, k: Int = 256): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapQuantileDiffCI: alpha must be in (0, 1), got $alpha")
+    require(ps.nonEmpty, "bootstrapQuantileDiffCI: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"bootstrapQuantileDiffCI: quantiles must be in (0, 1], got $ps")
+    val session = df.sparkSession
+    import session.implicits._
+    val v = col(valueCol)
+    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+      .select(v.cast("double").as("v"),
+        when(sampleACond, 1L).otherwise(0L).as("ia"),
+        col(keyCol).cast("long").as("__k"))
+    val par = session.sparkContext.defaultParallelism
+    val src =
+      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
+    // one materialization for both the sentinel and the sketch pass
+    // (the [[bootstrapMeanCI]] persist lifecycle)
+    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = try {
+      requireUniqueBootstrapKeys(src, "bootstrapQuantileDiffCI")
+      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+      val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+        session, col("v"), col("w"), ps, k)
+      src
+        .select(col("v"), col("ia"), posexplode(wArr).as(Seq("j", "w")))
+        .filter(col("w") > 0)
+        .groupBy(col("j"), col("ia"))
+        .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) ->
+          ((r.getSeq[Double](2), r.getLong(3))))
+        .toMap
+    } finally src.unpersist()
+    require(rows.contains((0, 1L)) && rows.contains((0, 0L)),
+      "bootstrapQuantileDiffCI: both samples need rows after the NULL filter")
+    val (qa0, na0) = rows((0, 1L))
+    val (qb0, nb0) = rows((0, 0L))
+    require(na0 >= 2 && nb0 >= 2,
+      s"bootstrapQuantileDiffCI: both samples need >= 2 rows " +
+        s"(n_a=$na0, n_b=$nb0)")
+    // a resample is live when BOTH arms kept positive weight (either
+    // sketch group missing means that arm drew all-zero weights)
+    val live = (1 to b).flatMap { j =>
+      for (a <- rows.get((j, 1L)); bb <- rows.get((j, 0L)))
+        yield (a._1, bb._1)
+    }
+    val bEff = live.length.toLong
+    require(bEff >= 10L,
+      s"bootstrapQuantileDiffCI: only $bEff resamples had both samples " +
+        "non-empty — raise b or supply more rows")
+    val aLo = alpha / 2.0
+    val aHi = 1.0 - aLo
+    val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+    val rHi = math.ceil(aHi * bEff.toDouble).toLong
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      val ds = live.map { case (qa, qb) => qa(i) - qb(i) }.sorted
+      (p, bEff, na0, nb0, qa0(i) - qb0(i),
+        ds((rLo - 1).toInt), ds((rHi - 1).toInt))
+    }
+    out.toDF("p", "b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi")
   }
 
   /** Two-proportion z-test — did a RATE move between the rows where

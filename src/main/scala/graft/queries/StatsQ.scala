@@ -592,6 +592,66 @@ object StatsQ {
           round(col("diff_adj"), 6).as("diff_adj"),
           round(col("t_adj"), 6).as("t_adj"))),
 
+    "x_cuped_multi" -> ((s, dir) =>
+      // multi-covariate CUPED / CUPAC (Stats.cupedMulti): adjust the
+      // price metric by the (quantity, discount) covariate VECTOR —
+      // theta solves the 2x2 pooled normal equations by fixed-order
+      // unpivoted Gaussian elimination on the driver, a deterministic
+      // operation sequence the oracle replays term-for-term; ONE
+      // cross-moment decimal pass (the x_cuped shape, 12 aggregate
+      // columns). CupedSpec pins the k=1 case bit-equal to Stats.cuped
+      Stats.cupedMulti(t(s, dir, "lineitem"), "l_extendedprice",
+          Seq("l_quantity", "l_discount"), col("l_returnflag") === "R")
+        .select(col("covariate"), round(col("theta"), 6).as("theta"),
+          col("n_a"), col("n_b"),
+          round(col("rho2"), 6).as("rho2"),
+          round(col("diff_raw"), 6).as("diff_raw"),
+          round(col("diff_adj"), 6).as("diff_adj"),
+          round(col("t_adj"), 6).as("t_adj"))
+        .orderBy("covariate")),
+
+    "x_bootstrap_quantile_diff" -> ((s, dir) => {
+      // the A/B QUANTILE readout: bootstrap CI for the urgent-vs-rest
+      // p50/p90 price difference (Stats.bootstrapQuantileDiffCI) — the
+      // x_bootstrap_quantiles machinery with (resample, sample) sketch
+      // groups; per resample both arms share the row's Poisson weight
+      // vector and the statistic is q_A - q_B. ORACLED IN ITS EXACT
+      // REGIME (the x_bootstrap_quantiles argument: the 1995 horizon
+      // keeps every per-level count under k = 65536, guarded below, so
+      // each arm's quantile IS the exact ceil(p*W)-th weighted order
+      // statistic and the oracle replays both arms' cumulative-weight
+      // probes over the replayed splitmix chain)
+      val o95 = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull &&
+          col("o_orderdate").isNotNull && year(col("o_orderdate")) === 1995)
+      requireExactSketchRegime(o95, 65536, "x_bootstrap_quantile_diff")
+      Stats.bootstrapQuantileDiffCI(o95, "o_totalprice", "o_orderkey",
+          col("o_orderpriority") === "1-URGENT",
+          ps = Seq(0.5, 0.9), b = 200, alpha = 0.05, k = 65536)
+        .select(col("p"), col("b_eff"), col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+        .orderBy("p")
+    }),
+
+    "x_winsorize_sketch_prod" -> ((s, dir) =>
+      // the winsorize sketch path at its PRODUCTION size (k = 256,
+      // ~1/256 rank error on the clip bounds — the 100 TB
+      // configuration): deliberately NON-ORACLED (a compacting sketch's
+      // bound selection is partition-order-dependent), it exists so the
+      // bench tracks the cost of the path users actually run —
+      // x_winsorize_sketch's k = 2^19 exact-regime form is the
+      // correctness pin, ~5x dearer per sweep, and stays as is. The
+      // output keeps the full shape (driver does a rows-only check:
+      // one row per return flag).
+      Stats.winsorizedStatsSketch(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", k = 256)
+        .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
+          round(col("winsor_mean"), 6).as("winsor_mean"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag")),
+
     "x_sketch_interp" -> ((s, dir) => {
       // the INTERPOLATED sketch read + the WEIGHTED sketch STATE in one
       // oracled round trip: a pre-counted (value, weight) frame builds
@@ -1586,7 +1646,7 @@ object StatsQ {
         |th AS (
         |  SELECT na, nb, mya, myb, mxa, mxb, cova, vxa, vya, covb, vxb, vyb,
         |    covp / varxp AS theta,
-        |    covp * covp / (varxp * varyp) AS rho2
+        |    covp / varxp * covp / varyp AS rho2
         |  FROM alg),
         |fin AS (
         |  SELECT na, nb, theta, rho2,
@@ -1601,6 +1661,203 @@ object StatsQ {
         |  ROUND(diff_adj / sqrt(va / CAST(na AS DOUBLE)
         |    + vb / CAST(nb AS DOUBLE)), 6) AS t_adj
         |FROM fin""".stripMargin,
+    "x_cuped_multi" ->
+      // the x_cuped oracle extended to the (x1, x2) covariate vector:
+      // identical DECIMAL(19,6) cross-moment totals, then the engine's
+      // fixed-order unpivoted Gaussian elimination replayed TERM-FOR-
+      // TERM (m21 = v12/v11, th2 = (c2 - m21*c1)/(v22 - m21*v12),
+      // th1 = (c1 - v12*th2)/v11 — the exact double chain the driver
+      // solve runs); every sum below is left-associated in the
+      // engine's accumulation order
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS y,
+        |    CAST(l_quantity AS DECIMAL(19,6)) AS x1,
+        |    CAST(l_discount AS DECIMAL(19,6)) AS x2,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_discount IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN y END) AS sya,
+        |    SUM(CASE WHEN ia = 1 THEN x1 END) AS sx1a,
+        |    SUM(CASE WHEN ia = 1 THEN x2 END) AS sx2a,
+        |    SUM(CASE WHEN ia = 1 THEN y * y END) AS qya,
+        |    SUM(CASE WHEN ia = 1 THEN x1 * x1 END) AS q11a,
+        |    SUM(CASE WHEN ia = 1 THEN x1 * x2 END) AS q12a,
+        |    SUM(CASE WHEN ia = 1 THEN x2 * x2 END) AS q22a,
+        |    SUM(CASE WHEN ia = 1 THEN x1 * y END) AS p1a,
+        |    SUM(CASE WHEN ia = 1 THEN x2 * y END) AS p2a,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN y END) AS syb,
+        |    SUM(CASE WHEN ia = 0 THEN x1 END) AS sx1b,
+        |    SUM(CASE WHEN ia = 0 THEN x2 END) AS sx2b,
+        |    SUM(CASE WHEN ia = 0 THEN y * y END) AS qyb,
+        |    SUM(CASE WHEN ia = 0 THEN x1 * x1 END) AS q11b,
+        |    SUM(CASE WHEN ia = 0 THEN x1 * x2 END) AS q12b,
+        |    SUM(CASE WHEN ia = 0 THEN x2 * x2 END) AS q22b,
+        |    SUM(CASE WHEN ia = 0 THEN x1 * y END) AS p1b,
+        |    SUM(CASE WHEN ia = 0 THEN x2 * y END) AS p2b
+        |  FROM pts),
+        |pool AS (
+        |  SELECT na, nb, sya, syb, sx1a, sx1b, sx2a, sx2b, qya, qyb,
+        |    q11a, q11b, q12a, q12b, q22a, q22b, p1a, p1b, p2a, p2b,
+        |    CAST(na + nb AS DOUBLE) AS nd,
+        |    CAST(na + nb - 1 AS DOUBLE) AS nm1,
+        |    CAST(sya + syb AS DOUBLE) AS sy,
+        |    CAST(sx1a + sx1b AS DOUBLE) AS sx1,
+        |    CAST(sx2a + sx2b AS DOUBLE) AS sx2,
+        |    CAST(qya + qyb AS DOUBLE) AS qy,
+        |    CAST(q11a + q11b AS DOUBLE) AS q11,
+        |    CAST(q12a + q12b AS DOUBLE) AS q12,
+        |    CAST(q22a + q22b AS DOUBLE) AS q22,
+        |    CAST(p1a + p1b AS DOUBLE) AS p1,
+        |    CAST(p2a + p2b AS DOUBLE) AS p2
+        |  FROM m),
+        |alg AS (
+        |  SELECT na, nb, sya, syb, sx1a, sx1b, sx2a, sx2b, qya, qyb,
+        |    q11a, q11b, q12a, q12b, q22a, q22b, p1a, p1b, p2a, p2b,
+        |    (qy - sy * sy / nd) / nm1 AS varyp,
+        |    (p1 - sx1 * sy / nd) / nm1 AS c1,
+        |    (p2 - sx2 * sy / nd) / nm1 AS c2,
+        |    (q11 - sx1 * sx1 / nd) / nm1 AS v11,
+        |    (q12 - sx1 * sx2 / nd) / nm1 AS v12,
+        |    (q22 - sx2 * sx2 / nd) / nm1 AS v22
+        |  FROM pool),
+        |el AS (SELECT *, v12 / v11 AS m21 FROM alg),
+        |t2 AS (SELECT *, (c2 - m21 * c1) / (v22 - m21 * v12) AS th2 FROM el),
+        |t1 AS (SELECT *, (c1 - v12 * th2) / v11 AS th1 FROM t2),
+        |sam AS (
+        |  SELECT *,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) AS mya,
+        |    CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS myb,
+        |    CAST(sx1a AS DOUBLE) / CAST(na AS DOUBLE) AS mx1a,
+        |    CAST(sx1b AS DOUBLE) / CAST(nb AS DOUBLE) AS mx1b,
+        |    CAST(sx2a AS DOUBLE) / CAST(na AS DOUBLE) AS mx2a,
+        |    CAST(sx2b AS DOUBLE) / CAST(nb AS DOUBLE) AS mx2b,
+        |    (CAST(p1a AS DOUBLE) - CAST(sx1a AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS c1a,
+        |    (CAST(p2a AS DOUBLE) - CAST(sx2a AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS c2a,
+        |    (CAST(q11a AS DOUBLE) - CAST(sx1a AS DOUBLE) * CAST(sx1a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS v11a,
+        |    (CAST(q12a AS DOUBLE) - CAST(sx1a AS DOUBLE) * CAST(sx2a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS v12a,
+        |    (CAST(q22a AS DOUBLE) - CAST(sx2a AS DOUBLE) * CAST(sx2a AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS v22a,
+        |    (CAST(qya AS DOUBLE) - CAST(sya AS DOUBLE) * CAST(sya AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS vya,
+        |    (CAST(p1b AS DOUBLE) - CAST(sx1b AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS c1b,
+        |    (CAST(p2b AS DOUBLE) - CAST(sx2b AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS c2b,
+        |    (CAST(q11b AS DOUBLE) - CAST(sx1b AS DOUBLE) * CAST(sx1b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS v11b,
+        |    (CAST(q12b AS DOUBLE) - CAST(sx1b AS DOUBLE) * CAST(sx2b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS v12b,
+        |    (CAST(q22b AS DOUBLE) - CAST(sx2b AS DOUBLE) * CAST(sx2b AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS v22b,
+        |    (CAST(qyb AS DOUBLE) - CAST(syb AS DOUBLE) * CAST(syb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vyb
+        |  FROM t1),
+        |fin AS (
+        |  SELECT na, nb, th1, th2,
+        |    (th1 * c1 + th2 * c2) / varyp AS rho2,
+        |    mya - myb AS diff_raw,
+        |    (mya - myb) - (th1 * (mx1a - mx1b) + th2 * (mx2a - mx2b))
+        |      AS diff_adj,
+        |    vya - 2 * (th1 * c1a + th2 * c2a)
+        |      + (th1 * th1 * v11a + th1 * th2 * v12a + th2 * th1 * v12a
+        |         + th2 * th2 * v22a) AS va,
+        |    vyb - 2 * (th1 * c1b + th2 * c2b)
+        |      + (th1 * th1 * v11b + th1 * th2 * v12b + th2 * th1 * v12b
+        |         + th2 * th2 * v22b) AS vb
+        |  FROM sam)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS covariate, ROUND(th1, 6) AS theta,
+        |    na AS n_a, nb AS n_b, ROUND(rho2, 6) AS rho2,
+        |    ROUND(diff_raw, 6) AS diff_raw, ROUND(diff_adj, 6) AS diff_adj,
+        |    ROUND(diff_adj / sqrt(va / CAST(na AS DOUBLE)
+        |      + vb / CAST(nb AS DOUBLE)), 6) AS t_adj
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT 'l_discount', ROUND(th2, 6), na, nb, ROUND(rho2, 6),
+        |    ROUND(diff_raw, 6), ROUND(diff_adj, 6),
+        |    ROUND(diff_adj / sqrt(va / CAST(na AS DOUBLE)
+        |      + vb / CAST(nb AS DOUBLE)), 6)
+        |  FROM fin
+        |) t ORDER BY covariate""".stripMargin,
+    "x_bootstrap_quantile_diff" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val mask = HashReplay.Mask
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      // the x_bootstrap_quantiles replay with the sample indicator
+      // carried through every CTE: per (resample, arm) cumulative-
+      // weight quantile probes, arm difference per resample, then the
+      // x_bootstrap_diff rank-pick chain per p
+      s"""WITH src AS MATERIALIZED (
+         |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
+         |    CAST(o_totalprice AS DOUBLE) AS v,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.key, s.v, s.ia, d.j,
+         |         (xor(s.key, d.z) + $gamma) & $mask AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "key, v, ia, j")},
+         |uu AS MATERIALIZED (SELECT v, ia, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT v, ia, j, $caseSum AS w FROM uu),
+         |wall AS (SELECT v, ia, j, w FROM w WHERE w > 0
+         |  UNION ALL SELECT v, ia, 0 AS j, 1 AS w FROM src),
+         |gv AS MATERIALIZED (
+         |  SELECT j, ia, v, SUM(w) AS wv FROM wall GROUP BY j, ia, v),
+         |wt AS MATERIALIZED (
+         |  SELECT j, ia, CAST(SUM(wv) AS BIGINT) AS wtot FROM gv
+         |  GROUP BY j, ia),
+         |qps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+         |tg AS (SELECT j, ia, p,
+         |    GREATEST(1, CAST(ceil(p * CAST(wtot AS DOUBLE)) AS BIGINT)) AS tgt
+         |  FROM wt CROSS JOIN qps),
+         |cm AS (SELECT j, ia, v,
+         |  SUM(wv) OVER (PARTITION BY j, ia ORDER BY v) AS cum FROM gv),
+         |qp AS MATERIALIZED (SELECT t.j, t.ia, t.p, MIN(c.v) AS q
+         |  FROM tg t JOIN cm c ON c.j = t.j AND c.ia = t.ia
+         |    AND c.cum >= t.tgt
+         |  GROUP BY t.j, t.ia, t.p),
+         |dq AS (SELECT a.j, a.p, a.q - b.q AS d
+         |  FROM qp a JOIN qp b ON a.j = b.j AND a.p = b.p
+         |    AND a.ia = 1 AND b.ia = 0),
+         |pt AS (SELECT p, d FROM dq WHERE j = 0),
+         |ns AS (SELECT
+         |    (SELECT wtot FROM wt WHERE j = 0 AND ia = 1) AS n_a,
+         |    (SELECT wtot FROM wt WHERE j = 0 AND ia = 0) AS n_b),
+         |eff AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS b_eff
+         |  FROM dq WHERE j >= 1 GROUP BY p),
+         |rk AS (SELECT p, b_eff,
+         |  GREATEST(1, CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT))
+         |    AS rlo,
+         |  CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT) AS rhi
+         |  FROM eff),
+         |rs AS (SELECT p, d,
+         |  ROW_NUMBER() OVER (PARTITION BY p ORDER BY d) AS rn
+         |  FROM dq WHERE j >= 1)
+         |SELECT r.p, r.b_eff, ns.n_a, ns.n_b, ROUND(pt.d, 6) AS diff,
+         |  ROUND(lo.d, 6) AS ci_lo, ROUND(hi.d, 6) AS ci_hi
+         |FROM rk r
+         |JOIN pt ON pt.p = r.p
+         |JOIN rs lo ON lo.p = r.p AND lo.rn = r.rlo
+         |JOIN rs hi ON hi.p = r.p AND hi.rn = r.rhi
+         |CROSS JOIN ns
+         |ORDER BY r.p""".stripMargin
+    },
     "x_sketch_interp" ->
       // quantile_cont over the range(w) expansion — DuckDB's own lerp
       // as the independent implementation of the interpolated sketch

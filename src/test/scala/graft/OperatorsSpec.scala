@@ -2638,6 +2638,122 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exF.getMessage.contains("6 decimal"))
   }
 
+  test("cupedMulti: k=1 reduces BIT-FOR-BIT to cuped; k=2 matches an independent solve; guards loud") {
+    import graft.operators.Stats
+    val df = (1L to 60L).map { i =>
+      val g = if (i % 3 == 0L) "a" else "b"
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 5).toDouble
+      // y correlated with both covariates + an arm shift
+      val y = 2.0 * x1 + 3.0 * x2 + (i % 4).toDouble +
+        (if (g == "a") 5.0 else 0.0)
+      (g, y, x1, x2)
+    }.toDF("g", "y", "x1", "x2")
+    // k=1: the whole double chain must reduce to cuped EXACTLY — same
+    // divisions, same accumulation order (the scaladoc contract)
+    val one = Stats.cuped(df, "y", "x1", col("g") === "a").head()
+    val m1 = Stats.cupedMulti(df, "y", Seq("x1"), col("g") === "a").head()
+    assert(m1.getString(0) == "x1")
+    assert(m1.getLong(2) == one.getLong(0) && m1.getLong(3) == one.getLong(1))
+    assert(m1.getDouble(1) == one.getDouble(2), "theta must be bit-equal")
+    assert(m1.getDouble(4) == one.getDouble(3), "rho2 must be bit-equal")
+    assert(m1.getDouble(5) == one.getDouble(4), "diff_raw must be bit-equal")
+    assert(m1.getDouble(6) == one.getDouble(5), "diff_adj must be bit-equal")
+    assert(m1.getDouble(7) == one.getDouble(6), "t_adj must be bit-equal")
+    // k=2: independent plain-Scala closed-form 2x2 solve (Cramer's
+    // rule — NOT the engine's elimination) agrees to 1e-9
+    val rows2 = Stats.cupedMulti(df, "y", Seq("x1", "x2"), col("g") === "a")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val data = (1L to 60L).map { i =>
+      val g = if (i % 3 == 0L) "a" else "b"
+      val x1 = (i % 7).toDouble
+      val x2 = (i % 5).toDouble
+      (g, 2.0 * x1 + 3.0 * x2 + (i % 4).toDouble + (if (g == "a") 5.0 else 0.0),
+        x1, x2)
+    }
+    val n = data.size
+    val ys = data.map(_._2); val x1s = data.map(_._3); val x2s = data.map(_._4)
+    def mean(v: Seq[Double]) = v.sum / n
+    val (my, mx1, mx2) = (mean(ys), mean(x1s), mean(x2s))
+    def cov(a: Seq[Double], ma: Double, b: Seq[Double], mb: Double) =
+      a.zip(b).map { case (u, w) => (u - ma) * (w - mb) }.sum / (n - 1)
+    val c1 = cov(x1s, mx1, ys, my); val c2 = cov(x2s, mx2, ys, my)
+    val v11 = cov(x1s, mx1, x1s, mx1); val v12 = cov(x1s, mx1, x2s, mx2)
+    val v22 = cov(x2s, mx2, x2s, mx2); val vy = cov(ys, my, ys, my)
+    val det = v11 * v22 - v12 * v12
+    val th1 = (c1 * v22 - c2 * v12) / det
+    val th2 = (v11 * c2 - v12 * c1) / det
+    assert(math.abs(rows2("x1").getDouble(1) - th1) < 1e-9,
+      s"theta1 ${rows2("x1").getDouble(1)} != $th1")
+    assert(math.abs(rows2("x2").getDouble(1) - th2) < 1e-9)
+    val rho2 = (th1 * c1 + th2 * c2) / vy
+    assert(math.abs(rows2("x1").getDouble(4) - rho2) < 1e-9)
+    assert(rho2 > 0.5, s"two strong covariates should remove most variance, rho2=$rho2")
+    // scalars identical across the two output rows
+    assert(rows2("x1").getDouble(5) == rows2("x2").getDouble(5))
+    assert(rows2("x1").getDouble(7) == rows2("x2").getDouble(7))
+    // adjusting by BOTH covariates must not explain less than by one
+    assert(rho2 >= m1.getDouble(4) - 1e-12)
+    // collinear covariate: the elimination pivot dies — loud, NAMING it
+    val exS = intercept[IllegalArgumentException] {
+      Stats.cupedMulti(df.withColumn("x3", col("x1") * 2),
+        "y", Seq("x1", "x3"), col("g") === "a")
+    }
+    assert(exS.getMessage.contains("pivot") && exS.getMessage.contains("x3"))
+    // duplicate covariate list is rejected before any job runs
+    val exD = intercept[IllegalArgumentException] {
+      Stats.cupedMulti(df, "y", Seq("x1", "x1"), col("g") === "a")
+    }
+    assert(exD.getMessage.contains("duplicate"))
+    // planning-size cap on k
+    val exK = intercept[IllegalArgumentException] {
+      Stats.cupedMulti(df, "y", (1 to 9).map(_ => "x1"), col("g") === "a")
+    }
+    assert(exK.getMessage.contains("1..8") || exK.getMessage.contains("duplicate"))
+  }
+
+  test("bootstrapQuantileDiffCI: deterministic, identity diff exact in the exact regime, CI brackets, NULL cond is sample B") {
+    import graft.operators.Stats
+    val df = (1L to 400L).map { i =>
+      val g = if (i % 4 == 0L) "a" else "b"
+      // A runs ~10 higher than B on the same base signal
+      val v = (i % 50).toDouble + (if (g == "a") 10.0 else 0.0)
+      (i, g, v)
+    }.toDF("k", "g", "v")
+    val r1 = Stats.bootstrapQuantileDiffCI(df, "v", "k", col("g") === "a",
+      ps = Seq(0.5), b = 100, k = 65536).head()
+    val r2 = Stats.bootstrapQuantileDiffCI(df, "v", "k", col("g") === "a",
+      ps = Seq(0.5), b = 100, k = 65536).head()
+    assert(r1 == r2, "hash-derived weights must make the bootstrap deterministic")
+    assert(r1.getLong(2) == 100L && r1.getLong(3) == 300L)
+    // identity resample: exact ceil(p*n)-rank order statistics per arm
+    // (k = 65536 >> 400 rows — the no-compaction exact regime)
+    def q(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      s(math.max(1L, math.ceil(p * s.size).toLong).toInt - 1)
+    }
+    val as = (1L to 400L).filter(_ % 4 == 0L).map(i => (i % 50).toDouble + 10.0)
+    val bs = (1L to 400L).filterNot(_ % 4 == 0L).map(i => (i % 50).toDouble)
+    assert(r1.getDouble(4) == q(as, 0.5) - q(bs, 0.5),
+      "identity resample must yield the exact arm-quantile difference")
+    assert(r1.getDouble(5) <= r1.getDouble(4) && r1.getDouble(4) <= r1.getDouble(6))
+    assert(r1.getDouble(5) > 0.0,
+      "a planted +10 shift must have a p50-diff CI excluding zero")
+    // NULL condition rows land in sample B
+    val withNull = df.union(Seq((500L, null.asInstanceOf[String], 1.0))
+      .toDF("k", "g", "v"))
+    val rn = Stats.bootstrapQuantileDiffCI(withNull, "v", "k",
+      col("g") === "a", ps = Seq(0.5), b = 100, k = 65536).head()
+    assert(rn.getLong(2) == 100L && rn.getLong(3) == 301L)
+    // duplicate keys fail loud (shared weight vectors correlate draws)
+    val exDup = intercept[IllegalArgumentException] {
+      Stats.bootstrapQuantileDiffCI(
+        df.withColumn("k", col("k") % 10), "v", "k", col("g") === "a",
+        ps = Seq(0.5), b = 100, k = 65536)
+    }
+    assert(exDup.getMessage.contains("uniquely identify"))
+  }
+
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {
     import graft.operators.Stats
     // m=5, q=0.25: cutoffs 0.05/0.10/0.15/0.20/0.25 — only i=1,2 pass

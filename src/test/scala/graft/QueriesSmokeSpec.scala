@@ -27,31 +27,53 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("every query has an oracle — the 100%-value-oracled bar holds") {
+  /** Deliberately NON-oracled queries — each entry must name a reason.
+    * A compacting sketch's output depends on partition merge order, so
+    * a value oracle would be a flake, not a check; the driver records
+    * rows-only for these. Everything else stays 100% value-oracled,
+    * and a STALE entry here (oracled after all, or renamed away) fails
+    * the spec below. */
+  private val rowsOnlyAllowed = Map(
+    "x_winsorize_sketch_prod" -> ("production-k (256) sketch bounds are " +
+      "partition-order-dependent; the k=2^19 exact-regime sibling " +
+      "x_winsorize_sketch carries the value oracle"))
+
+  test("every query has an oracle — the value-oracled bar holds outside the named allowlist") {
     // a query without an oracle silently downgrades to the driver's
-    // rows-only check; four rounds at zero rows-only entries is a
-    // regression this spec makes loud
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // rows-only check; fourteen rounds at zero UNEXPLAINED rows-only
+    // entries is a bar this spec keeps loud
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      rowsOnlyAllowed.keySet
     assert(missing.isEmpty, s"queries without oracles: $missing")
+    rowsOnlyAllowed.keySet.foreach { q =>
+      assert(SparkEntry.queries.contains(q),
+        s"stale rows-only allowlist entry: $q is not a query")
+      assert(!SparkEntry.oracleSql.contains(q),
+        s"stale rows-only allowlist entry: $q has an oracle now — remove it")
+    }
   }
 
   test("doc headers quote the real query count (round-7 verdict: hand-edited counts drift)") {
-    // OPERATORS.md's "N oracle-checked queries" and README.md's
-    // "driver contract: N queries" / "N/N PASS expected" must all equal
-    // SparkEntry.queries.size — this spec fails on the next hand-edit drift
+    // OPERATORS.md's "N oracle-checked queries" tracks the ORACLED
+    // count; README.md's "driver contract: N queries" tracks the total
+    // and "N of M with DuckDB oracle" / "N/N PASS expected" the oracled
+    // count — this spec fails on the next hand-edit drift
     val n = SparkEntry.queries.size
+    val nOracled = SparkEntry.oracleSql.size
     def counts(path: String, re: scala.util.matching.Regex): Seq[Int] = {
       val src = scala.io.Source.fromFile(path, "UTF-8")
       try re.findAllMatchIn(src.mkString).map(_.group(1).toInt).toSeq
       finally src.close()
     }
     val ops = counts("OPERATORS.md", raw"(\d+) oracle-checked queries".r)
-    assert(ops.nonEmpty && ops.forall(_ == n),
-      s"OPERATORS.md says $ops oracle-checked queries, engine has $n")
-    val readme = counts("README.md", raw"driver contract: (\d+) queries".r) ++
-      counts("README.md", raw"all (\d+) with DuckDB oracle".r) ++
+    assert(ops.nonEmpty && ops.forall(_ == nOracled),
+      s"OPERATORS.md says $ops oracle-checked queries, engine has $nOracled")
+    val readmeTotal = counts("README.md", raw"driver contract: (\d+) queries".r)
+    assert(readmeTotal.nonEmpty && readmeTotal.forall(_ == n),
+      s"README.md quotes total $readmeTotal, engine has $n")
+    val readmeOracled = counts("README.md", raw"(\d+) of \d+ with DuckDB oracle".r) ++
       counts("README.md", raw"(\d+)/\d+ PASS expected".r)
-    assert(readme.nonEmpty && readme.forall(_ == n),
-      s"README.md quotes counts $readme, engine has $n")
+    assert(readmeOracled.nonEmpty && readmeOracled.forall(_ == nOracled),
+      s"README.md quotes oracled counts $readmeOracled, engine has $nOracled")
   }
 }

@@ -450,6 +450,81 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState mSPRT monitor: final stream readout EQUALS the batch msprt") {
+    // the streaming experiment monitor (TwsMsprt): per-metric exact
+    // decimal moments as RocksDB value state, the batch operator's OWN
+    // Λ/p chain (Stats.msprtChain) on every micro-batch. Decimal sums
+    // are order-independent, so the final snapshot must equal
+    // Stats.msprt on the union of all batches BIT-FOR-BIT — the
+    // TwsHllDistinct batch-equality pattern for the experimentation
+    // family. Early degenerate prefixes (an arm under 2 rows) stay
+    // silent rather than emitting NaN.
+    import graft.streaming.TwsMsprt
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsMsprt.MetricObs]
+    // a planted +2.5 arm shift; m2 runs the same generator with fewer
+    // rows and an unbalanced split (exercises the per-key isolation)
+    def obs(metric: String, i: Int, armA: Boolean): TwsMsprt.MetricObs =
+      TwsMsprt.MetricObs(metric,
+        (i % 7).toDouble + (if (armA) 2.5 else 0.0), armA)
+    val batch1 = (1 to 15).map(i => obs("m1", i, i % 2 == 0)) ++
+      (1 to 6).map(i => obs("m2", i, i % 3 == 0))
+    val batch2 = (16 to 40).map(i => obs("m1", i, i % 2 == 0)) ++
+      (7 to 30).map(i => obs("m2", i, i % 3 == 0))
+    val q = TwsMsprt.monitor(in.toDS(), tau2 = 4.0, alpha = 0.05)
+      .writeStream.format("memory").queryName("tws_msprt_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // memory sink in update mode appends all emissions; the FINAL
+      // snapshot per metric is the one with the largest n_a + n_b
+      val snaps = spark.table("tws_msprt_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getBoolean(7)))
+      assert(snaps.count(_._1 == "m1") == 2,
+        s"m1 must emit once per batch: $snaps")
+      val fin = snaps.groupBy(_._1).map { case (m, ss) =>
+        m -> ss.maxBy(s => s._2 + s._3)
+      }
+      // batch replay of the SAME rows through Stats.msprt
+      val all = (batch1 ++ batch2).toDF("metric", "value", "armA")
+      for (m <- Seq("m1", "m2")) {
+        val b = graft.operators.Stats.msprt(
+          all.filter(col("metric") === m), "value", col("armA"),
+          tau2 = 4.0, alpha = 0.05).head()
+        val s = fin(m)
+        assert(s._2 == b.getLong(0) && s._3 == b.getLong(1), s"$m counts")
+        assert(s._4 == b.getDouble(2), s"$m diff must be bit-equal")
+        assert(s._5 == b.getDouble(3), s"$m v must be bit-equal")
+        assert(s._6 == b.getDouble(4), s"$m lambda must be bit-equal")
+        assert(s._7 == b.getDouble(5), s"$m p must be bit-equal")
+        assert(s._8 == b.getBoolean(6), s"$m significance flag")
+      }
+      // the shifted metric should be the significant one
+      assert(fin("m1")._8, "a +2.5 shift over 40 rows should reject")
+      // off-grid values fail LOUD, not silently rounded
+      in.addData(TwsMsprt.MetricObs("m3", 1.0000001, armA = true))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage != null)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState rolling distinct: MapState prunes to the watermark horizon") {
     import graft.streaming.{StatefulSessions, TwsRollingDistinct}
     implicit val sqlCtx = spark.sqlContext
