@@ -1729,22 +1729,44 @@ object Stats {
       .toDF("n_a", "n_b", "expected_a", "expected_b", "chi2", "srm")
   }
 
-  /** The bootstrap family's key-uniqueness sentinel: the Poisson
-    * weights are a pure hash of `__k`, so duplicate keys share a
-    * weight vector and always resample together — an invalid
-    * (typically too-narrow) CI with no visible symptom. One narrow
-    * hash-agg pass (count + exact countDistinct over the single key
-    * column), fail loud on any duplicate.
+  /** The bootstrap family's key-uniqueness sentinel FUSED into the
+    * fan-out shuffle: the Poisson weights are a pure hash of `__k`, so
+    * duplicate keys share a weight vector and always resample together
+    * — an invalid (typically too-narrow) CI with no visible symptom.
+    * Instead of a separate countDistinct pre-pass (round 14: a second
+    * scan + a distinct-agg action, +55% in-sweep on x_bootstrap) or a
+    * persisted frame (a corpus-sized cache at 100 TB), hash-aggregate
+    * the filtered frame by `__k` — the SAME corpus shuffle the (B+1)×
+    * explode needs to spread its expansion across the cluster,
+    * replacing the old round-robin repartition — and fail LOUD in-plan
+    * (`raise_error` naming an offending key, the [[groupedGiniSketch]]
+    * distributed-guard pattern) when any key holds more than one row.
+    * With unique keys min() picks THE row's value, so the output is
+    * exactly the input re-hashed by key: one job, one shuffle, no
+    * separate sentinel action, no cache. Keys are perfectly uniform by
+    * construction (they are unique), so the shuffle cannot skew.
     */
-  private def requireUniqueBootstrapKeys(base: DataFrame, op: String): Unit = {
-    val r = base.agg(count(lit(1)).as("n"),
-      count_distinct(col("__k")).as("nk")).head()
-    val n = r.getLong(0); val nk = r.getLong(1)
-    require(n == nk,
-      s"$op: the key column must uniquely identify rows (after the long " +
-        s"cast) — ${n - nk} duplicate key(s) among $n rows; duplicates " +
-        "share a Poisson weight vector, correlating draws and " +
-        "invalidating the CI. Supply a unique row id.")
+  private def uniqueKeyedFanout(base: DataFrame, op: String): DataFrame = {
+    val others = base.columns.filter(_ != "__k").toSeq
+    val aggs = count(lit(1)).as("__c") +: others.map(c => min(col(c)).as(c))
+    // EXPLICIT hash repartition by key, then the aggregation runs
+    // partition-local on top of it (HashPartitioning(__k) satisfies the
+    // agg's distribution, so Catalyst adds no second exchange). A bare
+    // groupBy's own exchange is AQE-coalescible — the narrow keyed rows
+    // are a few MB, AQE folds them to ONE partition, and the (B+1)x
+    // explode downstream runs single-task (measured 4x wall on the
+    // sf0.1 sweep). An explicit repartition pins the fan-out width.
+    val par = base.sparkSession.sparkContext.defaultParallelism
+    val keyed = base.repartition(par, col("__k"))
+      .groupBy(col("__k")).agg(aggs.head, aggs.tail: _*)
+    val guard = when(col("__c") > 1, raise_error(concat(
+      lit(s"$op: the key column must uniquely identify rows (after the " +
+        "long cast) — key "), col("__k").cast("string"),
+      lit(" holds multiple rows; duplicates share a Poisson weight " +
+        "vector, correlating draws and invalidating the CI. Supply a " +
+        "unique row id."))))
+    keyed.select(guard.otherwise(col(others.head)).as(others.head) +:
+      others.tail.map(col) :+ col("__k"): _*)
   }
 
   /** Poisson-bootstrap confidence interval for a mean — the bootstrap
@@ -1754,13 +1776,15 @@ object Stats {
     * deterministic, hash-derived, cross-engine replayable), each
     * resample's mean is a weighted aggregate, and the CI is the
     * [α/2, 1−α/2] order statistics of the B resample means. ONE corpus
-    * scan: the weights array explodes to (resample, weight) pairs that
-    * partial-aggregate map-side to ≤ B+1 groups per partition, so the
-    * shuffle carries O(partitions·B) tiny rows no matter the corpus
-    * size; index 0 is the identity resample, so the full-sample mean
-    * rides the same shuffle (no second scan). Exact-decimal weighted
-    * sums (the [[welchT]] 6-dp contract, sentinel in the same pass);
-    * the only doubles are the B+1 mean divisions and the rank picks.
+    * scan and ONE corpus shuffle (the key-hashed sentinel fan-out,
+    * [[uniqueKeyedFanout]]): the weights array then explodes to
+    * (resample, weight) pairs that partial-aggregate map-side to
+    * ≤ B+1 groups per partition, so the final shuffle carries
+    * O(partitions·B) tiny rows no matter the corpus size; index 0 is
+    * the identity resample, so the full-sample mean rides the same
+    * shuffle (no second scan). Exact-decimal weighted sums (the
+    * [[welchT]] 6-dp contract, sentinel in the same pass); the only
+    * doubles are the B+1 mean divisions and the rank picks.
     *
     * Resamples whose total weight is 0 (probability e⁻ⁿ per resample —
     * real only for tiny n) are dropped; `b_eff` reports the count that
@@ -1770,12 +1794,12 @@ object Stats {
     * PRECONDITION: `keyCol` must uniquely identify rows (after the
     * long cast) — the Poisson weights are a pure hash of the key, so
     * duplicate keys share a weight vector and always resample
-    * TOGETHER, correlating draws and silently narrowing the CI. A
-    * sentinel compares countDistinct(key) to n in a narrow pre-pass
-    * and fails LOUD on duplicates (the [[gini]] fail-loud convention;
-    * riding the explode pass instead would plan a distinct-agg Expand
-    * over the (B+1)× rows — the separate pass reads the PERSISTED
-    * filtered frame, so it costs one cached scan, not a source rescan).
+    * TOGETHER, correlating draws and silently narrowing the CI. The
+    * sentinel is FUSED into the fan-out shuffle ([[uniqueKeyedFanout]]):
+    * the frame is hash-aggregated by key — the same corpus shuffle the
+    * explode needs to spread its expansion — and a duplicate key fails
+    * LOUD in-plan via `raise_error`, costing no separate action, scan,
+    * or cache.
     */
   def bootstrapMeanCI(df: DataFrame, valueCol: String, keyCol: String,
                       b: Int = 200, alpha: Double = 0.05): DataFrame = {
@@ -1790,35 +1814,23 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    // the explode multiplies rows (b+1)x BEFORE the partial agg: if the
-    // source collapses to a handful of input splits (one small parquet
-    // file), the whole expansion runs in those few tasks — fan out
-    // first (a corpus-sized shuffle of 2 narrow columns, amortized
-    // (b+1)x by what follows). Skipped when the source already has
-    // enough splits, which is the 100 TB case.
-    val par = session.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    // ONE materialization pays for BOTH the key-uniqueness sentinel and
-    // the weights pass (the ksTest persist lifecycle, released in the
-    // finally): the sentinel pre-pass used to re-scan the source — a
-    // deliberate round-14 trade measured at +55% in-sweep, bought back
-    // by caching the narrow filtered frame between the two actions
-    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = try {
-      requireUniqueBootstrapKeys(src, "bootstrapMeanCI")
-      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-      src
-        .select(col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
-        .groupBy(col("j"))
-        .agg(sum(col("v") * col("w")).as("s"),
-          sum(col("w").cast("long")).as("n"),
-          sum(col("nf")).as("nfs"))
-        .collect()
-        .map(r => r.getInt(0) ->
-          ((BigDecimal(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
-        .toMap
-    } finally src.unpersist()
+    // the explode multiplies rows (b+1)x AFTER the sentinel's key
+    // shuffle ([[uniqueKeyedFanout]]): the expansion runs across all
+    // shuffle partitions however few input splits the source has —
+    // the fan-out the old round-robin repartition bought, plus the
+    // duplicate-key guard, in the same single shuffle
+    val src = uniqueKeyedFanout(base, "bootstrapMeanCI")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val rows = src
+      .select(col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("j"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        ((BigDecimal(r.getDecimal(1)), r.getLong(2), r.getLong(3))))
+      .toMap
     require(rows.contains(0), "bootstrapMeanCI: no rows after the NULL filter")
     val (s0, n0, nf0) = rows(0)
     require(nf0 == 0L,
@@ -1882,26 +1894,18 @@ object Stats {
     val v = col(valueCol)
     val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
       .select(v.cast("double").as("v"), col(keyCol).cast("long").as("__k"))
-    val par = session.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    // one materialization for both the sentinel and the sketch pass
-    // (the [[bootstrapMeanCI]] persist lifecycle)
-    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = try {
-      requireUniqueBootstrapKeys(src, "bootstrapQuantileCI")
-      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-      val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
-        session, col("v"), col("w"), ps, k)
-      src
-        .select(col("v"), posexplode(wArr).as(Seq("j", "w")))
-        .filter(col("w") > 0)
-        .groupBy(col("j"))
-        .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
-        .collect()
-        .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
-        .toMap
-    } finally src.unpersist()
+    val src = uniqueKeyedFanout(base, "bootstrapQuantileCI")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+      session, col("v"), col("w"), ps, k)
+    val rows = src
+      .select(col("v"), posexplode(wArr).as(Seq("j", "w")))
+      .filter(col("w") > 0)
+      .groupBy(col("j"))
+      .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getSeq[Double](1), r.getLong(2))))
+      .toMap
     require(rows.contains(0), "bootstrapQuantileCI: no rows after the NULL filter")
     val (q0, n0) = rows(0)
     require(n0 >= 2, s"bootstrapQuantileCI: need >= 2 rows, got $n0")
@@ -1954,28 +1958,20 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    val par = session.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    // one materialization for both the sentinel and the cell pass
-    // (the [[bootstrapMeanCI]] persist lifecycle)
-    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cellRows = try {
-      requireUniqueBootstrapKeys(src, "bootstrapMeanCIByGroup")
-      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-      val cells = src
-        .select(col("g"), col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
-        .groupBy(col("g"), col("j"))
-        .agg(sum(col("v") * col("w")).as("s"),
-          sum(col("w").cast("long")).as("n"),
-          sum(col("nf")).as("nfs"))
-      // loud planning-size guard BEFORE the collect: |groups|·(B+1) cells.
-      // Clamp the limit to Int.MaxValue — a huge caller-supplied maxGroups
-      // (or b) must degrade to the loudest guard we can plan, not overflow
-      // to a negative limit and fail as a confusing runtime error
-      val cellCap = math.min(maxGroups * (b + 1L) + 1L, Int.MaxValue.toLong).toInt
-      cells.limit(cellCap).collect()
-    } finally src.unpersist()
+    val src = uniqueKeyedFanout(base, "bootstrapMeanCIByGroup")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val cells = src
+      .select(col("g"), col("v"), col("nf"), posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("g"), col("j"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+    // loud planning-size guard BEFORE the collect: |groups|·(B+1) cells.
+    // Clamp the limit to Int.MaxValue — a huge caller-supplied maxGroups
+    // (or b) must degrade to the loudest guard we can plan, not overflow
+    // to a negative limit and fail as a confusing runtime error
+    val cellCap = math.min(maxGroups * (b + 1L) + 1L, Int.MaxValue.toLong).toInt
+    val cellRows = cells.limit(cellCap).collect()
     require(cellRows.length <= maxGroups * (b + 1),
       s"bootstrapMeanCIByGroup: more than $maxGroups groups — the CI " +
         "assembly fold would not be planning-sized; raise maxGroups " +
@@ -2044,27 +2040,19 @@ object Stats {
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
         col(keyCol).cast("long").as("__k"))
-    val par = session.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    // one materialization for both the sentinel and the cell pass
-    // (the [[bootstrapMeanCI]] persist lifecycle)
-    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cells = try {
-      requireUniqueBootstrapKeys(src, "bootstrapDiffCI")
-      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-      src
-        .select(col("v"), col("ia"), col("nf"),
-          posexplode(wArr).as(Seq("j", "w")))
-        .groupBy(col("j"), col("ia"))
-        .agg(sum(col("v") * col("w")).as("s"),
-          sum(col("w").cast("long")).as("n"),
-          sum(col("nf")).as("nfs"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)) ->
-          ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))))
-        .toMap
-    } finally src.unpersist()
+    val src = uniqueKeyedFanout(base, "bootstrapDiffCI")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val cells = src
+      .select(col("v"), col("ia"), col("nf"),
+        posexplode(wArr).as(Seq("j", "w")))
+      .groupBy(col("j"), col("ia"))
+      .agg(sum(col("v") * col("w")).as("s"),
+        sum(col("w").cast("long")).as("n"),
+        sum(col("nf")).as("nfs"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((BigDecimal(r.getDecimal(2)), r.getLong(3), r.getLong(4))))
+      .toMap
     def cell(j: Int, ia: Long) =
       cells.getOrElse((j, ia), (BigDecimal(0), 0L, 0L))
     val (sa0, na0, nfa0) = cell(0, 1L)
@@ -2106,14 +2094,14 @@ object Stats {
     * q_A(j, p) − q_B(j, p), and the CI is the [α/2, 1−α/2] order
     * statistics of the B resampled diffs. ONE corpus scan: explode to
     * (resample, weight) pairs (zero weights dropped), partial-agg
-    * map-side to ≤ 2(B+1) sketch groups, so the shuffle carries
+    * map-side to ≤ 2(B+1) sketch groups, so the final shuffle carries
     * O(partitions·B) sketches of O(k·log W) regardless of corpus size.
     * Index 0 is the identity resample — the point estimate rides the
     * same shuffle. Quantile semantics (exact ⌈p·W⌉-rank over the
     * weighted multiset, EXACT in the no-compaction regime, ≈1/k rank
-    * error beyond), the key-uniqueness precondition + sentinel, and
-    * the persist lifecycle are [[bootstrapQuantileCI]]'s; NULL
-    * condition rows are sample B (the [[welchT]] convention).
+    * error beyond) and the key-uniqueness precondition + fused
+    * sentinel are [[bootstrapQuantileCI]]'s; NULL condition rows are
+    * sample B (the [[welchT]] convention).
     * Resamples where either arm kept zero total weight are dropped
     * (`b_eff`). One row per p:
     * `(p, b_eff, n_a, n_b, diff, ci_lo, ci_hi)` — raw doubles, callers
@@ -2135,27 +2123,19 @@ object Stats {
       .select(v.cast("double").as("v"),
         when(sampleACond, 1L).otherwise(0L).as("ia"),
         col(keyCol).cast("long").as("__k"))
-    val par = session.sparkContext.defaultParallelism
-    val src =
-      if (base.rdd.getNumPartitions < par) base.repartition(par) else base
-    // one materialization for both the sentinel and the sketch pass
-    // (the [[bootstrapMeanCI]] persist lifecycle)
-    src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = try {
-      requireUniqueBootstrapKeys(src, "bootstrapQuantileDiffCI")
-      val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
-      val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
-        session, col("v"), col("w"), ps, k)
-      src
-        .select(col("v"), col("ia"), posexplode(wArr).as(Seq("j", "w")))
-        .filter(col("w") > 0)
-        .groupBy(col("j"), col("ia"))
-        .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
-        .collect()
-        .map(r => (r.getInt(0), r.getLong(1)) ->
-          ((r.getSeq[Double](2), r.getLong(3))))
-        .toMap
-    } finally src.unpersist()
+    val src = uniqueKeyedFanout(base, "bootstrapQuantileDiffCI")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+      session, col("v"), col("w"), ps, k)
+    val rows = src
+      .select(col("v"), col("ia"), posexplode(wArr).as(Seq("j", "w")))
+      .filter(col("w") > 0)
+      .groupBy(col("j"), col("ia"))
+      .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getSeq[Double](2), r.getLong(3))))
+      .toMap
     require(rows.contains((0, 1L)) && rows.contains((0, 0L)),
       "bootstrapQuantileDiffCI: both samples need rows after the NULL filter")
     val (qa0, na0) = rows((0, 1L))

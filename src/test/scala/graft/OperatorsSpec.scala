@@ -2745,13 +2745,19 @@ class OperatorsSpec extends AnyFunSuite {
     val rn = Stats.bootstrapQuantileDiffCI(withNull, "v", "k",
       col("g") === "a", ps = Seq(0.5), b = 100, k = 65536).head()
     assert(rn.getLong(2) == 100L && rn.getLong(3) == 301L)
-    // duplicate keys fail loud (shared weight vectors correlate draws)
-    val exDup = intercept[IllegalArgumentException] {
+    // duplicate keys fail loud (shared weight vectors correlate draws;
+    // the sentinel is an in-plan raise_error on the fan-out shuffle, so
+    // the message sits in the task-failure cause chain)
+    def chainMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chainMessages(x.getCause))
+    val exDup = intercept[Exception] {
       Stats.bootstrapQuantileDiffCI(
         df.withColumn("k", col("k") % 10), "v", "k", col("g") === "a",
         ps = Seq(0.5), b = 100, k = 65536)
     }
-    assert(exDup.getMessage.contains("uniquely identify"))
+    assert(chainMessages(exDup).exists(_.contains("uniquely identify")),
+      exDup.toString)
   }
 
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {

@@ -158,24 +158,32 @@ class SketchScaleSpec extends AnyFunSuite {
       ps = Seq(0.5, 0.9), b = 100, k = 65536)
       .collect().map(r => (r.getDouble(0), r.getDouble(4), r.getDouble(5))).toSet
     assert(again == Set((0.5, lo50, hi50), (0.9, lo90, hi90)))
-    // duplicate keys fail loud (the shared bootstrap sentinel)
+    // duplicate keys fail loud (the sentinel now rides the fan-out
+    // shuffle as an in-plan raise_error, so it surfaces as a task
+    // failure — search the cause chain for the named message)
+    def chainMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chainMessages(x.getCause))
     val dup = (1 to 40).map(i => (i.toDouble, (i % 7).toLong)).toDF("v", "key")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       Stats.bootstrapQuantileCI(dup, "v", "key").collect()
     }
-    assert(e.getMessage.contains("uniquely identify"))
+    assert(chainMessages(e).exists(_.contains("uniquely identify")), e.toString)
   }
 
   test("bootstrap CIs fail loud on duplicate keys (correlated draws)") {
+    def chainMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ chainMessages(x.getCause))
     val df = (1 to 50).map(i => (i.toDouble, (i % 10).toLong)).toDF("v", "k")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = intercept[Exception] {
       Stats.bootstrapMeanCI(df, "v", "k").collect()
     }
-    assert(e1.getMessage.contains("uniquely identify"))
-    val e2 = intercept[IllegalArgumentException] {
+    assert(chainMessages(e1).exists(_.contains("uniquely identify")), e1.toString)
+    val e2 = intercept[Exception] {
       Stats.bootstrapDiffCI(df, "v", "k", col("v") > 25).collect()
     }
-    assert(e2.getMessage.contains("uniquely identify"))
+    assert(chainMessages(e2).exists(_.contains("uniquely identify")), e2.toString)
   }
 
   test("weighted quantile family fails loud on fractional weights") {
