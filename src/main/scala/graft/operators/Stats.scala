@@ -1247,6 +1247,83 @@ object Stats {
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
   }
 
+  /** Power analysis / minimum-detectable-effect readout — the question
+    * every experiment review asks BEFORE arguing about a p-value: "what
+    * effect size could this test even see, and how many units does the
+    * target effect need?" (standard two-sample normal-approximation
+    * power algebra, e.g. Kohavi, Tang & Xu 2020 §17). Two numbers:
+    *
+    *   MDE_abs   = (z_α + z_β) · √(s²_A/n_A + s²_B/n_B)   — the
+    *     smallest absolute lift detectable at the CURRENT sample sizes
+    *     (z_α the two-sided significance quantile, z_β the power
+    *     quantile — caller-supplied literals, the [[deltaRatioCI]]
+    *     convention: the engine pins arithmetic, not a normal-CDF);
+    *   n_per_arm = ⌈2·s²_pooled·(z_α + z_β)² / (targetRel·m_B)²⌉ — the
+    *     per-arm size the TARGET relative effect needs (m_B = the
+    *     control mean, sample B = the [[welchT]] NULL-condition arm).
+    *
+    * Scale shape: [[welchT]]'s exactly — ONE partial-agged conditional
+    * decimal-moment pass (6-dp sentinel in the same pass), pinned
+    * double algebra on the driver. A zero control mean fails loud
+    * (the relative target is undefined), as do <2-row arms and zero
+    * pooled variance. One row out:
+    * `(n_a, n_b, mean_b, mde_abs, mde_rel, n_per_arm)` — raw doubles
+    * plus the ceiled long, callers round.
+    */
+  def powerMde(df: DataFrame, valueCol: String,
+               sampleACond: org.apache.spark.sql.Column,
+               targetRel: Double = 0.01,
+               zAlpha: Double = 1.959963984540054,
+               zPower: Double = 0.8416212335729143): DataFrame = {
+    require(targetRel > 0.0, s"powerMde: targetRel must be positive, got $targetRel")
+    require(zAlpha > 0.0, s"powerMde: zAlpha must be positive, got $zAlpha")
+    require(zPower >= 0.0, s"powerMde: zPower must be >= 0, got $zPower")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val r0 = df.filter(v.isNotNull)
+      .agg(
+        sum(ia).as("na"),
+        sum(when(ia === 1L, d6(v))).as("sa"),
+        sum(when(ia === 1L, d6(v) * d6(v))).as("qa"),
+        sum(lit(1L) - ia).as("nb"),
+        sum(when(ia === 0L, d6(v))).as("sb"),
+        sum(when(ia === 0L, d6(v) * d6(v))).as("qb"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .head()
+    require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
+      s"powerMde: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values " +
+        "need more than 6 decimal places — the decimal(18,6) moments " +
+        "would round them silently; rescale to the 6-dp grid first")
+    val (na, nb) = (r0.getLong(0), r0.getLong(3))
+    require(na >= 2 && nb >= 2,
+      s"powerMde: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
+    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
+    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    // the welchT double chains verbatim
+    val mB = sb.toDouble / nb.toDouble
+    val varA = (qa.toDouble - sa.toDouble * sa.toDouble / na.toDouble) / (na - 1).toDouble
+    val varB = (qb.toDouble - sb.toDouble * sb.toDouble / nb.toDouble) / (nb - 1).toDouble
+    val varP = ((na - 1).toDouble * varA + (nb - 1).toDouble * varB) /
+      (na + nb - 2).toDouble
+    require(varP > 0.0,
+      "powerMde: zero pooled variance — a constant metric has no " +
+        "detectable effect size")
+    require(mB != 0.0,
+      "powerMde: control mean is zero — the relative target (and " +
+        "mde_rel) are undefined; use an absolute-effect plan instead")
+    val zSum = zAlpha + zPower
+    val mdeAbs = zSum * math.sqrt(varA / na.toDouble + varB / nb.toDouble)
+    val mdeRel = mdeAbs / mB
+    val delta = targetRel * mB
+    val nPerArm = math.ceil(2.0 * varP * zSum * zSum / (delta * delta)).toLong
+    Seq((na, nb, mB, mdeAbs, mdeRel, nPerArm))
+      .toDF("n_a", "n_b", "mean_b", "mde_abs", "mde_rel", "n_per_arm")
+  }
+
   /** Mixture-SPRT always-valid p-value (Johari, Koomen, Pekelis &
     * Walsh, KDD 2017 — "Peeking at A/B Tests: Why it matters, and what
     * to do about it"): the sequential-testing companion of [[welchT]].
@@ -1441,6 +1518,110 @@ object Stats {
     val tAdj = diffAdj / math.sqrt(vA / na.toDouble + vB / nb.toDouble)
     Seq((na, nb, theta, rho2, diffRaw, diffAdj, tAdj))
       .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
+  }
+
+  /** Post-stratified A/B difference (Xie & Aurisset, KDD 2016 —
+    * "Improving the Sensitivity of Online Controlled Experiments" —
+    * §4.2's post-stratification): the CATEGORICAL sibling of [[cuped]].
+    * Each arm's mean is re-weighted to the POOLED stratum shares,
+    * Ŷ = Σ_s w_s·m_s(arm) with w_s = (n_sA + n_sB)/n — removing the
+    * between-stratum component of the randomization noise (country,
+    * platform, signup cohort), with Var(Ŷ) = Σ_s w_s²·s²_s/n_s per
+    * arm. Same expectation as the raw difference under randomization;
+    * variance shrunk by the stratum-explained share.
+    *
+    * Scale shape: ONE hash-agg pass over (stratum, arm) cells — n, Σv,
+    * Σv² in exact decimals (the [[welchT]] 6-dp contract, sentinel in
+    * the same pass) — then a planning-sized driver fold over the
+    * ≤ 2·`maxStrata` cells, guarded LOUD before the collect (the
+    * [[bootstrapMeanCIByGroup]] convention). The fold runs in SORTED
+    * stratum order (deterministic); the ≤|strata| double sums are the
+    * only float folds (the [[anovaF]] precedent — callers' round(6)
+    * absorbs their ordering noise vs an oracle's unordered SUM). Every
+    * stratum needs ≥ 2 rows in EACH arm (fails loud naming the
+    * stratum — a one-armed stratum has no within-stratum variance and
+    * post-stratification is undefined for it; pre-coarsen such
+    * strata). Stratum keys carried as their STRING rendering (the
+    * grouped-family contract). One row out:
+    * `(n_a, n_b, n_strata, diff_raw, diff_strat, se_strat, t_strat)`
+    * — raw doubles, callers round.
+    */
+  def postStratifiedDiff(df: DataFrame, metricCol: String,
+                         stratumCol: String,
+                         sampleACond: org.apache.spark.sql.Column,
+                         maxStrata: Long = 10_000L): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(metricCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val cells = df.filter(v.isNotNull && col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("s"), ia.as("ia"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6(v)).as("sv"),
+        sum(d6(v) * d6(v)).as("qv"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+    val cellCap = math.min(maxStrata * 2L + 1L, Int.MaxValue.toLong).toInt
+    val cellRows = cells.limit(cellCap).collect()
+    require(cellRows.length <= maxStrata * 2L,
+      s"postStratifiedDiff: more than $maxStrata strata — the driver " +
+        "fold would not be planning-sized; coarsen the stratum key or " +
+        "raise maxStrata deliberately")
+    require(cellRows.nonEmpty, "postStratifiedDiff: no rows after the NULL filter")
+    val nfTotal = cellRows.map(_.getAs[Long]("nf")).sum
+    require(nfTotal == 0L,
+      s"postStratifiedDiff: $nfTotal values need more than 6 decimal " +
+        "places — the decimal(18,6) moments would round them silently; " +
+        "rescale to the 6-dp grid first")
+    val byCell = cellRows.map(r => (r.getAs[String]("s"), r.getAs[Long]("ia")) ->
+      ((r.getAs[Long]("n"),
+        BigDecimal(r.getAs[java.math.BigDecimal]("sv")),
+        BigDecimal(r.getAs[java.math.BigDecimal]("qv"))))).toMap
+    val strata = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
+    // raw (unstratified) means from the exact decimal grand totals
+    var naTot = 0L; var nbTot = 0L
+    var saTot = BigDecimal(0); var sbTot = BigDecimal(0)
+    strata.foreach { s =>
+      byCell.get((s, 1L)).foreach { case (n, sv, _) => naTot += n; saTot += sv }
+      byCell.get((s, 0L)).foreach { case (n, sv, _) => nbTot += n; sbTot += sv }
+    }
+    require(naTot >= 2 && nbTot >= 2,
+      s"postStratifiedDiff: both arms need >= 2 rows (n_a=$naTot, n_b=$nbTot)")
+    val diffRaw = saTot.toDouble / naTot.toDouble - sbTot.toDouble / nbTot.toDouble
+    val nTot = (naTot + nbTot).toDouble
+    var yA = 0.0; var yB = 0.0; var vA = 0.0; var vB = 0.0
+    strata.foreach { s =>
+      val a = byCell.get((s, 1L))
+      val b = byCell.get((s, 0L))
+      require(a.exists(_._1 >= 2L) && b.exists(_._1 >= 2L),
+        s"postStratifiedDiff: stratum '$s' needs >= 2 rows in EACH arm " +
+          s"(n_a=${a.map(_._1).getOrElse(0L)}, " +
+          s"n_b=${b.map(_._1).getOrElse(0L)}) — post-stratification is " +
+          "undefined on a one-armed stratum; coarsen the stratum key")
+      val (nsa, sva, qva) = a.get
+      val (nsb, svb, qvb) = b.get
+      val w = (nsa + nsb).toDouble / nTot
+      val mA = sva.toDouble / nsa.toDouble
+      val mB = svb.toDouble / nsb.toDouble
+      val varA = (qva.toDouble - sva.toDouble * sva.toDouble / nsa.toDouble) /
+        (nsa - 1).toDouble
+      val varB = (qvb.toDouble - svb.toDouble * svb.toDouble / nsb.toDouble) /
+        (nsb - 1).toDouble
+      yA += w * mA
+      yB += w * mB
+      vA += w * w * (varA / nsa.toDouble)
+      vB += w * w * (varB / nsb.toDouble)
+    }
+    val diffStrat = yA - yB
+    val se = math.sqrt(vA + vB)
+    require(se > 0.0,
+      "postStratifiedDiff: zero stratified variance — a constant metric " +
+        "within every stratum has no test to run")
+    Seq((naTot, nbTot, strata.size.toLong, diffRaw, diffStrat, se,
+      diffStrat / se))
+      .toDF("n_a", "n_b", "n_strata", "diff_raw", "diff_strat",
+        "se_strat", "t_strat")
   }
 
   /** Multi-covariate CUPED (the CUPAC shape — Deng et al. 2013 §3.2's
@@ -1717,16 +1898,27 @@ object Stats {
     val r0 = df.agg(sum(ia).as("na"), sum(lit(1L) - ia).as("nb")).head()
     require(!r0.isNullAt(0), "srmCheck: no rows")
     val na = r0.getLong(0); val nb = r0.getLong(1)
-    val n = na + nb
     require(na > 0 && nb > 0,
       s"srmCheck: both arms need rows (n_a=$na, n_b=$nb) — a one-armed " +
         "split is a routing failure, not a ratio mismatch")
+    val (ea, eb, chi2) = srmChain(na, nb, ratioA)
+    Seq((na, nb, ea, eb, chi2, chi2 > threshold))
+      .toDF("n_a", "n_b", "expected_a", "expected_b", "chi2", "srm")
+  }
+
+  /** The SRM chi-square chain shared by the batch [[srmCheck]] and the
+    * streaming guard ([[graft.streaming.TwsSrm]]) — ONE implementation
+    * so the streaming readout EQUALS the batch check on the same rows
+    * bit-for-bit. Returns (expected_a, expected_b, chi2); callers gate
+    * on both arms being non-empty. */
+  private[graft] def srmChain(na: Long, nb: Long,
+                              ratioA: Double): (Double, Double, Double) = {
+    val n = na + nb
     val ea = ratioA * n.toDouble
     val eb = (1.0 - ratioA) * n.toDouble
     val chi2 = (na.toDouble - ea) * (na.toDouble - ea) / ea +
       (nb.toDouble - eb) * (nb.toDouble - eb) / eb
-    Seq((na, nb, ea, eb, chi2, chi2 > threshold))
-      .toDF("n_a", "n_b", "expected_a", "expected_b", "chi2", "srm")
+    (ea, eb, chi2)
   }
 
   /** The bootstrap family's key-uniqueness sentinel FUSED into the
@@ -1746,7 +1938,7 @@ object Stats {
     * separate sentinel action, no cache. Keys are perfectly uniform by
     * construction (they are unique), so the shuffle cannot skew.
     */
-  private def uniqueKeyedFanout(base: DataFrame, op: String): DataFrame = {
+  private[graft] def uniqueKeyedFanout(base: DataFrame, op: String): DataFrame = {
     val others = base.columns.filter(_ != "__k").toSeq
     val aggs = count(lit(1)).as("__c") +: others.map(c => min(col(c)).as(c))
     // EXPLICIT hash repartition by key, then the aggregation runs

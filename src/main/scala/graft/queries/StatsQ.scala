@@ -481,6 +481,37 @@ object StatsQ {
           round(col("p"), 6).as("p"),
           col("significant").cast("long").as("significant"))),
 
+    "x_poststrat" -> ((s, dir) =>
+      // post-stratified A/B difference (Stats.postStratifiedDiff —
+      // the categorical CUPED sibling): order totals re-weighted to
+      // pooled priority-stratum shares between even- and odd-customer
+      // arms; ONE (stratum, arm)-cell decimal pass + a sorted
+      // planning-sized driver fold; round(6) absorbs the <=|strata|
+      // double-fold ordering vs the oracle's unordered SUM (the
+      // x_anova precedent)
+      Stats.postStratifiedDiff(t(s, dir, "orders"), "o_totalprice",
+          "o_orderpriority", col("o_custkey") % 2 === 0)
+        .select(col("n_a"), col("n_b"), col("n_strata"),
+          round(col("diff_raw"), 6).as("diff_raw"),
+          round(col("diff_strat"), 6).as("diff_strat"),
+          round(col("se_strat"), 6).as("se_strat"),
+          round(col("t_strat"), 6).as("t_strat"))),
+
+    "x_power_mde" -> ((s, dir) =>
+      // power / minimum-detectable-effect readout (Stats.powerMde):
+      // the pre-test sizing answer — smallest lift visible at the
+      // CURRENT arm sizes and the per-arm n a 1% relative lift needs;
+      // ONE welch-shaped decimal-moment pass, pinned driver algebra
+      // with caller-supplied normal quantile literals that the oracle
+      // replays verbatim
+      Stats.powerMde(t(s, dir, "lineitem"), "l_extendedprice",
+          col("l_returnflag") === "R", targetRel = 0.01)
+        .select(col("n_a"), col("n_b"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("mde_abs"), 6).as("mde_abs"),
+          round(col("mde_rel"), 6).as("mde_rel"),
+          col("n_per_arm"))),
+
     "x_bootstrap_group" -> ((s, dir) =>
       // per-SEGMENT bootstrap mean CIs (Stats.bootstrapMeanCIByGroup):
       // the x_bootstrap machinery with (group, resample) cells — a
@@ -1475,6 +1506,105 @@ object StatsQ {
         |  ROUND(chi2, 6) AS chi2,
         |  CAST(chi2 > CAST(10.827566170662733 AS DOUBLE) AS BIGINT) AS srm
         |FROM c""".stripMargin,
+    "x_poststrat" ->
+      // per-(stratum, arm) DECIMAL(19,6) cells (int128 lane — price
+      // squares overflow the int64 18-width), then the identical
+      // per-stratum double chains; the <=|strata| SUMs are the only
+      // unordered float folds and round(6) absorbs them (x_anova)
+      """WITH pts AS (
+        |  SELECT o_orderpriority AS s,
+        |    CAST(o_totalprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |cells AS (
+        |  SELECT s, ia, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS sv, SUM(v * v) AS qv
+        |  FROM pts GROUP BY s, ia),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN ia = 1 THEN n END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN ia = 0 THEN n END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 1 THEN sv END) AS sa,
+        |    SUM(CASE WHEN ia = 0 THEN sv END) AS sb
+        |  FROM cells),
+        |st AS (
+        |  SELECT a.s,
+        |    CAST(a.n + b.n AS DOUBLE) / CAST(t.na + t.nb AS DOUBLE) AS w,
+        |    CAST(a.sv AS DOUBLE) / CAST(a.n AS DOUBLE) AS ma,
+        |    CAST(b.sv AS DOUBLE) / CAST(b.n AS DOUBLE) AS mb,
+        |    (CAST(a.qv AS DOUBLE) - CAST(a.sv AS DOUBLE) * CAST(a.sv AS DOUBLE)
+        |      / CAST(a.n AS DOUBLE)) / CAST(a.n - 1 AS DOUBLE) AS va,
+        |    (CAST(b.qv AS DOUBLE) - CAST(b.sv AS DOUBLE) * CAST(b.sv AS DOUBLE)
+        |      / CAST(b.n AS DOUBLE)) / CAST(b.n - 1 AS DOUBLE) AS vb,
+        |    CAST(a.n AS DOUBLE) AS nad, CAST(b.n AS DOUBLE) AS nbd
+        |  FROM cells a
+        |  JOIN cells b ON a.s = b.s AND a.ia = 1 AND b.ia = 0
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(w * ma) AS ya, SUM(w * mb) AS yb,
+        |    SUM(w * w * (va / nad)) AS vva,
+        |    SUM(w * w * (vb / nbd)) AS vvb
+        |  FROM st),
+        |fin AS (
+        |  SELECT t.na, t.nb, agg.k,
+        |    CAST(t.sa AS DOUBLE) / CAST(t.na AS DOUBLE)
+        |      - CAST(t.sb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS diff_raw,
+        |    ya - yb AS diff_strat,
+        |    sqrt(vva + vvb) AS se
+        |  FROM agg CROSS JOIN tot t)
+        |SELECT na AS n_a, nb AS n_b, k AS n_strata,
+        |  ROUND(diff_raw, 6) AS diff_raw,
+        |  ROUND(diff_strat, 6) AS diff_strat,
+        |  ROUND(se, 6) AS se_strat,
+        |  ROUND(diff_strat / se, 6) AS t_strat
+        |FROM fin""".stripMargin,
+    "x_power_mde" ->
+      // the welch_t moment CTEs, then the power algebra in the same
+      // operation order (zsum added once, the 2·varp·zsum·zsum chain
+      // left-associated, ceil-then-truncate for n_per_arm).
+      // DECIMAL(19,6) forces DuckDB's int128 lane — squares of
+      // ~1e5-scale prices overflow the int64-backed 18-width (the
+      // x_cuped convention; the VALUES are identical either way)
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+        |    SUM(CASE WHEN ia = 1 THEN v * v END) AS qa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN v END) AS sb,
+        |    SUM(CASE WHEN ia = 0 THEN v * v END) AS qb
+        |  FROM pts),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM m),
+        |p2 AS (
+        |  SELECT na, nb, mb, va, vb,
+        |    (CAST(na - 1 AS DOUBLE) * va + CAST(nb - 1 AS DOUBLE) * vb)
+        |      / CAST(na + nb - 2 AS DOUBLE) AS varp,
+        |    CAST(1.959963984540054 AS DOUBLE)
+        |      + CAST(0.8416212335729143 AS DOUBLE) AS zsum
+        |  FROM alg),
+        |fin AS (
+        |  SELECT na, nb, mb, varp, zsum,
+        |    zsum * sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+        |      AS mde_abs,
+        |    CAST(0.01 AS DOUBLE) * mb AS delta
+        |  FROM p2)
+        |SELECT na AS n_a, nb AS n_b, ROUND(mb, 6) AS mean_b,
+        |  ROUND(mde_abs, 6) AS mde_abs,
+        |  ROUND(mde_abs / mb, 6) AS mde_rel,
+        |  CAST(ceil(2 * varp * zsum * zsum / (delta * delta)) AS BIGINT)
+        |    AS n_per_arm
+        |FROM fin""".stripMargin,
     "x_bootstrap_quantiles" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma

@@ -2712,6 +2712,110 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exK.getMessage.contains("1..8") || exK.getMessage.contains("duplicate"))
   }
 
+  test("postStratifiedDiff: composition bias removed, hand-computed variance, guards loud") {
+    import graft.operators.Stats
+    // arm A over-samples the HIGH stratum, so the raw diff is inflated
+    // by composition; both arms have the same within-stratum means, so
+    // the post-stratified diff must be ~0 while raw is clearly > 0
+    val rows = Seq(
+      ("h", "a", 10.0), ("h", "a", 12.0), ("h", "a", 14.0), ("h", "a", 16.0),
+      ("h", "b", 11.0), ("h", "b", 15.0),
+      ("l", "a", 1.0), ("l", "a", 3.0),
+      ("l", "b", 1.0), ("l", "b", 3.0), ("l", "b", 1.0), ("l", "b", 3.0))
+    val df = rows.toDF("s", "g", "v")
+    val r = Stats.postStratifiedDiff(df, "v", "s", col("g") === "a").head()
+    assert(r.getLong(0) == 6L && r.getLong(1) == 6L && r.getLong(2) == 2L)
+    // independent plain-Scala replication
+    def stats(vs: Seq[Double]) = {
+      val n = vs.size; val m = vs.sum / n
+      (n, m, vs.map(x => (x - m) * (x - m)).sum / (n - 1))
+    }
+    val byCell = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(ts => stats(ts.map(_._3))).toMap
+    val nTot = 12.0
+    var yA = 0.0; var yB = 0.0; var vA = 0.0; var vB = 0.0
+    for (s <- Seq("h", "l")) {
+      val (na, ma, va) = byCell((s, "a"))
+      val (nb, mb, vb) = byCell((s, "b"))
+      val w = (na + nb) / nTot
+      yA += w * ma; yB += w * mb
+      vA += w * w * va / na; vB += w * w * vb / nb
+    }
+    val rawA = rows.filter(_._2 == "a").map(_._3)
+    val rawB = rows.filter(_._2 == "b").map(_._3)
+    val diffRaw = rawA.sum / rawA.size - rawB.sum / rawB.size
+    assert(math.abs(r.getDouble(3) - diffRaw) < 1e-9)
+    assert(diffRaw > 3.0, "composition bias must inflate the raw diff")
+    assert(math.abs(r.getDouble(4) - (yA - yB)) < 1e-9,
+      s"diff_strat ${r.getDouble(4)} != ${yA - yB}")
+    assert(math.abs(r.getDouble(4)) < 1.0,
+      "equal within-stratum means must post-stratify to ~0")
+    assert(math.abs(r.getDouble(5) - math.sqrt(vA + vB)) < 1e-9)
+    assert(math.abs(r.getDouble(6) - r.getDouble(4) / r.getDouble(5)) < 1e-9)
+    // a stratum with a one-armed (or <2-row) arm fails loud naming it
+    val exA = intercept[IllegalArgumentException] {
+      Stats.postStratifiedDiff(
+        df.union(Seq(("x", "a", 5.0), ("x", "a", 6.0)).toDF("s", "g", "v")),
+        "v", "s", col("g") === "a")
+    }
+    assert(exA.getMessage.contains("'x'") &&
+      exA.getMessage.contains("EACH arm"))
+    // planning-size guard fires BEFORE the fold
+    val exK = intercept[IllegalArgumentException] {
+      Stats.postStratifiedDiff(df, "v", "s", col("g") === "a", maxStrata = 1L)
+    }
+    assert(exK.getMessage.contains("more than 1 strata"))
+    // finer-than-6dp values fail loud
+    val exF = intercept[IllegalArgumentException] {
+      Stats.postStratifiedDiff(
+        df.union(Seq(("h", "a", 1.0000001), ("h", "b", 1.0)).toDF("s", "g", "v")),
+        "v", "s", col("g") === "a")
+    }
+    assert(exF.getMessage.contains("6 decimal"))
+  }
+
+  test("powerMde: hand-computed MDE and per-arm n, guards loud") {
+    import graft.operators.Stats
+    val aRows = Seq(10.0, 20.0, 12.0, 18.0)
+    val bRows = Seq(5.0, 15.0, 9.0)
+    val df = (aRows.map(("a", _)) ++ bRows.map(("b", _))).toDF("g", "v")
+    val r = Stats.powerMde(df, "v", col("g") === "a",
+      targetRel = 0.1, zAlpha = 1.96, zPower = 0.84).head()
+    // independent plain-Scala replication of the definitions
+    def meanOf(v: Seq[Double]) = v.sum / v.size
+    def varOf(v: Seq[Double]) = {
+      val m = meanOf(v); v.map(x => (x - m) * (x - m)).sum / (v.size - 1)
+    }
+    val (na, nb) = (aRows.size, bRows.size)
+    val (va, vb) = (varOf(aRows), varOf(bRows))
+    val mb = meanOf(bRows)
+    val varP = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2).toDouble
+    val zSum = 1.96 + 0.84
+    val mdeAbs = zSum * math.sqrt(va / na + vb / nb)
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(math.abs(r.getDouble(2) - mb) < 1e-9)
+    assert(math.abs(r.getDouble(3) - mdeAbs) < 1e-9, s"mde ${r.getDouble(3)} != $mdeAbs")
+    assert(math.abs(r.getDouble(4) - mdeAbs / mb) < 1e-9)
+    val nPer = math.ceil(2.0 * varP * zSum * zSum / (0.1 * mb * 0.1 * mb)).toLong
+    assert(r.getLong(5) == nPer, s"n_per_arm ${r.getLong(5)} != $nPer")
+    // a bigger target needs fewer units; MDE itself is target-free
+    val r2 = Stats.powerMde(df, "v", col("g") === "a",
+      targetRel = 0.2, zAlpha = 1.96, zPower = 0.84).head()
+    assert(r2.getLong(5) < r.getLong(5) && r2.getDouble(3) == r.getDouble(3))
+    // zero control mean: relative plan undefined — loud
+    val exM = intercept[IllegalArgumentException] {
+      Stats.powerMde(Seq(("a", 1.0), ("a", 2.0), ("b", -1.0), ("b", 1.0))
+        .toDF("g", "v"), "v", col("g") === "a")
+    }
+    assert(exM.getMessage.contains("control mean is zero"))
+    // constant metric: zero pooled variance — loud
+    val exV = intercept[IllegalArgumentException] {
+      Stats.powerMde(Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+        .toDF("g", "v"), "v", col("g") === "a")
+    }
+    assert(exV.getMessage.contains("zero pooled variance"))
+  }
+
   test("bootstrapQuantileDiffCI: deterministic, identity diff exact in the exact regime, CI brackets, NULL cond is sample B") {
     import graft.operators.Stats
     val df = (1L to 400L).map { i =>

@@ -851,4 +851,32 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"unpartitioned windows over unbounded inputs:\n${offenders.mkString("\n")}")
   }
+
+  test("bootstrap fan-out: ONE explicit non-coalescible key exchange feeds the fused sentinel") {
+    // the round-15 4x regression, locked out: the bootstrap family's
+    // fused key-uniqueness sentinel must ride an EXPLICIT
+    // repartition(n, __k) — a bare groupBy exchange is AQE-coalescible,
+    // the narrow keyed rows are a few MB, and the coalesced
+    // 1-partition (B+1)x explode measured 4x wall on the sf0.1 sweep.
+    // REPARTITION_BY_NUM is the non-coalescible shuffle origin; the
+    // sentinel aggregation must REUSE that exchange (exactly one in
+    // the plan), not add its own.
+    import org.apache.spark.sql.functions._
+    val base = spark.range(1, 1000)
+      .select(col("id").cast("double").cast("decimal(18,6)").as("v"),
+        lit(0L).as("nf"), col("id").as("__k"))
+    val src = graft.operators.Stats.uniqueKeyedFanout(base, "plan-lock")
+    val p = src.queryExecution.explainString(FormattedMode)
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"fan-out exchange lost its explicit (non-coalescible) origin:\n$p")
+    // FormattedMode prints each node twice (tree + detail section) —
+    // count the numbered detail headers, one per physical node
+    val exchanges = p.linesIterator
+      .count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges == 1,
+      s"expected exactly ONE exchange (the key repartition, reused by " +
+        s"the sentinel agg) — found $exchanges:\n$p")
+    // the duplicate guard is in-plan, not a separate driver action
+    assert(p.contains("raise_error"), p)
+  }
 }

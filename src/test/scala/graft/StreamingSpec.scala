@@ -525,6 +525,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState SRM guard: stream readout EQUALS the batch srmCheck, silent while one-armed") {
+    // the TwsMsprt companion (TwsSrm): per-metric arm counts as value
+    // state, the batch operator's own chi-square chain per micro-batch.
+    // Integer counts are order-independent, so every snapshot must
+    // equal Stats.srmCheck on the prefix it covers.
+    import graft.streaming.{TwsMsprt, TwsSrm}
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsMsprt.MetricObs]
+    // e1: a broken 90/10 split sold as 50/50 — must alarm once n grows.
+    // e2: one-armed all the way through — must NEVER emit.
+    val batch1 = (1 to 20).map(i => TwsMsprt.MetricObs("e1", 0.0, i % 10 == 0)) ++
+      (1 to 5).map(_ => TwsMsprt.MetricObs("e2", 0.0, armA = true))
+    val batch2 = (21 to 200).map(i => TwsMsprt.MetricObs("e1", 0.0, i % 10 == 0)) ++
+      (1 to 5).map(_ => TwsMsprt.MetricObs("e2", 0.0, armA = true))
+    val q = TwsSrm.monitor(in.toDS(), ratioA = 0.5)
+      .writeStream.format("memory").queryName("tws_srm_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_srm_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      assert(snaps.count(_._1 == "e1") == 2, snaps.mkString(","))
+      assert(!snaps.exists(_._1 == "e2"),
+        "a one-armed metric must stay silent, not emit a degenerate row")
+      // every e1 snapshot equals the batch srmCheck on its prefix
+      val byN = snaps.filter(_._1 == "e1").map(s => (s._2 + s._3) -> s).toMap
+      for ((n, rows) <- Seq(20 -> batch1.filter(_.metric == "e1"),
+        200 -> (batch1 ++ batch2).filter(_.metric == "e1"))) {
+        val b = graft.operators.Stats.srmCheck(
+          rows.toDF("metric", "value", "armA"), col("armA"), ratioA = 0.5).head()
+        val s = byN(n.toLong)
+        assert(s._2 == b.getLong(0) && s._3 == b.getLong(1), s"n=$n counts")
+        assert(s._4 == b.getDouble(2) && s._5 == b.getDouble(3), s"n=$n expected")
+        assert(s._6 == b.getDouble(4), s"n=$n chi2 must be bit-equal")
+        assert(s._7 == b.getBoolean(5), s"n=$n alarm flag")
+      }
+      // the planted 90/10 split must alarm by n=200
+      assert(byN(200L)._7, "a 90/10 split sold as 50/50 must trip SRM")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState rolling distinct: MapState prunes to the watermark horizon") {
     import graft.streaming.{StatefulSessions, TwsRollingDistinct}
     implicit val sqlCtx = spark.sqlContext
