@@ -1869,6 +1869,160 @@ object Stats {
       .toDF("n_a", "n_b", "ratio_a", "ratio_b", "diff", "se", "ci_lo", "ci_hi")
   }
 
+  /** CUPED for RATIO metrics (Deng, Knoblich & Lu, KDD 2018 §4 — the
+    * composition of [[deltaRatioCI]] and [[cuped]]): variance-reduce
+    * the ratio-of-totals difference R_A − R_B by a PRE-period
+    * (numerator, denominator) covariate pair. Everything runs on the
+    * delta-method LINEARIZATIONs — affine maps of the raw columns:
+    *
+    *   L_i = (y_i − R_p·x_i)/x̄_p,   C_i = (yc_i − Rc_p·xc_i)/x̄c_p
+    *
+    * with POOLED constants (R_p, x̄_p, Rc_p, x̄c_p — the pre-period is
+    * unaffected by treatment, and pooled constants keep θ symmetric);
+    * θ = cov(L, C)/var(C) pooled, the adjusted readout is
+    * diff_adj = (R_A − R_B) − θ·(C̄_A − C̄_B), and each arm's variance
+    * is Var_S(l_S − θC)/n_S where l_S uses the ARM's own (R_S, x̄_S)
+    * — the [[deltaRatioCI]] variance with the covariate term removed.
+    * Because L and C are affine in the four raw columns, EVERY
+    * covariance above expands in raw cross moments — so the whole
+    * statistic is ONE pass grouped by the 0/1 indicator carrying the
+    * 14 pairwise products of (y, x, yc, xc) plus the four sums and n
+    * in exact decimals (6-dp sentinel over all four columns in the
+    * same pass), then pinned double algebra on the driver.
+    *
+    * `z` is the caller-supplied normal quantile ([[deltaRatioCI]]'s
+    * convention). NULL in ANY of the four columns excludes the row
+    * (CUPED needs the covariate on every unit — pre-filter or impute
+    * upstream); NULL condition rows are sample B. Zero denominator
+    * totals (per arm or pooled, metric or covariate), var(C) = 0 and
+    * var(L) = 0 fail loud. One row out:
+    * `(n_a, n_b, ratio_a, ratio_b, diff, theta, rho2, diff_adj,
+    * se_adj, ci_lo, ci_hi)` — rho2 = θ·cov(L,C)/var(L), the variance
+    * fraction the covariate removes from the linearized metric.
+    */
+  def cupedRatio(df: DataFrame, numCol: String, denCol: String,
+                 covNumCol: String, covDenCol: String,
+                 sampleACond: org.apache.spark.sql.Column,
+                 z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0.0, s"cupedRatio: z must be positive, got $z")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val cols = Seq(numCol, denCol, covNumCol, covDenCol).map(col)
+    val names = Seq("y", "x", "yc", "xc")
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val fracChecks = cols.map(c =>
+      c.cast("double") =!= round(c.cast("double"), 6))
+    val nfCol = fracChecks.tail
+      .foldLeft(when(fracChecks.head, 1L))((acc, c) => acc.when(c, 1L))
+      .otherwise(0L)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n")) ++
+      names.zip(cols).map { case (nm, c) => sum(d6(c)).as(s"s_$nm") } ++
+      (for (i <- 0 until 4; j <- i until 4)
+        yield sum(d6(cols(i)) * d6(cols(j)))
+          .as(s"p_${names(i)}_${names(j)}")) ++
+      Seq(sum(nfCol).as("nf"))
+    val rows = df
+      .filter(cols.map(_.isNotNull).reduce(_ && _))
+      .groupBy(ia.as("ia"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getAs[Long]("ia") -> r)
+      .toMap
+    val nfTotal = rows.valuesIterator.map(_.getAs[Long]("nf")).sum
+    require(rows.nonEmpty && nfTotal == 0L,
+      s"cupedRatio: ${if (rows.isEmpty) "no" else nfTotal} values need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    require(rows.contains(1L) && rows.contains(0L),
+      "cupedRatio: both samples need rows after the NULL filter")
+    case class M(n: Long, s: Map[String, BigDecimal],
+                 p: Map[(String, String), BigDecimal])
+    def momentsOf(r: org.apache.spark.sql.Row): M = {
+      def dec(nm: String) = BigDecimal(r.getAs[java.math.BigDecimal](nm))
+      val p = (for (i <- 0 until 4; j <- i until 4) yield {
+        val v = dec(s"p_${names(i)}_${names(j)}")
+        Seq((names(i), names(j)) -> v, (names(j), names(i)) -> v)
+      }).flatten.toMap
+      M(r.getAs[Long]("n"), names.map(nm => nm -> dec(s"s_$nm")).toMap, p)
+    }
+    val ma = momentsOf(rows(1L))
+    val mb = momentsOf(rows(0L))
+    require(ma.n >= 2 && mb.n >= 2,
+      s"cupedRatio: both samples need >= 2 rows (n_a=${ma.n}, n_b=${mb.n})")
+    // pooled exact totals → pooled constants
+    val n = ma.n + mb.n
+    val nD = n.toDouble
+    val nm1 = (n - 1).toDouble
+    def sPool(nm: String) = (ma.s(nm) + mb.s(nm)).toDouble
+    def pPool(i: String, j: String) = (ma.p((i, j)) + mb.p((i, j))).toDouble
+    val sxP = sPool("x"); val sxcP = sPool("xc")
+    require(sxP != 0.0 && sxcP != 0.0,
+      "cupedRatio: zero pooled denominator total — the ratio (or its " +
+        "covariate) is undefined")
+    val rP = sPool("y") / sxP
+    val rcP = sPool("yc") / sxcP
+    val mxP = sxP / nD
+    val mxcP = sxcP / nD
+    // pooled covariance of any two of the four columns (n−1 form)
+    def covP(i: String, j: String): Double =
+      (pPool(i, j) - sPool(i) * sPool(j) / nD) / nm1
+    // linearization coefficients: L = aL·y + bL·x, C = aC·yc + bC·xc
+    val aL = 1.0 / mxP
+    val bL = -(rP / mxP)
+    val aC = 1.0 / mxcP
+    val bC = -(rcP / mxcP)
+    val covLC = aL * aC * covP("y", "yc") + aL * bC * covP("y", "xc") +
+      bL * aC * covP("x", "yc") + bL * bC * covP("x", "xc")
+    val varC = aC * aC * covP("yc", "yc") + 2.0 * aC * bC * covP("yc", "xc") +
+      bC * bC * covP("xc", "xc")
+    val varL = aL * aL * covP("y", "y") + 2.0 * aL * bL * covP("y", "x") +
+      bL * bL * covP("x", "x")
+    require(varC > 0.0,
+      "cupedRatio: covariate linearization has zero pooled variance — " +
+        "theta is undefined (a constant covariate cannot reduce anything)")
+    require(varL > 0.0,
+      "cupedRatio: metric linearization has zero pooled variance — " +
+        "rho2 is undefined")
+    val theta = covLC / varC
+    val rho2 = theta * covLC / varL
+    // per-arm readouts
+    def arm(m: M): (Double, Double, Double) = {
+      val nd = m.n.toDouble
+      val nm = (m.n - 1).toDouble
+      val sxS = m.s("x").toDouble
+      require(sxS != 0.0,
+        "cupedRatio: zero denominator total in one arm — the arm ratio " +
+          "is undefined")
+      val rS = m.s("y").toDouble / sxS
+      val mxS = sxS / nd
+      def covS(i: String, j: String): Double =
+        (m.p((i, j)).toDouble - m.s(i).toDouble * m.s(j).toDouble / nd) / nm
+      val aS = 1.0 / mxS
+      val bS = -(rS / mxS)
+      val varLS = aS * aS * covS("y", "y") + 2.0 * aS * bS * covS("y", "x") +
+        bS * bS * covS("x", "x")
+      val covLCS = aS * aC * covS("y", "yc") + aS * bC * covS("y", "xc") +
+        bS * aC * covS("x", "yc") + bS * bC * covS("x", "xc")
+      val varCS = aC * aC * covS("yc", "yc") + 2.0 * aC * bC * covS("yc", "xc") +
+        bC * bC * covS("xc", "xc")
+      val vS = (varLS - 2.0 * theta * covLCS + theta * theta * varCS) / nd
+      // the arm's covariate-linearization mean, with pooled constants
+      val cBar = aC * (m.s("yc").toDouble / nd) + bC * (m.s("xc").toDouble / nd)
+      (rS, vS, cBar)
+    }
+    val (ra, va, cA) = arm(ma)
+    val (rb, vb, cB) = arm(mb)
+    val diff = ra - rb
+    val diffAdj = diff - theta * (cA - cB)
+    val se = math.sqrt(va + vb)
+    Seq((ma.n, mb.n, ra, rb, diff, theta, rho2, diffAdj, se,
+      diffAdj - z * se, diffAdj + z * se))
+      .toDF("n_a", "n_b", "ratio_a", "ratio_b", "diff", "theta", "rho2",
+        "diff_adj", "se_adj", "ci_lo", "ci_hi")
+  }
+
   /** Sample-ratio-mismatch (SRM) guard — the experimentation
     * platform's data-quality tripwire: if units were assigned to A
     * with probability `ratioA` but the OBSERVED split deviates more

@@ -481,6 +481,44 @@ object StatsQ {
           round(col("p"), 6).as("p"),
           col("significant").cast("long").as("significant"))),
 
+    "x_cuped_ratio" -> ((s, dir) => {
+      // CUPED for RATIO metrics (Stats.cupedRatio — deltaRatioCI x
+      // cuped): revenue-per-order with the CUSTOMER as the
+      // randomization unit, variance-reduced by the customer's
+      // PRE-period (1995) revenue/order pair (metric period: 1996 — the synthetic order dates start at 1995); units are customers
+      // active in BOTH periods (CUPED needs the covariate on every
+      // unit). One cross-moment decimal pass over (y, x, yc, xc),
+      // pinned linearization algebra; the oracle replays every chain
+      // term-for-term
+      val o = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_custkey").isNotNull &&
+          col("o_orderdate").isNotNull &&
+          year(col("o_orderdate")).isin(1995, 1996))
+      val units = o.groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1996,
+            col("o_totalprice").cast("decimal(18,2)"))).as("y"),
+          sum(when(year(col("o_orderdate")) === 1996, 1L).otherwise(0L))
+            .cast("double").as("x"),
+          sum(when(year(col("o_orderdate")) === 1995,
+            col("o_totalprice").cast("decimal(18,2)"))).as("yc"),
+          sum(when(year(col("o_orderdate")) === 1995, 1L).otherwise(0L))
+            .cast("double").as("xc"))
+        .filter(col("x") > 0 && col("xc") > 0)
+      Stats.cupedRatio(units, "y", "x", "yc", "xc",
+          col("o_custkey") % 2 === 0)
+        .select(col("n_a"), col("n_b"),
+          round(col("ratio_a"), 6).as("ratio_a"),
+          round(col("ratio_b"), 6).as("ratio_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("theta"), 6).as("theta"),
+          round(col("rho2"), 6).as("rho2"),
+          round(col("diff_adj"), 6).as("diff_adj"),
+          round(col("se_adj"), 6).as("se_adj"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"))
+    }),
+
     "x_poststrat" -> ((s, dir) =>
       // post-stratified A/B difference (Stats.postStratifiedDiff —
       // the categorical CUPED sibling): order totals re-weighted to
@@ -1506,6 +1544,204 @@ object StatsQ {
         |  ROUND(chi2, 6) AS chi2,
         |  CAST(chi2 > CAST(10.827566170662733 AS DOUBLE) AS BIGINT) AS srm
         |FROM c""".stripMargin,
+    "x_cuped_ratio" ->
+      // the cupedRatio chains replayed term-for-term: DECIMAL(19,6)
+      // unit totals (int128 lane), the 15 cross moments per arm, the
+      // pooled linearization constants, theta, and the per-arm
+      // delta-method variances — every sum left-associated in the
+      // engine's accumulation order, round(6) pinning the outputs
+      """WITH units0 AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |      AS DECIMAL(19,6)) AS y,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+        |      AS DECIMAL(19,6)) AS x,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+        |      AS DECIMAL(19,6)) AS yc,
+        |    CAST(SUM(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END)
+        |      AS DECIMAL(19,6)) AS xc,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_orderdate IS NOT NULL AND year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY o_custkey),
+        |units AS (SELECT * FROM units0 WHERE x > 0 AND xc > 0),
+        |m AS (
+        |  SELECT
+        |    CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN y END) AS s_y_a,
+        |    SUM(CASE WHEN ia = 1 THEN x END) AS s_x_a,
+        |    SUM(CASE WHEN ia = 1 THEN yc END) AS s_yc_a,
+        |    SUM(CASE WHEN ia = 1 THEN xc END) AS s_xc_a,
+        |    SUM(CASE WHEN ia = 1 THEN y * y END) AS p_y_y_a,
+        |    SUM(CASE WHEN ia = 1 THEN y * x END) AS p_y_x_a,
+        |    SUM(CASE WHEN ia = 1 THEN y * yc END) AS p_y_yc_a,
+        |    SUM(CASE WHEN ia = 1 THEN y * xc END) AS p_y_xc_a,
+        |    SUM(CASE WHEN ia = 1 THEN x * x END) AS p_x_x_a,
+        |    SUM(CASE WHEN ia = 1 THEN x * yc END) AS p_x_yc_a,
+        |    SUM(CASE WHEN ia = 1 THEN x * xc END) AS p_x_xc_a,
+        |    SUM(CASE WHEN ia = 1 THEN yc * yc END) AS p_yc_yc_a,
+        |    SUM(CASE WHEN ia = 1 THEN yc * xc END) AS p_yc_xc_a,
+        |    SUM(CASE WHEN ia = 1 THEN xc * xc END) AS p_xc_xc_a,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN y END) AS s_y_b,
+        |    SUM(CASE WHEN ia = 0 THEN x END) AS s_x_b,
+        |    SUM(CASE WHEN ia = 0 THEN yc END) AS s_yc_b,
+        |    SUM(CASE WHEN ia = 0 THEN xc END) AS s_xc_b,
+        |    SUM(CASE WHEN ia = 0 THEN y * y END) AS p_y_y_b,
+        |    SUM(CASE WHEN ia = 0 THEN y * x END) AS p_y_x_b,
+        |    SUM(CASE WHEN ia = 0 THEN y * yc END) AS p_y_yc_b,
+        |    SUM(CASE WHEN ia = 0 THEN y * xc END) AS p_y_xc_b,
+        |    SUM(CASE WHEN ia = 0 THEN x * x END) AS p_x_x_b,
+        |    SUM(CASE WHEN ia = 0 THEN x * yc END) AS p_x_yc_b,
+        |    SUM(CASE WHEN ia = 0 THEN x * xc END) AS p_x_xc_b,
+        |    SUM(CASE WHEN ia = 0 THEN yc * yc END) AS p_yc_yc_b,
+        |    SUM(CASE WHEN ia = 0 THEN yc * xc END) AS p_yc_xc_b,
+        |    SUM(CASE WHEN ia = 0 THEN xc * xc END) AS p_xc_xc_b
+        |  FROM units),
+        |pool AS MATERIALIZED (
+        |  SELECT m.*,
+        |    CAST(na + nb AS DOUBLE) AS nd,
+        |    CAST(na + nb - 1 AS DOUBLE) AS nm1,
+        |    CAST(s_y_a + s_y_b AS DOUBLE) AS sy,
+        |    CAST(s_x_a + s_x_b AS DOUBLE) AS sx,
+        |    CAST(s_yc_a + s_yc_b AS DOUBLE) AS syc,
+        |    CAST(s_xc_a + s_xc_b AS DOUBLE) AS sxc
+        |  FROM m),
+        |konst AS MATERIALIZED (
+        |  SELECT pool.*,
+        |    sy / sx AS rp,
+        |    syc / sxc AS rcp,
+        |    sx / nd AS mxp,
+        |    sxc / nd AS mxcp,
+        |    (CAST(p_y_yc_a + p_y_yc_b AS DOUBLE) - sy * syc / nd) / nm1
+        |      AS c_y_yc,
+        |    (CAST(p_y_xc_a + p_y_xc_b AS DOUBLE) - sy * sxc / nd) / nm1
+        |      AS c_y_xc,
+        |    (CAST(p_x_yc_a + p_x_yc_b AS DOUBLE) - sx * syc / nd) / nm1
+        |      AS c_x_yc,
+        |    (CAST(p_x_xc_a + p_x_xc_b AS DOUBLE) - sx * sxc / nd) / nm1
+        |      AS c_x_xc,
+        |    (CAST(p_y_y_a + p_y_y_b AS DOUBLE) - sy * sy / nd) / nm1
+        |      AS c_y_y,
+        |    (CAST(p_y_x_a + p_y_x_b AS DOUBLE) - sy * sx / nd) / nm1
+        |      AS c_y_x,
+        |    (CAST(p_x_x_a + p_x_x_b AS DOUBLE) - sx * sx / nd) / nm1
+        |      AS c_x_x,
+        |    (CAST(p_yc_yc_a + p_yc_yc_b AS DOUBLE) - syc * syc / nd) / nm1
+        |      AS c_yc_yc,
+        |    (CAST(p_yc_xc_a + p_yc_xc_b AS DOUBLE) - syc * sxc / nd) / nm1
+        |      AS c_yc_xc,
+        |    (CAST(p_xc_xc_a + p_xc_xc_b AS DOUBLE) - sxc * sxc / nd) / nm1
+        |      AS c_xc_xc
+        |  FROM pool),
+        |lin AS MATERIALIZED (
+        |  SELECT konst.*,
+        |    1.0 / mxp AS al,
+        |    -(rp / mxp) AS bl,
+        |    1.0 / mxcp AS ac,
+        |    -(rcp / mxcp) AS bc
+        |  FROM konst),
+        |tcte AS MATERIALIZED (
+        |  SELECT lin.*,
+        |    al * ac * c_y_yc + al * bc * c_y_xc + bl * ac * c_x_yc
+        |      + bl * bc * c_x_xc AS covlc,
+        |    ac * ac * c_yc_yc + 2 * ac * bc * c_yc_xc + bc * bc * c_xc_xc
+        |      AS varc,
+        |    al * al * c_y_y + 2 * al * bl * c_y_x + bl * bl * c_x_x
+        |      AS varl
+        |  FROM lin),
+        |th AS MATERIALIZED (SELECT tcte.*, covlc / varc AS theta FROM tcte),
+        |arms AS MATERIALIZED (
+        |  SELECT th.*,
+        |    CAST(s_y_a AS DOUBLE) / CAST(s_x_a AS DOUBLE) AS ra,
+        |    CAST(s_y_b AS DOUBLE) / CAST(s_x_b AS DOUBLE) AS rb,
+        |    CAST(s_x_a AS DOUBLE) / CAST(na AS DOUBLE) AS mxa,
+        |    CAST(s_x_b AS DOUBLE) / CAST(nb AS DOUBLE) AS mxb,
+        |    CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+        |    CAST(na - 1 AS DOUBLE) AS nam, CAST(nb - 1 AS DOUBLE) AS nbm
+        |  FROM th),
+        |armc AS MATERIALIZED (
+        |  SELECT arms.*,
+        |    1.0 / mxa AS aa, -(ra / mxa) AS ba,
+        |    1.0 / mxb AS ab, -(rb / mxb) AS bb,
+        |    (CAST(p_y_y_a AS DOUBLE) - CAST(s_y_a AS DOUBLE)
+        |      * CAST(s_y_a AS DOUBLE) / nad) / nam AS cs_y_y_a,
+        |    (CAST(p_y_x_a AS DOUBLE) - CAST(s_y_a AS DOUBLE)
+        |      * CAST(s_x_a AS DOUBLE) / nad) / nam AS cs_y_x_a,
+        |    (CAST(p_x_x_a AS DOUBLE) - CAST(s_x_a AS DOUBLE)
+        |      * CAST(s_x_a AS DOUBLE) / nad) / nam AS cs_x_x_a,
+        |    (CAST(p_y_yc_a AS DOUBLE) - CAST(s_y_a AS DOUBLE)
+        |      * CAST(s_yc_a AS DOUBLE) / nad) / nam AS cs_y_yc_a,
+        |    (CAST(p_y_xc_a AS DOUBLE) - CAST(s_y_a AS DOUBLE)
+        |      * CAST(s_xc_a AS DOUBLE) / nad) / nam AS cs_y_xc_a,
+        |    (CAST(p_x_yc_a AS DOUBLE) - CAST(s_x_a AS DOUBLE)
+        |      * CAST(s_yc_a AS DOUBLE) / nad) / nam AS cs_x_yc_a,
+        |    (CAST(p_x_xc_a AS DOUBLE) - CAST(s_x_a AS DOUBLE)
+        |      * CAST(s_xc_a AS DOUBLE) / nad) / nam AS cs_x_xc_a,
+        |    (CAST(p_yc_yc_a AS DOUBLE) - CAST(s_yc_a AS DOUBLE)
+        |      * CAST(s_yc_a AS DOUBLE) / nad) / nam AS cs_yc_yc_a,
+        |    (CAST(p_yc_xc_a AS DOUBLE) - CAST(s_yc_a AS DOUBLE)
+        |      * CAST(s_xc_a AS DOUBLE) / nad) / nam AS cs_yc_xc_a,
+        |    (CAST(p_xc_xc_a AS DOUBLE) - CAST(s_xc_a AS DOUBLE)
+        |      * CAST(s_xc_a AS DOUBLE) / nad) / nam AS cs_xc_xc_a,
+        |    (CAST(p_y_y_b AS DOUBLE) - CAST(s_y_b AS DOUBLE)
+        |      * CAST(s_y_b AS DOUBLE) / nbd) / nbm AS cs_y_y_b,
+        |    (CAST(p_y_x_b AS DOUBLE) - CAST(s_y_b AS DOUBLE)
+        |      * CAST(s_x_b AS DOUBLE) / nbd) / nbm AS cs_y_x_b,
+        |    (CAST(p_x_x_b AS DOUBLE) - CAST(s_x_b AS DOUBLE)
+        |      * CAST(s_x_b AS DOUBLE) / nbd) / nbm AS cs_x_x_b,
+        |    (CAST(p_y_yc_b AS DOUBLE) - CAST(s_y_b AS DOUBLE)
+        |      * CAST(s_yc_b AS DOUBLE) / nbd) / nbm AS cs_y_yc_b,
+        |    (CAST(p_y_xc_b AS DOUBLE) - CAST(s_y_b AS DOUBLE)
+        |      * CAST(s_xc_b AS DOUBLE) / nbd) / nbm AS cs_y_xc_b,
+        |    (CAST(p_x_yc_b AS DOUBLE) - CAST(s_x_b AS DOUBLE)
+        |      * CAST(s_yc_b AS DOUBLE) / nbd) / nbm AS cs_x_yc_b,
+        |    (CAST(p_x_xc_b AS DOUBLE) - CAST(s_x_b AS DOUBLE)
+        |      * CAST(s_xc_b AS DOUBLE) / nbd) / nbm AS cs_x_xc_b,
+        |    (CAST(p_yc_yc_b AS DOUBLE) - CAST(s_yc_b AS DOUBLE)
+        |      * CAST(s_yc_b AS DOUBLE) / nbd) / nbm AS cs_yc_yc_b,
+        |    (CAST(p_yc_xc_b AS DOUBLE) - CAST(s_yc_b AS DOUBLE)
+        |      * CAST(s_xc_b AS DOUBLE) / nbd) / nbm AS cs_yc_xc_b,
+        |    (CAST(p_xc_xc_b AS DOUBLE) - CAST(s_xc_b AS DOUBLE)
+        |      * CAST(s_xc_b AS DOUBLE) / nbd) / nbm AS cs_xc_xc_b
+        |  FROM arms),
+        |fin AS MATERIALIZED (
+        |  SELECT armc.*,
+        |    (aa * aa * cs_y_y_a + 2 * aa * ba * cs_y_x_a
+        |      + ba * ba * cs_x_x_a
+        |      - 2 * theta * (aa * ac * cs_y_yc_a + aa * bc * cs_y_xc_a
+        |        + ba * ac * cs_x_yc_a + ba * bc * cs_x_xc_a)
+        |      + theta * theta * (ac * ac * cs_yc_yc_a
+        |        + 2 * ac * bc * cs_yc_xc_a + bc * bc * cs_xc_xc_a)) / nad
+        |      AS va,
+        |    (ab * ab * cs_y_y_b + 2 * ab * bb * cs_y_x_b
+        |      + bb * bb * cs_x_x_b
+        |      - 2 * theta * (ab * ac * cs_y_yc_b + ab * bc * cs_y_xc_b
+        |        + bb * ac * cs_x_yc_b + bb * bc * cs_x_xc_b)
+        |      + theta * theta * (ac * ac * cs_yc_yc_b
+        |        + 2 * ac * bc * cs_yc_xc_b + bc * bc * cs_xc_xc_b)) / nbd
+        |      AS vb,
+        |    ra - rb
+        |      - theta * ((ac * (CAST(s_yc_a AS DOUBLE) / nad)
+        |          + bc * (CAST(s_xc_a AS DOUBLE) / nad))
+        |        - (ac * (CAST(s_yc_b AS DOUBLE) / nbd)
+        |          + bc * (CAST(s_xc_b AS DOUBLE) / nbd))) AS diff_adj
+        |  FROM armc)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(ra, 6) AS ratio_a, ROUND(rb, 6) AS ratio_b,
+        |  ROUND(ra - rb, 6) AS diff,
+        |  ROUND(theta, 6) AS theta,
+        |  ROUND(theta * covlc / varl, 6) AS rho2,
+        |  ROUND(diff_adj, 6) AS diff_adj,
+        |  ROUND(sqrt(va + vb), 6) AS se_adj,
+        |  ROUND(diff_adj - CAST(1.959963984540054 AS DOUBLE)
+        |    * sqrt(va + vb), 6) AS ci_lo,
+        |  ROUND(diff_adj + CAST(1.959963984540054 AS DOUBLE)
+        |    * sqrt(va + vb), 6) AS ci_hi
+        |FROM fin""".stripMargin,
     "x_poststrat" ->
       // per-(stratum, arm) DECIMAL(19,6) cells (int128 lane — price
       // squares overflow the int64 18-width), then the identical

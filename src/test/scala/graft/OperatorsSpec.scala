@@ -2712,6 +2712,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exK.getMessage.contains("1..8") || exK.getMessage.contains("duplicate"))
   }
 
+  test("cupedRatio: per-unit linearization replication, guards loud") {
+    import graft.operators.Stats
+    val units = Seq(
+      ("a", 100.0, 4.0, 90.0, 3.0), ("a", 50.0, 2.0, 60.0, 2.0),
+      ("a", 80.0, 3.0, 70.0, 3.0), ("a", 30.0, 1.0, 20.0, 1.0),
+      ("b", 90.0, 4.0, 85.0, 3.0), ("b", 40.0, 2.0, 55.0, 2.0),
+      ("b", 70.0, 3.0, 65.0, 3.0), ("b", 20.0, 1.0, 25.0, 1.0))
+    val df = units.toDF("g", "y", "x", "yc", "xc")
+    val r = Stats.cupedRatio(df, "y", "x", "yc", "xc", col("g") === "a").head()
+    // INDEPENDENT replication: explicit per-unit linearization arrays
+    // (the engine never materializes them — it runs on cross moments)
+    val n = units.size
+    val rp = units.map(_._2).sum / units.map(_._3).sum
+    val rcp = units.map(_._4).sum / units.map(_._5).sum
+    val mxp = units.map(_._3).sum / n
+    val mxcp = units.map(_._5).sum / n
+    val ls = units.map(u => (u._2 - rp * u._3) / mxp)
+    val cs = units.map(u => (u._4 - rcp * u._5) / mxcp)
+    def cov(u: Seq[Double], v: Seq[Double]) = {
+      val mu = u.sum / u.size; val mv = v.sum / v.size
+      u.zip(v).map { case (p, q) => (p - mu) * (q - mv) }.sum / (u.size - 1)
+    }
+    val theta = cov(ls, cs) / cov(cs, cs)
+    val rho2 = theta * cov(ls, cs) / cov(ls, ls)
+    assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-9,
+      s"theta ${r.getAs[Double]("theta")} != $theta")
+    assert(math.abs(r.getAs[Double]("rho2") - rho2) < 1e-9)
+    val aU = units.filter(_._1 == "a"); val bU = units.filter(_._1 == "b")
+    val ra = aU.map(_._2).sum / aU.map(_._3).sum
+    val rb = bU.map(_._2).sum / bU.map(_._3).sum
+    assert(math.abs(r.getAs[Double]("ratio_a") - ra) < 1e-9)
+    assert(math.abs(r.getAs[Double]("diff") - (ra - rb)) < 1e-9)
+    val csByArm = units.zip(cs).groupBy(_._1._1).view
+      .mapValues(_.map(_._2)).toMap
+    val diffAdj = (ra - rb) - theta *
+      (csByArm("a").sum / 4 - csByArm("b").sum / 4)
+    assert(math.abs(r.getAs[Double]("diff_adj") - diffAdj) < 1e-9,
+      s"diff_adj ${r.getAs[Double]("diff_adj")} != $diffAdj")
+    // per-arm variance: the arm's OWN ratio/denominator-mean linearize
+    // the metric; the covariate keeps the pooled constants
+    def armVar(arm: Seq[(String, Double, Double, Double, Double)]): Double = {
+      val rS = arm.map(_._2).sum / arm.map(_._3).sum
+      val mxS = arm.map(_._3).sum / arm.size
+      val lS = arm.map(u => (u._2 - rS * u._3) / mxS)
+      val cS = arm.map(u => (u._4 - rcp * u._5) / mxcp)
+      (cov(lS, lS) - 2 * theta * cov(lS, cS) + theta * theta * cov(cS, cS)) /
+        arm.size
+    }
+    val se = math.sqrt(armVar(aU) + armVar(bU))
+    assert(math.abs(r.getAs[Double]("se_adj") - se) < 1e-9,
+      s"se ${r.getAs[Double]("se_adj")} != $se")
+    assert(r.getAs[Double]("ci_lo") < diffAdj && diffAdj < r.getAs[Double]("ci_hi"))
+    // a covariate pair that is exactly proportional (C ≡ 0) is loud
+    val exC = intercept[IllegalArgumentException] {
+      Stats.cupedRatio(df.withColumn("yc", col("xc") * 2),
+        "y", "x", "yc", "xc", col("g") === "a")
+    }
+    assert(exC.getMessage.contains("covariate linearization has zero"))
+    // finer-than-6dp values fail loud
+    val exF = intercept[IllegalArgumentException] {
+      Stats.cupedRatio(
+        df.union(Seq(("a", 1.0000001, 1.0, 1.0, 1.0)).toDF("g", "y", "x", "yc", "xc")),
+        "y", "x", "yc", "xc", col("g") === "a")
+    }
+    assert(exF.getMessage.contains("6 decimal"))
+  }
+
   test("postStratifiedDiff: composition bias removed, hand-computed variance, guards loud") {
     import graft.operators.Stats
     // arm A over-samples the HIGH stratum, so the raw diff is inflated
