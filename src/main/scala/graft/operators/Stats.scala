@@ -1197,9 +1197,25 @@ object Stats {
     * t = (m_A − m_B)/√(s²_A/n_A + s²_B/n_B), Welch–Satterthwaite df.
     * One row out: `(n_a, n_b, mean_a, mean_b, t, df, cohen_d)` — raw
     * doubles (callers round; both engines replay the identical decimal
-    * totals, so the algebra matches to the last ulp). NULL values
-    * excluded; each sample needs ≥2 rows (a variance), fail loud.
+    * totals, so the algebra matches to the last ulp). NULL and
+    * non-finite (NaN/±Inf) values excluded (the [[finite]] gate — the
+    * family convention); each sample needs ≥2 rows (a variance), fail
+    * loud.
     */
+  /** Finite-metric row gate shared by the experimentation family:
+    * NULL, NaN and ±Infinity are ALL excluded. Non-finite doubles
+    * cast to decimal(18,6) as NULL (even under ANSI — verified on
+    * Spark 4.1; range overflow still fails loud), so a bare
+    * `isNotNull` filter would keep such rows in the COUNT aggregates
+    * while the decimal moment sums silently skipped them — a biased
+    * mean with no sentinel firing. One explicit gate keeps n and the
+    * sums over the SAME row set and matches the streaming monitor's
+    * skip ([[graft.streaming.TwsMsprt]] — stream ≡ batch).
+    */
+  private def finite(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.isNotNull && !isnan(c.cast("double")) &&
+      abs(c.cast("double")) =!= lit(Double.PositiveInfinity)
+
   def welchT(df: DataFrame, valueCol: String,
              sampleACond: org.apache.spark.sql.Column): DataFrame = {
     val session = df.sparkSession
@@ -1210,7 +1226,7 @@ object Stats {
     // pairCounts convention) — deriving an explicit 0/1 indicator first
     // keeps the count and the moment sums consistent on such rows
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(v.isNotNull)
+    val r0 = df.filter(finite(v))
       .agg(
         sum(ia).as("na"),
         sum(when(ia === 1L, d6(v))).as("sa"),
@@ -1283,7 +1299,7 @@ object Stats {
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(v.isNotNull)
+    val r0 = df.filter(finite(v))
       .agg(
         sum(ia).as("na"),
         sum(when(ia === 1L, d6(v))).as("sa"),
@@ -1359,7 +1375,7 @@ object Stats {
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(v.isNotNull)
+    val r0 = df.filter(finite(v))
       .agg(
         sum(ia).as("na"),
         sum(when(ia === 1L, d6(v))).as("sa"),
@@ -1452,7 +1468,7 @@ object Stats {
     // per row instead of once per sample arm (the conditional form ran
     // ~2x slower at sf0.1), and decimal sums are order-independent so
     // the per-sample totals are bit-identical either way
-    val rows = df.filter(y.isNotNull && x.isNotNull)
+    val rows = df.filter(finite(y) && finite(x))
       .groupBy(ia.as("ia"))
       .agg(
         count(lit(1)).as("n"),
@@ -1555,7 +1571,7 @@ object Stats {
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(metricCol)
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val cells = df.filter(v.isNotNull && col(stratumCol).isNotNull)
+    val cells = df.filter(finite(v) && col(stratumCol).isNotNull)
       .groupBy(col(stratumCol).cast("string").as("s"), ia.as("ia"))
       .agg(count(lit(1)).as("n"),
         sum(d6(v)).as("sv"),
@@ -1682,7 +1698,7 @@ object Stats {
       (0 until k).map(i => sum(d6(xs(i)) * d6(y)).as(s"p$i")) ++
       Seq(sum(nfCol).as("nf"))
     val rows = df
-      .filter(xs.foldLeft(y.isNotNull)((acc, x) => acc && x.isNotNull))
+      .filter(xs.foldLeft(finite(y))((acc, x) => acc && finite(x)))
       .groupBy(ia.as("ia"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1819,7 +1835,7 @@ object Stats {
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val y = col(numCol); val x = col(denCol)
     val ia = when(sampleACond, 1L).otherwise(0L)
-    val rows = df.filter(y.isNotNull && x.isNotNull)
+    val rows = df.filter(finite(y) && finite(x))
       .groupBy(ia.as("ia"))
       .agg(
         count(lit(1)).as("n"),
@@ -1924,7 +1940,7 @@ object Stats {
           .as(s"p_${names(i)}_${names(j)}")) ++
       Seq(sum(nfCol).as("nf"))
     val rows = df
-      .filter(cols.map(_.isNotNull).reduce(_ && _))
+      .filter(cols.map(finite).reduce(_ && _))
       .groupBy(ia.as("ia"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2091,6 +2107,18 @@ object Stats {
     * exactly the input re-hashed by key: one job, one shuffle, no
     * separate sentinel action, no cache. Keys are perfectly uniform by
     * construction (they are unique), so the shuffle cannot skew.
+    *
+    * Why the shuffle is UNCONDITIONAL (reviewed): on a many-split
+    * source one could skip the repartition and sentinel via a separate
+    * countDistinct pre-pass — but exact countDistinct shuffles the
+    * distinct keys themselves, which for a (by contract) unique key
+    * column is the SAME key volume this exchange carries, PLUS a whole
+    * second scan of the source for the real pass. The fused form ships
+    * the metric value (8–16 bytes/row) alongside keys it must shuffle
+    * either way and reads the source once — strictly fewer bytes end
+    * to end at any scale, and the explicit width pin protects the
+    * (B+1)× explode from AQE's small-exchange collapse regardless of
+    * the source's own split count.
     */
   private[graft] def uniqueKeyedFanout(base: DataFrame, op: String): DataFrame = {
     val others = base.columns.filter(_ != "__k").toSeq
@@ -2103,11 +2131,28 @@ object Stats {
     // explode downstream runs single-task (measured 4x wall on the
     // sf0.1 sweep). An explicit repartition pins the fan-out width.
     val par = base.sparkSession.sparkContext.defaultParallelism
-    val keyed = base.repartition(par, col("__k"))
+    // NULL __k never reaches the weights: the callers filter NULL keys,
+    // but the long CAST can itself produce NULL (non-ANSI sessions; a
+    // non-numeric string key), and a NULL key would sail past the
+    // __c>1 guard as a singleton group, then BootstrapWeights'
+    // nullSafeEval returns a NULL array and posexplode silently DROPS
+    // the row — n and the CI quietly wrong. Fail loud in-plan instead
+    // (same narrow pre-shuffle projection, no extra pass).
+    val nullGuarded = base.withColumn(others.head,
+      when(col("__k").isNull, raise_error(lit(
+        s"$op: the key column cast to NULL long for at least one row " +
+          "(non-numeric or non-castable key) — a NULL key gets a NULL " +
+          "weight vector and its row silently vanishes from every " +
+          "resample. Supply a key that casts cleanly to long.")))
+        .otherwise(col(others.head)))
+    val keyed = nullGuarded.repartition(par, col("__k"))
       .groupBy(col("__k")).agg(aggs.head, aggs.tail: _*)
     val guard = when(col("__c") > 1, raise_error(concat(
       lit(s"$op: the key column must uniquely identify rows (after the " +
-        "long cast) — key "), col("__k").cast("string"),
+        "long cast) — key "),
+      // a NULL-group key would NULL the whole concat and erase the
+      // diagnostic; coalesce keeps the message printable
+      coalesce(col("__k").cast("string"), lit("NULL")),
       lit(" holds multiple rows; duplicates share a Poisson weight " +
         "vector, correlating draws and invalidating the CI. Supply a " +
         "unique row id."))))
@@ -2155,7 +2200,7 @@ object Stats {
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
-    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+    val base = df.filter(finite(v) && col(keyCol).isNotNull)
       .select(d6(v).as("v"),
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
           .otherwise(0L).as("nf"),
@@ -2238,7 +2283,7 @@ object Stats {
     val session = df.sparkSession
     import session.implicits._
     val v = col(valueCol)
-    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+    val base = df.filter(finite(v) && col(keyCol).isNotNull)
       .select(v.cast("double").as("v"), col(keyCol).cast("long").as("__k"))
     val src = uniqueKeyedFanout(base, "bootstrapQuantileCI")
     val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
@@ -2298,7 +2343,7 @@ object Stats {
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
-    val base = df.filter(v.isNotNull && col(keyCol).isNotNull &&
+    val base = df.filter(finite(v) && col(keyCol).isNotNull &&
         col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("g"), d6(v).as("v"),
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
@@ -2380,7 +2425,7 @@ object Stats {
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
-    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+    val base = df.filter(finite(v) && col(keyCol).isNotNull)
       .select(d6(v).as("v"),
         when(sampleACond, 1L).otherwise(0L).as("ia"),
         when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
@@ -2465,7 +2510,7 @@ object Stats {
     val session = df.sparkSession
     import session.implicits._
     val v = col(valueCol)
-    val base = df.filter(v.isNotNull && col(keyCol).isNotNull)
+    val base = df.filter(finite(v) && col(keyCol).isNotNull)
       .select(v.cast("double").as("v"),
         when(sampleACond, 1L).otherwise(0L).as("ia"),
         col(keyCol).cast("long").as("__k"))

@@ -28,8 +28,9 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * arms) emit nothing rather than a NaN row: the monitor stays silent
   * until the test is defined. Values finer than the 6-dp grid fail
   * LOUD (the batch sentinel's streaming face — a silent decimal(18,6)
-  * round would diverge from the batch answer); NaN values are skipped
-  * (the typed-Dataset stand-in for the batch NULL policy). No timers,
+  * round would diverge from the batch answer); non-finite values
+  * (NaN/±Inf) are skipped — the typed-Dataset face of the batch
+  * operator's [[graft.operators.Stats]] finite gate. No timers,
   * no watermark (TimeMode.None): state is O(1) per metric by
   * construction, never time-bounded.
   */
@@ -39,9 +40,13 @@ object TwsMsprt {
     * (`armA = true` ⇔ the batch operator's `sampleACond` holds). */
   case class MetricObs(metric: String, value: Double, armA: Boolean)
 
-  /** Exact decimal moments, serialized as plain decimal strings. */
-  private case class MomentState(na: Long, sa: String, qa: String,
-                                 nb: Long, sb: String, qb: String)
+  /** Exact decimal moments, serialized as plain decimal strings.
+    * PUBLIC on purpose (the TwsSessions.scala:37–42 convention: state
+    * layout is declared, not smuggled) — Spark's generated state
+    * (de)serializer cannot reach private members, so a `private` here
+    * silently drops every state read/write to interpreted projection. */
+  case class MomentState(na: Long, sa: String, qa: String,
+                         nb: Long, sb: String, qb: String)
 
   /** One always-valid readout per (micro-batch, metric-with-rows). */
   case class MsprtSnapshot(metric: String, n_a: Long, n_b: Long,
@@ -66,7 +71,11 @@ object TwsMsprt {
       var sb = BigDecimal(st.sb); var qb = BigDecimal(st.qb)
       var absorbed = false
       rows.foreach { o =>
-        if (!o.value.isNaN) {
+        // NaN AND ±Infinity are skipped: the batch operator casts to
+        // decimal(18,6), where both become NULL and are filtered out.
+        // (BigDecimal.valueOf(±Inf) would throw, crashing the stream —
+        // a hole in the stream-equals-batch contract if only NaN gated.)
+        if (java.lang.Double.isFinite(o.value)) {
           // the batch cast-to-decimal(18,6) on the 6-dp grid, exactly;
           // off-grid values fail LOUD like the batch sentinel — a
           // silent round here would diverge from the batch answer

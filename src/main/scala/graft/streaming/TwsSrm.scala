@@ -31,7 +31,10 @@ object TwsSrm {
                          expected_a: Double, expected_b: Double,
                          chi2: Double, srm: Boolean)
 
-  private case class ArmCounts(na: Long, nb: Long)
+  /** PUBLIC on purpose (TwsSessions.scala:37–42 convention): a
+    * `private` state case class breaks Spark's encoder codegen and
+    * drops every state access to interpreted projection. */
+  case class ArmCounts(na: Long, nb: Long)
 
   private class SrmProcessor(ratioA: Double, threshold: Double)
       extends StatefulProcessor[String, TwsMsprt.MetricObs, SrmSnapshot] {

@@ -102,6 +102,50 @@ class CodegenGuardSpec extends AnyFunSuite {
       s"codegen fell back to the interpreted path:\n${hits.mkString("\n")}")
   }
 
+  test("streaming experiment monitors' state encoders compile — zero interpreter fallbacks") {
+    // the round-15 incident shape, now netted: TwsMsprt.MomentState and
+    // TwsSrm.ArmCounts were `private case class`es, so Spark's generated
+    // state (de)serializer could not reach their members and every state
+    // read/write fell back to interpreted projection — 8 WARNs in the
+    // test log, correctness untouched, invisible to every result
+    // assertion. This runs both monitors end-to-end on the RocksDB
+    // store under the capture and fails on ANY fallback event.
+    import graft.streaming.{TwsMsprt, TwsSrm}
+    val hits = withCapture {
+      implicit val sqlCtx = spark.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val inM = MemoryStream[TwsMsprt.MetricObs]
+      val inS = MemoryStream[TwsMsprt.MetricObs]
+      val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
+        .writeStream.format("memory").queryName("codegen_guard_msprt")
+        .outputMode("update").start()
+      val qS = TwsSrm.monitor(inS.toDS())
+        .writeStream.format("memory").queryName("codegen_guard_srm")
+        .outputMode("update").start()
+      try {
+        val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
+          "m", (i % 5).toDouble + (if (i % 2 == 0) 1.5 else 0.0), i % 2 == 0))
+        inM.addData(rows: _*); qM.processAllAvailable()
+        inM.addData(rows: _*); qM.processAllAvailable()
+        inS.addData(rows: _*); qS.processAllAvailable()
+        inS.addData(rows: _*); qS.processAllAvailable()
+        assert(spark.table("codegen_guard_msprt").count() >= 1)
+        assert(spark.table("codegen_guard_srm").count() >= 1)
+      } finally {
+        qM.stop(); qS.stop()
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+    }
+    assert(hits.isEmpty,
+      s"a monitor state encoder fell back to the interpreted path:\n${hits.mkString("\n")}")
+  }
+
   test("native expression registry compiles under codegen — zero fallbacks") {
     // every graft native Expression in one sweep: a bad doGenCode (or a
     // compute helper made non-public) degrades to the interpreted path

@@ -474,7 +474,13 @@ class StreamingSpec extends AnyFunSuite {
     val batch1 = (1 to 15).map(i => obs("m1", i, i % 2 == 0)) ++
       (1 to 6).map(i => obs("m2", i, i % 3 == 0))
     val batch2 = (16 to 40).map(i => obs("m1", i, i % 2 == 0)) ++
-      (7 to 30).map(i => obs("m2", i, i % 3 == 0))
+      (7 to 30).map(i => obs("m2", i, i % 3 == 0)) ++
+      // non-finite values: the batch cast-to-decimal NULLs and filters
+      // them; the stream must SKIP them (not crash on BigDecimal.valueOf
+      // nor absorb them) so equality below still holds bit-for-bit
+      Seq(TwsMsprt.MetricObs("m1", Double.PositiveInfinity, armA = true),
+        TwsMsprt.MetricObs("m1", Double.NegativeInfinity, armA = false),
+        TwsMsprt.MetricObs("m2", Double.NaN, armA = true))
     val q = TwsMsprt.monitor(in.toDS(), tau2 = 4.0, alpha = 0.05)
       .writeStream.format("memory").queryName("tws_msprt_out")
       .outputMode("update").start()
