@@ -1246,6 +1246,22 @@ object Stats {
       s"welchT: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
     val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
     val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    val (mA, mB, t, dfW, d) = welchChain(na, sa, qa, nb, sb, qb)
+    Seq((na, nb, mA, mB, t, dfW, d))
+      .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
+  }
+
+  /** The Welch t double chain — [[welchT]]'s pinned algebra verbatim,
+    * factored out (the [[msprtChain]] pattern) so [[welchT]], the
+    * multi-arm readout ([[multiArm]]) and the group-sequential monitor
+    * ([[groupSequential]]) run ONE implementation: the k = 2 multi-arm
+    * case and every sequential look then EQUAL the two-sample test on
+    * the same rows bit-for-bit (OperatorsSpec pins the k = 2 case).
+    * Returns (mean_a, mean_b, t, df, cohen_d); callers gate n ≥ 2 per
+    * arm and non-degenerate variance. */
+  private[graft] def welchChain(na: Long, sa: BigDecimal, qa: BigDecimal,
+                                nb: Long, sb: BigDecimal, qb: BigDecimal)
+      : (Double, Double, Double, Double, Double) = {
     // pinned double algebra — the only float ops in the statistic
     val mA = sa.toDouble / na.toDouble
     val mB = sb.toDouble / nb.toDouble
@@ -1259,8 +1275,230 @@ object Stats {
     val sPooled = math.sqrt(
       ((na - 1).toDouble * varA + (nb - 1).toDouble * varB) / (na + nb - 2).toDouble)
     val d = (mA - mB) / sPooled
-    Seq((na, nb, mA, mB, t, dfW, d))
-      .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
+    (mA, mB, t, dfW, d)
+  }
+
+  /** Standard normal upper-tail two-sided p from a z statistic via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (|ε| < 1.5e-7 — far below
+    * the 6-dp grid every oracled output rounds to): p = erfc(|z|/√2),
+    * Horner-evaluated in a FIXED operation order so the DuckDB oracle
+    * replays the identical arithmetic (`exp` may differ in the last
+    * ulp across engines — the round(6) output absorbs it, the
+    * [[Stats.msprt]] precedent). The normal approximation to the
+    * Welch t is the standard experimentation-platform reading at
+    * platform sample sizes (df in the thousands); an exact t CDF needs
+    * the incomplete beta — outside the pinned-algebra contract.
+    */
+  private[graft] def zPvalue2(z: Double): Double = {
+    val x = math.abs(z) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    poly * math.exp(-x * x)
+  }
+
+  /** Multi-arm (A/B/n) experiment readout — the [[welchT]] family
+    * generalized past its hard-coded boolean `sampleACond`: one arm
+    * column, one designated control, a Welch test per treatment arm
+    * against the control, and the Benjamini–Hochberg step-up rule
+    * across the k−1 comparisons (the [[bhFdr]] procedure on the
+    * planning-sized comparison set — one rule, restated on the driver
+    * where m ≤ maxArms−1 makes a distributed CDF a job for nothing).
+    *
+    * Scale shape: ONE (arm)-grouped partial-agged exact-decimal moment
+    * pass — per arm (n, Σv, Σv², 6-dp sentinel), ≤ maxArms cells, loud
+    * guard on the arm count (the [[postStratifiedDiff]] bounded-collect
+    * discipline) — then pinned driver algebra: per treatment arm the
+    * [[welchChain]] (ONE implementation — the k = 2 case is bit-equal
+    * to [[welchT]], OperatorsSpec pins it), two-sided p via
+    * [[zPvalue2]] (normal approximation, documented there), BH at
+    * level q. One row per treatment arm, ordered by arm label:
+    * `(arm, n_c, n_t, mean_c, mean_t, diff, t, df, p, significant)` —
+    * diff = mean_t − mean_c; `significant` = BH-rejected at q. NULL
+    * and non-finite values excluded ([[finite]]); NULL arms excluded;
+    * every arm (control included) needs ≥ 2 rows, fail loud.
+    */
+  def multiArm(df: DataFrame, valueCol: String, armCol: String,
+               controlArm: String, q: Double = 0.05,
+               maxArms: Int = 64): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"multiArm: q must be in (0, 1), got $q")
+    require(maxArms >= 2, s"multiArm: maxArms must be >= 2, got $maxArms")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val rows = df.filter(finite(v) && col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6(v)).as("s"),
+        sum(d6(v) * d6(v)).as("qq"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .limit(maxArms + 1)
+      .collect()
+    require(rows.length <= maxArms,
+      s"multiArm: more than $maxArms arms — an unbounded arm column " +
+        "would materialize on the driver; raise maxArms only if the " +
+        "cardinality is a design constant")
+    require(rows.nonEmpty, "multiArm: no rows with a non-NULL finite " +
+      "value and a non-NULL arm")
+    val nfTotal = rows.map(_.getLong(4)).sum
+    require(nfTotal == 0L,
+      s"multiArm: $nfTotal value(s) need more than 6 decimal places — " +
+        "the decimal(18,6) moments would round them silently; rescale " +
+        "to the 6-dp grid first")
+    val byArm = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
+      .toMap
+    require(byArm.contains(controlArm),
+      s"multiArm: control arm '$controlArm' has no rows (arms present: " +
+        s"${byArm.keys.toSeq.sorted.mkString(", ")})")
+    val (nc, sc, qc) = byArm(controlArm)
+    require(nc >= 2, s"multiArm: control arm needs >= 2 rows (n=$nc)")
+    val treats = byArm.keys.filter(_ != controlArm).toSeq.sorted
+    require(treats.nonEmpty,
+      "multiArm: need at least one treatment arm besides the control")
+    val tested = treats.map { arm =>
+      val (nt, st, qt) = byArm(arm)
+      require(nt >= 2, s"multiArm: arm '$arm' needs >= 2 rows (n=$nt)")
+      // sample A = treatment, sample B = control (diff = m_t − m_c,
+      // the welchT A-minus-B convention with the control as B)
+      val (mT, mC, t, dfW, _) = welchChain(nt, st, qt, nc, sc, qc)
+      require(!t.isNaN && !t.isInfinite,
+        s"multiArm: degenerate variance for arm '$arm' vs control — " +
+          "the Welch statistic is undefined (constant metric)")
+      (arm, nt, mT, mC, t, dfW, zPvalue2(t))
+    }
+    // the BH step-up rule ([[bhFdr]] — largest i with p_(i) <= q*i/m,
+    // reject every p at or below that threshold), restated on the
+    // <= maxArms−1 driver rows; a tie block is governed by its largest
+    // index, exactly as the CDF form resolves it
+    val m = tested.length
+    val sortedPs = tested.map(_._7).sorted
+    val thr = sortedPs.zipWithIndex
+      .filter { case (p, i) => p <= q * (i + 1).toDouble / m.toDouble }
+      .map(_._1).lastOption
+    val out = tested.map { case (arm, nt, mT, mC, t, dfW, p) =>
+      (arm, nc, nt, mC, mT, mT - mC, t, dfW, p,
+        thr.exists(p <= _))
+    }
+    out.toDF("arm", "n_c", "n_t", "mean_c", "mean_t", "diff", "t", "df",
+      "p", "significant")
+  }
+
+  /** Group-sequential A/B monitoring — the SCHEDULED-looks discipline
+    * beside [[msprt]]'s always-valid one (the two industry-standard
+    * ways to read an experiment early; Lan & DeMets 1983, O'Brien &
+    * Fleming 1979, Pocock 1977): K pre-registered looks, at each look
+    * the cumulative Welch z against a spending boundary, stop at the
+    * first crossing. Where the mSPRT prices EVERY peek into a mixture
+    * martingale, the group-sequential form spends a fixed α across a
+    * known schedule — tighter final boundaries when the schedule is
+    * actually fixed.
+    *
+    * Boundary shapes (the caller supplies the base quantile — the
+    * [[powerMde]] convention: the engine pins arithmetic, never a
+    * normal-CDF inversion):
+    *   - `"obf"`: b_k = zAlpha2 / √t_k — the O'Brien–Fleming shape
+    *     (hard to cross early, ≈ zAlpha2 at the final look), the
+    *     closed-form boundary the Lan–DeMets OBF-like spending
+    *     function α*(t) = 2(1 − Φ(z_{α/2}/√t)) tracks; for exact
+    *     K-look constants the caller substitutes the published value
+    *     for zAlpha2.
+    *   - `"pocock"`: b_k = zAlpha2 flat — the Pocock shape; the caller
+    *     supplies the K-look Pocock constant (e.g. 2.413 for K = 5,
+    *     α = 0.05) in place of the plain quantile.
+    *
+    * t_k is the pooled-count information fraction n_k / n_K (the
+    * standard practical surrogate when per-unit variance is stable).
+    *
+    * Scale shape: ONE partial-agged exact-decimal moment pass, grouped
+    * by (first-look-containing-the-row, arm) — ≤ 2K cells — then
+    * pinned driver algebra: cumulative decimal moments per look (exact
+    * — decimal addition is associative), [[welchChain]] per look (ONE
+    * implementation with [[welchT]]), boundary, crossing, first-stop.
+    * Rows after the last cutoff are EXCLUDED (not yet observed at any
+    * look). One row per look:
+    * `(look, n_a, n_b, info_frac, z, boundary, crossed, stop_look)` —
+    * `stop_look` (the first crossed look, NULL while none) repeats on
+    * every row so a single-row read answers "has it stopped?". NULL
+    * and non-finite values excluded ([[finite]]); every look needs ≥ 2
+    * cumulative rows per arm, fail loud (a schedule that looks before
+    * the test exists is a design error, not a quiet NULL row).
+    */
+  def groupSequential(df: DataFrame, valueCol: String,
+                      sampleACond: org.apache.spark.sql.Column,
+                      timeCol: String,
+                      cutoffs: Seq[org.apache.spark.sql.Column],
+                      zAlpha2: Double = 1.959963984540054,
+                      shape: String = "obf"): DataFrame = {
+    require(cutoffs.nonEmpty, "groupSequential: need at least one look")
+    require(cutoffs.size <= 32,
+      s"groupSequential: ${cutoffs.size} looks — the schedule is a " +
+        "design constant, not data; 32 is already far past practice")
+    require(shape == "obf" || shape == "pocock",
+      s"groupSequential: shape must be \"obf\" or \"pocock\", got \"$shape\"")
+    require(zAlpha2 > 0.0, s"groupSequential: zAlpha2 must be positive")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val ts = col(timeCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    // first look whose cutoff covers the row (cutoffs ascending — a
+    // caller contract; a later-look row can never rejoin an earlier
+    // look, so the chained first-match when() IS the bucketing)
+    val bucket = cutoffs.zipWithIndex
+      .foldLeft(when(lit(false), lit(0))) { case (w, (c, i)) =>
+        w.when(ts <= c, lit(i + 1))
+      }
+    val cells = df.filter(finite(v) && ts.isNotNull && bucket.isNotNull)
+      .groupBy(bucket.as("k"), ia.as("ia"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6(v)).as("s"),
+        sum(d6(v) * d6(v)).as("qq"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .collect() // ≤ 2K cells by construction (K ≤ 32)
+    require(cells.nonEmpty, "groupSequential: no rows at or before the " +
+      "last cutoff with a non-NULL finite value")
+    require(cells.map(_.getLong(5)).sum == 0L,
+      s"groupSequential: ${cells.map(_.getLong(5)).sum} value(s) need " +
+        "more than 6 decimal places — rescale to the 6-dp grid first")
+    val byCell = cells.map(r => (r.getInt(0), r.getLong(1)) ->
+      ((r.getLong(2), BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))))
+      .toMap
+    val k = cutoffs.size
+    // cumulative exact-decimal moments per look, in look order
+    var na = 0L; var sa = BigDecimal(0); var qa = BigDecimal(0)
+    var nb = 0L; var sb = BigDecimal(0); var qb = BigDecimal(0)
+    val perLook = (1 to k).map { lk =>
+      byCell.get((lk, 1L)).foreach { case (n, s, qd) =>
+        na += n; sa += s; qa += qd }
+      byCell.get((lk, 0L)).foreach { case (n, s, qd) =>
+        nb += n; sb += s; qb += qd }
+      require(na >= 2 && nb >= 2,
+        s"groupSequential: look $lk has n_a=$na, n_b=$nb — every look " +
+          "needs >= 2 cumulative rows per arm for a variance; schedule " +
+          "the first look after the test exists")
+      (lk, na, sa, qa, nb, sb, qb)
+    }
+    val nTotal = (perLook.last._2 + perLook.last._5).toDouble
+    val looks = perLook.map { case (lk, la, lsa, lqa, lb, lsb, lqb) =>
+      val (_, _, z, _, _) = welchChain(la, lsa, lqa, lb, lsb, lqb)
+      require(!z.isNaN && !z.isInfinite,
+        s"groupSequential: degenerate variance at look $lk — the Welch " +
+          "statistic is undefined (constant metric)")
+      val frac = (la + lb).toDouble / nTotal
+      val boundary =
+        if (shape == "obf") zAlpha2 / math.sqrt(frac) else zAlpha2
+      (lk, la, lb, frac, z, boundary, math.abs(z) >= boundary)
+    }
+    val stop = looks.find(_._7).map(_._1)
+    looks.map { case (lk, la, lb, frac, z, b, crossed) =>
+      (lk, la, lb, frac, z, b, crossed, stop)
+    }.toDF("look", "n_a", "n_b", "info_frac", "z", "boundary", "crossed",
+      "stop_look")
   }
 
   /** Power analysis / minimum-detectable-effect readout — the question

@@ -550,6 +550,42 @@ object StatsQ {
           round(col("mde_rel"), 6).as("mde_rel"),
           col("n_per_arm"))),
 
+    "x_multi_arm" -> ((s, dir) =>
+      // multi-arm A/B/n readout (Stats.multiArm): every event type vs
+      // the 'view' control in ONE (arm)-grouped decimal-moment pass —
+      // per-arm Welch t (the welchChain, bit-equal to x_welch_t at
+      // k = 2), normal-approximation p, BH step-up across the 4
+      // comparisons; round(6/4) pins last-ulp exp() divergence
+      Stats.multiArm(t(s, dir, "events"), "value", "event_type",
+          controlArm = "view", q = 0.05)
+        .select(col("arm"), col("n_c"), col("n_t"),
+          round(col("mean_c"), 6).as("mean_c"),
+          round(col("mean_t"), 6).as("mean_t"),
+          round(col("diff"), 6).as("diff"),
+          round(col("t"), 6).as("t"),
+          round(col("df"), 4).as("df"),
+          round(col("p"), 6).as("p"),
+          col("significant"))),
+
+    "x_group_seq" -> ((s, dir) =>
+      // group-sequential monitor (Stats.groupSequential): four
+      // pre-registered looks over the order timeline, cumulative Welch
+      // z per look against the O'Brien-Fleming-shaped boundary
+      // z_alpha2/sqrt(info_frac) — ONE (look-bucket, arm)-cell decimal
+      // pass, pinned driver cumulative algebra; the scheduled-looks
+      // dual of x_msprt's always-valid monitoring
+      Stats.groupSequential(t(s, dir, "orders"), "o_totalprice",
+          col("o_custkey") % 2 === 0, "o_orderdate",
+          cutoffs = Seq(lit("1996-06-30"), lit("1998-06-30"),
+            lit("2000-06-30"), lit("2001-08-01")).map(_.cast("date")))
+        .select(col("look").cast("long").as("look"),
+          col("n_a"), col("n_b"),
+          round(col("info_frac"), 6).as("info_frac"),
+          round(col("z"), 6).as("z"),
+          round(col("boundary"), 6).as("boundary"),
+          col("crossed"),
+          col("stop_look").cast("long").as("stop_look"))),
+
     "x_bootstrap_group" -> ((s, dir) =>
       // per-SEGMENT bootstrap mean CIs (Stats.bootstrapMeanCIByGroup):
       // the x_bootstrap machinery with (group, resample) cells — a
@@ -1746,7 +1782,14 @@ object StatsQ {
       // per-(stratum, arm) DECIMAL(19,6) cells (int128 lane — price
       // squares overflow the int64 18-width), then the identical
       // per-stratum double chains; the <=|strata| SUMs are the only
-      // unordered float folds and round(6) absorbs them (x_anova)
+      // unordered float folds and round(6) absorbs them (x_anova).
+      // KNOWN divergence (ADVICE r15, accepted): the a.ia=1 x b.ia=0
+      // inner join silently DROPS a stratum present in only one arm,
+      // where the engine fails loud naming it — on TPC-H priorities
+      // every stratum is two-armed at every SF, so the replica is
+      // faithful on this data; if the bench input ever grows a
+      // one-armed stratum the ENGINE side errors first and the
+      // mismatch surfaces as a verify failure, not a silent pass
       """WITH pts AS (
         |  SELECT o_orderpriority AS s,
         |    CAST(o_totalprice AS DECIMAL(19,6)) AS v,
@@ -1841,6 +1884,113 @@ object StatsQ {
         |  CAST(ceil(2 * varp * zsum * zsum / (delta * delta)) AS BIGINT)
         |    AS n_per_arm
         |FROM fin""".stripMargin,
+    "x_multi_arm" ->
+      // per-arm welch_t moment CTEs (control = 'view' as sample B),
+      // the SAME ratio shapes and operation order as welchChain, the
+      // A&S 7.1.26 erfc polynomial for the two-sided normal p (Horner
+      // order matches Stats.zPvalue2; round(6) absorbs cross-engine
+      // exp() last-ulp), then the BH step-up over the 4 comparisons
+      // (ROW_NUMBER ranks — a tie block's largest index wins MAX,
+      // matching the engine's sorted-index rule)
+      """WITH pts AS (
+        |  SELECT CAST(value AS DECIMAL(18,6)) AS v, event_type AS arm
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s, SUM(v * v) AS q
+        |  FROM pts GROUP BY arm),
+        |ctl AS (SELECT n AS ncc, s AS sc, q AS qc FROM m WHERE arm = 'view'),
+        |alg AS (
+        |  SELECT m.arm, ctl.ncc, m.n AS nt,
+        |    CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE) AS mt,
+        |    CAST(ctl.sc AS DOUBLE) / CAST(ctl.ncc AS DOUBLE) AS mc,
+        |    (CAST(m.q AS DOUBLE) - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+        |      / CAST(m.n AS DOUBLE)) / CAST(m.n - 1 AS DOUBLE) AS vt,
+        |    (CAST(ctl.qc AS DOUBLE) - CAST(ctl.sc AS DOUBLE)
+        |      * CAST(ctl.sc AS DOUBLE) / CAST(ctl.ncc AS DOUBLE))
+        |      / CAST(ctl.ncc - 1 AS DOUBLE) AS vc
+        |  FROM m, ctl WHERE m.arm <> 'view'),
+        |se AS (SELECT arm, ncc, nt, mc, mt,
+        |  vt / CAST(nt AS DOUBLE) AS set_, vc / CAST(ncc AS DOUBLE) AS sec
+        |  FROM alg),
+        |tt AS (SELECT arm, ncc, nt, mc, mt,
+        |  (mt - mc) / sqrt(set_ + sec) AS t,
+        |  (set_ + sec) * (set_ + sec) / (set_ * set_
+        |    / CAST(nt - 1 AS DOUBLE) + sec * sec / CAST(ncc - 1 AS DOUBLE))
+        |    AS dfw
+        |  FROM se),
+        |px AS (SELECT arm, ncc, nt, mc, mt, t, dfw,
+        |  abs(t) / sqrt(2.0) AS x FROM tt),
+        |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS u FROM px),
+        |pv AS (SELECT arm, ncc, nt, mc, mt, t, dfw,
+        |  ((((1.061405429 * u - 1.453152027) * u + 1.421413741) * u
+        |    - 0.284496736) * u + 0.254829592) * u * exp(-x * x) AS p
+        |  FROM pu),
+        |bh AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, arm) AS rn,
+        |  CAST(COUNT(*) OVER () AS DOUBLE) AS mm FROM pv),
+        |thr AS (SELECT MAX(CASE WHEN p <= 0.05 * CAST(rn AS DOUBLE) / mm
+        |  THEN p END) AS thr FROM bh)
+        |SELECT arm, ncc AS n_c, nt AS n_t, ROUND(mc, 6) AS mean_c,
+        |  ROUND(mt, 6) AS mean_t, ROUND(mt - mc, 6) AS diff,
+        |  ROUND(t, 6) AS t, ROUND(dfw, 4) AS df, ROUND(p, 6) AS p,
+        |  COALESCE(p <= thr.thr, FALSE) AS significant
+        |FROM bh, thr ORDER BY arm""".stripMargin,
+    "x_group_seq" ->
+      // look-bucket CASE (first cutoff containing the row), per-(look,
+      // arm) decimal cells, CUMULATIVE moments via the c.k <= look
+      // join (exact decimal addition — order-free), then the welch
+      // chain per look and the OBF-shaped boundary; stop_look is the
+      // window MIN over crossed looks. DECIMAL(19,6) forces the int128
+      // lane (the x_power_mde convention on ~1e5-scale prices)
+      """WITH pts AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN o_orderdate <= DATE '1996-06-30' THEN 1
+        |         WHEN o_orderdate <= DATE '1998-06-30' THEN 2
+        |         WHEN o_orderdate <= DATE '2000-06-30' THEN 3
+        |         WHEN o_orderdate <= DATE '2001-08-01' THEN 4 END AS k
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |cells AS (
+        |  SELECT k, ia, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s, SUM(v * v) AS q
+        |  FROM pts WHERE k IS NOT NULL GROUP BY k, ia),
+        |looks AS (SELECT CAST(range AS INTEGER) AS look FROM range(1, 5)),
+        |cum AS (
+        |  SELECT l.look,
+        |    CAST(SUM(CASE WHEN c.ia = 1 THEN c.n ELSE 0 END) AS BIGINT) AS na,
+        |    SUM(CASE WHEN c.ia = 1 THEN c.s END) AS sa,
+        |    SUM(CASE WHEN c.ia = 1 THEN c.q END) AS qa,
+        |    CAST(SUM(CASE WHEN c.ia = 0 THEN c.n ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN c.ia = 0 THEN c.s END) AS sb,
+        |    SUM(CASE WHEN c.ia = 0 THEN c.q END) AS qb
+        |  FROM looks l JOIN cells c ON c.k <= l.look GROUP BY l.look),
+        |tot AS (SELECT CAST(na + nb AS DOUBLE) AS ntot FROM cum
+        |  WHERE look = 4),
+        |alg AS (
+        |  SELECT look, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM cum),
+        |se AS (SELECT look, na, nb, ma, mb, va / CAST(na AS DOUBLE) AS sea,
+        |  vb / CAST(nb AS DOUBLE) AS seb FROM alg),
+        |zz AS (SELECT look, na, nb,
+        |  (ma - mb) / sqrt(sea + seb) AS z,
+        |  CAST(na + nb AS DOUBLE) / (SELECT ntot FROM tot) AS frac
+        |  FROM se),
+        |cr AS (SELECT look, na, nb, frac, z,
+        |  1.959963984540054 / sqrt(frac) AS boundary,
+        |  abs(z) >= 1.959963984540054 / sqrt(frac) AS crossed FROM zz)
+        |SELECT CAST(look AS BIGINT) AS look, na AS n_a, nb AS n_b,
+        |  ROUND(frac, 6) AS info_frac, ROUND(z, 6) AS z,
+        |  ROUND(boundary, 6) AS boundary, crossed,
+        |  CAST(MIN(CASE WHEN crossed THEN look END) OVER () AS BIGINT)
+        |    AS stop_look
+        |FROM cr ORDER BY look""".stripMargin,
     "x_bootstrap_quantiles" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma

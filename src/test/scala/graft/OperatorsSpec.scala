@@ -2482,6 +2482,113 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("6 decimal"))
   }
 
+  test("welchT family: NULL, NaN and ±Inf rows are ALL excluded — counts and moments over the same row set") {
+    import graft.operators.Stats
+    // non-finite doubles cast to decimal as NULL, so a bare isNotNull
+    // filter would count these rows while the moment sums skipped them
+    // — the finite() gate excludes them from BOTH (round-16)
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)).toDF("g", "v")
+    val dirty = (Seq(("a", Double.NaN), ("b", Double.PositiveInfinity),
+      ("a", Double.NegativeInfinity)) ++ Seq(("a", 1.0), ("a", 2.0),
+      ("a", 3.0), ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)))
+      .toDF("g", "v")
+    val want = Stats.welchT(clean, "v", col("g") === "a").head()
+    val got = Stats.welchT(dirty, "v", col("g") === "a").head()
+    assert(got.getLong(0) == want.getLong(0) &&
+      got.getLong(1) == want.getLong(1),
+      s"counts must exclude non-finite rows: $got vs $want")
+    assert(got.getDouble(4) == want.getDouble(4), "t must be bit-equal")
+  }
+
+  test("multiArm: k = 2 bit-equals welchT, BH step-up across arms, guards") {
+    import graft.operators.Stats
+    // (1) the k = 2 case IS welchT (ONE welchChain implementation):
+    // every shared statistic bit-equal, treatment as sample A
+    val two = Seq(("t", 1.0), ("t", 2.0), ("t", 3.0),
+      ("c", 2.0), ("c", 4.0), ("c", 6.0), ("c", 8.0)).toDF("g", "v")
+    val ma = Stats.multiArm(two, "v", "g", controlArm = "c").head()
+    val wt = Stats.welchT(two, "v", col("g") === "t").head()
+    assert(ma.getString(0) == "t")
+    assert(ma.getLong(1) == wt.getLong(1) && ma.getLong(2) == wt.getLong(0))
+    assert(ma.getDouble(3) == wt.getDouble(3), "mean_c ≡ welchT mean_b")
+    assert(ma.getDouble(4) == wt.getDouble(2), "mean_t ≡ welchT mean_a")
+    assert(ma.getDouble(6) == wt.getDouble(4), "t must be bit-equal")
+    assert(ma.getDouble(7) == wt.getDouble(5), "df must be bit-equal")
+    // (2) BH across 3 comparisons: one far-shifted arm rejects, a
+    // clone of the control does not; p-values are ordered sanely
+    def arm(g: String, shift: Double) =
+      (1 to 30).map(i => (g, (i % 10).toDouble + shift))
+    val multi = (arm("ctrl", 0.0) ++ arm("far", 50.0) ++ arm("same", 0.0) ++
+      arm("near", 0.5)).toDF("g", "v")
+    val rows = Stats.multiArm(multi, "v", "g", controlArm = "ctrl")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(8), r.getBoolean(9)))).toMap
+    assert(rows.keySet == Set("far", "same", "near"))
+    assert(rows("far")._1 < 1e-6 && rows("far")._2, s"far arm must reject: $rows")
+    assert(rows("same")._1 > 0.9 && !rows("same")._2,
+      s"control clone must not reject: $rows")
+    assert(rows.values.forall(p => p._1 >= 0.0 && p._1 <= 1.0))
+    // the normal-p helper itself: p(z_{0.025}) = 0.05 on the A&S grid
+    assert(math.abs(Stats.zPvalue2(1.959963984540054) - 0.05) < 1e-6)
+    // (3) guards: absent control, arm-count bound, one-row arm
+    intercept[IllegalArgumentException] {
+      Stats.multiArm(two, "v", "g", controlArm = "nope").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.multiArm(multi, "v", "g", "ctrl", maxArms = 3).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.multiArm((Seq(("t", 1.0)) ++ arm("ctrl", 0.0)).toDF("g", "v"),
+        "v", "g", "ctrl").collect()
+    }
+  }
+
+  test("groupSequential: looks equal welchT prefixes, OBF shape, first-crossing stop, guards") {
+    import graft.operators.Stats
+    // look 1 (ts <= 10): arms overlap → no crossing; look 2 (ts <= 20):
+    // arm A jumps far away → crossing. Beyond the last cutoff: excluded.
+    def rows(g: String, ts0: Int, shift: Double) =
+      (1 to 12).map(i => (g, ts0 + (i % 5), (i % 4).toDouble + shift))
+    val df = (rows("a", 1, 0.0) ++ rows("b", 1, 0.25) ++
+      rows("a", 11, 40.0) ++ rows("b", 11, 0.25) ++
+      Seq(("a", 99, 1000.0))).toDF("g", "ts", "v")
+    val gs = Stats.groupSequential(df, "v", col("g") === "a", "ts",
+      cutoffs = Seq(lit(10), lit(20))).collect()
+    assert(gs.length == 2)
+    val l1 = gs(0); val l2 = gs(1)
+    // the ts = 99 row is after the last cutoff: not observed at any look
+    assert(l2.getLong(1) == 24L && l2.getLong(2) == 24L)
+    // each look's z IS welchT on the prefix rows (one welchChain)
+    val w1 = Stats.welchT(df.filter(col("ts") <= 10), "v",
+      col("g") === "a").head()
+    val w2 = Stats.welchT(df.filter(col("ts") <= 20), "v",
+      col("g") === "a").head()
+    assert(l1.getDouble(4) == w1.getDouble(4), "look-1 z ≡ welchT t")
+    assert(l2.getDouble(4) == w2.getDouble(4), "look-2 z ≡ welchT t")
+    // OBF boundary: z_alpha2 / sqrt(info_frac); final look = z_alpha2
+    assert(math.abs(l1.getDouble(5) -
+      1.959963984540054 / math.sqrt(l1.getDouble(3))) < 1e-12)
+    assert(math.abs(l2.getDouble(5) - 1.959963984540054) < 1e-12)
+    assert(!l1.getBoolean(6) && l2.getBoolean(6),
+      s"only the far-shifted look may cross: ${gs.mkString(", ")}")
+    // stop_look = first crossed look, repeated on EVERY row
+    assert(l1.getInt(7) == 2 && l2.getInt(7) == 2)
+    // pocock shape: flat caller-supplied boundary
+    val pk = Stats.groupSequential(df, "v", col("g") === "a", "ts",
+      Seq(lit(10), lit(20)), zAlpha2 = 2.178, shape = "pocock").collect()
+    assert(pk.forall(_.getDouble(5) == 2.178))
+    // guards: a look before the test exists fails LOUD; bad shape
+    intercept[IllegalArgumentException] {
+      Stats.groupSequential(df, "v", col("g") === "a", "ts",
+        Seq(lit(0), lit(20))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.groupSequential(df, "v", col("g") === "a", "ts",
+        Seq(lit(10)), shape = "wald").collect()
+    }
+  }
+
   test("propZTest: hand rates, domain sentinel, degenerate-pool guards") {
     import graft.operators.Stats
     // A: 3/4 success; B: 1/4 — z from the textbook pooled form
