@@ -1832,6 +1832,32 @@ object Stats {
       ((r.getAs[Long]("n"),
         BigDecimal(r.getAs[java.math.BigDecimal]("sv")),
         BigDecimal(r.getAs[java.math.BigDecimal]("qv"))))).toMap
+    val (naTot, nbTot, nStrata, diffRaw, diffStrat, se, tStrat) =
+      postStratChain(byCell) match {
+        case Left(msg) => throw new IllegalArgumentException(
+          s"requirement failed: postStratifiedDiff: $msg")
+        case Right(r) => r
+      }
+    Seq((naTot, nbTot, nStrata, diffRaw, diffStrat, se, tStrat))
+      .toDF("n_a", "n_b", "n_strata", "diff_raw", "diff_strat",
+        "se_strat", "t_strat")
+  }
+
+  /** The post-stratification double chain shared by the batch
+    * [[postStratifiedDiff]] and the streaming snapshot
+    * ([[graft.streaming.TwsPostStrat]]) — ONE implementation (the
+    * [[msprtChain]] pattern), so the stream's readout after any prefix
+    * EQUALS the batch operator on the same rows bit-for-bit: the fold
+    * runs in SORTED stratum order whatever order the cells arrive in,
+    * and the inputs are exact decimal moments. `Left(reason)` marks
+    * the undefined states (an arm under 2 rows, a one-armed or
+    * thin stratum, zero stratified variance) — the batch caller fails
+    * LOUD with the reason, the streaming caller stays silent until the
+    * readout is defined (the [[graft.streaming.TwsMsprt]] policy).
+    * Right: (n_a, n_b, n_strata, diff_raw, diff_strat, se, t). */
+  private[graft] def postStratChain(
+      byCell: Map[(String, Long), (Long, BigDecimal, BigDecimal)])
+      : Either[String, (Long, Long, Long, Double, Double, Double, Double)] = {
     val strata = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
     // raw (unstratified) means from the exact decimal grand totals
     var naTot = 0L; var nbTot = 0L
@@ -1840,16 +1866,18 @@ object Stats {
       byCell.get((s, 1L)).foreach { case (n, sv, _) => naTot += n; saTot += sv }
       byCell.get((s, 0L)).foreach { case (n, sv, _) => nbTot += n; sbTot += sv }
     }
-    require(naTot >= 2 && nbTot >= 2,
-      s"postStratifiedDiff: both arms need >= 2 rows (n_a=$naTot, n_b=$nbTot)")
+    if (naTot < 2 || nbTot < 2)
+      return Left(s"both arms need >= 2 rows (n_a=$naTot, n_b=$nbTot)")
     val diffRaw = saTot.toDouble / naTot.toDouble - sbTot.toDouble / nbTot.toDouble
     val nTot = (naTot + nbTot).toDouble
     var yA = 0.0; var yB = 0.0; var vA = 0.0; var vB = 0.0
-    strata.foreach { s =>
+    val it = strata.iterator
+    while (it.hasNext) {
+      val s = it.next()
       val a = byCell.get((s, 1L))
       val b = byCell.get((s, 0L))
-      require(a.exists(_._1 >= 2L) && b.exists(_._1 >= 2L),
-        s"postStratifiedDiff: stratum '$s' needs >= 2 rows in EACH arm " +
+      if (!(a.exists(_._1 >= 2L) && b.exists(_._1 >= 2L)))
+        return Left(s"stratum '$s' needs >= 2 rows in EACH arm " +
           s"(n_a=${a.map(_._1).getOrElse(0L)}, " +
           s"n_b=${b.map(_._1).getOrElse(0L)}) — post-stratification is " +
           "undefined on a one-armed stratum; coarsen the stratum key")
@@ -1869,13 +1897,11 @@ object Stats {
     }
     val diffStrat = yA - yB
     val se = math.sqrt(vA + vB)
-    require(se > 0.0,
-      "postStratifiedDiff: zero stratified variance — a constant metric " +
+    if (!(se > 0.0))
+      return Left("zero stratified variance — a constant metric " +
         "within every stratum has no test to run")
-    Seq((naTot, nbTot, strata.size.toLong, diffRaw, diffStrat, se,
+    Right((naTot, nbTot, strata.size.toLong, diffRaw, diffStrat, se,
       diffStrat / se))
-      .toDF("n_a", "n_b", "n_strata", "diff_raw", "diff_strat",
-        "se_strat", "t_strat")
   }
 
   /** Multi-covariate CUPED (the CUPAC shape — Deng et al. 2013 §3.2's

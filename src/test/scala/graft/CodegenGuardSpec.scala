@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsMsprt, TwsSrm}
+    import graft.streaming.{TwsMsprt, TwsPostStrat, TwsSrm}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -119,23 +119,32 @@ class CodegenGuardSpec extends AnyFunSuite {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val inM = MemoryStream[TwsMsprt.MetricObs]
       val inS = MemoryStream[TwsMsprt.MetricObs]
+      val inP = MemoryStream[TwsPostStrat.StratumObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
       val qS = TwsSrm.monitor(inS.toDS())
         .writeStream.format("memory").queryName("codegen_guard_srm")
         .outputMode("update").start()
+      val qP = TwsPostStrat.monitor(inP.toDS())
+        .writeStream.format("memory").queryName("codegen_guard_poststrat")
+        .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
           "m", (i % 5).toDouble + (if (i % 2 == 0) 1.5 else 0.0), i % 2 == 0))
+        val srows = (1 to 12).map(i => TwsPostStrat.StratumObs(
+          "m", if (i % 4 < 2) "x" else "y", (i % 5).toDouble, i % 2 == 0))
         inM.addData(rows: _*); qM.processAllAvailable()
         inM.addData(rows: _*); qM.processAllAvailable()
         inS.addData(rows: _*); qS.processAllAvailable()
         inS.addData(rows: _*); qS.processAllAvailable()
+        inP.addData(srows: _*); qP.processAllAvailable()
+        inP.addData(srows: _*); qP.processAllAvailable()
         assert(spark.table("codegen_guard_msprt").count() >= 1)
         assert(spark.table("codegen_guard_srm").count() >= 1)
+        assert(spark.table("codegen_guard_poststrat").count() >= 1)
       } finally {
-        qM.stop(); qS.stop()
+        qM.stop(); qS.stop(); qP.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

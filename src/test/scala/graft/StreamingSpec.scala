@@ -531,6 +531,101 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState post-stratified snapshot: stream readout EQUALS the batch postStratifiedDiff") {
+    // the variance-reduction tier streamed (TwsPostStrat): per-metric
+    // MAP state stratum → exact decimal arm moments, the batch
+    // operator's OWN sorted-stratum fold (Stats.postStratChain) per
+    // micro-batch. Decimal sums are order-independent and the fold
+    // order is pinned inside the chain, so the final snapshot must
+    // equal Stats.postStratifiedDiff on the union of all batches
+    // BIT-FOR-BIT. Prefixes where the readout is undefined (a
+    // one-armed stratum mid-fill) stay SILENT — exactly the states the
+    // batch operator fails loud on.
+    import graft.streaming.TwsPostStrat
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsPostStrat.StratumObs]
+    // strata with different sizes and arm shares; a planted arm shift
+    def obs(m: String, s: String, i: Int, armA: Boolean) =
+      TwsPostStrat.StratumObs(m, s,
+        (i % 5).toDouble + (if (armA) 1.5 else 0.0) +
+          (if (s == "t") 10.0 else 0.0), armA)
+    // batch 1 leaves stratum "t" one-armed for m1 → NO m1 emission yet
+    val batch1 = (1 to 8).map(i => obs("m1", "s", i, i % 2 == 0)) ++
+      (1 to 3).map(i => obs("m1", "t", i, armA = true)) ++
+      (1 to 10).map(i => obs("m2", "s", i, i % 2 == 1))
+    val batch2 = (9 to 30).map(i => obs("m1", "s", i, i % 2 == 0)) ++
+      (4 to 16).map(i => obs("m1", "t", i, i % 3 == 0)) ++
+      (11 to 40).map(i => obs("m2", "s", i, i % 2 == 1)) ++
+      // non-finite values: skipped by the stream, finite-gated by batch
+      Seq(TwsPostStrat.StratumObs("m1", "s", Double.NaN, armA = true),
+        TwsPostStrat.StratumObs("m1", "t", Double.PositiveInfinity, armA = false))
+    val q = TwsPostStrat.monitor(in.toDS())
+      .writeStream.format("memory").queryName("tws_poststrat_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_poststrat_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      // m1's batch-1 prefix has a one-armed stratum: silent, ONE
+      // emission total; m2 is defined at both batches: two emissions
+      assert(snaps.count(_._1 == "m1") == 1, snaps.mkString(","))
+      assert(snaps.count(_._1 == "m2") == 2, snaps.mkString(","))
+      val all = (batch1 ++ batch2)
+        .toDF("metric", "stratum", "value", "armA")
+      for (m <- Seq("m1", "m2")) {
+        val b = graft.operators.Stats.postStratifiedDiff(
+          all.filter(col("metric") === m), "value", "stratum",
+          col("armA")).head()
+        val s = snaps.filter(_._1 == m).maxBy(x => x._2 + x._3)
+        assert(s._2 == b.getLong(0) && s._3 == b.getLong(1), s"$m counts")
+        assert(s._4 == b.getLong(2), s"$m n_strata")
+        assert(s._5 == b.getDouble(3), s"$m diff_raw must be bit-equal")
+        assert(s._6 == b.getDouble(4), s"$m diff_strat must be bit-equal")
+        assert(s._7 == b.getDouble(5), s"$m se must be bit-equal")
+        assert(s._8 == b.getDouble(6), s"$m t must be bit-equal")
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // the stratum cap fails LOUD, not silent state growth: a separate
+    // monitor at maxStrata = 2 trips on the third stratum
+    val prev2 = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in2 = MemoryStream[TwsPostStrat.StratumObs]
+    val q2 = TwsPostStrat.monitor(in2.toDS(), maxStrata = 2)
+      .writeStream.format("memory").queryName("tws_poststrat_cap")
+      .outputMode("update").start()
+    try {
+      in2.addData(TwsPostStrat.StratumObs("m3", "a", 1.0, armA = true),
+        TwsPostStrat.StratumObs("m3", "b", 1.0, armA = false))
+      q2.processAllAvailable() // 2 strata: at the cap, fine
+      val capEx = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        in2.addData(TwsPostStrat.StratumObs("m3", "c", 1.0, armA = true))
+        q2.processAllAvailable()
+      }
+      assert(capEx.getMessage != null)
+    } finally {
+      q2.stop()
+      prev2 match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState SRM guard: stream readout EQUALS the batch srmCheck, silent while one-armed") {
     // the TwsMsprt companion (TwsSrm): per-metric arm counts as value
     // state, the batch operator's own chi-square chain per micro-batch.
