@@ -1732,8 +1732,35 @@ object Stats {
       BigDecimal(0), BigDecimal(0), 0L)
     val (na, sya, sxa, qya, qxa, pa, _) = rows.getOrElse(1L, zero)
     val (nb, syb, sxb, qyb, qxb, pb, _) = rows.getOrElse(0L, zero)
-    require(na >= 2 && nb >= 2,
-      s"cuped: both samples need >= 2 rows (n_a=$na, n_b=$nb)")
+    val (theta, rho2, diffRaw, diffAdj, tAdj) =
+      cupedChain(na, sya, sxa, qya, qxa, pa,
+        nb, syb, sxb, qyb, qxb, pb) match {
+        case Left(msg) => throw new IllegalArgumentException(
+          s"requirement failed: cuped: $msg")
+        case Right(r) => r
+      }
+    Seq((na, nb, theta, rho2, diffRaw, diffAdj, tAdj))
+      .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
+  }
+
+  /** The CUPED double chain shared by the batch [[cuped]] and the
+    * streaming snapshot ([[graft.streaming.TwsCuped]]) — ONE
+    * implementation (the [[msprtChain]] pattern): pooled exact decimal
+    * totals, pinned double algebra, so the stream's readout after any
+    * prefix EQUALS the batch operator on the same rows bit-for-bit.
+    * `Left(reason)` marks the undefined states (an arm under 2 rows,
+    * zero pooled covariate/metric variance) — the batch caller fails
+    * LOUD with the reason, the streaming caller stays silent (the
+    * [[graft.streaming.TwsMsprt]] policy). Right:
+    * (theta, rho2, diff_raw, diff_adj, t_adj). */
+  private[graft] def cupedChain(
+      na: Long, sya: BigDecimal, sxa: BigDecimal, qya: BigDecimal,
+      qxa: BigDecimal, pa: BigDecimal,
+      nb: Long, syb: BigDecimal, sxb: BigDecimal, qyb: BigDecimal,
+      qxb: BigDecimal, pb: BigDecimal)
+      : Either[String, (Double, Double, Double, Double, Double)] = {
+    if (na < 2 || nb < 2)
+      return Left(s"both samples need >= 2 rows (n_a=$na, n_b=$nb)")
     // pooled exact totals (decimal addition is exact), then pinned
     // double algebra — the ratio shapes the oracle replays verbatim
     val n = na + nb
@@ -1744,11 +1771,11 @@ object Stats {
     val covP = (pxy - sx * sy / nD) / (n - 1).toDouble
     val varXP = (qx - sx * sx / nD) / (n - 1).toDouble
     val varYP = (qy - sy * sy / nD) / (n - 1).toDouble
-    require(varXP > 0.0,
-      "cuped: covariate has zero pooled variance — theta is undefined " +
-        "(a constant covariate cannot reduce anything)")
-    require(varYP > 0.0,
-      "cuped: metric has zero pooled variance — rho2 is undefined")
+    if (!(varXP > 0.0))
+      return Left("covariate has zero pooled variance — theta is " +
+        "undefined (a constant covariate cannot reduce anything)")
+    if (!(varYP > 0.0))
+      return Left("metric has zero pooled variance — rho2 is undefined")
     val theta = covP / varXP
     // rho2 in the θ-form (θ·cov/varY — mathematically covP²/(varXP·varYP),
     // same value class): the chain [[cupedMulti]]'s k=1 case reduces to
@@ -1770,8 +1797,7 @@ object Stats {
     val vA = adjVar(na, sya, sxa, qya, qxa, pa)
     val vB = adjVar(nb, syb, sxb, qyb, qxb, pb)
     val tAdj = diffAdj / math.sqrt(vA / na.toDouble + vB / nb.toDouble)
-    Seq((na, nb, theta, rho2, diffRaw, diffAdj, tAdj))
-      .toDF("n_a", "n_b", "theta", "rho2", "diff_raw", "diff_adj", "t_adj")
+    Right((theta, rho2, diffRaw, diffAdj, tAdj))
   }
 
   /** Post-stratified A/B difference (Xie & Aurisset, KDD 2016 —

@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsMsprt, TwsPostStrat, TwsSrm}
+    import graft.streaming.{TwsCuped, TwsMsprt, TwsPostStrat, TwsSrm}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -120,6 +120,7 @@ class CodegenGuardSpec extends AnyFunSuite {
       val inM = MemoryStream[TwsMsprt.MetricObs]
       val inS = MemoryStream[TwsMsprt.MetricObs]
       val inP = MemoryStream[TwsPostStrat.StratumObs]
+      val inC = MemoryStream[TwsCuped.CovariateObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
@@ -128,6 +129,9 @@ class CodegenGuardSpec extends AnyFunSuite {
         .outputMode("update").start()
       val qP = TwsPostStrat.monitor(inP.toDS())
         .writeStream.format("memory").queryName("codegen_guard_poststrat")
+        .outputMode("update").start()
+      val qC = TwsCuped.monitor(inC.toDS())
+        .writeStream.format("memory").queryName("codegen_guard_cuped")
         .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
@@ -140,11 +144,16 @@ class CodegenGuardSpec extends AnyFunSuite {
         inS.addData(rows: _*); qS.processAllAvailable()
         inP.addData(srows: _*); qP.processAllAvailable()
         inP.addData(srows: _*); qP.processAllAvailable()
+        val crows = (1 to 12).map(i => TwsCuped.CovariateObs(
+          "m", (i % 5).toDouble, (i % 4).toDouble, i % 2 == 0))
+        inC.addData(crows: _*); qC.processAllAvailable()
+        inC.addData(crows: _*); qC.processAllAvailable()
         assert(spark.table("codegen_guard_msprt").count() >= 1)
         assert(spark.table("codegen_guard_srm").count() >= 1)
         assert(spark.table("codegen_guard_poststrat").count() >= 1)
+        assert(spark.table("codegen_guard_cuped").count() >= 1)
       } finally {
-        qM.stop(); qS.stop(); qP.stop()
+        qM.stop(); qS.stop(); qP.stop(); qC.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

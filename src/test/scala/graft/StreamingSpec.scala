@@ -531,6 +531,78 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState CUPED snapshot: stream readout EQUALS the batch cuped") {
+    // the covariate half of the streaming variance-reduction tier
+    // (TwsCuped): per-metric value state = the 12 exact decimal cross
+    // moments, the batch operator's OWN θ/ρ²/t chain (Stats.cupedChain)
+    // per micro-batch — decimal sums are order-independent, so the
+    // final snapshot must equal Stats.cuped on the union of all
+    // batches BIT-FOR-BIT. A zero-pooled-covariate prefix stays
+    // SILENT (the chain's Left state — what the batch fails loud on).
+    import graft.streaming.TwsCuped
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsCuped.CovariateObs]
+    // correlated covariate (x ≈ pre-period y) + a planted arm lift;
+    // m2's batch-1 prefix has a CONSTANT covariate → silent until
+    // batch 2 unfreezes it
+    def obs(m: String, i: Int, armA: Boolean) = TwsCuped.CovariateObs(m,
+      (i % 7).toDouble + (if (armA) 2.0 else 0.0), (i % 7).toDouble + 1.0,
+      armA)
+    val batch1 = (1 to 15).map(i => obs("m1", i, i % 2 == 0)) ++
+      (1 to 6).map(i => TwsCuped.CovariateObs("m2",
+        (i % 3).toDouble, 5.0, i % 2 == 0))
+    val batch2 = (16 to 40).map(i => obs("m1", i, i % 2 == 0)) ++
+      (7 to 20).map(i => TwsCuped.CovariateObs("m2",
+        (i % 3).toDouble, (i % 4).toDouble, i % 2 == 0)) ++
+      // a non-finite value in EITHER column drops the PAIR
+      Seq(TwsCuped.CovariateObs("m1", Double.NaN, 1.0, armA = true),
+        TwsCuped.CovariateObs("m1", 1.0, Double.PositiveInfinity, armA = false))
+    val q = TwsCuped.monitor(in.toDS())
+      .writeStream.format("memory").queryName("tws_cuped_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_cuped_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7)))
+      // m2's constant-covariate prefix is silent: ONE emission; m1: two
+      assert(snaps.count(_._1 == "m1") == 2, snaps.mkString(","))
+      assert(snaps.count(_._1 == "m2") == 1, snaps.mkString(","))
+      val all = (batch1 ++ batch2).toDF("metric", "y", "x", "armA")
+      for (m <- Seq("m1", "m2")) {
+        val b = graft.operators.Stats.cuped(
+          all.filter(col("metric") === m), "y", "x", col("armA")).head()
+        val s = snaps.filter(_._1 == m).maxBy(x => x._2 + x._3)
+        assert(s._2 == b.getLong(0) && s._3 == b.getLong(1), s"$m counts")
+        assert(s._4 == b.getDouble(2), s"$m theta must be bit-equal")
+        assert(s._5 == b.getDouble(3), s"$m rho2 must be bit-equal")
+        assert(s._6 == b.getDouble(4), s"$m diff_raw must be bit-equal")
+        assert(s._7 == b.getDouble(5), s"$m diff_adj must be bit-equal")
+        assert(s._8 == b.getDouble(6), s"$m t_adj must be bit-equal")
+      }
+      // off-grid covariate fails LOUD, not silently rounded
+      in.addData(TwsCuped.CovariateObs("m9", 1.0, 1.0000001, armA = true))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage != null)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState post-stratified snapshot: stream readout EQUALS the batch postStratifiedDiff") {
     // the variance-reduction tier streamed (TwsPostStrat): per-metric
     // MAP state stratum → exact decimal arm moments, the batch
