@@ -2886,6 +2886,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exF.getMessage.contains("6 decimal"))
   }
 
+  test("postStratifiedDiff: ONE stratum degenerates to welchT bit-for-bit") {
+    import graft.operators.Stats
+    // with a single stratum w = 1, the stratified mean IS the arm mean
+    // and Var = s²/n per arm — the identical double shapes as
+    // welchChain, so diff/se/t must be BIT-equal, not just close (the
+    // family's internal-consistency pin, like cupedMulti k=1 ≡ cuped)
+    val df = Seq(("only", "a", 1.0), ("only", "a", 2.0), ("only", "a", 4.0),
+      ("only", "b", 2.0), ("only", "b", 5.0), ("only", "b", 9.0))
+      .toDF("s", "g", "v")
+    val ps = Stats.postStratifiedDiff(df, "v", "s", col("g") === "a").head()
+    val wt = Stats.welchT(df, "v", col("g") === "a").head()
+    assert(ps.getLong(2) == 1L)
+    assert(ps.getDouble(3) == wt.getDouble(2) - wt.getDouble(3),
+      "one-stratum diff_raw ≡ mean_a − mean_b")
+    assert(ps.getDouble(4) == ps.getDouble(3),
+      "one-stratum diff_strat ≡ diff_raw (w = 1)")
+    // t_strat = diff/√(varA/nA + varB/nB) — the exact welch-t double
+    // shapes (w = 1.0 multiplies exactly), so bit-equality holds
+    assert(ps.getDouble(6) == wt.getDouble(4),
+      s"one-stratum t_strat ${ps.getDouble(6)} vs welch t ${wt.getDouble(4)}")
+  }
+
   test("postStratifiedDiff: composition bias removed, hand-computed variance, guards loud") {
     import graft.operators.Stats
     // arm A over-samples the HIGH stratum, so the raw diff is inflated
