@@ -1216,10 +1216,16 @@ object Stats {
     c.isNotNull && !isnan(c.cast("double")) &&
       abs(c.cast("double")) =!= lit(Double.PositiveInfinity)
 
-  def welchT(df: DataFrame, valueCol: String,
-             sampleACond: org.apache.spark.sql.Column): DataFrame = {
-    val session = df.sparkSession
-    import session.implicits._
+  /** The two-sample exact-decimal conditional moment pass shared by
+    * the welchT family ([[welchT]], [[powerMde]], [[msprt]],
+    * [[msprtCI]]) — ONE partial-agged scan: per arm (n, Σv, Σv²) in
+    * exact decimals with the 6-dp integrality sentinel riding the same
+    * pass; the [[finite]] gate excludes NULL and non-finite rows from
+    * counts AND sums alike. Fails loud (prefixed with `op`) on
+    * off-grid values and on an arm under 2 rows. */
+  private def twoSampleMoments(df: DataFrame, valueCol: String,
+      sampleACond: org.apache.spark.sql.Column, op: String)
+      : (Long, BigDecimal, BigDecimal, Long, BigDecimal, BigDecimal) = {
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
     val v = col(valueCol)
     // a NULL condition row counts as sample B in EVERY aggregate (the
@@ -1238,14 +1244,22 @@ object Stats {
           .otherwise(0L)).as("nf"))
       .head()
     require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
-      s"welchT: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values need " +
+      s"$op: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values need " +
         "more than 6 decimal places — the decimal(18,6) moments would " +
         "round them silently; rescale to the 6-dp grid first")
     val (na, nb) = (r0.getLong(0), r0.getLong(3))
     require(na >= 2 && nb >= 2,
-      s"welchT: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
-    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
-    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+      s"$op: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
+    (na, BigDecimal(r0.getDecimal(1)), BigDecimal(r0.getDecimal(2)),
+      nb, BigDecimal(r0.getDecimal(4)), BigDecimal(r0.getDecimal(5)))
+  }
+
+  def welchT(df: DataFrame, valueCol: String,
+             sampleACond: org.apache.spark.sql.Column): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val (na, sa, qa, nb, sb, qb) =
+      twoSampleMoments(df, valueCol, sampleACond, "welchT")
     val (mA, mB, t, dfW, d) = welchChain(na, sa, qa, nb, sb, qb)
     Seq((na, nb, mA, mB, t, dfW, d))
       .toDF("n_a", "n_b", "mean_a", "mean_b", "t", "df", "cohen_d")
@@ -1534,29 +1548,8 @@ object Stats {
     require(zPower >= 0.0, s"powerMde: zPower must be >= 0, got $zPower")
     val session = df.sparkSession
     import session.implicits._
-    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
-    val v = col(valueCol)
-    val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(finite(v))
-      .agg(
-        sum(ia).as("na"),
-        sum(when(ia === 1L, d6(v))).as("sa"),
-        sum(when(ia === 1L, d6(v) * d6(v))).as("qa"),
-        sum(lit(1L) - ia).as("nb"),
-        sum(when(ia === 0L, d6(v))).as("sb"),
-        sum(when(ia === 0L, d6(v) * d6(v))).as("qb"),
-        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
-          .otherwise(0L)).as("nf"))
-      .head()
-    require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
-      s"powerMde: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values " +
-        "need more than 6 decimal places — the decimal(18,6) moments " +
-        "would round them silently; rescale to the 6-dp grid first")
-    val (na, nb) = (r0.getLong(0), r0.getLong(3))
-    require(na >= 2 && nb >= 2,
-      s"powerMde: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
-    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
-    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    val (na, sa, qa, nb, sb, qb) =
+      twoSampleMoments(df, valueCol, sampleACond, "powerMde")
     // the welchT double chains verbatim
     val mB = sb.toDouble / nb.toDouble
     val varA = (qa.toDouble - sa.toDouble * sa.toDouble / na.toDouble) / (na - 1).toDouble
@@ -1610,35 +1603,117 @@ object Stats {
       s"msprt: alpha must be in (0, 1), got $alpha")
     val session = df.sparkSession
     import session.implicits._
-    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
-    val v = col(valueCol)
-    val ia = when(sampleACond, 1L).otherwise(0L)
-    val r0 = df.filter(finite(v))
-      .agg(
-        sum(ia).as("na"),
-        sum(when(ia === 1L, d6(v))).as("sa"),
-        sum(when(ia === 1L, d6(v) * d6(v))).as("qa"),
-        sum(lit(1L) - ia).as("nb"),
-        sum(when(ia === 0L, d6(v))).as("sb"),
-        sum(when(ia === 0L, d6(v) * d6(v))).as("qb"),
-        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
-          .otherwise(0L)).as("nf"))
-      .head()
-    require(!r0.isNullAt(0) && r0.getLong(6) == 0L,
-      s"msprt: ${if (r0.isNullAt(0)) "no" else r0.getLong(6)} values need " +
-        "more than 6 decimal places — the decimal(18,6) moments would " +
-        "round them silently; rescale to the 6-dp grid first")
-    val (na, nb) = (r0.getLong(0), r0.getLong(3))
-    require(na >= 2 && nb >= 2,
-      s"msprt: both samples need >= 2 rows for a variance (n_a=$na, n_b=$nb)")
-    val sa = BigDecimal(r0.getDecimal(1)); val qa = BigDecimal(r0.getDecimal(2))
-    val sb = BigDecimal(r0.getDecimal(4)); val qb = BigDecimal(r0.getDecimal(5))
+    val (na, sa, qa, nb, sb, qb) =
+      twoSampleMoments(df, valueCol, sampleACond, "msprt")
     val (diff, vn, lambda, p) = msprtChain(na, sa, qa, nb, sb, qb, tau2)
     require(vn > 0.0,
       "msprt: zero variance in both samples — the normal approximation " +
         "is undefined (constant metric)")
     Seq((na, nb, diff, vn, lambda, p, p < alpha))
       .toDF("n_a", "n_b", "diff", "v", "lambda", "p", "significant")
+  }
+
+  /** Always-valid confidence interval — the CI companion of [[msprt]]
+    * (Johari, Koomen, Pekelis & Walsh, KDD 2017 §4: the interval is
+    * the mSPRT's acceptance region, so it covers θ at level 1−α at
+    * EVERY n simultaneously — a dashboard can display it continuously
+    * without the fixed-horizon interval's peeking inflation). Closed
+    * form by inverting Λ(θ₀) < 1/α:
+    *
+    *   radius = √( (V·(V+τ²)/τ²) · ln( (V+τ²)/(α²·V) ) )
+    *
+    * with V the Welch variance of the mean difference. The interval is
+    * WIDER than the fixed-horizon z-interval by construction — that is
+    * the price of validity under continuous monitoring, and it shrinks
+    * toward it as τ² is tuned to the effect scale.
+    *
+    * Scale shape: [[msprt]]'s exactly — the ONE [[twoSampleMoments]]
+    * pass, then pinned driver algebra reusing [[msprtChain]] for the
+    * always-valid p (ONE implementation; `significant` = p < alpha ⇔
+    * 0 outside the interval, the same test family). One row out:
+    * `(n_a, n_b, diff, v, radius, lo, hi, p, significant)` — raw
+    * doubles, callers round (ln/exp last-ulp divergence is absorbed by
+    * the callers' round(6), the [[msprt]] oracle precedent).
+    */
+  def msprtCI(df: DataFrame, valueCol: String,
+              sampleACond: org.apache.spark.sql.Column,
+              tau2: Double = 1.0, alpha: Double = 0.05): DataFrame = {
+    require(tau2 > 0.0, s"msprtCI: tau2 must be positive, got $tau2")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"msprtCI: alpha must be in (0, 1), got $alpha")
+    val session = df.sparkSession
+    import session.implicits._
+    val (na, sa, qa, nb, sb, qb) =
+      twoSampleMoments(df, valueCol, sampleACond, "msprtCI")
+    val (diff, vn, _, p) = msprtChain(na, sa, qa, nb, sb, qb, tau2)
+    require(vn > 0.0,
+      "msprtCI: zero variance in both samples — the normal " +
+        "approximation is undefined (constant metric)")
+    val radius = math.sqrt(vn * (vn + tau2) / tau2 *
+      math.log((vn + tau2) / (alpha * alpha * vn)))
+    Seq((na, nb, diff, vn, radius, diff - radius, diff + radius, p,
+      p < alpha))
+      .toDF("n_a", "n_b", "diff", "v", "radius", "lo", "hi", "p",
+        "significant")
+  }
+
+  /** Multi-arm sample-ratio-mismatch guard — [[srmCheck]] generalized
+    * past two arms (the [[multiArm]] companion tripwire): the χ²
+    * goodness-of-fit of the observed arm counts against the DESIGN
+    * shares, k−1 degrees of freedom. An arm observed in the data but
+    * absent from the design fails LOUD (that is a routing bug, not a
+    * ratio question); a designed arm with zero rows contributes its
+    * full expected count to χ² (exactly the alarm it should be).
+    *
+    * Scale shape: ONE (arm)-grouped integer-count pass (≤ |design|
+    * cells after the loud unknown-arm gate), pinned driver algebra.
+    * The alarm threshold is the caller's χ²_{k−1} quantile literal —
+    * the [[powerMde]] convention: the engine pins arithmetic, never a
+    * CDF inversion. One row per DESIGNED arm, ordered by arm label:
+    * `(arm, n, expected, term, chi2, srm)` — `term` the arm's
+    * (o−e)²/e contribution; `chi2`/`srm` repeat on every row so a
+    * single-row read answers "is the split broken?".
+    */
+  def srmCheckMulti(df: DataFrame, armCol: String,
+                    design: Map[String, Double],
+                    threshold: Double): DataFrame = {
+    require(design.size >= 2,
+      s"srmCheckMulti: need >= 2 designed arms, got ${design.size}")
+    require(design.valuesIterator.forall(_ > 0.0),
+      "srmCheckMulti: every design share must be positive")
+    val shareSum = design.valuesIterator.sum
+    require(math.abs(shareSum - 1.0) < 1e-9,
+      s"srmCheckMulti: design shares must sum to 1, got $shareSum")
+    require(threshold > 0.0, "srmCheckMulti: threshold must be positive")
+    val session = df.sparkSession
+    import session.implicits._
+    val rows = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("n"))
+      .limit(design.size + 2)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val unknown = rows.map(_._1).filterNot(design.contains)
+    require(unknown.isEmpty,
+      s"srmCheckMulti: arm(s) ${unknown.sorted.mkString(", ")} observed " +
+        "in the data but absent from the design — that is an assignment " +
+        "routing bug, not a ratio mismatch; fix the design map or the " +
+        "logging path")
+    val byArm = rows.toMap
+    val n = byArm.valuesIterator.sum
+    require(n > 0L, "srmCheckMulti: no rows with a non-NULL arm")
+    val arms = design.keys.toSeq.sorted
+    val terms = arms.map { a =>
+      val o = byArm.getOrElse(a, 0L).toDouble
+      val e = design(a) * n.toDouble
+      (a, byArm.getOrElse(a, 0L), e, (o - e) * (o - e) / e)
+    }
+    // fold in sorted-arm order — the pinned order the oracle replays
+    var chi2 = 0.0
+    terms.foreach { t => chi2 += t._4 }
+    val srm = chi2 > threshold
+    terms.map { case (a, o, e, term) => (a, o, e, term, chi2, srm) }
+      .toDF("arm", "n", "expected", "term", "chi2", "srm")
   }
 
   /** The mSPRT Λ/p double chain — the welchT chain verbatim up to V,

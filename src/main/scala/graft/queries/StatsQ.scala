@@ -628,6 +628,39 @@ object StatsQ {
           round(col("ci_hi"), 6).as("ci_hi"))
     }),
 
+    "x_msprt_ci" -> ((s, dir) =>
+      // always-valid confidence interval (Stats.msprtCI): the mSPRT's
+      // acceptance region as a dashboard interval — valid at EVERY n
+      // simultaneously; the x_msprt moment pass + the closed-form
+      // radius sqrt((V(V+tau^2)/tau^2) ln((V+tau^2)/(alpha^2 V))),
+      // identical tau^2/alpha literals replayed by the oracle
+      Stats.msprtCI(t(s, dir, "lineitem"), "l_extendedprice",
+          col("l_returnflag") === "R", tau2 = 10000.0)
+        .select(col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("v"), 6).as("v"),
+          round(col("radius"), 6).as("radius"),
+          round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"),
+          round(col("p"), 6).as("p"),
+          col("significant").cast("long").as("significant"))),
+
+    "x_srm_multi" -> ((s, dir) =>
+      // multi-arm SRM guard (Stats.srmCheckMulti): chi-square goodness
+      // of fit of the five event-type counts against a uniform design,
+      // df = 4 — ONE (arm)-grouped count pass, sorted-arm driver fold,
+      // alarm at the chi2_4 p < 0.001 quantile literal (caller-pinned,
+      // the powerMde convention)
+      Stats.srmCheckMulti(t(s, dir, "events"), "event_type",
+          design = Map("click" -> 0.2, "error" -> 0.2, "purchase" -> 0.2,
+            "signup" -> 0.2, "view" -> 0.2),
+          threshold = 18.466826952903)
+        .select(col("arm"), col("n"),
+          round(col("expected"), 6).as("expected"),
+          round(col("term"), 6).as("term"),
+          round(col("chi2"), 6).as("chi2"),
+          col("srm").cast("long").as("srm"))),
+
     "x_srm" -> ((s, dir) =>
       // sample-ratio-mismatch guard (Stats.srmCheck): the chi-square
       // tripwire every A/B readout should gate on — two integer counts
@@ -1444,6 +1477,75 @@ object StatsQ {
         |  CAST(LEAST(1.0, 1.0 / lambda) < CAST(0.05 AS DOUBLE) AS BIGINT)
         |    AS significant
         |FROM lr""".stripMargin,
+    "x_msprt_ci" ->
+      // the x_msprt replay plus the closed-form acceptance-region
+      // radius — identical tau^2/alpha literals, ln/sqrt/exp ulps
+      // absorbed by round(6)
+      """WITH pts AS (
+        |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |m AS (
+        |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+        |    SUM(CASE WHEN ia = 1 THEN v * v END) AS qa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN v END) AS sb,
+        |    SUM(CASE WHEN ia = 0 THEN v * v END) AS qb
+        |  FROM pts),
+        |alg AS (
+        |  SELECT na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE)
+        |      / CAST(na AS DOUBLE)
+        |    + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE)
+        |      / CAST(nb AS DOUBLE) AS vn
+        |  FROM m),
+        |lr AS (
+        |  SELECT na, nb, diff, vn,
+        |    sqrt(vn / (vn + CAST(10000.0 AS DOUBLE)))
+        |      * exp(diff * diff * CAST(10000.0 AS DOUBLE)
+        |        / (2 * vn * (vn + CAST(10000.0 AS DOUBLE)))) AS lambda,
+        |    sqrt(vn * (vn + CAST(10000.0 AS DOUBLE))
+        |        / CAST(10000.0 AS DOUBLE)
+        |      * ln((vn + CAST(10000.0 AS DOUBLE))
+        |        / (CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE) * vn)))
+        |      AS radius
+        |  FROM alg)
+        |SELECT na AS n_a, nb AS n_b,
+        |  ROUND(diff, 6) AS diff, ROUND(vn, 6) AS v,
+        |  ROUND(radius, 6) AS radius,
+        |  ROUND(diff - radius, 6) AS lo, ROUND(diff + radius, 6) AS hi,
+        |  ROUND(LEAST(1.0, 1.0 / lambda), 6) AS p,
+        |  CAST(LEAST(1.0, 1.0 / lambda) < CAST(0.05 AS DOUBLE) AS BIGINT)
+        |    AS significant
+        |FROM lr""".stripMargin,
+    "x_srm_multi" ->
+      // per-arm integer counts vs the uniform design; the <= k-term
+      // chi2 SUM is the only unordered float fold (round(6) absorbs —
+      // the x_anova precedent); same threshold literal
+      """WITH c AS (
+        |  SELECT event_type AS arm, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY event_type),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c),
+        |d AS (SELECT * FROM (VALUES ('click', 0.2), ('error', 0.2),
+        |  ('purchase', 0.2), ('signup', 0.2), ('view', 0.2))
+        |  AS t(arm, share)),
+        |terms AS (
+        |  SELECT d.arm, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |    d.share * CAST(tot.nt AS DOUBLE) AS e
+        |  FROM d LEFT JOIN c ON c.arm = d.arm, tot),
+        |t2 AS (SELECT arm, n, e,
+        |  (CAST(n AS DOUBLE) - e) * (CAST(n AS DOUBLE) - e) / e AS term
+        |  FROM terms)
+        |SELECT arm, n, ROUND(e, 6) AS expected, ROUND(term, 6) AS term,
+        |  ROUND(SUM(term) OVER (), 6) AS chi2,
+        |  CAST(SUM(term) OVER () > CAST(18.466826952903 AS DOUBLE)
+        |    AS BIGINT) AS srm
+        |FROM t2 ORDER BY arm""".stripMargin,
     "x_bootstrap_group" -> {
       import graft.queries.HashReplay
       val gamma = HashReplay.SplitmixGamma

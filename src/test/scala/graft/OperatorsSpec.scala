@@ -2589,6 +2589,77 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("msprtCI: radius matches the closed form, p ≡ msprt bit-for-bit, guards") {
+    import graft.operators.Stats
+    val df = (1 to 40).map(i =>
+      (if (i % 2 == 0) "a" else "b",
+        (i % 7).toDouble + (if (i % 2 == 0) 3.0 else 0.0))).toDF("g", "v")
+    val ci = Stats.msprtCI(df, "v", col("g") === "a", tau2 = 4.0).head()
+    val ms = Stats.msprt(df, "v", col("g") === "a", tau2 = 4.0).head()
+    // same moment pass, same chain: diff/v/p/significant bit-equal
+    assert(ci.getLong(0) == ms.getLong(0) && ci.getLong(1) == ms.getLong(1))
+    assert(ci.getDouble(2) == ms.getDouble(2), "diff must be bit-equal")
+    assert(ci.getDouble(3) == ms.getDouble(3), "v must be bit-equal")
+    assert(ci.getDouble(7) == ms.getDouble(5), "p must be bit-equal")
+    assert(ci.getBoolean(8) == ms.getBoolean(6))
+    // the closed-form radius, recomputed by hand in the same order
+    val vn = ci.getDouble(3)
+    val want = math.sqrt(vn * (vn + 4.0) / 4.0 *
+      math.log((vn + 4.0) / (0.05 * 0.05 * vn)))
+    assert(ci.getDouble(4) == want, "radius must match the closed form")
+    assert(ci.getDouble(5) == ci.getDouble(2) - ci.getDouble(4))
+    assert(ci.getDouble(6) == ci.getDouble(2) + ci.getDouble(4))
+    // a +3 shift over 40 rows: the interval sits strictly above zero
+    // exactly when the always-valid p rejects (same test family)
+    assert(ci.getBoolean(8) == (ci.getDouble(5) > 0.0 || ci.getDouble(6) < 0.0),
+      s"CI/p must agree: $ci")
+    intercept[IllegalArgumentException] {
+      Stats.msprtCI(df, "v", col("g") === "a", tau2 = 0.0).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Stats.msprtCI(df, "v", col("g") === "a", alpha = 1.0).collect()
+    }
+  }
+
+  test("srmCheckMulti: hand chi2, absent designed arm alarms, unknown arm fails loud, guards") {
+    import graft.operators.Stats
+    // observed a=6, b=3, c=1 vs design 0.5/0.3/0.2 of n=10:
+    // e = 5/3/2, terms = 0.2/0/0.5, chi2 = 0.7
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("arm")
+    val design = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val rows = Stats.srmCheckMulti(df, "arm", design, threshold = 6.0)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"), "sorted arms")
+    assert(rows.map(_.getLong(1)).toSeq == Seq(6L, 3L, 1L))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(5.0, 3.0, 2.0))
+    assert(math.abs(rows(0).getDouble(3) - 0.2) < 1e-12)
+    assert(rows(1).getDouble(3) == 0.0)
+    assert(math.abs(rows(2).getDouble(3) - 0.5) < 1e-12)
+    assert(math.abs(rows(0).getDouble(4) - 0.7) < 1e-12 &&
+      rows.forall(r => r.getDouble(4) == rows(0).getDouble(4)),
+      "chi2 repeats on every row")
+    assert(rows.forall(!_.getBoolean(5)), "0.7 < 6.0: no alarm")
+    // a designed arm with ZERO rows contributes its full expected
+    // count — exactly the broken-routing alarm
+    val missing = Stats.srmCheckMulti(
+      (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("arm"), "arm",
+      design, threshold = 1.0).collect()
+    val cRow = missing.find(_.getString(0) == "c").get
+    assert(cRow.getLong(1) == 0L && cRow.getDouble(2) == 2.0 &&
+      cRow.getDouble(3) == 2.0)
+    assert(missing.forall(_.getBoolean(5)), s"chi2 must alarm: ${missing.mkString(",")}")
+    // an arm in the data but not the design is a routing bug: loud
+    val exU = intercept[IllegalArgumentException] {
+      Stats.srmCheckMulti(df.union(Seq("zz").toDF("arm")), "arm",
+        design, threshold = 6.0).collect()
+    }
+    assert(exU.getMessage.contains("zz"))
+    intercept[IllegalArgumentException] {
+      Stats.srmCheckMulti(df, "arm", Map("a" -> 0.5, "b" -> 0.4),
+        threshold = 6.0).collect()
+    }
+  }
+
   test("propZTest: hand rates, domain sentinel, degenerate-pool guards") {
     import graft.operators.Stats
     // A: 3/4 success; B: 1/4 — z from the textbook pooled form
