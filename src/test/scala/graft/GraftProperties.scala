@@ -267,3 +267,63 @@ object GraftProperties extends Properties("graft") {
       chunks == expected
     }
 }
+
+/** Property invariants over the experimentation-family driver chains
+  * (pure JVM — no SparkSession): the algebra the oracles replay must
+  * satisfy the textbook symmetries EXACTLY, not just approximately,
+  * because the streaming twins and the k=2/one-stratum degenerations
+  * are pinned bit-for-bit on top of them. */
+object StatsChainProperties extends Properties("graft.statschains") {
+  import graft.operators.Stats
+
+  private val genMoments = for {
+    n <- Gen.choose(2L, 10000L)
+    mean <- Gen.choose(-1000.0, 1000.0)
+    spread <- Gen.choose(0.1, 100.0)
+  } yield {
+    // integral 6-dp-grid decimals with guaranteed positive variance
+    val s = BigDecimal(java.math.BigDecimal.valueOf(mean * n).setScale(6,
+      java.math.RoundingMode.HALF_UP))
+    val q = BigDecimal(java.math.BigDecimal.valueOf(
+      (mean * mean + spread) * n).setScale(6,
+      java.math.RoundingMode.HALF_UP))
+    (n, s, q)
+  }
+
+  property("welchChain: swapping the arms negates t and d, preserves df, swaps means — bit-for-bit") =
+    forAll(genMoments, genMoments) { case ((na, sa, qa), (nb, sb, qb)) =>
+      // scalacheck shrinking ignores generator bounds — re-gate them
+      if (na < 2 || nb < 2) true else {
+      val (mA, mB, t, df, d) = Stats.welchChain(na, sa, qa, nb, sb, qb)
+      val (mB2, mA2, t2, df2, d2) = Stats.welchChain(nb, sb, qb, na, sa, qa)
+      // IEEE negation is exact and +/x are commutative, so these hold
+      // to the BIT, not within an epsilon
+      mA == mA2 && mB == mB2 &&
+        (t2 == -t || (t.isNaN && t2.isNaN)) &&
+        (df == df2 || (df.isNaN && df2.isNaN)) &&
+        (d2 == -d || (d.isNaN && d2.isNaN))
+      }
+    }
+
+  property("zPvalue2: a valid two-sided p — in [0,1], sign-symmetric, non-increasing in |z|, anchored at z=0") =
+    forAll(Gen.choose(-50.0, 50.0), Gen.choose(-50.0, 50.0)) { (z1, z2) =>
+      val p1 = Stats.zPvalue2(z1); val p2 = Stats.zPvalue2(z2)
+      p1 >= 0.0 && p1 <= 1.0 &&
+        Stats.zPvalue2(-z1) == p1 &&
+        (math.abs(z1) <= math.abs(z2) || p1 <= p2) &&
+        math.abs(Stats.zPvalue2(0.0) - 1.0) < 2e-7
+    }
+
+  property("msprtChain: always-valid p never exceeds 1 and shrinks as the shift grows") =
+    forAll(genMoments, genMoments, Gen.choose(0.1, 100.0)) {
+      case ((na, sa, qa), (nb, sb, qb), tau2) =>
+        // scalacheck shrinking ignores generator bounds — re-gate them
+        if (na < 2 || nb < 2 || tau2 <= 0.0) true else {
+          val (_, vn, lambda, p) = Stats.msprtChain(na, sa, qa, nb, sb, qb, tau2)
+          // p = 0.0 is legitimate: an overwhelming shift overflows the
+          // mixture LR to +Inf and the always-valid p underflows — the
+          // strongest possible rejection, not an error
+          vn <= 0.0 || (lambda > 0.0 && p >= 0.0 && p <= 1.0)
+        }
+    }
+}
