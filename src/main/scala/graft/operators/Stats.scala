@@ -1687,6 +1687,11 @@ object Stats {
     require(threshold > 0.0, "srmCheckMulti: threshold must be positive")
     val session = df.sparkSession
     import session.implicits._
+    // the limit bounds the collect at |design|+2 rows; if the data has
+    // MORE arms than that, ANY |design|+2 of them contain >= 2 arms
+    // outside the design (pigeonhole), so the unknown-arm gate below
+    // still fires — counts are only read on the path where nothing
+    // was dropped
     val rows = df.filter(col(armCol).isNotNull)
       .groupBy(col(armCol).cast("string").as("arm"))
       .agg(count(lit(1)).as("n"))
