@@ -1400,6 +1400,96 @@ object Stats {
       "p", "significant")
   }
 
+  /** Per-segment treatment effects — the "WHICH segments moved?"
+    * readout (heterogeneous-effect slicing: country, platform, cohort):
+    * a Welch test per segment against the SAME A/B condition, with the
+    * Benjamini–Hochberg step-up across the |segments| comparisons —
+    * exactly the one-test-per-slice regime [[bhFdr]]'s scaladoc warns
+    * about, packaged so the multiplicity correction cannot be
+    * forgotten. The [[multiArm]] shape rotated 90°: there the arms
+    * vary and the metric is one test, here the condition is fixed and
+    * every segment is one test.
+    *
+    * Scale shape: ONE (segment, arm)-grouped exact-decimal moment pass
+    * (≤ 2·maxGroups cells behind a loud bound — the
+    * [[postStratifiedDiff]] bounded-collect discipline), then pinned
+    * driver algebra per segment: [[welchChain]] (ONE implementation —
+    * each segment's row is bit-equal to [[welchT]] on that slice,
+    * spec-pinned), two-sided normal-approximation p ([[zPvalue2]]),
+    * BH at level q across the segments. One row per segment, ordered
+    * by segment label:
+    * `(grp, n_a, n_b, mean_a, mean_b, diff, t, df, p, significant)` —
+    * diff = mean_a − mean_b (the [[welchT]] A-minus-B convention).
+    * NULL/non-finite values and NULL segments excluded ([[finite]]);
+    * a segment with an arm under 2 rows fails LOUD naming it (a thin
+    * slice is a design problem — coarsen the segmentation, don't let
+    * it vanish silently).
+    */
+  def welchTByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                    sampleACond: org.apache.spark.sql.Column,
+                    q: Double = 0.05,
+                    maxGroups: Int = 10_000): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"welchTByGroup: q must be in (0, 1), got $q")
+    require(maxGroups >= 1,
+      s"welchTByGroup: maxGroups must be positive, got $maxGroups")
+    val session = df.sparkSession
+    import session.implicits._
+    def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+    val v = col(valueCol)
+    val ia = when(sampleACond, 1L).otherwise(0L)
+    val cellCap = math.min(maxGroups.toLong * 2L + 1L, Int.MaxValue.toLong).toInt
+    val cells = df.filter(finite(v) && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"), ia.as("ia"))
+      .agg(count(lit(1)).as("n"),
+        sum(d6(v)).as("s"),
+        sum(d6(v) * d6(v)).as("qq"),
+        sum(when(v.cast("double") =!= round(v.cast("double"), 6), 1L)
+          .otherwise(0L)).as("nf"))
+      .limit(cellCap)
+      .collect()
+    require(cells.length <= maxGroups * 2,
+      s"welchTByGroup: more than $maxGroups segments — the driver fold " +
+        "would not be planning-sized; coarsen the segment key or raise " +
+        "maxGroups deliberately")
+    require(cells.nonEmpty,
+      "welchTByGroup: no rows with a non-NULL finite value and a " +
+        "non-NULL segment")
+    require(cells.map(_.getLong(5)).sum == 0L,
+      s"welchTByGroup: ${cells.map(_.getLong(5)).sum} value(s) need " +
+        "more than 6 decimal places — the decimal(18,6) moments would " +
+        "round them silently; rescale to the 6-dp grid first")
+    val byCell = cells.map(r => (r.getString(0), r.getLong(1)) ->
+      ((r.getLong(2), BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))))
+      .toMap
+    val groups = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
+    val tested = groups.map { g =>
+      val a = byCell.get((g, 1L))
+      val b = byCell.get((g, 0L))
+      require(a.exists(_._1 >= 2L) && b.exists(_._1 >= 2L),
+        s"welchTByGroup: segment '$g' needs >= 2 rows in EACH arm " +
+          s"(n_a=${a.map(_._1).getOrElse(0L)}, " +
+          s"n_b=${b.map(_._1).getOrElse(0L)}) — a per-segment Welch " +
+          "test is undefined on a thin slice; coarsen the segment key")
+      val (na, sa, qa) = a.get
+      val (nb, sb, qb) = b.get
+      val (mA, mB, t, dfW, _) = welchChain(na, sa, qa, nb, sb, qb)
+      require(!t.isNaN && !t.isInfinite,
+        s"welchTByGroup: degenerate variance in segment '$g' — the " +
+          "Welch statistic is undefined (constant metric)")
+      (g, na, nb, mA, mB, t, dfW, zPvalue2(t))
+    }
+    // the BH step-up rule across the segments (the [[bhFdr]] /
+    // [[multiArm]] form: largest i with p_(i) <= q*i/m)
+    val m = tested.length
+    val thr = tested.map(_._8).sorted.zipWithIndex
+      .filter { case (p, i) => p <= q * (i + 1).toDouble / m.toDouble }
+      .map(_._1).lastOption
+    tested.map { case (g, na, nb, mA, mB, t, dfW, p) =>
+      (g, na, nb, mA, mB, mA - mB, t, dfW, p, thr.exists(p <= _))
+    }.toDF("grp", "n_a", "n_b", "mean_a", "mean_b", "diff", "t", "df",
+      "p", "significant")
+  }
+
   /** Group-sequential A/B monitoring — the SCHEDULED-looks discipline
     * beside [[msprt]]'s always-valid one (the two industry-standard
     * ways to read an experiment early; Lan & DeMets 1983, O'Brien &

@@ -550,6 +550,23 @@ object StatsQ {
           round(col("mde_rel"), 6).as("mde_rel"),
           col("n_per_arm"))),
 
+    "x_welch_segments" -> ((s, dir) =>
+      // per-segment treatment effects (Stats.welchTByGroup): a Welch
+      // test per event type for the even/odd-user split, BH across the
+      // five slices — ONE (segment, arm)-cell decimal pass, welchChain
+      // per segment (each row bit-equal to welchT on that slice),
+      // the A&S erfc p, step-up at q = 0.05
+      Stats.welchTByGroup(t(s, dir, "events"), "value", "event_type",
+          col("user_id") % 2 === 0, q = 0.05)
+        .select(col("grp"), col("n_a"), col("n_b"),
+          round(col("mean_a"), 6).as("mean_a"),
+          round(col("mean_b"), 6).as("mean_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("t"), 6).as("t"),
+          round(col("df"), 4).as("df"),
+          round(col("p"), 6).as("p"),
+          col("significant").cast("long").as("significant"))),
+
     "x_multi_arm" -> ((s, dir) =>
       // multi-arm A/B/n readout (Stats.multiArm): every event type vs
       // the 'view' control in ONE (arm)-grouped decimal-moment pass —
@@ -1986,6 +2003,58 @@ object StatsQ {
         |  CAST(ceil(2 * varp * zsum * zsum / (delta * delta)) AS BIGINT)
         |    AS n_per_arm
         |FROM fin""".stripMargin,
+    "x_welch_segments" ->
+      // per-(segment, arm) welch_t moment CTEs, the same ratio shapes
+      // as welchChain per segment, the A&S 7.1.26 erfc polynomial in
+      // the same Horner order, ROW_NUMBER BH across the segments
+      """WITH pts AS (
+        |  SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |m AS (
+        |  SELECT g,
+        |    CAST(SUM(ia) AS BIGINT) AS na,
+        |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
+        |    SUM(CASE WHEN ia = 1 THEN v * v END) AS qa,
+        |    CAST(SUM(1 - ia) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN ia = 0 THEN v END) AS sb,
+        |    SUM(CASE WHEN ia = 0 THEN v * v END) AS qb
+        |  FROM pts GROUP BY g),
+        |alg AS (
+        |  SELECT g, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM m),
+        |se AS (SELECT g, na, nb, ma, mb,
+        |  va / CAST(na AS DOUBLE) AS sea, vb / CAST(nb AS DOUBLE) AS seb
+        |  FROM alg),
+        |tt AS (SELECT g, na, nb, ma, mb,
+        |  (ma - mb) / sqrt(sea + seb) AS t,
+        |  (sea + seb) * (sea + seb) / (sea * sea
+        |    / CAST(na - 1 AS DOUBLE) + seb * seb / CAST(nb - 1 AS DOUBLE))
+        |    AS dfw
+        |  FROM se),
+        |px AS (SELECT g, na, nb, ma, mb, t, dfw,
+        |  abs(t) / sqrt(2.0) AS x FROM tt),
+        |pu AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS u FROM px),
+        |pv AS (SELECT g, na, nb, ma, mb, t, dfw,
+        |  ((((1.061405429 * u - 1.453152027) * u + 1.421413741) * u
+        |    - 0.284496736) * u + 0.254829592) * u * exp(-x * x) AS p
+        |  FROM pu),
+        |bh AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, g) AS rn,
+        |  CAST(COUNT(*) OVER () AS DOUBLE) AS mm FROM pv),
+        |thr AS (SELECT MAX(CASE WHEN p <= 0.05 * CAST(rn AS DOUBLE) / mm
+        |  THEN p END) AS thr FROM bh)
+        |SELECT g AS grp, na AS n_a, nb AS n_b, ROUND(ma, 6) AS mean_a,
+        |  ROUND(mb, 6) AS mean_b, ROUND(ma - mb, 6) AS diff,
+        |  ROUND(t, 6) AS t, ROUND(dfw, 4) AS df, ROUND(p, 6) AS p,
+        |  CAST(COALESCE(p <= thr.thr, FALSE) AS BIGINT) AS significant
+        |FROM bh, thr ORDER BY grp""".stripMargin,
     "x_multi_arm" ->
       // per-arm welch_t moment CTEs (control = 'view' as sample B),
       // the SAME ratio shapes and operation order as welchChain, the

@@ -2589,6 +2589,47 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("welchTByGroup: each segment bit-equals welchT on its slice, BH across segments, thin slice loud") {
+    import graft.operators.Stats
+    // three segments: one with a planted shift, one identical-arms,
+    // one mild — BH should reject exactly the planted one
+    def seg(g: String, shift: Double) = (1 to 30).map(i =>
+      (g, if (i % 2 == 0) "a" else "b",
+        (i % 9).toDouble + (if (i % 2 == 0) shift else 0.0)))
+    val df = (seg("big", 40.0) ++ seg("flat", 0.0) ++ seg("mild", 0.5))
+      .toDF("g", "arm", "v")
+    val rows = Stats.welchTByGroup(df, "v", "g", col("arm") === "a")
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("big", "flat", "mild"),
+      "sorted segments")
+    // every segment's statistics ARE welchT on that slice (one
+    // welchChain implementation) — bit-equal
+    for (r <- rows) {
+      val w = Stats.welchT(df.filter(col("g") === r.getString(0)), "v",
+        col("arm") === "a").head()
+      assert(r.getLong(1) == w.getLong(0) && r.getLong(2) == w.getLong(1))
+      assert(r.getDouble(3) == w.getDouble(2) && r.getDouble(4) == w.getDouble(3))
+      assert(r.getDouble(6) == w.getDouble(4), s"${r.getString(0)} t")
+      assert(r.getDouble(7) == w.getDouble(5), s"${r.getString(0)} df")
+    }
+    val byG = rows.map(r => r.getString(0) -> r.getBoolean(9)).toMap
+    assert(byG("big") && !byG("flat") && !byG("mild"),
+      s"BH must reject exactly the planted segment: ${rows.mkString(",")}")
+    // a thin slice fails LOUD naming it
+    val exT = intercept[IllegalArgumentException] {
+      Stats.welchTByGroup(
+        df.union(Seq(("thin", "a", 1.0), ("thin", "b", 2.0), ("thin", "b", 3.0))
+          .toDF("g", "arm", "v")), "v", "g", col("arm") === "a").collect()
+    }
+    assert(exT.getMessage.contains("'thin'") &&
+      exT.getMessage.contains("EACH arm"))
+    // segment-count bound fires before the fold
+    intercept[IllegalArgumentException] {
+      Stats.welchTByGroup(df, "v", "g", col("arm") === "a", maxGroups = 1)
+        .collect()
+    }
+  }
+
   test("msprtCI: radius matches the closed form, p ≡ msprt bit-for-bit, guards") {
     import graft.operators.Stats
     val df = (1 to 40).map(i =>
