@@ -36,4 +36,13 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
+
+  /** BENCH-ONLY entries: timed by Bench.scala alongside `queries`,
+    * excluded from Verify.scala/the driver's oracle compare — each def
+    * documents why a value oracle would be a flake (today: exactly the
+    * production-k compacting-sketch configuration, whose bound
+    * selection is partition-order-dependent). Disjoint from `queries`
+    * by construction (QueriesSmokeSpec pins it). */
+  def benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    StatsQ.benchOnlyDefs
 }

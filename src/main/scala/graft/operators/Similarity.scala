@@ -373,16 +373,97 @@ object Similarity {
     * backfill labels first if unlabeled rows must participate.
     */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
-                    labelCol: String, k: Int): DataFrame = {
+                    labelCol: String, k: Int,
+                    maxBroadcast: Long = MaxBroadcastQueries): DataFrame = {
     val spark = corpus.sparkSession
     val n = corpus.count()
-    require(n <= MaxBroadcastQueries,
-      s"corpus has $n rows > $MaxBroadcastQueries broadcast bound; " +
-        "slice it as knnJoinBatched does")
+    require(n <= maxBroadcast,
+      s"corpus has $n rows > $maxBroadcast broadcast bound; " +
+        "use hardNegativesIvf, which mines per coarse cell instead of " +
+        "broadcasting the whole corpus")
     val q = broadcast(corpus.select(col(idCol).as("__qid"),
       col(vecCol).as("__qvec"), col(labelCol).as("__qlab")))
     corpus.join(q,
         col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
+      .select(col("__qid"),
+        struct(
+          CosineSimilarity.cosine(spark, col(vecCol), col("__qvec"))
+            .cast("decimal(10,4)").cast("double").as("cos"),
+          col(idCol).as("nid")).as("__cand"))
+      .groupBy(col("__qid"))
+      .agg(graft.functions.TopK.topK(spark, col("__cand"), k).as("__top"))
+      .select(col("__qid"), posexplode(col("__top")).as(Seq("__r", "__c")))
+      .select(col("__qid").as(idCol), (col("__r") + 1).as("rank"),
+        col("__c.nid").as("neg_id"), col("__c.cos").as("cos"))
+  }
+
+  /** Hard-negative mining at INDEX scale — [[hardNegatives]] past its
+    * broadcast bound (round-16 verdict item 3): instead of
+    * broadcasting the whole corpus as its own query set, the corpus is
+    * assigned to coarse cells ([[ivfPqTopK]]'s quantizer — argmin-L2²
+    * against the literal `coarse` table, ties to the lowest cell) and
+    * every query probes only its `nprobe` nearest cells, so candidates
+    * are generated per cell by a KEY-BUCKETED equi-join, never a
+    * corpus×corpus broadcast. The label-exclusion predicate rides IN
+    * the join condition exactly as in [[hardNegatives]] (same-label
+    * candidates drop before the aggregate buffers anything), and the
+    * per-query reduction is the same bounded-buffer
+    * [[graft.functions.TopK]] aggregate — k rows per (query,
+    * partition) ever shuffle.
+    *
+    * Scale shape: scan → narrow cell assignment (whole-stage-codegen
+    * HOFs over the literal centroids) on BOTH join sides → shuffle
+    * hash join keyed on the cell id → TopK partial agg. At 100 TB the
+    * cell id is computed once at ingest and becomes a partition/bucket
+    * column, making the join co-located; size |cells| ≳ the cluster's
+    * parallelism so the cell key cannot concentrate the shuffle (AQE
+    * skew-split covers residual hot cells). Cost scales with
+    * nprobe/|cells| of the all-pairs work, the [[ivfTopK]] knob.
+    *
+    * Per-query probe ranking is in-plan (each query row's nprobe
+    * smallest (L2², cell) pairs via array_sort over a struct zip — the
+    * deterministic tie order of [[ivfPqTopK]]'s driver-side probe).
+    * With `nprobe = coarse.length` every cell is probed and the result
+    * EQUALS [[hardNegatives]] row-for-row (spec + oracle locked);
+    * smaller nprobe trades recall for touched data. NULL labels match
+    * nothing on either side ([[hardNegatives]]'s observed-values
+    * policy; a NULL cell cannot arise — assignment is total on
+    * non-null vectors, and NULL vectors cosine to NULL and never rank).
+    */
+  def hardNegativesIvf(corpus: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, k: Int,
+                       coarse: Array[Array[Double]], nprobe: Int): DataFrame = {
+    require(coarse.nonEmpty, "hardNegativesIvf: empty coarse-centroid table")
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe outside 1..${coarse.length}")
+    val spark = corpus.sparkSession
+    // candidate side: one narrow argmin pass — the ivfPqTopK cell
+    // assignment (1-based, ties to the lowest cell id)
+    val cell = pqCodeCols(vecCol, Array(coarse)).head
+    val cand = corpus.select(col(idCol), col(vecCol), col(labelCol),
+      cell.cast("long").as("__cell"))
+    // query side: per-row nprobe nearest cells, fully in-plan — the
+    // same L2² fold as the assignment, sorted as (dist, cell id)
+    // structs (array_sort orders field-by-field, so ties break to the
+    // lower cell exactly like the driver-side probe in ivfPqTopK)
+    val cwLit = array(coarse.map(cw => array(cw.map(lit(_)): _*)): _*)
+    val vd = col(vecCol).cast("array<double>")
+    val dists = transform(cwLit, cwv =>
+      aggregate(zip_with(vd, cwv, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, b) => a + b))
+    val probes = transform(
+      slice(array_sort(zip_with(dists,
+        transform(dists, (_, i) => (i + 1).cast("long")),
+        (d, j) => struct(d.as("d"), j.as("j")))), 1, nprobe),
+      s => s.getField("j"))
+    val q = corpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+        col(labelCol).as("__qlab"), explode(probes).as("__qcell"))
+    // the cell equi-key drives a shuffle hash join; id/label mismatch
+    // predicates ride alongside so same-label candidates never reach
+    // the aggregate
+    cand.join(q,
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
       .select(col("__qid"),
         struct(
           CosineSimilarity.cosine(spark, col(vecCol), col("__qvec"))

@@ -1330,13 +1330,26 @@ object Stats {
     * `(arm, n_c, n_t, mean_c, mean_t, diff, t, df, p, significant)` —
     * diff = mean_t − mean_c; `significant` = BH-rejected at q. NULL
     * and non-finite values excluded ([[finite]]); NULL arms excluded;
-    * every arm (control included) needs ≥ 2 rows, fail loud.
+    * every arm (control included) needs ≥ `minN` rows, fail loud.
+    *
+    * NORMAL-APPROXIMATION VALIDITY (ADVICE r16): [[zPvalue2]] reads
+    * the Welch t against the NORMAL CDF — exact only as df → ∞. At
+    * platform sample sizes (df in the thousands) the error is
+    * negligible; below df ≈ 30 the normal p can be off by orders of
+    * magnitude and BH rejections inherit the error. The per-arm `df`
+    * column is emitted precisely so callers can see when p is
+    * approximation-dominated (treat df < 30 as a warning threshold);
+    * `minN` (default 2 — the bare variance-exists bound, kept for
+    * back-compat) is the overridable guard to raise (e.g. to 30) when
+    * thin arms must fail loud instead.
     */
   def multiArm(df: DataFrame, valueCol: String, armCol: String,
                controlArm: String, q: Double = 0.05,
-               maxArms: Int = 64): DataFrame = {
+               maxArms: Int = 64, minN: Long = 2L): DataFrame = {
     require(q > 0.0 && q < 1.0, s"multiArm: q must be in (0, 1), got $q")
     require(maxArms >= 2, s"multiArm: maxArms must be >= 2, got $maxArms")
+    require(minN >= 2L, s"multiArm: minN must be >= 2 (a variance needs " +
+      s"two rows), got $minN")
     val session = df.sparkSession
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -1368,13 +1381,13 @@ object Stats {
       s"multiArm: control arm '$controlArm' has no rows (arms present: " +
         s"${byArm.keys.toSeq.sorted.mkString(", ")})")
     val (nc, sc, qc) = byArm(controlArm)
-    require(nc >= 2, s"multiArm: control arm needs >= 2 rows (n=$nc)")
+    require(nc >= minN, s"multiArm: control arm needs >= $minN rows (n=$nc)")
     val treats = byArm.keys.filter(_ != controlArm).toSeq.sorted
     require(treats.nonEmpty,
       "multiArm: need at least one treatment arm besides the control")
     val tested = treats.map { arm =>
       val (nt, st, qt) = byArm(arm)
-      require(nt >= 2, s"multiArm: arm '$arm' needs >= 2 rows (n=$nt)")
+      require(nt >= minN, s"multiArm: arm '$arm' needs >= $minN rows (n=$nt)")
       // sample A = treatment, sample B = control (diff = m_t − m_c,
       // the welchT A-minus-B convention with the control as B)
       val (mT, mC, t, dfW, _) = welchChain(nt, st, qt, nc, sc, qc)
@@ -1421,17 +1434,25 @@ object Stats {
     * `(grp, n_a, n_b, mean_a, mean_b, diff, t, df, p, significant)` —
     * diff = mean_a − mean_b (the [[welchT]] A-minus-B convention).
     * NULL/non-finite values and NULL segments excluded ([[finite]]);
-    * a segment with an arm under 2 rows fails LOUD naming it (a thin
-    * slice is a design problem — coarsen the segmentation, don't let
-    * it vanish silently).
+    * a segment with an arm under `minN` rows fails LOUD naming it (a
+    * thin slice is a design problem — coarsen the segmentation, don't
+    * let it vanish silently).
+    *
+    * NORMAL-APPROXIMATION VALIDITY (ADVICE r16): p is the normal read
+    * of the Welch t ([[zPvalue2]] — see [[multiArm]]'s note); each
+    * segment's `df` column is emitted so callers can see when p is
+    * approximation-dominated (df < 30 is the warning threshold), and
+    * `minN` (default 2) is the overridable thin-slice guard to raise.
     */
   def welchTByGroup(df: DataFrame, valueCol: String, groupCol: String,
                     sampleACond: org.apache.spark.sql.Column,
                     q: Double = 0.05,
-                    maxGroups: Int = 10_000): DataFrame = {
+                    maxGroups: Int = 10_000, minN: Long = 2L): DataFrame = {
     require(q > 0.0 && q < 1.0, s"welchTByGroup: q must be in (0, 1), got $q")
     require(maxGroups >= 1,
       s"welchTByGroup: maxGroups must be positive, got $maxGroups")
+    require(minN >= 2L, s"welchTByGroup: minN must be >= 2 (a variance " +
+      s"needs two rows), got $minN")
     val session = df.sparkSession
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -1465,8 +1486,8 @@ object Stats {
     val tested = groups.map { g =>
       val a = byCell.get((g, 1L))
       val b = byCell.get((g, 0L))
-      require(a.exists(_._1 >= 2L) && b.exists(_._1 >= 2L),
-        s"welchTByGroup: segment '$g' needs >= 2 rows in EACH arm " +
+      require(a.exists(_._1 >= minN) && b.exists(_._1 >= minN),
+        s"welchTByGroup: segment '$g' needs >= $minN rows in EACH arm " +
           s"(n_a=${a.map(_._1).getOrElse(0L)}, " +
           s"n_b=${b.map(_._1).getOrElse(0L)}) — a per-segment Welch " +
           "test is undefined on a thin slice; coarsen the segment key")
@@ -1513,8 +1534,18 @@ object Stats {
     *     supplies the K-look Pocock constant (e.g. 2.413 for K = 5,
     *     α = 0.05) in place of the plain quantile.
     *
-    * t_k is the pooled-count information fraction n_k / n_K (the
-    * standard practical surrogate when per-unit variance is stable).
+    * t_k is the pooled-count information fraction n_k / N (the
+    * standard practical surrogate when per-unit variance is stable),
+    * where N is `plannedTotal` when supplied and the OBSERVED count at
+    * the last look otherwise. Supply `plannedTotal` for LIVE
+    * monitoring (a schedule not yet complete): without it the default
+    * N = n_K makes the latest look read info_frac = 1, and re-running
+    * as later looks fill would re-test unchanged data at progressively
+    * lower OBF boundaries — anti-conservative (ADVICE r16). The
+    * default form is therefore a RETROSPECTIVE read over a complete
+    * schedule, enforced by a strict per-look cumulative-count increase
+    * (which also catches non-ascending cutoffs, otherwise masked by
+    * the first-match bucketing).
     *
     * Scale shape: ONE partial-agged exact-decimal moment pass, grouped
     * by (first-look-containing-the-row, arm) — ≤ 2K cells — then
@@ -1535,7 +1566,8 @@ object Stats {
                       timeCol: String,
                       cutoffs: Seq[org.apache.spark.sql.Column],
                       zAlpha2: Double = 1.959963984540054,
-                      shape: String = "obf"): DataFrame = {
+                      shape: String = "obf",
+                      plannedTotal: Option[Long] = None): DataFrame = {
     require(cutoffs.nonEmpty, "groupSequential: need at least one look")
     require(cutoffs.size <= 32,
       s"groupSequential: ${cutoffs.size} looks — the schedule is a " +
@@ -1543,6 +1575,8 @@ object Stats {
     require(shape == "obf" || shape == "pocock",
       s"groupSequential: shape must be \"obf\" or \"pocock\", got \"$shape\"")
     require(zAlpha2 > 0.0, s"groupSequential: zAlpha2 must be positive")
+    require(plannedTotal.forall(_ >= 4L),
+      "groupSequential: plannedTotal must cover >= 2 rows per arm")
     val session = df.sparkSession
     import session.implicits._
     def d6(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
@@ -1576,6 +1610,7 @@ object Stats {
     // cumulative exact-decimal moments per look, in look order
     var na = 0L; var sa = BigDecimal(0); var qa = BigDecimal(0)
     var nb = 0L; var sb = BigDecimal(0); var qb = BigDecimal(0)
+    var prevCum = 0L
     val perLook = (1 to k).map { lk =>
       byCell.get((lk, 1L)).foreach { case (n, s, qd) =>
         na += n; sa += s; qa += qd }
@@ -1585,9 +1620,33 @@ object Stats {
         s"groupSequential: look $lk has n_a=$na, n_b=$nb — every look " +
           "needs >= 2 cumulative rows per arm for a variance; schedule " +
           "the first look after the test exists")
+      // per-look cumulative counts must STRICTLY increase (ADVICE r16):
+      // an empty look means the schedule has outrun the data — without
+      // a planned total, the latest populated look would read
+      // info_frac = 1 and the SAME data would be re-tested at
+      // progressively lower OBF boundaries across the empty looks
+      // (anti-conservative); a non-increase also catches non-ascending
+      // cutoffs, which the bucketing CASE otherwise masks silently.
+      require(na + nb > prevCum,
+        s"groupSequential: look $lk added no rows (cumulative n " +
+          s"${na + nb} after ${prevCum}) — either the schedule looks " +
+          "past the observed data (pass plannedTotal to anchor the " +
+          "information fraction for live monitoring) or the cutoffs " +
+          "are not ascending")
+      prevCum = na + nb
       (lk, na, sa, qa, nb, sb, qb)
     }
-    val nTotal = (perLook.last._2 + perLook.last._5).toDouble
+    // information denominator: the PLANNED final pooled count when
+    // supplied (live monitoring — info_frac stays honest before the
+    // schedule completes), else the observed count at the last look
+    // (retrospective read over a COMPLETE schedule; the strict-increase
+    // guard above refuses the anti-conservative in-between state)
+    val observedTotal = perLook.last._2 + perLook.last._5
+    plannedTotal.foreach(p => require(p >= observedTotal,
+      s"groupSequential: plannedTotal $p < observed pooled count " +
+        s"$observedTotal — the schedule has outrun its plan; re-plan " +
+        "the looks rather than let info_frac exceed 1"))
+    val nTotal = plannedTotal.getOrElse(observedTotal).toDouble
     val looks = perLook.map { case (lk, la, lsa, lqa, lb, lsb, lqb) =>
       val (_, _, z, _, _) = welchChain(la, lsa, lqa, lb, lsb, lqb)
       require(!z.isNaN && !z.isInfinite,

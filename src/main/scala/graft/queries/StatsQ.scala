@@ -53,6 +53,30 @@ object StatsQ {
         "rank error; raise k or move this oracle to the approximate regime")
   }
 
+  /** BENCH-ONLY queries (SparkEntry.benchOnly): timed by Bench.scala
+    * every sweep, deliberately EXCLUDED from Verify.scala and the
+    * driver's oracle compare — each entry names why a value oracle
+    * would be a flake, not a check. Keeping them out of the
+    * correctness artifact (round-16 verdict item 1: x_winsorize_
+    * sketch_prod read as `err: no_oracle` two rounds running) lets
+    * CORRECTNESS read all-green while the bench still tracks the
+    * production-configuration cost. */
+  val benchOnlyDefs: Map[String, Q] = Map(
+    "x_winsorize_sketch_prod" -> ((s, dir) =>
+      // the winsorize sketch path at its PRODUCTION size (k = 256,
+      // ~1/256 rank error on the clip bounds — the 100 TB
+      // configuration): deliberately NON-ORACLED (a compacting sketch's
+      // bound selection is partition-order-dependent), it exists so the
+      // bench tracks the cost of the path users actually run —
+      // x_winsorize_sketch's k = 2^19 exact-regime form is the
+      // correctness pin, ~5x dearer per sweep, and stays as is.
+      Stats.winsorizedStatsSketch(t(s, dir, "lineitem"), "l_returnflag",
+          "l_quantity", k = 256)
+        .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
+          round(col("winsor_mean"), 6).as("winsor_mean"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"))
+        .orderBy("l_returnflag")))
+
   val defs: Map[String, Q] = Map(
     "x_ols" -> ((s, dir) =>
       // per-returnflag OLS of extended price on quantity: Spark's
@@ -790,23 +814,6 @@ object StatsQ {
         .orderBy("p")
     }),
 
-    "x_winsorize_sketch_prod" -> ((s, dir) =>
-      // the winsorize sketch path at its PRODUCTION size (k = 256,
-      // ~1/256 rank error on the clip bounds — the 100 TB
-      // configuration): deliberately NON-ORACLED (a compacting sketch's
-      // bound selection is partition-order-dependent), it exists so the
-      // bench tracks the cost of the path users actually run —
-      // x_winsorize_sketch's k = 2^19 exact-regime form is the
-      // correctness pin, ~5x dearer per sweep, and stays as is. The
-      // output keeps the full shape (driver does a rows-only check:
-      // one row per return flag).
-      Stats.winsorizedStatsSketch(t(s, dir, "lineitem"), "l_returnflag",
-          "l_quantity", k = 256)
-        .select(col("l_returnflag"), col("n"), col("p_lo"), col("p_hi"),
-          round(col("winsor_mean"), 6).as("winsor_mean"),
-          round(col("trimmed_mean"), 6).as("trimmed_mean"))
-        .orderBy("l_returnflag")),
-
     "x_sketch_interp" -> ((s, dir) => {
       // the INTERPOLATED sketch read + the WEIGHTED sketch STATE in one
       // oracled round trip: a pre-counted (value, weight) frame builds
@@ -961,6 +968,14 @@ object StatsQ {
         .orderBy("p"))
   )
 
+  // Experimentation-family replays mirror the engine's finite() gate
+  // with `isfinite(metric)` in their WHERE clauses (ADVICE r16): the
+  // engine excludes NaN/±Inf rows (a non-finite double casts to
+  // decimal(18,6) as NULL, which would desync n from the moment sums),
+  // and a bare IS NOT NULL replica would silently diverge on any
+  // off-bench input containing them. The bench tables hold no
+  // non-finite values, so the added clause is a no-op on the driver's
+  // compare — it exists so the replica stays faithful off-bench.
   val oracle: Map[String, String] = Map(
     "x_ols" ->
       """SELECT l_returnflag,
@@ -1404,7 +1419,7 @@ object StatsQ {
          |  SELECT CAST(o_orderkey AS HUGEINT) AS key,
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
          |  FROM orders
-         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL AND isfinite(o_totalprice)),
          |js AS (SELECT unnest(range(1, 201)) AS j),
          |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
@@ -1461,7 +1476,7 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
@@ -1501,7 +1516,7 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
@@ -1576,7 +1591,7 @@ object StatsQ {
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
-         |    AND o_orderpriority IS NOT NULL),
+         |    AND o_orderpriority IS NOT NULL AND isfinite(o_totalprice)),
          |js AS (SELECT unnest(range(1, 201)) AS j),
          |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
@@ -1914,7 +1929,7 @@ object StatsQ {
         |    CAST(o_totalprice AS DECIMAL(19,6)) AS v,
         |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia
         |  FROM orders
-        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+        |  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL AND isfinite(o_totalprice)),
         |cells AS (
         |  SELECT s, ia, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(v) AS sv, SUM(v * v) AS qv
@@ -1967,7 +1982,7 @@ object StatsQ {
       """WITH pts AS (
         |  SELECT CAST(l_extendedprice AS DECIMAL(19,6)) AS v,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
-        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,
@@ -2011,7 +2026,7 @@ object StatsQ {
         |  SELECT event_type AS g, CAST(value AS DECIMAL(18,6)) AS v,
         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS ia
         |  FROM events
-        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)),
         |m AS (
         |  SELECT g,
         |    CAST(SUM(ia) AS BIGINT) AS na,
@@ -2065,7 +2080,7 @@ object StatsQ {
       // matching the engine's sorted-index rule)
       """WITH pts AS (
         |  SELECT CAST(value AS DECIMAL(18,6)) AS v, event_type AS arm
-        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL AND isfinite(value)),
         |m AS (
         |  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(v) AS s, SUM(v * v) AS q
@@ -2121,7 +2136,7 @@ object StatsQ {
         |         WHEN o_orderdate <= DATE '2000-06-30' THEN 3
         |         WHEN o_orderdate <= DATE '2001-08-01' THEN 4 END AS k
         |  FROM orders
-        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL AND isfinite(o_totalprice)),
         |cells AS (
         |  SELECT k, ia, CAST(COUNT(*) AS BIGINT) AS n,
         |    SUM(v) AS s, SUM(v * v) AS q
@@ -2183,7 +2198,7 @@ object StatsQ {
          |    CAST(o_totalprice AS DOUBLE) AS v
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
-         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995),
+         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995 AND isfinite(o_totalprice)),
          |js AS (SELECT unnest(range(1, 201)) AS j),
          |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
@@ -2239,7 +2254,7 @@ object StatsQ {
          |    CAST(o_totalprice AS DECIMAL(18,6)) AS v,
          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
          |  FROM orders
-         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL AND isfinite(o_totalprice)),
          |js AS (SELECT unnest(range(1, 201)) AS j),
          |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
@@ -2285,7 +2300,7 @@ object StatsQ {
         |    CAST(l_quantity AS DECIMAL(19,6)) AS x,
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
         |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL AND isfinite(l_extendedprice) AND isfinite(l_quantity)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN y END) AS sya,
@@ -2363,7 +2378,7 @@ object StatsQ {
         |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        |    AND l_discount IS NOT NULL),
+        |    AND l_discount IS NOT NULL AND isfinite(l_extendedprice) AND isfinite(l_quantity) AND isfinite(l_discount)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN y END) AS sya,
@@ -2491,7 +2506,7 @@ object StatsQ {
          |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
          |  FROM orders
          |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
-         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995),
+         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995 AND isfinite(o_totalprice)),
          |js AS (SELECT unnest(range(1, 201)) AS j),
          |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
          |${HashReplay.mixCtesSql("seed", "sz", "j")},
@@ -2631,7 +2646,7 @@ object StatsQ {
         |  SELECT CAST(value AS DECIMAL(18,6)) AS v,
         |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia
         |  FROM events WHERE event_type IN ('view', 'purchase')
-        |    AND value IS NOT NULL),
+        |    AND value IS NOT NULL AND isfinite(value)),
         |m AS (
         |  SELECT CAST(SUM(ia) AS BIGINT) AS na,
         |    SUM(CASE WHEN ia = 1 THEN v END) AS sa,

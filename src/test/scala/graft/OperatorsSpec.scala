@@ -4132,6 +4132,47 @@ class OperatorsSpec extends AnyFunSuite {
     got.foreach { case ((q, _), n) => assert(labels(q) != labels(n), s"$q->$n") }
   }
 
+  test("hardNegativesIvf: full probe equals hardNegatives; works past the broadcast bound; fewer probes trade recall") {
+    import graft.operators.Similarity
+    // 60 labeled vectors on a ring — multiple natural clusters so the
+    // coarse cells are non-trivial; coarse table = 4 axis-ish centroids
+    val e = (0 until 60).map { i =>
+      val a = i * 2.0 * math.Pi / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val coarse = Array(Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(-1.0, 0.0), Array(0.0, -1.0))
+    // the boundary: hardNegatives refuses above its (overridable)
+    // broadcast bound — the round-16 refusal — while the IVF path runs
+    val err = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 3,
+        maxBroadcast = 50L)
+    }
+    assert(err.getMessage.contains("hardNegativesIvf"))
+    // full probe == the exact broadcast form, row for row
+    val exact = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 3)
+      .orderBy("vec_id", "rank").collect().toSeq
+    val full = Similarity.hardNegativesIvf(e, "vec_id", "embedding", "label",
+        k = 3, coarse, nprobe = 4)
+      .orderBy("vec_id", "rank").collect().toSeq
+    assert(full == exact)
+    // nprobe = 1 only sees same-cell candidates: still label-crossing,
+    // never MORE rows than exact, and recall@1 stays high on a ring
+    // (a vector's hardest cross-label negative is its angular
+    // neighbour, almost always in its own cell)
+    val p1 = Similarity.hardNegativesIvf(e, "vec_id", "embedding", "label",
+        k = 3, coarse, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(p1.nonEmpty && p1.size <= exact.size)
+    p1.foreach { case ((q, _), n) =>
+      assert(q % 3 != n % 3, s"same-label pair $q->$n under nprobe=1") }
+    val exactTop1 = exact.filter(_.getInt(1) == 1)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val hit = p1.collect { case ((q, 1), n) if exactTop1.get(q).contains(n) => q }
+    assert(hit.size >= (exactTop1.size * 6) / 10,
+      s"nprobe=1 recall@1 collapsed: ${hit.size}/${exactTop1.size}")
+  }
+
   test("hits: hand-computed mutual reinforcement, roles stay split, empty loud") {
     import graft.operators.Hits
     // u1->{v1,v2}, u2->{v1}: u1 is the better hub (covers both

@@ -10,13 +10,14 @@ class QueriesSmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sfDir = "/root/testdata/sf0.001"
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name runs at sf0.001") {
-      val df = fn(spark, sfDir)
-      assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+  (SparkEntry.queries ++ SparkEntry.benchOnly).toSeq.sortBy(_._1)
+    .foreach { case (name, fn) =>
+      test(s"$name runs at sf0.001") {
+        val df = fn(spark, sfDir)
+        assert(df.columns.nonEmpty)
+        assert(df.count() >= 0)
+      }
     }
-  }
 
   test("entry() returns rows for the driver smoke check") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -27,30 +28,26 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  /** Deliberately NON-oracled queries — each entry must name a reason.
-    * A compacting sketch's output depends on partition merge order, so
-    * a value oracle would be a flake, not a check; the driver records
-    * rows-only for these. Everything else stays 100% value-oracled,
-    * and a STALE entry here (oracled after all, or renamed away) fails
-    * the spec below. */
-  private val rowsOnlyAllowed = Map(
-    "x_winsorize_sketch_prod" -> ("production-k (256) sketch bounds are " +
-      "partition-order-dependent; the k=2^19 exact-regime sibling " +
-      "x_winsorize_sketch carries the value oracle"))
-
-  test("every query has an oracle — the value-oracled bar holds outside the named allowlist") {
+  test("every query has an oracle — the value-oracled bar is exact (bench-only entries live in benchOnly)") {
     // a query without an oracle silently downgrades to the driver's
-    // rows-only check; fourteen rounds at zero UNEXPLAINED rows-only
-    // entries is a bar this spec keeps loud
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
-      rowsOnlyAllowed.keySet
+    // rows-only check (recorded as `err: no_oracle` — two rounds of
+    // red artifact rows before the benchOnly split); deliberately
+    // non-oracled entries belong in SparkEntry.benchOnly, never here
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracles: $missing")
-    rowsOnlyAllowed.keySet.foreach { q =>
-      assert(SparkEntry.queries.contains(q),
-        s"stale rows-only allowlist entry: $q is not a query")
-      assert(!SparkEntry.oracleSql.contains(q),
-        s"stale rows-only allowlist entry: $q has an oracle now — remove it")
-    }
+  }
+
+  test("benchOnly is disjoint from queries and carries no oracle") {
+    // a benchOnly entry that leaks into `queries` resurrects the
+    // round-15/16 `err: no_oracle` artifact row; one that grows an
+    // oracle should be promoted to `queries` instead
+    val overlap = SparkEntry.benchOnly.keySet & SparkEntry.queries.keySet
+    assert(overlap.isEmpty, s"benchOnly entries shadowing queries: $overlap")
+    val oracled = SparkEntry.benchOnly.keySet & SparkEntry.oracleSql.keySet
+    assert(oracled.isEmpty,
+      s"benchOnly entries with oracles — promote to queries: $oracled")
+    assert(SparkEntry.benchOnly.nonEmpty,
+      "benchOnly registry vanished — x_winsorize_sketch_prod should live here")
   }
 
   test("doc headers quote the real query count (round-7 verdict: hand-edited counts drift)") {
