@@ -40,6 +40,88 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Symbol-boundary sentinels for [[bpeMergeTokens]]: every symbol in
+    * a pre-token is carried as `SOH sym STX`, so an adjacent pair
+    * (x, y) is the literal substring `SOH x STX SOH y STX` and ONE
+    * non-overlapping left-to-right `replace` pass merges every
+    * occurrence greedily — the merged symbol's sentinels are fresh, so
+    * a pass can never re-match its own output (xy ≠ x because y is
+    * non-empty), making one pass per rank a fixpoint for that rank.
+    * Control characters deliberately outside every token vocabulary;
+    * [[bpeEncode]] scrubs them from the input first so a hostile
+    * document cannot forge a boundary. */
+  private val MergeL = "\u0001"
+  private val MergeR = "\u0002"
+
+  private def wrapSym(s: String): String = MergeL + s + MergeR
+
+  /** TRUE byte-pair-merge application over one pre-token (round-16
+    * verdict item 4 — the step [[bpeTokens]] stops short of): the
+    * pre-token splits into single-character symbols, then each merge
+    * `(x, y)` of the literal table is applied IN RANK ORDER as one
+    * left-to-right greedy pass that rewrites every adjacent (x, y)
+    * pair into the symbol `xy`. Deterministic and cross-engine
+    * replayable by construction: the symbol sequence rides as a
+    * sentinel-delimited string and each rank is a plain `replace`
+    * (both engines scan left-to-right, non-overlapping, resuming after
+    * the replacement), so the DuckDB oracle replays the identical
+    * rewrites on the identical literals.
+    *
+    * SEMANTICS (pinned): one greedy pass per rank, ranks ascending,
+    * no re-visits — the classic reference implementation's
+    * lowest-rank-first loop restated as a fixed pass schedule. For
+    * merge tables actually learned by BPE the two agree (an earlier
+    * rank's pair cannot reappear after a later rank fires, because the
+    * later merge's output symbol is not in the earlier pair's
+    * alphabet); for an arbitrary hand-written table this pass schedule
+    * IS the engine's contract, and the spec pins it on adversarial
+    * cases (self-pair runs, rank-order inversions).
+    *
+    * Whole-stage-codegen built-ins only (regexp_replace + a replace
+    * chain + split) — a narrow map, no shuffle, no UDF; the merge
+    * table is a plan-time literal (the [[graft.operators.Similarity]]
+    * pqCodebook convention: a vocab is a constant, not data).
+    */
+  def bpeMergeTokens(preToken: Column, merges: Seq[(String, String)]): Column = {
+    require(merges.size <= 4096,
+      s"bpeMergeTokens: ${merges.size} merges — each rank is one replace " +
+        "in the generated plan; past a few thousand, apply the vocab in " +
+        "stages or precompute token columns at ingest")
+    merges.foreach { case (x, y) =>
+      require(x.nonEmpty && y.nonEmpty,
+        s"bpeMergeTokens: empty symbol in merge ($x, $y)")
+      require(!(x + y).exists(c => c == '\u0001' || c == '\u0002'),
+        "bpeMergeTokens: merge symbols may not contain the U+0001/U+0002 " +
+          "sentinels")
+    }
+    // one sentinel-wrapped symbol per character
+    val wrapped = regexp_replace(preToken, "(.)", MergeL + "$1" + MergeR)
+    val mergedStr = merges.foldLeft(wrapped) { case (c, (x, y)) =>
+      org.apache.spark.sql.functions.replace(c,
+        lit(wrapSym(x) + wrapSym(y)), lit(wrapSym(x + y)))
+    }
+    // SOH t1 STX SOH t2 STX … → tokens; the residual sentinels on the
+    // first/last element are stripped per element (empty pre-tokens
+    // cannot arise — BpePattern matches need >= 1 char)
+    filter(
+      transform(split(mergedStr, MergeR + MergeL),
+        s => translate(s, MergeL + MergeR, "")),
+      s => length(s) > 0)
+  }
+
+  /** Document-level BPE encode: [[bpeTokens]] pre-split, then
+    * [[bpeMergeTokens]] per pre-token, flattened in order. The U+0001/
+    * U+0002 sentinel characters are scrubbed from the text FIRST so
+    * they can never alias a symbol boundary (they are in no real
+    * vocabulary; the scrub is replayed by the oracle). Exact token
+    * counts under the supplied vocab — the upgrade that turns
+    * x_budget_select / x_seq_pack-style token budgeting from
+    * approximate (pre-token counts) to exact. */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(
+      bpeTokens(translate(text, MergeL + MergeR, "")),
+      t => bpeMergeTokens(t, merges)))
+
   /** Within-document repetition / boilerplate profile — the standard
     * cheap filter for template spam and degenerate generations in a
     * pretraining corpus: total tokens, distinct types, the duplicate

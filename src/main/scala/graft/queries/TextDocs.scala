@@ -22,6 +22,21 @@ object TextDocs {
   private type Q = (SparkSession, String) => DataFrame
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Literal merge table for x_bpe_merges, in RANK ORDER — shared by
+    * the query def and the DuckDB replay so the two cannot drift. The
+    * chains are deliberate: (t,h) → (" ",th) → (" th",e) builds " the"
+    * only if ranks apply in order, and (o,r) → (or,t) → (s,ort) →
+    * (" ",sort) builds " sort" four deep; (th,e) last covers the
+    * document-initial unprefixed "the". A real vocab comes from a BPE
+    * trainer; the operator contract only needs SOME fixed table (the
+    * Similarity.pqCodebook convention). */
+  private val bpeMergeTable: Seq[(String, String)] = Seq(
+    ("t", "h"), (" ", "th"), (" th", "e"),
+    ("i", "n"), ("e", "r"),
+    ("o", "r"), ("or", "t"), ("s", "ort"), (" ", "sort"),
+    ("a", "t"), ("c", "h"), ("at", "ch"),
+    ("th", "e"))
+
   /** Pid-scoped scratch dir under java.io.tmpdir for the round-trip
     * queries, deleted on JVM exit. The shutdown hook registers ONCE per
     * unique path regardless of how many times a query lambda re-runs
@@ -249,6 +264,31 @@ object TextDocs {
           size(array_distinct(col("toks"))).as("n_types"),
           round(length(array_join(col("toks"), "")).cast("double") /
             greatest(size(col("toks")), lit(1)), 4).as("avg_len"))
+        .orderBy("doc_id")
+    }),
+
+    "x_bpe_merges" -> ((s, dir) => {
+      // TRUE BPE merge application (round-16 verdict item 4,
+      // TextAnalysis.bpeMergeTokens): the x_bpe_tokens pre-split, then
+      // the literal 12-rank merge table applied per pre-token — one
+      // greedy left-to-right replace pass per rank, chains three deep
+      // (" the", " sort") so rank ORDER is exercised, not just
+      // membership. Token counts under the vocab are exact, the
+      // upgrade x_budget_select's pre-token counts approximate. All
+      // narrow codegen built-ins (regexp + a replace chain), no
+      // shuffle; the oracle replays the identical rewrites on the
+      // identical sentinel-delimited literals.
+      val tx = translate(col("text"), "\u0001\u0002", "")
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
+        .select(col("doc_id"), col("pre"),
+          flatten(transform(col("pre"),
+            t => TextAnalysis.bpeMergeTokens(t, bpeMergeTable))).as("toks"))
+        .select(col("doc_id"),
+          size(col("pre")).as("n_pre"),
+          length(array_join(col("pre"), "")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"))
         .orderBy("doc_id")
     }),
 
@@ -2383,6 +2423,39 @@ object TextDocs {
          |  ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE)
          |        / GREATEST(len(toks), 1), 4) AS avg_len
          |FROM t ORDER BY doc_id""".stripMargin,
+    "x_bpe_merges" -> {
+      // replay of TextAnalysis.bpeMergeTokens on the shared literal
+      // table: identical sentinel wrapping (chr(1) sym chr(2) per
+      // char), identical rank-ordered replace chain (both engines'
+      // replace is left-to-right non-overlapping, resuming after the
+      // replacement — one pass per rank is a fixpoint, see the
+      // operator scaladoc), identical split/strip/filter read-back.
+      // Sentinels are built with chr() concatenation so the SQL text
+      // itself carries no control bytes.
+      def w(s: String) = "chr(1)||'" + s.replace("'", "''") + "'||chr(2)"
+      val chain = bpeMergeTable.foldLeft(
+        "regexp_replace(s0, '(.)', chr(1)||'\\1'||chr(2), 'g')") {
+        case (acc, (x, y)) => s"replace($acc, ${w(x)}||${w(y)}, ${w(x + y)})"
+      }
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    replace(replace(text, chr(1), ''), chr(2), '') AS tx
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    regexp_extract_all(tx, '${TextAnalysis.BpePattern}') AS pre
+         |  FROM sc),
+         |m AS (SELECT doc_id, pre,
+         |  flatten(list_transform(pre, s0 ->
+         |    list_filter(
+         |      list_transform(string_split($chain, chr(2)||chr(1)),
+         |        v -> replace(replace(v, chr(1), ''), chr(2), '')),
+         |      v -> length(v) > 0))) AS toks FROM t)
+         |SELECT doc_id, CAST(len(pre) AS INT) AS n_pre,
+         |  CAST(length(array_to_string(pre, '')) AS INT) AS n_chars,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_types
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     // ---- chunk-level (CCNet-style line) dedup: fixed 8-token chunks
     // rebuilt via 1-based inclusive list slicing — same windows as the
     // engine's sequence+slice

@@ -554,6 +554,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.toSeq == cases.map(_._2))
   }
 
+  test("bpe merge application: rank order, greedy self-pairs, chains, guards") {
+    import graft.operators.TextAnalysis
+    def enc(merges: Seq[(String, String)], toks: String*): Seq[Seq[String]] = {
+      val df = toks.toDF("t")
+      df.select(TextAnalysis.bpeMergeTokens($"t", merges).as("o"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+    }
+    // greedy left-to-right on a self-pair run: aaa -> [aa, a], never [a, aa]
+    assert(enc(Seq(("a", "a")), "aaa") == Seq(Seq("aa", "a")))
+    assert(enc(Seq(("a", "a")), "aaaa") == Seq(Seq("aa", "aa")))
+    // rank order decides: (t,h) before (h,e) tokenizes "the" as [th, e];
+    // inverted ranks give [t, he] on the SAME table members
+    assert(enc(Seq(("t", "h"), ("h", "e")), "the") == Seq(Seq("th", "e")))
+    assert(enc(Seq(("h", "e"), ("t", "h")), "the") == Seq(Seq("t", "he")))
+    // three-deep chain builds the full word; leading space is a symbol
+    val chain = Seq(("t", "h"), (" ", "th"), (" th", "e"))
+    assert(enc(chain, " the") == Seq(Seq(" the")))
+    assert(enc(chain, "the") == Seq(Seq("th", "e"))) // no space, chain stalls
+    // one pass per rank: an earlier rank does NOT re-fire after a later
+    // one creates its pair again — (a,b) ran at rank 1, rank 2 merges
+    // (b,a); the fresh [ab, ba] adjacency stays un-merged
+    assert(enc(Seq(("a", "b"), ("b", "a")), "abba") == Seq(Seq("ab", "ba")))
+    // untouched text: no merges apply -> single chars
+    assert(enc(chain, "xyz") == Seq(Seq("x", "y", "z")))
+    // guards: empty symbols and sentinel collisions fail loud
+    intercept[IllegalArgumentException](enc(Seq(("", "a")), "a"))
+    intercept[IllegalArgumentException](enc(Seq(("a", "")), "a"))
+    // doc-level encode: pre-split + merges, flattened in order; exact
+    // token counts under the vocab
+    val doc = Seq("the thermal the").toDF("text")
+      .select(TextAnalysis.bpeEncode($"text",
+        Seq(("t", "h"), (" ", "th"), (" th", "e"), ("th", "e"))).as("toks"))
+      .head().getSeq[String](0).toSeq
+    // "the" -> th+e -> the (rank 4); " thermal" -> " the"+r,m,a,l
+    // (ranks 1-3 chain through the leading space before rank 4 could
+    // see a bare th)
+    assert(doc == Seq("the", " the", "r", "m", "a", "l", " the"))
+  }
+
   test("chunk dedup: shared chunk reported, scrubbed docs rebuilt in order") {
     // 4-token chunks; A = the shared (boilerplate) chunk
     val A = "a b c d"
