@@ -3075,6 +3075,144 @@ object Stats {
     out.toDF("p", "b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi")
   }
 
+  /** Per-SEGMENT quantile treatment effects — the composition the
+    * readout matrix was missing (round-16 verdict item 5): means have
+    * per-segment slicing ([[welchTByGroup]]) and quantiles have an
+    * overall diff CI ([[bootstrapQuantileDiffCI]]), but a ramp
+    * decision reads "did p50/p90 move, and in WHICH segment" — this is
+    * [[bootstrapQuantileDiffCI]] per segment from ONE corpus scan,
+    * with Benjamini–Hochberg across the segments so the per-slice
+    * multiplicity cannot be forgotten (the [[welchTByGroup]]
+    * discipline).
+    *
+    * Scale shape: the diff-CI pipeline with the segment carried
+    * through — explode to (resample, weight), partial-agg map-side to
+    * ≤ |segments|·2(B+1) weighted-sketch cells behind a loud
+    * `maxGroups` bound (the [[postStratifiedDiff]] bounded-collect
+    * discipline), then the EXACT [[bootstrapQuantileDiffCI]] driver
+    * algebra per segment: same paired-resample weights (they derive
+    * from the row key alone), same live-resample rule, same rank
+    * picks — each segment's (b_eff, n_a, n_b, diff, ci_lo, ci_hi) row
+    * is BIT-EQUAL to running the single-segment operator on that
+    * slice (spec-pinned).
+    *
+    * The per-test p-value is the percentile-bootstrap SIGN p:
+    * p = min(1, 2·min(#{d* ≤ 0}, #{d* ≥ 0})/b_eff) over the resampled
+    * diffs — distribution-free, deterministic given the replayable
+    * weights (ties at 0 count on both sides; granularity is 2/b_eff,
+    * so size B to the q you test at). BH runs at level `q` across the
+    * SEGMENTS within each quantile level (each p is its own family —
+    * the [[multiArm]] step-up restated per level). One row per
+    * (segment, p):
+    * `(grp, p, b_eff, n_a, n_b, diff, ci_lo, ci_hi, p_boot,
+    * significant)`, ordered by (grp, p). NULL values/keys/segments
+    * excluded; [[bootstrapQuantileCI]]'s key-uniqueness precondition
+    * (across the WHOLE frame) and exact-regime quantile semantics
+    * apply; a segment with a thin arm or under 10 live resamples
+    * fails LOUD naming it (coarsen the segmentation).
+    */
+  def bootstrapQuantileDiffBySegment(df: DataFrame, valueCol: String,
+      keyCol: String, segmentCol: String,
+      sampleACond: org.apache.spark.sql.Column,
+      ps: Seq[Double] = Seq(0.5, 0.9), b: Int = 200,
+      alpha: Double = 0.05, k: Int = 256, q: Double = 0.05,
+      maxGroups: Int = 64): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"bootstrapQuantileDiffBySegment: alpha must be in (0, 1), got $alpha")
+    require(q > 0.0 && q < 1.0,
+      s"bootstrapQuantileDiffBySegment: q must be in (0, 1), got $q")
+    require(ps.nonEmpty,
+      "bootstrapQuantileDiffBySegment: need at least one quantile")
+    require(ps.forall(p => p > 0.0 && p <= 1.0),
+      s"bootstrapQuantileDiffBySegment: quantiles must be in (0, 1], got $ps")
+    require(maxGroups >= 1,
+      s"bootstrapQuantileDiffBySegment: maxGroups must be positive, got $maxGroups")
+    val session = df.sparkSession
+    import session.implicits._
+    val v = col(valueCol)
+    val base = df.filter(finite(v) && col(keyCol).isNotNull &&
+        col(segmentCol).isNotNull)
+      .select(col(segmentCol).cast("string").as("g"),
+        v.cast("double").as("v"),
+        when(sampleACond, 1L).otherwise(0L).as("ia"),
+        col(keyCol).cast("long").as("__k"))
+    val src = uniqueKeyedFanout(base, "bootstrapQuantileDiffBySegment")
+    val wArr = graft.functions.BootstrapWeights.weights(session, col("__k"), b)
+    val sketch = graft.functions.KllQuantiles.kllQuantilesWeighted(
+      session, col("v"), col("w"), ps, k)
+    // the pigeonhole bound: a segment key with more than maxGroups
+    // distinct values would overflow the planning-sized driver fold;
+    // |cells| ≤ |segments|·2·(B+1), so cap the collect one past it and
+    // fail loud (the srmCheckMulti discipline)
+    val cellCap = maxGroups.toLong * 2L * (b.toLong + 1L) + 1L
+    val rows = src
+      .select(col("g"), col("v"), col("ia"), posexplode(wArr).as(Seq("j", "w")))
+      .filter(col("w") > 0)
+      .groupBy(col("g"), col("j"), col("ia"))
+      .agg(sketch.as("qs"), sum(col("w").cast("long")).as("n"))
+      .limit(math.min(cellCap, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(rows.length < cellCap,
+      s"bootstrapQuantileDiffBySegment: more than $maxGroups segments — " +
+        "the driver fold would not be planning-sized; coarsen the " +
+        "segment key or raise maxGroups deliberately")
+    require(rows.nonEmpty,
+      "bootstrapQuantileDiffBySegment: no rows with a non-NULL finite " +
+        "value, key and segment")
+    val byCell = rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
+      ((r.getSeq[Double](3), r.getLong(4)))).toMap
+    val groups = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
+    // per segment: the bootstrapQuantileDiffCI driver algebra verbatim
+    val perSeg = groups.map { g =>
+      require(byCell.contains((g, 0, 1L)) && byCell.contains((g, 0, 0L)),
+        s"bootstrapQuantileDiffBySegment: segment '$g' is missing an arm " +
+          "after the NULL filter — a per-segment quantile diff is " +
+          "undefined on a one-armed slice; coarsen the segment key")
+      val (qa0, na0) = byCell((g, 0, 1L))
+      val (qb0, nb0) = byCell((g, 0, 0L))
+      require(na0 >= 2 && nb0 >= 2,
+        s"bootstrapQuantileDiffBySegment: segment '$g' needs >= 2 rows " +
+          s"per arm (n_a=$na0, n_b=$nb0)")
+      val live = (1 to b).flatMap { j =>
+        for (a <- byCell.get((g, j, 1L)); bb <- byCell.get((g, j, 0L)))
+          yield (a._1, bb._1)
+      }
+      val bEff = live.length.toLong
+      require(bEff >= 10L,
+        s"bootstrapQuantileDiffBySegment: segment '$g' kept only $bEff " +
+          "resamples with both arms non-empty — raise b or supply more rows")
+      val aLo = alpha / 2.0
+      val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
+      val rHi = math.ceil((1.0 - aLo) * bEff.toDouble).toLong
+      val perP = ps.zipWithIndex.map { case (p, i) =>
+        val ds = live.map { case (qa, qb) => qa(i) - qb(i) }.sorted
+        // percentile-bootstrap sign p: ties at 0 count on BOTH sides
+        val nLe = ds.count(_ <= 0.0).toLong
+        val nGe = ds.count(_ >= 0.0).toLong
+        val pb = math.min(1.0,
+          2.0 * math.min(nLe, nGe).toDouble / bEff.toDouble)
+        (g, p, bEff, na0, nb0, qa0(i) - qb0(i),
+          ds((rLo - 1).toInt), ds((rHi - 1).toInt), pb)
+      }
+      perP
+    }
+    // BH step-up across SEGMENTS, independently per quantile level
+    // (the multiArm rule: largest i with p_(i) <= q*i/m)
+    val all = perSeg.flatten
+    val out = ps.flatMap { p =>
+      val fam = all.filter(_._2 == p)
+      val m = fam.length
+      val thr = fam.map(_._9).sorted.zipWithIndex
+        .filter { case (pb, i) => pb <= q * (i + 1).toDouble / m.toDouble }
+        .map(_._1).lastOption
+      fam.map { case (g, pp, bEff, na0, nb0, d, lo, hi, pb) =>
+        (g, pp, bEff, na0, nb0, d, lo, hi, pb, thr.exists(pb <= _))
+      }
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("grp", "p", "b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi",
+      "p_boot", "significant")
+  }
+
   /** Two-proportion z-test — did a RATE move between the rows where
     * `sampleACond` holds and the rest (conversion share per variant,
     * success rate per cohort)? z = (p̂_A − p̂_B)/√(p̂(1−p̂)(1/n_A+1/n_B))

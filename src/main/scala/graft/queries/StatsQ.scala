@@ -814,6 +814,35 @@ object StatsQ {
         .orderBy("p")
     }),
 
+    "x_quantile_segments" -> ((s, dir) => {
+      // quantile treatment effects PER SEGMENT (round-16 verdict item
+      // 5, Stats.bootstrapQuantileDiffBySegment): the
+      // x_bootstrap_quantile_diff machinery with the order status
+      // carried through every cell — p50/p90 urgent-vs-rest price
+      // diffs per status from ONE scan, percentile-bootstrap sign p
+      // per (segment, level), BH across the three segments within each
+      // level. Exact regime: every (status, arm, resample) sketch
+      // group stays far under k = 65536 (guarded), so each segment's
+      // row is the exact weighted order statistic and bit-equal to the
+      // single-segment operator on that slice (spec-pinned).
+      val o95 = t(s, dir, "orders")
+        .filter(col("o_totalprice").isNotNull && col("o_orderkey").isNotNull &&
+          col("o_orderstatus").isNotNull &&
+          col("o_orderdate").isNotNull && year(col("o_orderdate")) === 1995)
+      requireExactSketchRegime(o95, 65536, "x_quantile_segments",
+        col("o_orderstatus"))
+      Stats.bootstrapQuantileDiffBySegment(o95, "o_totalprice", "o_orderkey",
+          "o_orderstatus", col("o_orderpriority") === "1-URGENT",
+          ps = Seq(0.5, 0.9), b = 200, alpha = 0.05, k = 65536, q = 0.05)
+        .select(col("grp"), col("p"), col("b_eff"), col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("diff"),
+          round(col("ci_lo"), 6).as("ci_lo"),
+          round(col("ci_hi"), 6).as("ci_hi"),
+          round(col("p_boot"), 6).as("p_boot"),
+          col("significant").cast("long").as("significant"))
+        .orderBy("grp", "p")
+    }),
+
     "x_sketch_interp" -> ((s, dir) => {
       // the INTERPOLATED sketch read + the WEIGHTED sketch STATE in one
       // oracled round trip: a pre-counted (value, weight) frame builds
@@ -2559,6 +2588,96 @@ object StatsQ {
          |JOIN rs hi ON hi.p = r.p AND hi.rn = r.rhi
          |CROSS JOIN ns
          |ORDER BY r.p""".stripMargin
+    },
+    "x_quantile_segments" -> {
+      import graft.queries.HashReplay
+      val gamma = HashReplay.SplitmixGamma
+      val mask = HashReplay.Mask
+      val caseSum = graft.functions.BootstrapWeights.Cdf
+        .map(t => s"(CASE WHEN u >= CAST($t AS DOUBLE) THEN 1 ELSE 0 END)")
+        .mkString("\n|      + ")
+      // the x_bootstrap_quantile_diff replay with the SEGMENT carried
+      // through every CTE (weights still derive from the key alone, so
+      // each segment's rows draw the identical Poisson vectors), plus
+      // the sign-p and the per-level BH step-up across segments
+      // (ROW_NUMBER ranks — the x_welch_segments convention)
+      s"""WITH src AS MATERIALIZED (
+         |  SELECT o_orderstatus AS g, CAST(o_orderkey AS HUGEINT) AS key,
+         |    CAST(o_totalprice AS DOUBLE) AS v,
+         |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia
+         |  FROM orders
+         |  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
+         |    AND o_orderstatus IS NOT NULL
+         |    AND o_orderdate IS NOT NULL AND year(o_orderdate) = 1995
+         |    AND isfinite(o_totalprice)),
+         |js AS (SELECT unnest(range(1, 201)) AS j),
+         |sz AS (SELECT j, (CAST(j AS HUGEINT) + $gamma) & $mask AS z FROM js),
+         |${HashReplay.mixCtesSql("seed", "sz", "j")},
+         |pz AS (SELECT s.g, s.key, s.v, s.ia, d.j,
+         |         (xor(s.key, d.z) + $gamma) & $mask AS z
+         |       FROM src s CROSS JOIN seed d),
+         |${HashReplay.mixCtesSql("vals", "pz", "g, key, v, ia, j")},
+         |uu AS MATERIALIZED (SELECT g, v, ia, j,
+         |  CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS u FROM vals),
+         |w AS (SELECT g, v, ia, j, $caseSum AS w FROM uu),
+         |wall AS (SELECT g, v, ia, j, w FROM w WHERE w > 0
+         |  UNION ALL SELECT g, v, ia, 0 AS j, 1 AS w FROM src),
+         |gv AS MATERIALIZED (
+         |  SELECT g, j, ia, v, SUM(w) AS wv FROM wall GROUP BY g, j, ia, v),
+         |wt AS MATERIALIZED (
+         |  SELECT g, j, ia, CAST(SUM(wv) AS BIGINT) AS wtot FROM gv
+         |  GROUP BY g, j, ia),
+         |qps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS p),
+         |tg AS (SELECT g, j, ia, p,
+         |    GREATEST(1, CAST(ceil(p * CAST(wtot AS DOUBLE)) AS BIGINT)) AS tgt
+         |  FROM wt CROSS JOIN qps),
+         |cm AS (SELECT g, j, ia, v,
+         |  SUM(wv) OVER (PARTITION BY g, j, ia ORDER BY v) AS cum FROM gv),
+         |qp AS MATERIALIZED (SELECT t.g, t.j, t.ia, t.p, MIN(c.v) AS q
+         |  FROM tg t JOIN cm c ON c.g = t.g AND c.j = t.j AND c.ia = t.ia
+         |    AND c.cum >= t.tgt
+         |  GROUP BY t.g, t.j, t.ia, t.p),
+         |dq AS MATERIALIZED (SELECT a.g, a.j, a.p, a.q - b.q AS d
+         |  FROM qp a JOIN qp b ON a.g = b.g AND a.j = b.j AND a.p = b.p
+         |    AND a.ia = 1 AND b.ia = 0),
+         |pt AS (SELECT g, p, d FROM dq WHERE j = 0),
+         |ns AS (SELECT g,
+         |    MAX(CASE WHEN ia = 1 THEN wtot END) AS n_a,
+         |    MAX(CASE WHEN ia = 0 THEN wtot END) AS n_b
+         |  FROM wt WHERE j = 0 GROUP BY g),
+         |eff AS (SELECT g, p, CAST(COUNT(*) AS BIGINT) AS b_eff,
+         |    CAST(SUM(CASE WHEN d <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nle,
+         |    CAST(SUM(CASE WHEN d >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nge
+         |  FROM dq WHERE j >= 1 GROUP BY g, p),
+         |rk AS (SELECT g, p, b_eff, nle, nge,
+         |  GREATEST(1, CAST(ceil((CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT))
+         |    AS rlo,
+         |  CAST(ceil((1.0 - CAST(0.05 AS DOUBLE) / 2) * b_eff) AS BIGINT) AS rhi,
+         |  LEAST(CAST(1 AS DOUBLE),
+         |    2.0 * CAST(LEAST(nle, nge) AS DOUBLE) / CAST(b_eff AS DOUBLE))
+         |    AS pb
+         |  FROM eff),
+         |rs AS (SELECT g, p, d,
+         |  ROW_NUMBER() OVER (PARTITION BY g, p ORDER BY d) AS rn
+         |  FROM dq WHERE j >= 1),
+         |bh AS (SELECT g, p, b_eff, rlo, rhi, pb,
+         |  ROW_NUMBER() OVER (PARTITION BY p ORDER BY pb, g) AS rn,
+         |  CAST(COUNT(*) OVER (PARTITION BY p) AS DOUBLE) AS mm
+         |  FROM rk),
+         |thr AS (SELECT p, MAX(CASE WHEN pb <= 0.05 * CAST(rn AS DOUBLE) / mm
+         |  THEN pb END) AS thr FROM bh GROUP BY p)
+         |SELECT b.g AS grp, b.p AS p, b.b_eff, ns.n_a, ns.n_b,
+         |  ROUND(pt.d, 6) AS diff,
+         |  ROUND(lo.d, 6) AS ci_lo, ROUND(hi.d, 6) AS ci_hi,
+         |  ROUND(b.pb, 6) AS p_boot,
+         |  CAST(COALESCE(b.pb <= thr.thr, FALSE) AS BIGINT) AS significant
+         |FROM bh b
+         |JOIN pt ON pt.g = b.g AND pt.p = b.p
+         |JOIN ns ON ns.g = b.g
+         |JOIN rs lo ON lo.g = b.g AND lo.p = b.p AND lo.rn = b.rlo
+         |JOIN rs hi ON hi.g = b.g AND hi.p = b.p AND hi.rn = b.rhi
+         |LEFT JOIN thr ON thr.p = b.p
+         |ORDER BY b.g, b.p""".stripMargin
     },
     "x_sketch_interp" ->
       // quantile_cont over the range(w) expansion — DuckDB's own lerp

@@ -3211,6 +3211,57 @@ class OperatorsSpec extends AnyFunSuite {
       exDup.toString)
   }
 
+  test("bootstrapQuantileDiffBySegment: each segment row bit-equal to the single-segment operator on that slice; sign p + BH; thin slices loud") {
+    import graft.operators.Stats
+    // two segments with opposite planted shifts: x gets +10 for arm A,
+    // y gets none — the per-segment read should separate them
+    val df = (1L to 600L).map { i =>
+      val seg = if (i % 2 == 0L) "x" else "y"
+      val arm = if (i % 4 < 2L) "a" else "b"
+      val v = (i % 50).toDouble +
+        (if (seg == "x" && arm == "a") 10.0 else 0.0)
+      (i, seg, arm, v)
+    }.toDF("k", "seg", "arm", "v")
+    val got = Stats.bootstrapQuantileDiffBySegment(df, "v", "k", "seg",
+        col("arm") === "a", ps = Seq(0.5, 0.9), b = 100, k = 65536)
+      .orderBy("grp", "p").collect()
+    assert(got.length == 4) // 2 segments x 2 quantile levels
+    // bit-equality: the per-segment rows equal bootstrapQuantileDiffCI
+    // run on the filtered slice — same weights (key-derived), same
+    // sketch groups, same rank picks
+    Seq("x", "y").foreach { g =>
+      val solo = Stats.bootstrapQuantileDiffCI(df.filter(col("seg") === g),
+          "v", "k", col("arm") === "a", ps = Seq(0.5, 0.9), b = 100,
+          k = 65536)
+        .orderBy("p").collect()
+        .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      val seg = got.filter(_.getString(0) == g)
+        .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      assert(seg.toSeq == solo.toSeq, s"segment '$g' diverged from the slice")
+    }
+    // the planted segment is significant at p50, the flat one is not;
+    // p_boot is a valid probability and BH kept the x rejections
+    val byKey = got.map(r => (r.getString(0), r.getDouble(1)) ->
+      (r.getDouble(8), r.getBoolean(9))).toMap
+    assert(byKey(("x", 0.5))._2, "planted +10 shift must reject at p50")
+    assert(!byKey(("y", 0.5))._2, "flat segment must not reject at p50")
+    got.foreach(r => assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0))
+    // determinism
+    val again = Stats.bootstrapQuantileDiffBySegment(df, "v", "k", "seg",
+        col("arm") === "a", ps = Seq(0.5, 0.9), b = 100, k = 65536)
+      .orderBy("grp", "p").collect()
+    assert(got.toSeq == again.toSeq)
+    // a segment with a one-armed slice fails loud naming it
+    val oneArm = df.filter(col("seg") === "x" || col("arm") === "b")
+    val ex = intercept[IllegalArgumentException] {
+      Stats.bootstrapQuantileDiffBySegment(oneArm, "v", "k", "seg",
+        col("arm") === "a", ps = Seq(0.5), b = 100, k = 65536)
+    }
+    assert(ex.getMessage.contains("'y'") || ex.getMessage.contains("segment"))
+  }
+
   test("bhFdr: step-up threshold, tie blocks, nothing-rejected, domain guards") {
     import graft.operators.Stats
     // m=5, q=0.25: cutoffs 0.05/0.10/0.15/0.20/0.25 — only i=1,2 pass
