@@ -1377,40 +1377,71 @@ object Stats {
     val byArm = rows.map(r => r.getString(0) ->
       ((r.getLong(1), BigDecimal(r.getDecimal(2)), BigDecimal(r.getDecimal(3)))))
       .toMap
-    require(byArm.contains(controlArm),
-      s"multiArm: control arm '$controlArm' has no rows (arms present: " +
+    multiArmChain(byArm, controlArm, q, minN) match {
+      case Left(msg) =>
+        throw new IllegalArgumentException(s"requirement failed: multiArm: $msg")
+      case Right(rows) =>
+        rows.toDF("arm", "n_c", "n_t", "mean_c", "mean_t", "diff", "t",
+          "df", "p", "significant")
+    }
+  }
+
+  /** The BH step-up threshold ([[bhFdr]]'s rule on a planning-sized
+    * driver list — largest i with p_(i) ≤ q·i/m; a tie block is
+    * governed by its largest index, exactly as the CDF form resolves
+    * it): ONE implementation shared by [[multiArm]],
+    * [[welchTByGroup]], [[bootstrapQuantileDiffBySegment]] and the
+    * streaming monitor ([[graft.streaming.TwsMultiArm]]). Returns the
+    * rejection threshold (None when nothing rejects); reject every
+    * p ≤ threshold. */
+  private[graft] def bhThreshold(ps: Seq[Double], q: Double): Option[Double] = {
+    val m = ps.length
+    ps.sorted.zipWithIndex
+      .filter { case (p, i) => p <= q * (i + 1).toDouble / m.toDouble }
+      .map(_._1).lastOption
+  }
+
+  /** [[multiArm]]'s driver algebra factored out (the msprtChain /
+    * postStratChain pattern) so the batch readout and the streaming
+    * monitor ([[graft.streaming.TwsMultiArm]]) run ONE implementation
+    * and the stream after any prefix EQUALS the batch on the same
+    * rows bit-for-bit. Input: exact decimal (n, Σv, Σv²) per arm.
+    * Left = the states the batch operator fails loud on and a stream
+    * mid-fill treats as silence (missing/thin control, no treatment
+    * arms, a thin arm, degenerate variance). Right = one tuple per
+    * treatment arm, sorted by arm label:
+    * (arm, n_c, n_t, mean_c, mean_t, diff, t, df, p, significant). */
+  private[graft] def multiArmChain(
+      byArm: Map[String, (Long, BigDecimal, BigDecimal)],
+      controlArm: String, q: Double, minN: Long)
+      : Either[String, Seq[(String, Long, Long, Double, Double, Double,
+        Double, Double, Double, Boolean)]] = {
+    if (!byArm.contains(controlArm))
+      return Left(s"control arm '$controlArm' has no rows (arms present: " +
         s"${byArm.keys.toSeq.sorted.mkString(", ")})")
     val (nc, sc, qc) = byArm(controlArm)
-    require(nc >= minN, s"multiArm: control arm needs >= $minN rows (n=$nc)")
+    if (nc < minN) return Left(s"control arm needs >= $minN rows (n=$nc)")
     val treats = byArm.keys.filter(_ != controlArm).toSeq.sorted
-    require(treats.nonEmpty,
-      "multiArm: need at least one treatment arm besides the control")
-    val tested = treats.map { arm =>
+    if (treats.isEmpty)
+      return Left("need at least one treatment arm besides the control")
+    val tested = Seq.newBuilder[(String, Long, Double, Double, Double,
+      Double, Double)]
+    for (arm <- treats) {
       val (nt, st, qt) = byArm(arm)
-      require(nt >= minN, s"multiArm: arm '$arm' needs >= $minN rows (n=$nt)")
+      if (nt < minN) return Left(s"arm '$arm' needs >= $minN rows (n=$nt)")
       // sample A = treatment, sample B = control (diff = m_t − m_c,
       // the welchT A-minus-B convention with the control as B)
       val (mT, mC, t, dfW, _) = welchChain(nt, st, qt, nc, sc, qc)
-      require(!t.isNaN && !t.isInfinite,
-        s"multiArm: degenerate variance for arm '$arm' vs control — " +
+      if (t.isNaN || t.isInfinite)
+        return Left(s"degenerate variance for arm '$arm' vs control — " +
           "the Welch statistic is undefined (constant metric)")
-      (arm, nt, mT, mC, t, dfW, zPvalue2(t))
+      tested += ((arm, nt, mT, mC, t, dfW, zPvalue2(t)))
     }
-    // the BH step-up rule ([[bhFdr]] — largest i with p_(i) <= q*i/m,
-    // reject every p at or below that threshold), restated on the
-    // <= maxArms−1 driver rows; a tie block is governed by its largest
-    // index, exactly as the CDF form resolves it
-    val m = tested.length
-    val sortedPs = tested.map(_._7).sorted
-    val thr = sortedPs.zipWithIndex
-      .filter { case (p, i) => p <= q * (i + 1).toDouble / m.toDouble }
-      .map(_._1).lastOption
-    val out = tested.map { case (arm, nt, mT, mC, t, dfW, p) =>
-      (arm, nc, nt, mC, mT, mT - mC, t, dfW, p,
-        thr.exists(p <= _))
-    }
-    out.toDF("arm", "n_c", "n_t", "mean_c", "mean_t", "diff", "t", "df",
-      "p", "significant")
+    val rows = tested.result()
+    val thr = bhThreshold(rows.map(_._7), q)
+    Right(rows.map { case (arm, nt, mT, mC, t, dfW, p) =>
+      (arm, nc, nt, mC, mT, mT - mC, t, dfW, p, thr.exists(p <= _))
+    })
   }
 
   /** Per-segment treatment effects — the "WHICH segments moved?"
@@ -1499,12 +1530,9 @@ object Stats {
           "Welch statistic is undefined (constant metric)")
       (g, na, nb, mA, mB, t, dfW, zPvalue2(t))
     }
-    // the BH step-up rule across the segments (the [[bhFdr]] /
-    // [[multiArm]] form: largest i with p_(i) <= q*i/m)
-    val m = tested.length
-    val thr = tested.map(_._8).sorted.zipWithIndex
-      .filter { case (p, i) => p <= q * (i + 1).toDouble / m.toDouble }
-      .map(_._1).lastOption
+    // the BH step-up rule across the segments ([[bhThreshold]] — ONE
+    // implementation with multiArm / the quantile-segment readout)
+    val thr = bhThreshold(tested.map(_._8), q)
     tested.map { case (g, na, nb, mA, mB, t, dfW, p) =>
       (g, na, nb, mA, mB, mA - mB, t, dfW, p, thr.exists(p <= _))
     }.toDF("grp", "n_a", "n_b", "mean_a", "mean_b", "diff", "t", "df",
@@ -3197,14 +3225,11 @@ object Stats {
       perP
     }
     // BH step-up across SEGMENTS, independently per quantile level
-    // (the multiArm rule: largest i with p_(i) <= q*i/m)
+    // ([[bhThreshold]] — the multiArm rule, one implementation)
     val all = perSeg.flatten
     val out = ps.flatMap { p =>
       val fam = all.filter(_._2 == p)
-      val m = fam.length
-      val thr = fam.map(_._9).sorted.zipWithIndex
-        .filter { case (pb, i) => pb <= q * (i + 1).toDouble / m.toDouble }
-        .map(_._1).lastOption
+      val thr = bhThreshold(fam.map(_._9), q)
       fam.map { case (g, pp, bEff, na0, nb0, d, lo, hi, pb) =>
         (g, pp, bEff, na0, nb0, d, lo, hi, pb, thr.exists(pb <= _))
       }

@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsCuped, TwsMsprt, TwsPostStrat, TwsSrm}
+    import graft.streaming.{TwsCuped, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -121,6 +121,7 @@ class CodegenGuardSpec extends AnyFunSuite {
       val inS = MemoryStream[TwsMsprt.MetricObs]
       val inP = MemoryStream[TwsPostStrat.StratumObs]
       val inC = MemoryStream[TwsCuped.CovariateObs]
+      val inA = MemoryStream[TwsMultiArm.ArmObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
@@ -132,6 +133,9 @@ class CodegenGuardSpec extends AnyFunSuite {
         .outputMode("update").start()
       val qC = TwsCuped.monitor(inC.toDS())
         .writeStream.format("memory").queryName("codegen_guard_cuped")
+        .outputMode("update").start()
+      val qA = TwsMultiArm.monitor(inA.toDS(), controlArm = "c")
+        .writeStream.format("memory").queryName("codegen_guard_multiarm")
         .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
@@ -152,8 +156,13 @@ class CodegenGuardSpec extends AnyFunSuite {
         assert(spark.table("codegen_guard_srm").count() >= 1)
         assert(spark.table("codegen_guard_poststrat").count() >= 1)
         assert(spark.table("codegen_guard_cuped").count() >= 1)
+        val arows = (1 to 12).map(i => TwsMultiArm.ArmObs(
+          "m", (i % 5).toDouble, if (i % 2 == 0) "c" else "t"))
+        inA.addData(arows: _*); qA.processAllAvailable()
+        inA.addData(arows: _*); qA.processAllAvailable()
+        assert(spark.table("codegen_guard_multiarm").count() >= 1)
       } finally {
-        qM.stop(); qS.stop(); qP.stop(); qC.stop()
+        qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

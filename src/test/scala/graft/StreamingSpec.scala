@@ -531,6 +531,89 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState multi-arm monitor: stream readout EQUALS the batch multiArm") {
+    // the k-arm face of the streaming monitoring tier (TwsMultiArm):
+    // per-metric MapState arm → exact decimal moments, the batch
+    // operator's OWN chain (Stats.multiArmChain — welchChain + the
+    // shared bhThreshold) per micro-batch. Decimal sums are
+    // order-independent, so the final per-arm snapshots must equal
+    // Stats.multiArm on the union of all batches BIT-FOR-BIT. A
+    // control-less or one-armed prefix stays SILENT (the chain's Left
+    // states — what the batch fails loud on).
+    import graft.streaming.TwsMultiArm
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsMultiArm.ArmObs]
+    def obs(m: String, i: Int, arm: String, shift: Double) =
+      TwsMultiArm.ArmObs(m, (i % 7).toDouble + shift, arm)
+    // batch 1 for m1 has NO control rows yet → must stay silent;
+    // m2 exercises per-key isolation with a different arm set
+    val batch1 = (1 to 8).map(i => obs("m1", i, "far", 25.0)) ++
+      (1 to 6).map(i => obs("m1", i, "near", 0.5)) ++
+      (1 to 10).map(i => obs("m2", i, "ctrl", 0.0))
+    val batch2 = (1 to 20).map(i => obs("m1", i, "ctrl", 0.0)) ++
+      (9 to 20).map(i => obs("m1", i, "far", 25.0)) ++
+      (1 to 12).map(i => obs("m2", i, "t1", 1.0)) ++
+      // non-finite values skip (the batch finite() gate's streaming face)
+      Seq(TwsMultiArm.ArmObs("m1", Double.PositiveInfinity, "far"),
+        TwsMultiArm.ArmObs("m2", Double.NaN, "ctrl"))
+    val q = TwsMultiArm.monitor(in.toDS(), controlArm = "ctrl", q = 0.05)
+      .writeStream.format("memory").queryName("tws_multiarm_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val early = spark.table("tws_multiarm_out").count()
+      assert(early == 0L, "a control-less prefix must stay silent")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_multiarm_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getBoolean(10)))
+      // final snapshot per (metric, arm) = largest pooled count
+      val fin = snaps.groupBy(s => (s._1, s._2)).map { case (k, ss) =>
+        k -> ss.maxBy(s => s._3 + s._4)
+      }
+      assert(fin.keySet == Set(("m1", "far"), ("m1", "near"), ("m2", "t1")))
+      // batch replay of the SAME rows through Stats.multiArm
+      val all = (batch1 ++ batch2).toDF("metric", "value", "arm")
+      for (m <- Seq("m1", "m2")) {
+        val b = graft.operators.Stats.multiArm(
+          all.filter(col("metric") === m), "value", "arm",
+          controlArm = "ctrl", q = 0.05).collect()
+        b.foreach { r =>
+          val s = fin((m, r.getString(0)))
+          assert(s._3 == r.getLong(1) && s._4 == r.getLong(2), s"$m counts")
+          assert(s._5 == r.getDouble(3) && s._6 == r.getDouble(4),
+            s"$m means must be bit-equal")
+          assert(s._7 == r.getDouble(5), s"$m diff must be bit-equal")
+          assert(s._8 == r.getDouble(6) && s._9 == r.getDouble(7),
+            s"$m t/df must be bit-equal")
+          assert(s._10 == r.getDouble(8), s"$m p must be bit-equal")
+          assert(s._11 == r.getBoolean(9), s"$m significance flag")
+        }
+      }
+      // the planted +25 arm rejects, the +0.5 arm does not
+      assert(fin(("m1", "far"))._11 && !fin(("m1", "near"))._11)
+      // off-grid values fail LOUD, not silently rounded
+      in.addData(TwsMultiArm.ArmObs("m3", 1.0000001, "ctrl"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage != null)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CUPED snapshot: stream readout EQUALS the batch cuped") {
     // the covariate half of the streaming variance-reduction tier
     // (TwsCuped): per-metric value state = the 12 exact decimal cross
