@@ -143,6 +143,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("nearest_centroid"), p)
   }
 
+  test("x_hard_negatives_ivf: candidates from a cell-keyed HASH join, TopK partially aggregated") {
+    // the index-scale hard-negative miner must never degrade to the
+    // brute-force form's BroadcastNestedLoopJoin (no equi-key) or a
+    // CartesianProduct: the coarse-cell id IS the equi-key, so the
+    // planner picks a hash join (broadcast at sf0.01 where the
+    // exploded probe side is tiny; shuffle-hash/sort-merge on the
+    // same key at scale — either way candidates exist only per cell),
+    // and the per-query TopK reduction must be partial+final (map-side
+    // combine: k rows per (query, partition) ever shuffle)
+    val p = plan("x_hard_negatives_ivf")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) >= 2,
+      s"TopK must partial-aggregate before the qid shuffle:\n$p")
+  }
+
   test("x_bucketed_join: fact-fact join consumes bucketed scans with no join-side shuffle") {
     val p = plan("x_bucketed_join")
     // both scans bucketed, join needs no exchange — the only shuffles
