@@ -1634,20 +1634,46 @@ object Stats {
     val byCell = cells.map(r => (r.getInt(0), r.getLong(1)) ->
       ((r.getLong(2), BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))))
       .toMap
-    val k = cutoffs.size
+    groupSeqChain(byCell, cutoffs.size, zAlpha2, shape, plannedTotal) match {
+      case Left(msg) =>
+        throw new IllegalArgumentException(
+          s"requirement failed: groupSequential: $msg")
+      case Right(looks) =>
+        looks.toDF("look", "n_a", "n_b", "info_frac", "z", "boundary",
+          "crossed", "stop_look")
+    }
+  }
+
+  /** [[groupSequential]]'s driver algebra factored out (the
+    * multiArmChain pattern) so the batch readout and the streaming
+    * monitor ([[graft.streaming.TwsGroupSeq]]) run ONE implementation.
+    * Input: exact decimal (n, Σv, Σv²) per (look-bucket, arm) cell,
+    * the look count to fold, boundary parameters, and the optional
+    * planned total. Left = the states the batch operator fails loud on
+    * and a stream mid-fill treats as silence (a thin look, an empty
+    * look — schedule outran the data or non-ascending cutoffs —
+    * degenerate variance, an outrun plan). Right = one tuple per look:
+    * (look, n_a, n_b, info_frac, z, boundary, crossed, stop_look). */
+  private[graft] def groupSeqChain(
+      byCell: Map[(Int, Long), (Long, BigDecimal, BigDecimal)],
+      k: Int, zAlpha2: Double, shape: String, plannedTotal: Option[Long])
+      : Either[String, Seq[(Int, Long, Long, Double, Double, Double,
+        Boolean, Option[Int])]] = {
     // cumulative exact-decimal moments per look, in look order
     var na = 0L; var sa = BigDecimal(0); var qa = BigDecimal(0)
     var nb = 0L; var sb = BigDecimal(0); var qb = BigDecimal(0)
     var prevCum = 0L
-    val perLook = (1 to k).map { lk =>
+    val perLook = Seq.newBuilder[(Int, Long, BigDecimal, BigDecimal,
+      Long, BigDecimal, BigDecimal)]
+    for (lk <- 1 to k) {
       byCell.get((lk, 1L)).foreach { case (n, s, qd) =>
         na += n; sa += s; qa += qd }
       byCell.get((lk, 0L)).foreach { case (n, s, qd) =>
         nb += n; sb += s; qb += qd }
-      require(na >= 2 && nb >= 2,
-        s"groupSequential: look $lk has n_a=$na, n_b=$nb — every look " +
-          "needs >= 2 cumulative rows per arm for a variance; schedule " +
-          "the first look after the test exists")
+      if (na < 2 || nb < 2)
+        return Left(s"look $lk has n_a=$na, n_b=$nb — every look needs " +
+          ">= 2 cumulative rows per arm for a variance; schedule the " +
+          "first look after the test exists")
       // per-look cumulative counts must STRICTLY increase (ADVICE r16):
       // an empty look means the schedule has outrun the data — without
       // a planned total, the latest populated look would read
@@ -1655,30 +1681,32 @@ object Stats {
       // progressively lower OBF boundaries across the empty looks
       // (anti-conservative); a non-increase also catches non-ascending
       // cutoffs, which the bucketing CASE otherwise masks silently.
-      require(na + nb > prevCum,
-        s"groupSequential: look $lk added no rows (cumulative n " +
-          s"${na + nb} after ${prevCum}) — either the schedule looks " +
-          "past the observed data (pass plannedTotal to anchor the " +
-          "information fraction for live monitoring) or the cutoffs " +
-          "are not ascending")
+      if (na + nb <= prevCum)
+        return Left(s"look $lk added no rows (cumulative n ${na + nb} " +
+          s"after ${prevCum}) — either the schedule looks past the " +
+          "observed data (pass plannedTotal to anchor the information " +
+          "fraction for live monitoring) or the cutoffs are not ascending")
       prevCum = na + nb
-      (lk, na, sa, qa, nb, sb, qb)
+      perLook += ((lk, na, sa, qa, nb, sb, qb))
     }
+    val folded = perLook.result()
     // information denominator: the PLANNED final pooled count when
     // supplied (live monitoring — info_frac stays honest before the
     // schedule completes), else the observed count at the last look
     // (retrospective read over a COMPLETE schedule; the strict-increase
     // guard above refuses the anti-conservative in-between state)
-    val observedTotal = perLook.last._2 + perLook.last._5
-    plannedTotal.foreach(p => require(p >= observedTotal,
-      s"groupSequential: plannedTotal $p < observed pooled count " +
-        s"$observedTotal — the schedule has outrun its plan; re-plan " +
-        "the looks rather than let info_frac exceed 1"))
+    val observedTotal = folded.last._2 + folded.last._5
+    plannedTotal.foreach { p =>
+      if (p < observedTotal)
+        return Left(s"plannedTotal $p < observed pooled count " +
+          s"$observedTotal — the schedule has outrun its plan; re-plan " +
+          "the looks rather than let info_frac exceed 1")
+    }
     val nTotal = plannedTotal.getOrElse(observedTotal).toDouble
-    val looks = perLook.map { case (lk, la, lsa, lqa, lb, lsb, lqb) =>
+    val looks = folded.map { case (lk, la, lsa, lqa, lb, lsb, lqb) =>
       val (_, _, z, _, _) = welchChain(la, lsa, lqa, lb, lsb, lqb)
-      require(!z.isNaN && !z.isInfinite,
-        s"groupSequential: degenerate variance at look $lk — the Welch " +
+      if (z.isNaN || z.isInfinite)
+        return Left(s"degenerate variance at look $lk — the Welch " +
           "statistic is undefined (constant metric)")
       val frac = (la + lb).toDouble / nTotal
       val boundary =
@@ -1686,10 +1714,9 @@ object Stats {
       (lk, la, lb, frac, z, boundary, math.abs(z) >= boundary)
     }
     val stop = looks.find(_._7).map(_._1)
-    looks.map { case (lk, la, lb, frac, z, b, crossed) =>
+    Right(looks.map { case (lk, la, lb, frac, z, b, crossed) =>
       (lk, la, lb, frac, z, b, crossed, stop)
-    }.toDF("look", "n_a", "n_b", "info_frac", "z", "boundary", "crossed",
-      "stop_look")
+    })
   }
 
   /** Power analysis / minimum-detectable-effect readout — the question

@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsCuped, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm}
+    import graft.streaming.{TwsCuped, TwsGroupSeq, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -122,6 +122,7 @@ class CodegenGuardSpec extends AnyFunSuite {
       val inP = MemoryStream[TwsPostStrat.StratumObs]
       val inC = MemoryStream[TwsCuped.CovariateObs]
       val inA = MemoryStream[TwsMultiArm.ArmObs]
+      val inG = MemoryStream[TwsGroupSeq.LookObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
@@ -136,6 +137,9 @@ class CodegenGuardSpec extends AnyFunSuite {
         .outputMode("update").start()
       val qA = TwsMultiArm.monitor(inA.toDS(), controlArm = "c")
         .writeStream.format("memory").queryName("codegen_guard_multiarm")
+        .outputMode("update").start()
+      val qG = TwsGroupSeq.monitor(inG.toDS(), k = 2, plannedTotal = 48L)
+        .writeStream.format("memory").queryName("codegen_guard_groupseq")
         .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
@@ -161,8 +165,13 @@ class CodegenGuardSpec extends AnyFunSuite {
         inA.addData(arows: _*); qA.processAllAvailable()
         inA.addData(arows: _*); qA.processAllAvailable()
         assert(spark.table("codegen_guard_multiarm").count() >= 1)
+        val grows = (1 to 12).map(i => TwsGroupSeq.LookObs(
+          "m", if (i <= 6) 1 else 2, (i % 5).toDouble, i % 2 == 0))
+        inG.addData(grows: _*); qG.processAllAvailable()
+        inG.addData(grows: _*); qG.processAllAvailable()
+        assert(spark.table("codegen_guard_groupseq").count() >= 1)
       } finally {
-        qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop()
+        qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop(); qG.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

@@ -580,7 +580,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(enc(chain, "xyz") == Seq(Seq("x", "y", "z")))
     // guards: empty symbols and sentinel collisions fail loud
     intercept[IllegalArgumentException](enc(Seq(("", "a")), "a"))
-    intercept[IllegalArgumentException](enc(Seq(("a", "")), "a"))
+    intercept[IllegalArgumentException](enc(Seq(("a", "\u0001")), "a"))
     // doc-level encode: pre-split + merges, flattened in order; exact
     // token counts under the vocab
     val doc = Seq("the thermal the").toDF("text")
@@ -591,6 +591,36 @@ class OperatorsSpec extends AnyFunSuite {
     // (ranks 1-3 chain through the leading space before rank 4 could
     // see a bare th)
     assert(doc == Seq("the", " the", "r", "m", "a", "l", " the"))
+  }
+
+  test("bpe merge application: randomized tables equal the plain-JVM reference") {
+    // 300 random (merge table, pre-token) cases over a 3-letter
+    // alphabet vs an independent java.lang.String.replace reference of
+    // the pinned semantics (one greedy left-to-right pass per rank,
+    // ranks ascending) — Catalyst's StringReplace and the JVM's
+    // literal replace must agree on every adjacency/overlap shape the
+    // generator finds, not just the hand-picked goldens
+    import graft.operators.TextAnalysis
+    val L = "\u0001"; val R = "\u0002"
+    def ref(tok: String, merges: Seq[(String, String)]): Seq[String] = {
+      var s = tok.map(c => s"$L$c$R").mkString
+      for ((x, y) <- merges)
+        s = s.replace(L + x + R + L + y + R, L + x + y + R)
+      s.split(java.util.regex.Pattern.quote(R + L))
+        .map(_.replace(L, "").replace(R, "")).filter(_.nonEmpty).toSeq
+    }
+    val rnd = new scala.util.Random(0xB9E5EEDL)
+    def rs(n: Int) = (1 to n).map(_ => "abc"(rnd.nextInt(3))).mkString
+    (1 to 10).foreach { round =>
+      val merges = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => (rs(1 + rnd.nextInt(2)), rs(1 + rnd.nextInt(2))))
+      val toks = (1 to 30).map(_ => rs(1 + rnd.nextInt(10)))
+      val got = toks.toDF("t")
+        .select(TextAnalysis.bpeMergeTokens($"t", merges).as("o"))
+        .collect().map(_.getSeq[String](0).toSeq).toSeq
+      val want = toks.map(ref(_, merges))
+      assert(got == want, s"round $round merges=$merges")
+    }
   }
 
   test("chunk dedup: shared chunk reported, scrubbed docs rebuilt in order") {

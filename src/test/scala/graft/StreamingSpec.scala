@@ -614,6 +614,82 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState group-sequential monitor: populated-prefix readout EQUALS the batch groupSequential") {
+    // the scheduled-looks member of the streaming monitoring tier
+    // (TwsGroupSeq): per-metric MapState look → exact decimal arm
+    // moments, the batch operator's OWN chain (Stats.groupSeqChain)
+    // folded over the POPULATED look prefix with the REQUIRED planned
+    // total. Decimal sums are order-independent, so each emission must
+    // equal Stats.groupSequential on the same rows with the schedule
+    // truncated to the populated looks and the same plannedTotal —
+    // BIT-FOR-BIT. A thin first look stays silent.
+    import graft.streaming.TwsGroupSeq
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsGroupSeq.LookObs]
+    val planned = 120L
+    def obs(i: Int, look: Int, armA: Boolean) = TwsGroupSeq.LookObs(
+      "m1", look, (i % 7).toDouble + (if (armA) 2.0 else 0.0), armA)
+    // batch 1 fills look 1 only; batch 2 fills looks 2 and 3 (+ a
+    // non-finite row the monitor must skip)
+    val batch1 = (1 to 20).map(i => obs(i, 1, i % 2 == 0))
+    val batch2 = (21 to 50).map(i => obs(i, 2, i % 2 == 0)) ++
+      (51 to 80).map(i => obs(i, 3, i % 2 == 0)) :+
+      TwsGroupSeq.LookObs("m1", 2, Double.NaN, armA = true)
+    val q = TwsGroupSeq.monitor(in.toDS(), k = 4, plannedTotal = planned)
+      .writeStream.format("memory").queryName("tws_groupseq_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_groupseq_out").collect()
+        .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getBoolean(7),
+          if (r.isNullAt(8)) None else Some(r.getInt(8))))
+      // batch 1 emitted the 1-look prefix; batch 2 the 3-look prefix
+      assert(snaps.length == 1 + 3, snaps.mkString("\n"))
+      // the full emission MULTISET equals the two truncated batch
+      // replays (the update-mode trace IS two prefix reads): the
+      // 1-look read over batch 1, then the 3-look read over the union
+      def replay(rows: Seq[TwsGroupSeq.LookObs], looks: Int) =
+        graft.operators.Stats.groupSequential(
+            rows.map(o => (o.look, o.value, o.armA)).toDF("t", "v", "armA"),
+            "v", col("armA"), "t",
+            cutoffs = (1 to looks).map(org.apache.spark.sql.functions.lit(_)),
+            plannedTotal = Some(planned))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+            if (r.isNullAt(7)) None else Some(r.getInt(7)))).toSeq
+      val expected = replay(batch1, 1) ++ replay(batch1 ++ batch2, 3)
+      assert(snaps.toSeq.sortBy(s => (s._2 + s._3, s._1)) ==
+        expected.sortBy(s => (s._2 + s._3, s._1)),
+        s"stream ${snaps.toSeq}\nbatch $expected")
+      // a thin prefix stays silent: new metric, one row per arm
+      in.addData(TwsGroupSeq.LookObs("m2", 1, 1.0, armA = true),
+        TwsGroupSeq.LookObs("m2", 1, 2.0, armA = false))
+      q.processAllAvailable()
+      assert(!spark.table("tws_groupseq_out").collect()
+        .exists(_.getString(0) == "m2"), "thin prefix must emit nothing")
+      // an out-of-schedule look id fails LOUD (routing bug)
+      in.addData(TwsGroupSeq.LookObs("m1", 9, 1.0, armA = true))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage != null)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CUPED snapshot: stream readout EQUALS the batch cuped") {
     // the covariate half of the streaming variance-reduction tier
     // (TwsCuped): per-metric value state = the 12 exact decimal cross
