@@ -627,6 +627,33 @@ object StatsQ {
           col("crossed"),
           col("stop_look").cast("long").as("stop_look"))),
 
+    "x_group_seq_live" -> ((s, dir) => {
+      // the LIVE-monitoring face of x_group_seq (ADVICE r16 /
+      // Stats.groupSequential plannedTotal): the same four looks read
+      // mid-experiment against a PLANNED final pooled count of twice
+      // the observed rows — info_frac halves, the OBF boundary
+      // stiffens by sqrt(2), and the crossing pattern is re-decided
+      // under the honest denominator. plannedTotal is derived from
+      // one count (2x observed) so the query is SF-portable; the
+      // oracle replays the identical doubling.
+      val o = t(s, dir, "orders")
+      val obs = o.filter(col("o_totalprice").isNotNull &&
+          col("o_orderdate").isNotNull &&
+          !isnan(col("o_totalprice"))).count()
+      Stats.groupSequential(o, "o_totalprice",
+          col("o_custkey") % 2 === 0, "o_orderdate",
+          cutoffs = Seq(lit("1996-06-30"), lit("1998-06-30"),
+            lit("2000-06-30"), lit("2001-08-01")).map(_.cast("date")),
+          plannedTotal = Some(2L * obs))
+        .select(col("look").cast("long").as("look"),
+          col("n_a"), col("n_b"),
+          round(col("info_frac"), 6).as("info_frac"),
+          round(col("z"), 6).as("z"),
+          round(col("boundary"), 6).as("boundary"),
+          col("crossed"),
+          col("stop_look").cast("long").as("stop_look"))
+    }),
+
     "x_bootstrap_group" -> ((s, dir) =>
       // per-SEGMENT bootstrap mean CIs (Stats.bootstrapMeanCIByGroup):
       // the x_bootstrap machinery with (group, resample) cells — a
@@ -2182,6 +2209,62 @@ object StatsQ {
         |  FROM looks l JOIN cells c ON c.k <= l.look GROUP BY l.look),
         |tot AS (SELECT CAST(na + nb AS DOUBLE) AS ntot FROM cum
         |  WHERE look = 4),
+        |alg AS (
+        |  SELECT look, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(na AS DOUBLE)) / CAST(na - 1 AS DOUBLE) AS va,
+        |    (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(nb AS DOUBLE)) / CAST(nb - 1 AS DOUBLE) AS vb
+        |  FROM cum),
+        |se AS (SELECT look, na, nb, ma, mb, va / CAST(na AS DOUBLE) AS sea,
+        |  vb / CAST(nb AS DOUBLE) AS seb FROM alg),
+        |zz AS (SELECT look, na, nb,
+        |  (ma - mb) / sqrt(sea + seb) AS z,
+        |  CAST(na + nb AS DOUBLE) / (SELECT ntot FROM tot) AS frac
+        |  FROM se),
+        |cr AS (SELECT look, na, nb, frac, z,
+        |  1.959963984540054 / sqrt(frac) AS boundary,
+        |  abs(z) >= 1.959963984540054 / sqrt(frac) AS crossed FROM zz)
+        |SELECT CAST(look AS BIGINT) AS look, na AS n_a, nb AS n_b,
+        |  ROUND(frac, 6) AS info_frac, ROUND(z, 6) AS z,
+        |  ROUND(boundary, 6) AS boundary, crossed,
+        |  CAST(MIN(CASE WHEN crossed THEN look END) OVER () AS BIGINT)
+        |    AS stop_look
+        |FROM cr ORDER BY look""".stripMargin,
+    "x_group_seq_live" ->
+      // the x_group_seq replay with the PLANNED information
+      // denominator: ntot = 2 x the observed eligible rows (the same
+      // count the engine's plannedTotal derivation runs), so
+      // info_frac halves and the OBF boundary stiffens by sqrt(2)
+      """WITH pts AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(19,6)) AS v,
+        |    CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN o_orderdate <= DATE '1996-06-30' THEN 1
+        |         WHEN o_orderdate <= DATE '1998-06-30' THEN 2
+        |         WHEN o_orderdate <= DATE '2000-06-30' THEN 3
+        |         WHEN o_orderdate <= DATE '2001-08-01' THEN 4 END AS k
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND isfinite(o_totalprice)),
+        |cells AS (
+        |  SELECT k, ia, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(v) AS s, SUM(v * v) AS q
+        |  FROM pts WHERE k IS NOT NULL GROUP BY k, ia),
+        |looks AS (SELECT CAST(range AS INTEGER) AS look FROM range(1, 5)),
+        |cum AS (
+        |  SELECT l.look,
+        |    CAST(SUM(CASE WHEN c.ia = 1 THEN c.n ELSE 0 END) AS BIGINT) AS na,
+        |    SUM(CASE WHEN c.ia = 1 THEN c.s END) AS sa,
+        |    SUM(CASE WHEN c.ia = 1 THEN c.q END) AS qa,
+        |    CAST(SUM(CASE WHEN c.ia = 0 THEN c.n ELSE 0 END) AS BIGINT) AS nb,
+        |    SUM(CASE WHEN c.ia = 0 THEN c.s END) AS sb,
+        |    SUM(CASE WHEN c.ia = 0 THEN c.q END) AS qb
+        |  FROM looks l JOIN cells c ON c.k <= l.look GROUP BY l.look),
+        |tot AS (SELECT CAST(2 * COUNT(*) AS DOUBLE) AS ntot FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+        |    AND NOT isnan(o_totalprice)),
         |alg AS (
         |  SELECT look, na, nb,
         |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,

@@ -2656,6 +2656,29 @@ class OperatorsSpec extends AnyFunSuite {
       Stats.groupSequential(df, "v", col("g") === "a", "ts",
         Seq(lit(10)), shape = "wald").collect()
     }
+    // ADVICE r16 guards: an EMPTY look (schedule outran the data) fails
+    // loud — the default denominator would re-test unchanged data at a
+    // lower OBF boundary
+    val exEmpty = intercept[IllegalArgumentException] {
+      Stats.groupSequential(df, "v", col("g") === "a", "ts",
+        Seq(lit(10), lit(20), lit(30))).collect()
+    }
+    assert(exEmpty.getMessage.contains("added no rows"))
+    // plannedTotal anchors info_frac for live monitoring: with a plan
+    // of 2x the observed rows, every look's fraction halves and the
+    // OBF boundary stiffens by sqrt(2); the final look is no longer
+    // read at the full-information boundary
+    val planned = Stats.groupSequential(df, "v", col("g") === "a", "ts",
+      Seq(lit(10), lit(20)), plannedTotal = Some(96L)).collect()
+    assert(planned(1).getDouble(3) == l2.getDouble(3) / 2.0)
+    assert(math.abs(planned(1).getDouble(5) -
+      1.959963984540054 * math.sqrt(2.0)) < 1e-12)
+    // a plan the data has outrun fails loud
+    val exPlan = intercept[IllegalArgumentException] {
+      Stats.groupSequential(df, "v", col("g") === "a", "ts",
+        Seq(lit(10), lit(20)), plannedTotal = Some(10L)).collect()
+    }
+    assert(exPlan.getMessage.contains("outrun"))
   }
 
   test("welchTByGroup: each segment bit-equals welchT on its slice, BH across segments, thin slice loud") {
