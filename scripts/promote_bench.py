@@ -80,13 +80,22 @@ def main(out_path: str, srcs: list) -> int:
 
     if delta <= DRIFT_PCT:
         doc = dict(cand_doc)
+        # per-entry discount evidence: entries above 1.5x the
+        # cross-sweep floor are scheduling noise inside an otherwise
+        # quiet window — the artifact names them (with the floor) so a
+        # reader never mistakes the tail for engine cost
+        over = {k: {"sec": v, "floor": comp[k]}
+                for k, v in cand_q.items()
+                if comp.get(k) and v > 1.5 * comp[k]}
         doc["promotion"] = {"policy": "quietest_complete_sweep",
                             "candidates": [p for p, _, _ in complete],
                             "composite_total": round(comp_total, 3),
-                            "delta_vs_composite_pct": round(delta, 1)}
+                            "delta_vs_composite_pct": round(delta, 1),
+                            "over_15x_floor": over}
         json.dump(doc, open(out_path, "w"), separators=(",", ":"))
         print(f"promoted {cand_path} verbatim -> {out_path} "
-              f"(delta {delta:.1f}% <= {DRIFT_PCT}%)")
+              f"(delta {delta:.1f}% <= {DRIFT_PCT}%; "
+              f"{len(over)} entries tagged over 1.5x floor)")
         return 0
 
     # contention no single sweep escaped: promote the composite
