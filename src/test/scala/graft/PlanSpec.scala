@@ -847,11 +847,12 @@ class PlanSpec extends AnyFunSuite {
     // future query (or operator rewrite) reintroducing a corpus-sized
     // single-partition window fails here by name.
     import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Window => LWindow}
-    // x_seq_pack is the packBins GLOBAL-ORDER form — deterministic by
-    // construction and kept AS the oracle form (Sampling.packBins
-    // scaladoc); its scale path (shardCols => parallel keyed windows)
-    // is spec-locked in OperatorsSpec
-    val documented = Set("x_seq_pack")
+    // x_seq_pack (and its exact-BPE-count twin x_seq_pack_bpe) is the
+    // packBins GLOBAL-ORDER form — deterministic by construction and
+    // kept AS the oracle form (Sampling.packBins scaladoc); its scale
+    // path (shardCols => parallel keyed windows) is spec-locked in
+    // OperatorsSpec
+    val documented = Set("x_seq_pack", "x_seq_pack_bpe")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => documented.contains(name) }
       .flatMap { case (name, fn) =>
