@@ -202,6 +202,26 @@ object Vectors {
         .orderBy("vec_id", "rank")
     }),
 
+    "x_hard_negatives_ivf_probe" -> ((s, dir) => {
+      // the APPROXIMATE mode of the scale path, value-oracled: nprobe
+      // = 4 of 16 cells — the configuration a 100 TB deployment
+      // actually runs (candidates from ~1/4 of the corpus; recall
+      // rides the probe budget). Deterministic end-to-end (argmin cell
+      // ties to the lowest id, probe ranking ties (L2², cell), TopK
+      // struct order), so the oracle replays cell assignment, the
+      // per-query probe list, the filtered label-crossing kNN and the
+      // rank cut — the first fully value-oracled approximate-ANN mode
+      // in the engine (x_ivf_topk et al. oracle only their full-probe
+      // forms).
+      val e = emb(s, dir)
+      val coarse = Similarity.pqCodebook(
+        e.filter(col("vec_id").between(1, sqIvfCells)), "vec_id", "embedding",
+        numSubspaces = 1, codebookSize = sqIvfCells)(0)
+      Similarity.hardNegativesIvf(e, "vec_id", "embedding", "label",
+          k = 3, coarse, nprobe = hnProbe)
+        .orderBy("vec_id", "rank")
+    }),
+
     "x_kmeans" -> ((s, dir) =>
       // two Lloyd iterations, k=4, integer-quantized vectors — fully
       // value-oracled (every vec_id's final cluster): quantization
@@ -583,6 +603,9 @@ object Vectors {
   // IVF×SQ: cells = one subspace-free 16-row codebook (shared val so
   // the full-probe contract and the replay SQL cannot drift)
   private val sqIvfCells = 16
+  // the reduced-probe hard-negative budget (x_hard_negatives_ivf_probe
+  // — shared val so the def and the replay SQL cannot drift)
+  private val hnProbe = 4
 
   // ---- int8 scalar-quantization replay (x_sq_recall / x_ivf_sq_topk) --
   //
@@ -666,6 +689,42 @@ object Vectors {
        |  ROUND(CAST(top.c AS DOUBLE) / t.n, 4) AS purity
        |FROM t JOIN top USING (cid) ORDER BY cluster""".stripMargin
 
+  /** Reduced-probe IVF hard-negative replay (x_hard_negatives_ivf_probe):
+    * cell assignment = argmin-L2² over the first-16 codebook (the
+    * x_pq_topk fold, ties to the lowest 1-based cell), per-query probe
+    * list = the hnProbe nearest cells by (L2², cell), then the
+    * label-crossing kNN restricted to candidates whose cell is probed
+    * — the same left-to-right folds and tie orders as the engine's
+    * in-plan HOFs. */
+  private val hardNegIvfProbeReplay: String =
+    s"""WITH dv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS j, e AS ce
+       |       FROM dv WHERE vec_id BETWEEN 1 AND $sqIvfCells),
+       |cellsd AS (SELECT d.vec_id, c.j,
+       |    ${l2FoldSql("d.e", "c.ce")} AS dist
+       |  FROM dv d CROSS JOIN cw c),
+       |rk AS (SELECT vec_id, j,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+       |  FROM cellsd),
+       |cell AS (SELECT vec_id, j AS cid FROM rk WHERE rn = 1),
+       |probe AS (SELECT vec_id AS qid, j AS pid FROM rk WHERE rn <= $hnProbe),
+       |s AS (
+       |  SELECT q.vec_id AS vec_id, a.vec_id AS neg_id,
+       |    CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
+       |  FROM embeddings a
+       |  JOIN cell ca ON ca.vec_id = a.vec_id
+       |  JOIN probe p ON p.pid = ca.cid
+       |  JOIN embeddings q ON q.vec_id = p.qid
+       |  WHERE a.vec_id <> q.vec_id AND a.label <> q.label
+       |), r AS (
+       |  SELECT vec_id, neg_id, cos, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, neg_id DESC) AS INTEGER) AS rank
+       |  FROM s
+       |)
+       |SELECT vec_id, rank, neg_id, cos FROM r WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "x_pq_topk" -> pqOracle,
     "x_kmeans" -> kmeansOracle,
@@ -735,6 +794,7 @@ object Vectors {
     // candidate set equals the brute-force one and the SAME replay
     // applies verbatim — the x_ivf_topk full-probe convention
     "x_hard_negatives_ivf" -> hardNegReplay,
+    "x_hard_negatives_ivf_probe" -> hardNegIvfProbeReplay,
     "x_knn_join" ->
       s"""WITH s AS (
          |  SELECT q.vec_id AS qid, a.vec_id AS nid,
