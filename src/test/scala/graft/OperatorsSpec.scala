@@ -2611,6 +2611,21 @@ class OperatorsSpec extends AnyFunSuite {
       Stats.multiArm((Seq(("t", 1.0)) ++ arm("ctrl", 0.0)).toDF("g", "v"),
         "v", "g", "ctrl").collect()
     }
+    // (4) the overridable minN guard (ADVICE r16): 30-row arms pass the
+    // default but fail a raised normal-approximation floor, naming the
+    // arm; minN < 2 is itself rejected (a variance needs two rows)
+    val exMin = intercept[IllegalArgumentException] {
+      Stats.multiArm(multi, "v", "g", "ctrl", minN = 31L).collect()
+    }
+    assert(exMin.getMessage.contains("31"))
+    intercept[IllegalArgumentException] {
+      Stats.multiArm(multi, "v", "g", "ctrl", minN = 1L).collect()
+    }
+    val exSeg = intercept[IllegalArgumentException] {
+      Stats.welchTByGroup(multi.withColumn("seg", lit("s1")), "v", "seg",
+        col("g") === "ctrl", minN = 31L).collect()
+    }
+    assert(exSeg.getMessage.contains("31"))
   }
 
   test("groupSequential: looks equal welchT prefixes, OBF shape, first-crossing stop, guards") {
