@@ -1513,30 +1513,56 @@ object Stats {
     val byCell = cells.map(r => (r.getString(0), r.getLong(1)) ->
       ((r.getLong(2), BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4)))))
       .toMap
+    welchSegmentsChain(byCell, q, minN) match {
+      case Left(msg) =>
+        throw new IllegalArgumentException(
+          s"requirement failed: welchTByGroup: $msg")
+      case Right(rows) =>
+        rows.toDF("grp", "n_a", "n_b", "mean_a", "mean_b", "diff", "t",
+          "df", "p", "significant")
+    }
+  }
+
+  /** [[welchTByGroup]]'s driver algebra factored out (the
+    * multiArmChain pattern) so the batch readout and the streaming
+    * monitor ([[graft.streaming.TwsWelchSegments]]) run ONE
+    * implementation. Input: exact decimal (n, Σv, Σv²) per
+    * (segment, arm-indicator) cell. Left = the states the batch fails
+    * loud on and a stream mid-fill treats as silence (a segment with a
+    * thin or missing arm, degenerate variance). Right = one tuple per
+    * segment, sorted by label:
+    * (grp, n_a, n_b, mean_a, mean_b, diff, t, df, p, significant). */
+  private[graft] def welchSegmentsChain(
+      byCell: Map[(String, Long), (Long, BigDecimal, BigDecimal)],
+      q: Double, minN: Long)
+      : Either[String, Seq[(String, Long, Long, Double, Double, Double,
+        Double, Double, Double, Boolean)]] = {
     val groups = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
-    val tested = groups.map { g =>
+    val tested = Seq.newBuilder[(String, Long, Long, Double, Double,
+      Double, Double, Double)]
+    for (g <- groups) {
       val a = byCell.get((g, 1L))
       val b = byCell.get((g, 0L))
-      require(a.exists(_._1 >= minN) && b.exists(_._1 >= minN),
-        s"welchTByGroup: segment '$g' needs >= $minN rows in EACH arm " +
+      if (!(a.exists(_._1 >= minN) && b.exists(_._1 >= minN)))
+        return Left(s"segment '$g' needs >= $minN rows in EACH arm " +
           s"(n_a=${a.map(_._1).getOrElse(0L)}, " +
           s"n_b=${b.map(_._1).getOrElse(0L)}) — a per-segment Welch " +
           "test is undefined on a thin slice; coarsen the segment key")
       val (na, sa, qa) = a.get
       val (nb, sb, qb) = b.get
       val (mA, mB, t, dfW, _) = welchChain(na, sa, qa, nb, sb, qb)
-      require(!t.isNaN && !t.isInfinite,
-        s"welchTByGroup: degenerate variance in segment '$g' — the " +
-          "Welch statistic is undefined (constant metric)")
-      (g, na, nb, mA, mB, t, dfW, zPvalue2(t))
+      if (t.isNaN || t.isInfinite)
+        return Left(s"degenerate variance in segment '$g' — the Welch " +
+          "statistic is undefined (constant metric)")
+      tested += ((g, na, nb, mA, mB, t, dfW, zPvalue2(t)))
     }
+    val rows = tested.result()
     // the BH step-up rule across the segments ([[bhThreshold]] — ONE
     // implementation with multiArm / the quantile-segment readout)
-    val thr = bhThreshold(tested.map(_._8), q)
-    tested.map { case (g, na, nb, mA, mB, t, dfW, p) =>
+    val thr = bhThreshold(rows.map(_._8), q)
+    Right(rows.map { case (g, na, nb, mA, mB, t, dfW, p) =>
       (g, na, nb, mA, mB, mA - mB, t, dfW, p, thr.exists(p <= _))
-    }.toDF("grp", "n_a", "n_b", "mean_a", "mean_b", "diff", "t", "df",
-      "p", "significant")
+    })
   }
 
   /** Group-sequential A/B monitoring — the SCHEDULED-looks discipline

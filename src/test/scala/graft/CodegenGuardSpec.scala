@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsCuped, TwsGroupSeq, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm}
+    import graft.streaming.{TwsCuped, TwsGroupSeq, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm, TwsWelchSegments}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -123,6 +123,7 @@ class CodegenGuardSpec extends AnyFunSuite {
       val inC = MemoryStream[TwsCuped.CovariateObs]
       val inA = MemoryStream[TwsMultiArm.ArmObs]
       val inG = MemoryStream[TwsGroupSeq.LookObs]
+      val inW = MemoryStream[TwsWelchSegments.SegObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
@@ -140,6 +141,9 @@ class CodegenGuardSpec extends AnyFunSuite {
         .outputMode("update").start()
       val qG = TwsGroupSeq.monitor(inG.toDS(), k = 2, plannedTotal = 48L)
         .writeStream.format("memory").queryName("codegen_guard_groupseq")
+        .outputMode("update").start()
+      val qW = TwsWelchSegments.monitor(inW.toDS())
+        .writeStream.format("memory").queryName("codegen_guard_welchseg")
         .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
@@ -170,8 +174,13 @@ class CodegenGuardSpec extends AnyFunSuite {
         inG.addData(grows: _*); qG.processAllAvailable()
         inG.addData(grows: _*); qG.processAllAvailable()
         assert(spark.table("codegen_guard_groupseq").count() >= 1)
+        val wrows = (1 to 12).map(i => TwsWelchSegments.SegObs(
+          "m", if (i % 4 < 2) "x" else "y", (i % 5).toDouble, i % 2 == 0))
+        inW.addData(wrows: _*); qW.processAllAvailable()
+        inW.addData(wrows: _*); qW.processAllAvailable()
+        assert(spark.table("codegen_guard_welchseg").count() >= 1)
       } finally {
-        qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop(); qG.stop()
+        qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop(); qG.stop(); qW.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

@@ -690,6 +690,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState per-segment effects: stream readout EQUALS the batch welchTByGroup") {
+    // the slicing member of the streaming experimentation tier
+    // (TwsWelchSegments): per-metric MapState segment → exact decimal
+    // arm moments, the batch operator's OWN chain
+    // (Stats.welchSegmentsChain — welchChain per segment + the shared
+    // bhThreshold) per micro-batch. Decimal sums are
+    // order-independent, so the final per-segment snapshots must equal
+    // Stats.welchTByGroup on the union of all batches BIT-FOR-BIT. A
+    // prefix with a one-armed segment stays SILENT (the batch fails
+    // loud on the same state).
+    import graft.streaming.TwsWelchSegments
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsWelchSegments.SegObs]
+    def obs(seg: String, i: Int, armA: Boolean, shift: Double) =
+      TwsWelchSegments.SegObs("m1", seg,
+        (i % 7).toDouble + (if (armA) shift else 0.0), armA)
+    // batch 1: segment sx has only arm A → the whole metric stays
+    // silent (batch welchTByGroup would fail loud on the same prefix)
+    val batch1 = (1 to 10).map(i => obs("sx", i, armA = true, 20.0)) ++
+      (1 to 12).map(i => obs("sy", i, i % 2 == 0, 0.5))
+    val batch2 = (1 to 10).map(i => obs("sx", i, armA = false, 20.0)) ++
+      (13 to 30).map(i => obs("sy", i, i % 2 == 0, 0.5)) :+
+      TwsWelchSegments.SegObs("m1", "sx", Double.NaN, armA = true)
+    val q = TwsWelchSegments.monitor(in.toDS(), q = 0.05)
+      .writeStream.format("memory").queryName("tws_welchseg_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("tws_welchseg_out").count() == 0L,
+        "a one-armed segment must keep the metric silent")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_welchseg_out").collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9), r.getBoolean(10))).toMap
+      assert(snaps.keySet == Set("sx", "sy"))
+      // batch replay of the SAME rows through Stats.welchTByGroup
+      val all = (batch1 ++ batch2)
+        .map(o => (o.segment, o.value, o.armA)).toDF("seg", "v", "armA")
+      val b = graft.operators.Stats.welchTByGroup(all, "v", "seg",
+          col("armA"), q = 0.05).collect()
+      b.foreach { r =>
+        val s = snaps(r.getString(0))
+        assert(s._1 == r.getLong(1) && s._2 == r.getLong(2),
+          s"${r.getString(0)} counts")
+        assert(s._3 == r.getDouble(3) && s._4 == r.getDouble(4),
+          s"${r.getString(0)} means must be bit-equal")
+        assert(s._5 == r.getDouble(5) && s._6 == r.getDouble(6) &&
+          s._7 == r.getDouble(7), s"${r.getString(0)} diff/t/df")
+        assert(s._8 == r.getDouble(8) && s._9 == r.getBoolean(9),
+          s"${r.getString(0)} p/significance")
+      }
+      // the planted +20 segment rejects, the +0.5 one does not
+      assert(snaps("sx")._9 && !snaps("sy")._9)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CUPED snapshot: stream readout EQUALS the batch cuped") {
     // the covariate half of the streaming variance-reduction tier
     // (TwsCuped): per-metric value state = the 12 exact decimal cross
