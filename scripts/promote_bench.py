@@ -13,8 +13,9 @@ this script makes the record-selection POLICY consume it:
      count across the inputs.
   3. Candidate record = the quietest complete sweep (min total).
   4. If the candidate still sits more than DRIFT_PCT above the
-     per-query composite (each query's MIN across the complete
-     sweeps — the honest engine floor), the candidate absorbed a
+     per-query composite (each query's MIN across the UNION of all
+     clean sweeps, complete or not — the honest engine floor), the
+     candidate absorbed a
      contention window no single re-sweep escaped: promote the
      COMPOSITE, provenance-tagged ("composite": true + per-source
      contribution counts + the candidate-vs-composite delta).

@@ -1591,12 +1591,16 @@ object Stats {
     * t_k is the pooled-count information fraction n_k / N (the
     * standard practical surrogate when per-unit variance is stable),
     * where N is `plannedTotal` when supplied and the OBSERVED count at
-    * the last look otherwise. Supply `plannedTotal` for LIVE
-    * monitoring (a schedule not yet complete): without it the default
-    * N = n_K makes the latest look read info_frac = 1, and re-running
-    * as later looks fill would re-test unchanged data at progressively
-    * lower OBF boundaries — anti-conservative (ADVICE r16). The
-    * default form is therefore a RETROSPECTIVE read over a complete
+    * the last look otherwise. For LIVE monitoring (a schedule not yet
+    * complete) do BOTH: truncate `cutoffs` to the looks that have
+    * elapsed — the strict-increase guard below refuses an empty look
+    * regardless of plannedTotal, exactly as [[TwsGroupSeq]] folds only
+    * its populated look prefix (ADVICE r17) — AND supply
+    * `plannedTotal`: without it the default N = n_K makes the latest
+    * look read info_frac = 1, and re-running as later looks fill would
+    * re-test unchanged data at progressively lower OBF boundaries —
+    * anti-conservative (ADVICE r16). The default form is therefore a
+    * RETROSPECTIVE read over a complete
     * schedule, enforced by a strict per-look cumulative-count increase
     * (which also catches non-ascending cutoffs, otherwise masked by
     * the first-match bucketing).
@@ -1710,8 +1714,9 @@ object Stats {
       if (na + nb <= prevCum)
         return Left(s"look $lk added no rows (cumulative n ${na + nb} " +
           s"after ${prevCum}) — either the schedule looks past the " +
-          "observed data (pass plannedTotal to anchor the information " +
-          "fraction for live monitoring) or the cutoffs are not ascending")
+          "observed data (for live monitoring, truncate the cutoffs to " +
+          "the elapsed looks AND pass plannedTotal to anchor the " +
+          "information fraction) or the cutoffs are not ascending")
       prevCum = na + nb
       perLook += ((lk, na, sa, qa, nb, sb, qb))
     }

@@ -637,9 +637,15 @@ object StatsQ {
       // one count (2x observed) so the query is SF-portable; the
       // oracle replays the identical doubling.
       val o = t(s, dir, "orders")
+      // the SAME finiteness predicate as the engine's eligible-row gate
+      // (Stats.finite: NULL, NaN AND ±Inf excluded — ADVICE r17): an
+      // Inf row must not inflate plannedTotal relative to the rows the
+      // moment pass actually folds
       val obs = o.filter(col("o_totalprice").isNotNull &&
           col("o_orderdate").isNotNull &&
-          !isnan(col("o_totalprice"))).count()
+          !isnan(col("o_totalprice").cast("double")) &&
+          abs(col("o_totalprice").cast("double")) =!=
+            lit(Double.PositiveInfinity)).count()
       Stats.groupSequential(o, "o_totalprice",
           col("o_custkey") % 2 === 0, "o_orderdate",
           cutoffs = Seq(lit("1996-06-30"), lit("1998-06-30"),
@@ -2264,7 +2270,7 @@ object StatsQ {
         |  FROM looks l JOIN cells c ON c.k <= l.look GROUP BY l.look),
         |tot AS (SELECT CAST(2 * COUNT(*) AS DOUBLE) AS ntot FROM orders
         |  WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
-        |    AND NOT isnan(o_totalprice)),
+        |    AND isfinite(o_totalprice)),
         |alg AS (
         |  SELECT look, na, nb,
         |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
