@@ -32,6 +32,23 @@ private[graft] object LitArgs {
     v.toInt
   }
 
+  /** Literal `array('a', …)` argument (the merge-table convention of
+    * [[BpeEncodeVocab]] — a vocab is a plan constant, not data). */
+  def litStrings(e: Expression, what: String): Seq[String] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be a literal array of strings, got ${e.sql}")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toObjectArray(org.apache.spark.sql.types.StringType).toSeq.map {
+          case null => throw new IllegalArgumentException(
+            s"$what may not contain NULL symbols")
+          case s => s.toString
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal array of strings, got $other")
+    }
+  }
+
   /** Literal `array(0.5D, …)` argument (the quantile-list convention of
     * the KLL family). */
   def litDoubles(e: Expression, what: String): Seq[Double] = {

@@ -85,8 +85,9 @@ object TextAnalysis {
   def bpeMergeTokens(preToken: Column, merges: Seq[(String, String)]): Column = {
     require(merges.size <= 4096,
       s"bpeMergeTokens: ${merges.size} merges — each rank is one replace " +
-        "in the generated plan; past a few thousand, apply the vocab in " +
-        "stages or precompute token columns at ingest")
+        "in the generated plan; for a production-size vocab use " +
+        "bpeEncodeVocab (graft.functions.BpeEncodeVocab — the classic " +
+        "merge loop with the vocab as expression state, no plan-size cap)")
     merges.foreach { case (x, y) =>
       require(x.nonEmpty && y.nonEmpty,
         s"bpeMergeTokens: empty symbol in merge ($x, $y)")
@@ -121,6 +122,24 @@ object TextAnalysis {
     flatten(transform(
       bpeTokens(translate(text, MergeL + MergeR, "")),
       t => bpeMergeTokens(t, merges)))
+
+  /** Document-level BPE encode at PRODUCTION-VOCAB size (round-17
+    * verdict item 2 — [[bpeEncode]] past [[bpeMergeTokens]]' 4096-merge
+    * plan-size cap): [[bpeTokens]] pre-split, then ONE
+    * [[graft.functions.BpeEncodeVocab]] call per document running the
+    * classic lowest-rank-first merge loop with the whole vocab held as
+    * expression state — a 50 k-merge GPT-class table costs one
+    * reference object per plan, not 50 k plan nodes. Same narrow
+    * no-shuffle shape; the U+0001/U+0002 scrub is kept for parity with
+    * [[bpeEncode]] (the classic loop itself needs no sentinels, but the
+    * cross-engine oracle replay does, and the two paths must tokenize
+    * the same text). For a BPE-LEARNED table (every multi-character
+    * constituent produced at a strictly earlier rank) this equals
+    * [[bpeEncode]] token-for-token (spec-pinned). */
+  def bpeEncodeVocab(spark: SparkSession, text: Column,
+                     merges: Seq[(String, String)]): Column =
+    graft.functions.BpeEncodeVocab.encode(spark,
+      bpeTokens(translate(text, MergeL + MergeR, "")), merges)
 
   /** Within-document repetition / boilerplate profile — the standard
     * cheap filter for template spam and degenerate generations in a

@@ -30,7 +30,7 @@ object TextDocs {
     * document-initial unprefixed "the". A real vocab comes from a BPE
     * trainer; the operator contract only needs SOME fixed table (the
     * Similarity.pqCodebook convention). */
-  private val bpeMergeTable: Seq[(String, String)] = Seq(
+  private[graft] val bpeMergeTable: Seq[(String, String)] = Seq(
     ("t", "h"), (" ", "th"), (" th", "e"),
     ("i", "n"), ("e", "r"),
     ("o", "r"), ("or", "t"), ("s", "ort"), (" ", "sort"),
@@ -66,6 +66,60 @@ object TextDocs {
        |      list_transform(string_split($chain, chr(2)||chr(1)),
        |        v -> replace(replace(v, chr(1), ''), chr(2), '')),
        |      v -> length(v) > 0))) AS toks FROM t)""".stripMargin
+  }
+
+  /** PRODUCTION-SHAPE merge vocabulary for x_bpe_merges_vocab (round-17
+    * verdict item 2), shared by the query def and the DuckDB replay —
+    * a deterministic ~2.2 k-rank table built the way a trainer's table
+    * is SHAPED: per word, the left-to-right prefix chain
+    * (w₀,w₁), (w₀w₁,w₂), … then the space-prefix merge (" ", w).
+    * The corpus's 31 real words lead (their chains actually fire);
+    * a consonant-vowel-consonant pseudo-word product pads the tail
+    * (a real vocab is mostly merges any given document never uses).
+    * First occurrence of a pair keeps the lowest rank (trainer
+    * convention); the machine-checked LEARNED-LIKE invariant — every
+    * multi-character constituent is the output of a STRICTLY EARLIER
+    * rank — is exactly the property under which the classic
+    * lowest-rank-first loop ([[graft.functions.BpeEncodeVocab]], the
+    * engine side) and the rank-ascending one-pass-per-rank schedule
+    * (the recursive-CTE oracle replay) produce identical tokens
+    * (see bpeMergeTokens' semantics note). */
+  private[graft] val bpeVocabTable: Seq[(String, String)] = {
+    val real = Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key",
+      "line", "merge", "order", "part", "query", "row", "scan", "slow",
+      "small", "sort", "spark", "stream", "table", "the", "value",
+      "vector", "window")
+    val cons = "bcdfghklmnprst".map(_.toString)
+    val vowels = "aeiou".map(_.toString)
+    val padding = for { c1 <- cons; v <- vowels; c2 <- cons }
+      yield s"$c1$v$c2"
+    def chains(w: String): Seq[(String, String)] =
+      (2 to w.length).map(i =>
+        (w.substring(0, i - 1), w.substring(i - 1, i))) :+ (" " -> w)
+    val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    (real ++ padding).foreach(w => chains(w).foreach(seen += _))
+    val out = seen.toSeq
+    // the learned-like invariant, machine-checked at class init
+    val produced = scala.collection.mutable.HashSet[String]()
+    out.foreach { case (x, y) =>
+      require((x.length == 1 || produced(x)) &&
+        (y.length == 1 || produced(y)),
+        s"bpeVocabTable: constituent of ($x, $y) not produced by an " +
+          "earlier rank — the table is not learned-like, so the classic " +
+          "loop and the rank-pass oracle replay could diverge")
+      produced += (x + y)
+    }
+    out
+  }
+
+  /** The vocab rendered as DuckDB VALUES rows `(rank, x, y)`, rank
+    * 1-based to drive the recursive replay's `r = st.r + 1` join. */
+  private val bpeVocabValues: String = {
+    def esc(s: String) = s.replace("'", "''")
+    bpeVocabTable.zipWithIndex
+      .map { case ((x, y), i) => s"(${i + 1},'${esc(x)}','${esc(y)}')" }
+      .grouped(6).map(_.mkString(",")).mkString(",\n|    ")
   }
 
   /** Pid-scoped scratch dir under java.io.tmpdir for the round-trip
@@ -315,6 +369,31 @@ object TextDocs {
         .select(col("doc_id"), col("pre"),
           flatten(transform(col("pre"),
             t => TextAnalysis.bpeMergeTokens(t, bpeMergeTable))).as("toks"))
+        .select(col("doc_id"),
+          size(col("pre")).as("n_pre"),
+          length(array_join(col("pre"), "")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"))
+        .orderBy("doc_id")
+    }),
+
+    "x_bpe_merges_vocab" -> ((s, dir) => {
+      // PRODUCTION-VOCAB BPE application (round-17 verdict item 2,
+      // graft.functions.BpeEncodeVocab): x_bpe_merges past the 4096-
+      // merge replace-chain cap — the ~2.2k-rank learned-like table
+      // applied by ONE classic-merge-loop expression call per document
+      // (vocab = expression state, not plan nodes). Same narrow
+      // no-shuffle shape and readout as x_bpe_merges; the oracle
+      // replays the identical table rank-by-rank via a recursive CTE
+      // over the corpus's DISTINCT pre-tokens (equality with the
+      // classic loop holds by the table's machine-checked learned-like
+      // invariant — see bpeVocabTable).
+      val tx = translate(col("text"), "\u0001\u0002", "")
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
+        .select(col("doc_id"), col("pre"),
+          graft.functions.BpeEncodeVocab.encode(s, col("pre"),
+            bpeVocabTable).as("toks"))
         .select(col("doc_id"),
           size(col("pre")).as("n_pre"),
           length(array_join(col("pre"), "")).as("n_chars"),
@@ -2479,6 +2558,51 @@ object TextDocs {
          |  CAST(len(toks) AS INT) AS n_tokens,
          |  CAST(len(list_distinct(toks)) AS INT) AS n_types
          |FROM m ORDER BY doc_id""".stripMargin,
+    "x_bpe_merges_vocab" ->
+      // rank-by-rank recursive-CTE replay of the shared ~2.2k-merge
+      // vocab (bpeVocabTable — learned-like, so the pass schedule here
+      // equals the engine's classic merge loop): one sentinel-wrapped
+      // replace per rank over the corpus's DISTINCT pre-tokens (the
+      // vocab is ~35x the pre-token count, so dedup-then-rejoin is the
+      // only sane replay shape), identical wrap/split/strip read-back
+      // as x_bpe_merges, then the per-document counts rebuilt by
+      // position-ordered rejoin
+      s"""WITH RECURSIVE mg(r, x, y) AS (
+         |  SELECT * FROM (VALUES $bpeVocabValues) v(r, x, y)),
+         |sc AS (SELECT doc_id,
+         |    replace(replace(text, chr(1), ''), chr(2), '') AS tx
+         |  FROM documents),
+         |t AS (SELECT doc_id,
+         |    regexp_extract_all(tx, '${TextAnalysis.BpePattern}') AS pre
+         |  FROM sc),
+         |d AS (SELECT DISTINCT unnest(pre) AS tok FROM t),
+         |steps(tok, r, s) AS (
+         |  SELECT tok, 0,
+         |    regexp_replace(tok, '(.)', chr(1)||'\\1'||chr(2), 'g')
+         |  FROM d
+         |  UNION ALL
+         |  SELECT st.tok, st.r + 1,
+         |    replace(st.s, chr(1)||m.x||chr(2)||chr(1)||m.y||chr(2),
+         |      chr(1)||m.x||m.y||chr(2))
+         |  FROM steps st JOIN mg m ON m.r = st.r + 1),
+         |fin AS (
+         |  SELECT tok,
+         |    list_filter(list_transform(string_split(s, chr(2)||chr(1)),
+         |        v -> replace(replace(v, chr(1), ''), chr(2), '')),
+         |      v -> length(v) > 0) AS toks
+         |  FROM steps WHERE r = ${bpeVocabTable.size}),
+         |ex AS (SELECT doc_id, unnest(pre) AS tok,
+         |    unnest(range(1, len(pre) + 1)) AS i FROM t),
+         |ag AS (SELECT e.doc_id, COUNT(*) AS n_pre,
+         |    SUM(length(e.tok)) AS n_chars,
+         |    flatten(list(f.toks ORDER BY e.i)) AS toks
+         |  FROM ex e JOIN fin f ON f.tok = e.tok GROUP BY e.doc_id)
+         |SELECT t.doc_id, CAST(COALESCE(a.n_pre, 0) AS INT) AS n_pre,
+         |  CAST(COALESCE(a.n_chars, 0) AS INT) AS n_chars,
+         |  CAST(COALESCE(len(a.toks), 0) AS INT) AS n_tokens,
+         |  CAST(COALESCE(len(list_distinct(a.toks)), 0) AS INT) AS n_types
+         |FROM t LEFT JOIN ag a ON a.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
     "x_seq_pack_bpe" ->
       // the x_seq_pack bin walk over EXACT BPE token counts — the
       // bpeMergeCtes replay feeding the same cumulative-sum bin id
