@@ -3247,25 +3247,55 @@ object Stats {
         "value, key and segment")
     val byCell = rows.map(r => (r.getString(0), r.getInt(1), r.getLong(2)) ->
       ((r.getSeq[Double](3), r.getLong(4)))).toMap
+    quantileSegmentsChain(byCell, ps, b, alpha, q) match {
+      case Left(msg) =>
+        throw new IllegalArgumentException(
+          s"requirement failed: bootstrapQuantileDiffBySegment: $msg")
+      case Right(out) =>
+        out.toDF("grp", "p", "b_eff", "n_a", "n_b", "diff", "ci_lo",
+          "ci_hi", "p_boot", "significant")
+    }
+  }
+
+  /** [[bootstrapQuantileDiffBySegment]]'s driver algebra factored out
+    * (the multiArmChain/welchSegmentsChain pattern — r17 verdict item 4)
+    * so the batch readout and the streaming monitor
+    * ([[graft.streaming.TwsQuantileSegments]]) run ONE implementation.
+    * Input: per (segment, resample j ∈ 0..B, arm-indicator) cell, the
+    * quantiles already read at `ps` plus the cell's weighted count —
+    * the batch reads them from the partial-agged weighted KLL sketches,
+    * the stream from its per-cell sketch state (same [[graft.functions.KllBuffer]]
+    * kernel, so the reads agree wherever the sketch is exact). Left =
+    * the states the batch fails loud on and a stream mid-fill treats as
+    * silence (a one-armed or thin segment, too few live resamples).
+    * Right = one tuple per (segment, quantile level), sorted:
+    * (grp, p, b_eff, n_a, n_b, diff, ci_lo, ci_hi, p_boot, significant),
+    * with BH across segments independently per level. */
+  private[graft] def quantileSegmentsChain(
+      byCell: Map[(String, Int, Long), (Seq[Double], Long)],
+      ps: Seq[Double], b: Int, alpha: Double, q: Double)
+    : Either[String, Seq[(String, Double, Long, Long, Long, Double,
+        Double, Double, Double, Boolean)]] = {
     val groups = byCell.keysIterator.map(_._1).toSeq.distinct.sorted
+    if (groups.isEmpty) return Left("no populated segments")
     // per segment: the bootstrapQuantileDiffCI driver algebra verbatim
     val perSeg = groups.map { g =>
-      require(byCell.contains((g, 0, 1L)) && byCell.contains((g, 0, 0L)),
-        s"bootstrapQuantileDiffBySegment: segment '$g' is missing an arm " +
+      if (!(byCell.contains((g, 0, 1L)) && byCell.contains((g, 0, 0L))))
+        return Left(s"segment '$g' is missing an arm " +
           "after the NULL filter — a per-segment quantile diff is " +
           "undefined on a one-armed slice; coarsen the segment key")
       val (qa0, na0) = byCell((g, 0, 1L))
       val (qb0, nb0) = byCell((g, 0, 0L))
-      require(na0 >= 2 && nb0 >= 2,
-        s"bootstrapQuantileDiffBySegment: segment '$g' needs >= 2 rows " +
+      if (!(na0 >= 2 && nb0 >= 2))
+        return Left(s"segment '$g' needs >= 2 rows " +
           s"per arm (n_a=$na0, n_b=$nb0)")
       val live = (1 to b).flatMap { j =>
         for (a <- byCell.get((g, j, 1L)); bb <- byCell.get((g, j, 0L)))
           yield (a._1, bb._1)
       }
       val bEff = live.length.toLong
-      require(bEff >= 10L,
-        s"bootstrapQuantileDiffBySegment: segment '$g' kept only $bEff " +
+      if (bEff < 10L)
+        return Left(s"segment '$g' kept only $bEff " +
           "resamples with both arms non-empty — raise b or supply more rows")
       val aLo = alpha / 2.0
       val rLo = math.max(1L, math.ceil(aLo * bEff.toDouble).toLong)
@@ -3285,15 +3315,13 @@ object Stats {
     // BH step-up across SEGMENTS, independently per quantile level
     // ([[bhThreshold]] — the multiArm rule, one implementation)
     val all = perSeg.flatten
-    val out = ps.flatMap { p =>
+    Right(ps.flatMap { p =>
       val fam = all.filter(_._2 == p)
       val thr = bhThreshold(fam.map(_._9), q)
       fam.map { case (g, pp, bEff, na0, nb0, d, lo, hi, pb) =>
         (g, pp, bEff, na0, nb0, d, lo, hi, pb, thr.exists(pb <= _))
       }
-    }.sortBy(t => (t._1, t._2))
-    out.toDF("grp", "p", "b_eff", "n_a", "n_b", "diff", "ci_lo", "ci_hi",
-      "p_boot", "significant")
+    }.sortBy(t => (t._1, t._2)))
   }
 
   /** Two-proportion z-test — did a RATE move between the rows where

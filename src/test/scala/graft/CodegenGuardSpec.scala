@@ -110,7 +110,7 @@ class CodegenGuardSpec extends AnyFunSuite {
     // test log, correctness untouched, invisible to every result
     // assertion. This runs both monitors end-to-end on the RocksDB
     // store under the capture and fails on ANY fallback event.
-    import graft.streaming.{TwsCuped, TwsGroupSeq, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsSrm, TwsWelchSegments}
+    import graft.streaming.{TwsCuped, TwsGroupSeq, TwsMsprt, TwsMultiArm, TwsPostStrat, TwsQuantileSegments, TwsSrm, TwsWelchSegments}
     val hits = withCapture {
       implicit val sqlCtx = spark.sqlContext
       val key = "spark.sql.streaming.stateStore.providerClass"
@@ -124,6 +124,7 @@ class CodegenGuardSpec extends AnyFunSuite {
       val inA = MemoryStream[TwsMultiArm.ArmObs]
       val inG = MemoryStream[TwsGroupSeq.LookObs]
       val inW = MemoryStream[TwsWelchSegments.SegObs]
+      val inQ = MemoryStream[TwsQuantileSegments.QSegObs]
       val qM = TwsMsprt.monitor(inM.toDS(), tau2 = 4.0, alpha = 0.05)
         .writeStream.format("memory").queryName("codegen_guard_msprt")
         .outputMode("update").start()
@@ -144,6 +145,9 @@ class CodegenGuardSpec extends AnyFunSuite {
         .outputMode("update").start()
       val qW = TwsWelchSegments.monitor(inW.toDS())
         .writeStream.format("memory").queryName("codegen_guard_welchseg")
+        .outputMode("update").start()
+      val qQ = TwsQuantileSegments.monitor(inQ.toDS(), b = 20)
+        .writeStream.format("memory").queryName("codegen_guard_qseg")
         .outputMode("update").start()
       try {
         val rows = (1 to 12).map(i => TwsMsprt.MetricObs(
@@ -179,8 +183,16 @@ class CodegenGuardSpec extends AnyFunSuite {
         inW.addData(wrows: _*); qW.processAllAvailable()
         inW.addData(wrows: _*); qW.processAllAvailable()
         assert(spark.table("codegen_guard_welchseg").count() >= 1)
+        val qrows = (1 to 24).map(i => TwsQuantileSegments.QSegObs(
+          "m", if (i % 4 < 2) "x" else "y", i.toLong, (i % 5).toDouble, i % 2 == 0))
+        inQ.addData(qrows: _*); qQ.processAllAvailable()
+        val qrows2 = (25 to 48).map(i => TwsQuantileSegments.QSegObs(
+          "m", if (i % 4 < 2) "x" else "y", i.toLong, (i % 5).toDouble, i % 2 == 0))
+        inQ.addData(qrows2: _*); qQ.processAllAvailable()
+        assert(spark.table("codegen_guard_qseg").count() >= 1)
       } finally {
         qM.stop(); qS.stop(); qP.stop(); qC.stop(); qA.stop(); qG.stop(); qW.stop()
+        qQ.stop()
         prev match {
           case Some(v) => spark.conf.set(key, v)
           case None => spark.conf.unset(key)

@@ -759,6 +759,82 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState per-segment quantile effects: stream readout EQUALS the batch operator") {
+    // the quantile face of the streaming slicing tier
+    // (TwsQuantileSegments, r17 verdict item 4): per-metric MapState
+    // (segment, resample, arm) → weighted KLL sketch, the batch
+    // operator's OWN chain (Stats.quantileSegmentsChain) per
+    // micro-batch. Weighted binary-decomposition inserts commute and
+    // the test stays in the exact-sketch regime, so the final
+    // snapshots must equal Stats.bootstrapQuantileDiffBySegment on the
+    // union of all batches BIT-FOR-BIT. A prefix with a one-armed
+    // segment stays SILENT (the batch fails loud on the same state).
+    import graft.streaming.TwsQuantileSegments
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[TwsQuantileSegments.QSegObs]
+    // sx: +30 planted shift on arm A; sy: PAIRED values (each key pair
+    // shares v across arms) so its true quantile diff is 0
+    def sx(i: Int, armA: Boolean) = TwsQuantileSegments.QSegObs("m1", "sx",
+      (if (armA) 1000L else 2000L) + i,
+      (i % 7).toDouble + (if (armA) 30.0 else 0.0), armA)
+    def sy(j: Int) = Seq(
+      TwsQuantileSegments.QSegObs("m1", "sy", 3000L + 2L * j, (j % 7).toDouble, armA = true),
+      TwsQuantileSegments.QSegObs("m1", "sy", 3001L + 2L * j, (j % 7).toDouble, armA = false))
+    // batch 1: sx has only arm A → the whole metric stays silent
+    val batch1 = (1 to 10).map(sx(_, armA = true)) ++ (1 to 8).flatMap(sy)
+    val batch2 = (1 to 10).map(sx(_, armA = false)) ++ (9 to 20).flatMap(sy) :+
+      TwsQuantileSegments.QSegObs("m1", "sx", 9999L, Double.NaN, armA = true)
+    val q = TwsQuantileSegments.monitor(in.toDS(), ps = Seq(0.5, 0.9),
+        b = 50, alpha = 0.05, q = 0.05, k = 65536)
+      .writeStream.format("memory").queryName("tws_qseg_out")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("tws_qseg_out").count() == 0L,
+        "a one-armed segment must keep the metric silent")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val snaps = spark.table("tws_qseg_out").collect()
+        .map(r => (r.getString(1), r.getDouble(2)) -> (r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9), r.getBoolean(10))).toMap
+      assert(snaps.keySet ==
+        Set(("sx", 0.5), ("sx", 0.9), ("sy", 0.5), ("sy", 0.9)))
+      // batch replay of the SAME rows through the batch operator
+      val all = (batch1 ++ batch2)
+        .map(o => (o.key, o.segment, o.value, o.armA))
+        .toDF("k", "seg", "v", "armA")
+      val b = graft.operators.Stats.bootstrapQuantileDiffBySegment(all,
+          "v", "k", "seg", col("armA"), ps = Seq(0.5, 0.9), b = 50,
+          alpha = 0.05, k = 65536, q = 0.05).collect()
+      assert(b.length == 4)
+      b.foreach { r =>
+        val s = snaps((r.getString(0), r.getDouble(1)))
+        assert(s._1 == r.getLong(2) && s._2 == r.getLong(3) &&
+          s._3 == r.getLong(4), s"${r.getString(0)} counts")
+        assert(s._4 == r.getDouble(5) && s._5 == r.getDouble(6) &&
+          s._6 == r.getDouble(7),
+          s"${r.getString(0)} diff/ci must be bit-equal")
+        assert(s._7 == r.getDouble(8) && s._8 == r.getBoolean(9),
+          s"${r.getString(0)} p_boot/significance")
+      }
+      // the planted +30 segment rejects at p50, the paired-null one
+      // does not
+      assert(snaps(("sx", 0.5))._8 && !snaps(("sy", 0.5))._8)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("transformWithState CUPED snapshot: stream readout EQUALS the batch cuped") {
     // the covariate half of the streaming variance-reduction tier
     // (TwsCuped): per-metric value state = the 12 exact decimal cross
