@@ -442,28 +442,45 @@ object Similarity {
     val cell = pqCodeCols(vecCol, Array(coarse)).head
     val cand = corpus.select(col(idCol), col(vecCol), col(labelCol),
       cell.cast("long").as("__cell"))
-    // query side: per-row nprobe nearest cells, fully in-plan — the
-    // same L2² fold as the assignment, sorted as (dist, cell id)
-    // structs (array_sort orders field-by-field, so ties break to the
-    // lower cell exactly like the driver-side probe in ivfPqTopK)
+    val q = corpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+        col(labelCol).as("__qlab"),
+        explode(probeCellsCol(vecCol, coarse, nprobe)).as("__qcell"))
+    // the cell equi-key drives a shuffle hash join; id/label mismatch
+    // predicates ride alongside so same-label candidates never reach
+    // the aggregate
+    hardNegTopK(
+      cand.join(q,
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab")),
+      idCol, vecCol, k)
+  }
+
+  /** Per-row nprobe nearest coarse cells, fully in-plan — the same L2²
+    * fold as the cell assignment, sorted as (dist, cell id) structs
+    * (array_sort orders field-by-field, so ties break to the lower
+    * cell exactly like the driver-side probe in [[ivfPqTopK]]). Shared
+    * by [[hardNegativesIvf]] and [[hardNegativesIvfPartitioned]]. */
+  private def probeCellsCol(vecCol: String, coarse: Array[Array[Double]],
+                            nprobe: Int): Column = {
     val cwLit = array(coarse.map(cw => array(cw.map(lit(_)): _*)): _*)
     val vd = col(vecCol).cast("array<double>")
     val dists = transform(cwLit, cwv =>
       aggregate(zip_with(vd, cwv, (x, y) => (x - y) * (x - y)),
         lit(0.0), (a, b) => a + b))
-    val probes = transform(
+    transform(
       slice(array_sort(zip_with(dists,
         transform(dists, (_, i) => (i + 1).cast("long")),
         (d, j) => struct(d.as("d"), j.as("j")))), 1, nprobe),
       s => s.getField("j"))
-    val q = corpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
-        col(labelCol).as("__qlab"), explode(probes).as("__qcell"))
-    // the cell equi-key drives a shuffle hash join; id/label mismatch
-    // predicates ride alongside so same-label candidates never reach
-    // the aggregate
-    cand.join(q,
-        col("__cell") === col("__qcell") &&
-          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
+  }
+
+  /** The shared hard-negative reduction tail: decimal-pinned cosine
+    * into a (cos, nid) struct, bounded [[graft.functions.TopK]] per
+    * query, posexplode to (id, rank, neg_id, cos) rows. */
+  private def hardNegTopK(joined: DataFrame, idCol: String, vecCol: String,
+                          k: Int): DataFrame = {
+    val spark = joined.sparkSession
+    joined
       .select(col("__qid"),
         struct(
           CosineSimilarity.cosine(spark, col(vecCol), col("__qvec"))
@@ -474,6 +491,78 @@ object Similarity {
       .select(col("__qid"), posexplode(col("__top")).as(Seq("__r", "__c")))
       .select(col("__qid").as(idCol), (col("__r") + 1).as("rank"),
         col("__c.nid").as("neg_id"), col("__c.cos").as("cos"))
+  }
+
+  // one cell-partitioned embeddings copy per (source dir, |cells|) per
+  // JVM — the ScaleJoins.partitionedByMonth memo discipline (pid-scoped
+  // dir, shutdown-hook cleanup, rewrite only on a fresh JVM)
+  private val cellPartCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Cell-partitioned copy of an embedding corpus, memoized per JVM —
+    * the INGEST-TIME layout the [[hardNegativesIvf]] scaladoc promises
+    * (round-17 verdict item 5, now PlanSpec-locked instead of claimed):
+    * the coarse cell id is computed ONCE at write time by the same
+    * argmin assignment and becomes a hive partition column, so (a) a
+    * probe filter on the cell prunes whole directories at planning
+    * time, and (b) a join keyed on the cell against a filtered query
+    * side prunes them at RUNTIME via dynamic partition pruning — at
+    * 100 TB the candidate scan reads nprobe/|cells| of the corpus
+    * instead of all of it, before a single row is deserialized.
+    * Returns the re-read frame with `cell` restored as the partition
+    * column alongside (id, vec, label). */
+  def cellPartitionedCorpus(spark: SparkSession, sourceDir: String,
+                            corpus: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String,
+                            coarse: Array[Array[Double]]): DataFrame = {
+    require(coarse.nonEmpty, "cellPartitionedCorpus: empty coarse table")
+    val tag = sourceDir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = cellPartCache.computeIfAbsent(s"$sourceDir/${coarse.length}", { _ =>
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_cellpart_${coarse.length}_${tag}_p${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(dir): Unit))
+      val out = dir.getAbsolutePath
+      val cell = pqCodeCols(vecCol, Array(coarse)).head
+      corpus.select(col(idCol), col(vecCol), col(labelCol),
+          cell.cast("long").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
+  /** [[hardNegativesIvf]] over a CELL-PARTITIONED corpus, mining a
+    * query SUBSET (`queryCond` — a training batch, the shape a real
+    * mining job runs): candidates read the stored partition column
+    * instead of recomputing the argmin, the filtered query side
+    * broadcasts, and the cell equi-key — now a PARTITION column —
+    * lets dynamic partition pruning drop unprobed cell directories
+    * from the candidate scan at runtime (PlanSpec asserts the
+    * `dynamicpruning` subquery reaches the scan; the x_dpp_join shape
+    * on an ANN index). Result rows EQUAL [[hardNegativesIvf]]'s for
+    * the same queries (same assignment at write time, same in-plan
+    * probe ranking, same TopK tail — spec + oracle locked). */
+  def hardNegativesIvfPartitioned(part: DataFrame, idCol: String,
+                                  vecCol: String, labelCol: String,
+                                  cellCol: String, k: Int,
+                                  coarse: Array[Array[Double]], nprobe: Int,
+                                  queryCond: Column): DataFrame = {
+    require(coarse.nonEmpty,
+      "hardNegativesIvfPartitioned: empty coarse-centroid table")
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe $nprobe outside 1..${coarse.length}")
+    val cand = part.select(col(idCol), col(vecCol), col(labelCol),
+      col(cellCol).cast("long").as("__cell"))
+    val q = part.filter(queryCond)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+        col(labelCol).as("__qlab"),
+        explode(probeCellsCol(vecCol, coarse, nprobe)).as("__qcell"))
+    hardNegTopK(
+      cand.join(broadcast(q),
+        col("__cell") === col("__qcell") &&
+          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab")),
+      idCol, vecCol, k)
   }
 
   /** Per-dimension int8 scalar-quantization scales: s_i = max|v_i|

@@ -222,6 +222,31 @@ object Vectors {
         .orderBy("vec_id", "rank")
     }),
 
+    "x_hard_negatives_part" -> ((s, dir) => {
+      // the INGEST-LAYOUT mode of the scale path (round-17 verdict item
+      // 5, Similarity.hardNegativesIvfPartitioned): the corpus lives
+      // CELL-PARTITIONED (hive layout, cell id computed once at write —
+      // cellPartitionedCorpus, the x_bucketed_join persisted-layout
+      // convention), and hard negatives are mined for the vec_id % 8
+      // training batch at nprobe = 4 of 16. The cell equi-key is now a
+      // partition column against a broadcast query side, so dynamic
+      // partition pruning drops unprobed cell directories from the
+      // candidate scan at runtime (PlanSpec-locked — the x_dpp_join
+      // shape on an ANN index). Values equal hardNegativesIvf's rows
+      // for the same queries; the oracle is the probe replay with the
+      // same batch restriction.
+      val e = emb(s, dir)
+      val coarse = Similarity.pqCodebook(
+        e.filter(col("vec_id").between(1, sqIvfCells)), "vec_id", "embedding",
+        numSubspaces = 1, codebookSize = sqIvfCells)(0)
+      val part = Similarity.cellPartitionedCorpus(s, dir, e,
+        "vec_id", "embedding", "label", coarse)
+      Similarity.hardNegativesIvfPartitioned(part, "vec_id", "embedding",
+          "label", "cell", k = 3, coarse, nprobe = hnProbe,
+          col("vec_id") % 8 === 0)
+        .orderBy("vec_id", "rank")
+    }),
+
     "x_kmeans" -> ((s, dir) =>
       // two Lloyd iterations, k=4, integer-quantized vectors — fully
       // value-oracled (every vec_id's final cluster): quantization
@@ -696,7 +721,7 @@ object Vectors {
     * label-crossing kNN restricted to candidates whose cell is probed
     * — the same left-to-right folds and tie orders as the engine's
     * in-plan HOFs. */
-  private val hardNegIvfProbeReplay: String =
+  private def hardNegIvfProbeReplay(queryPred: String): String =
     s"""WITH dv AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |cw AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS j, e AS ce
@@ -708,7 +733,8 @@ object Vectors {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
        |  FROM cellsd),
        |cell AS (SELECT vec_id, j AS cid FROM rk WHERE rn = 1),
-       |probe AS (SELECT vec_id AS qid, j AS pid FROM rk WHERE rn <= $hnProbe),
+       |probe AS (SELECT vec_id AS qid, j AS pid FROM rk
+       |  WHERE rn <= $hnProbe AND ($queryPred)),
        |s AS (
        |  SELECT q.vec_id AS vec_id, a.vec_id AS neg_id,
        |    CAST(CAST(${duckCos.format("a.embedding", "q.embedding")} AS DECIMAL(10,4)) AS DOUBLE) AS cos
@@ -794,7 +820,10 @@ object Vectors {
     // candidate set equals the brute-force one and the SAME replay
     // applies verbatim — the x_ivf_topk full-probe convention
     "x_hard_negatives_ivf" -> hardNegReplay,
-    "x_hard_negatives_ivf_probe" -> hardNegIvfProbeReplay,
+    "x_hard_negatives_ivf_probe" -> hardNegIvfProbeReplay("TRUE"),
+    // the partitioned-corpus variant mines the vec_id % 8 = 0 batch
+    // with the same probe budget — identical replay, restricted probes
+    "x_hard_negatives_part" -> hardNegIvfProbeReplay("vec_id % 8 = 0"),
     "x_knn_join" ->
       s"""WITH s AS (
          |  SELECT q.vec_id AS qid, a.vec_id AS nid,

@@ -4455,6 +4455,36 @@ class OperatorsSpec extends AnyFunSuite {
       s"nprobe=1 recall@1 collapsed: ${hit.size}/${exactTop1.size}")
   }
 
+  test("hardNegativesIvfPartitioned: partitioned layout equals the flat operator on the query batch") {
+    import graft.operators.Similarity
+    // the ingest-layout mode (r17 verdict item 5): cell id persisted as
+    // a hive partition column at write, mining restricted to a query
+    // batch — rows must equal hardNegativesIvf's for those queries,
+    // under full AND reduced probe budgets (same write-time assignment,
+    // same in-plan probe ranking, same TopK tail)
+    val e = (0 until 60).map { i =>
+      val a = i * 2.0 * math.Pi / 60.0
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val coarse = Array(Array(1.0, 0.0), Array(0.0, 1.0),
+      Array(-1.0, 0.0), Array(0.0, -1.0))
+    val part = Similarity.cellPartitionedCorpus(spark, "spec_ring", e,
+      "vec_id", "embedding", "label", coarse)
+    // the partition column round-trips the write-time assignment
+    assert(part.columns.contains("cell") && part.count() == 60L)
+    for (np <- Seq(4, 2)) {
+      val flat = Similarity.hardNegativesIvf(e, "vec_id", "embedding",
+          "label", k = 3, coarse, nprobe = np)
+        .filter($"vec_id" % 5 === 0)
+        .orderBy("vec_id", "rank").collect().toSeq
+      val got = Similarity.hardNegativesIvfPartitioned(part, "vec_id",
+          "embedding", "label", "cell", k = 3, coarse, nprobe = np,
+          col("vec_id") % 5 === 0)
+        .orderBy("vec_id", "rank").collect().toSeq
+      assert(got == flat, s"nprobe=$np diverged from the flat operator")
+    }
+  }
+
   test("hits: hand-computed mutual reinforcement, roles stay split, empty loud") {
     import graft.operators.Hits
     // u1->{v1,v2}, u2->{v1}: u1 is the better hub (covers both

@@ -169,6 +169,21 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"join-side shuffle crept in:\n$p")
   }
 
+  test("x_hard_negatives_part: dynamic partition pruning reaches the cell-partitioned candidate scan") {
+    // round-17 verdict item 5: the hardNegativesIvf scaladoc's "cell id
+    // becomes a partition column at ingest, making the join co-located"
+    // claim, now a locked plan shape — the x_dpp_join pattern on an ANN
+    // index. The candidate scan must read the hive cell layout with a
+    // runtime pruning subquery fed from the broadcast query batch, so
+    // at 100 TB only the probed nprobe/|cells| directories are read.
+    val p = plan("x_hard_negatives_part")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell"), s"no cell PartitionFilters line:\n$p")
+  }
+
   test("x_dpp_join: dynamic partition pruning subquery reaches the fact scan") {
     val p = plan("x_dpp_join")
     // the fact scan's partition filters must carry the runtime pruning
