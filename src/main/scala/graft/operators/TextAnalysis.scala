@@ -141,6 +141,97 @@ object TextAnalysis {
     graft.functions.BpeEncodeVocab.encode(spark,
       bpeTokens(translate(text, MergeL + MergeR, "")), merges)
 
+  /** BPE TRAINER — the step every tokenizer workflow starts with and
+    * the completion of the round-17/18 tokenization push (train →
+    * [[bpeEncodeVocab]] encode → exact-token budgeting/packing, all in
+    * one engine): learn `numMerges` merges from a corpus by the
+    * classic frequency algorithm. Returns the table in RANK ORDER,
+    * directly consumable by [[bpeMergeTokens]]/[[bpeEncodeVocab]];
+    * learned-like BY CONSTRUCTION (each merge joins two symbols of the
+    * current alphabet), so the classic loop and the rank-ascending
+    * pass schedule agree on it (the [[graft.functions.BpeEncodeVocab]]
+    * semantics note).
+    *
+    * Scale shape (how production trainers actually run): ONE
+    * distributed pass builds the pre-token frequency table
+    * ([[bpeTokens]] pre-split → hash-agg counts — the corpus is read
+    * once, however large), then the merge loop runs on the DRIVER over
+    * that vocabulary — O(numMerges × Σ|word|) on ≤ `maxWords` rows, a
+    * planning-sized fold behind a LOUD bound (a corpus with more
+    * distinct pre-tokens than `maxWords` fails naming the cap rather
+    * than silently truncating the distribution; raise it deliberately
+    * — real web-scale vocabularies run low millions and fit fine).
+    *
+    * PINNED SEMANTICS (replayed verbatim by the x_bpe_train oracle):
+    * pair counts sum word frequencies over ALL adjacent symbol
+    * positions (overlapping — "aaa" counts (a,a) twice); the winner is
+    * (count DESC, left ASC, right ASC); each merge applies as one
+    * greedy left-to-right non-overlapping pass over every word.
+    * Training stops early if no adjacent pair remains (fewer than
+    * `numMerges` rows back). U+0001/U+0002 are scrubbed first (the
+    * [[bpeEncode]] sentinel policy — they are in no real corpus and
+    * the oracle replay rides sentinel strings). */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+               maxWords: Int = 100_000): Seq[(String, String)] = {
+    require(numMerges >= 1 && numMerges <= 65536,
+      s"bpeTrain: numMerges must be in [1, 65536], got $numMerges")
+    require(maxWords >= 1, s"bpeTrain: maxWords must be positive")
+    val wf = docs
+      .select(explode(bpeTokens(
+        translate(col(textCol), MergeL + MergeR, ""))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .limit(maxWords + 1)
+      .collect()
+    require(wf.length <= maxWords,
+      s"bpeTrain: more than $maxWords distinct pre-tokens — the driver " +
+        "merge loop would not be planning-sized; raise maxWords " +
+        "deliberately (real trainers hold the full word-frequency table)")
+    require(wf.nonEmpty, "bpeTrain: empty corpus — nothing to train on")
+    // driver merge loop over (symbols, frequency) words
+    var state: Array[(Array[String], Long)] = wf.map { r =>
+      val w = r.getString(0)
+      val syms = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        syms += w.substring(i, i + n); i += n
+      }
+      (syms.toArray, r.getLong(1))
+    }
+    val out = Seq.newBuilder[(String, String)]
+    var r = 0
+    var done = false
+    while (r < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // (count DESC, left ASC, right ASC) — the oracle's ORDER BY
+        val (bx, by) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        out += ((bx, by))
+        state = state.map { case (syms, f) =>
+          val nb = scala.collection.mutable.ArrayBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == bx && syms(i + 1) == by) {
+              nb += bx + by; i += 2
+            } else { nb += syms(i); i += 1 }
+          }
+          (nb.toArray, f)
+        }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   /** Within-document repetition / boilerplate profile — the standard
     * cheap filter for template spam and degenerate generations in a
     * pretraining corpus: total tokens, distinct types, the duplicate

@@ -122,6 +122,104 @@ object TextDocs {
       .grouped(6).map(_.mkString(",")).mkString(",\n|    ")
   }
 
+  /** Rank-by-rank merge application over the corpus's DISTINCT
+    * pre-tokens — the recursive-CTE replay body shared by
+    * x_bpe_merges_vocab (literal table) and x_bpe_train_encode
+    * (trained table): expects a CTE `mg(r, x, y)` already in scope,
+    * applies ranks ascending via one sentinel-string replace each, and
+    * rebuilds the per-document counts by position-ordered rejoin.
+    * The recursion terminal is COUNT(*) FROM mg, so a table shorter
+    * than planned (training ran dry) still replays exactly. */
+  private val bpeRankApplySql: String =
+    s"""sc AS (SELECT doc_id,
+       |    replace(replace(text, chr(1), ''), chr(2), '') AS tx
+       |  FROM documents),
+       |t AS (SELECT doc_id,
+       |    regexp_extract_all(tx, '${TextAnalysis.BpePattern}') AS pre
+       |  FROM sc),
+       |d AS (SELECT DISTINCT unnest(pre) AS tok FROM t),
+       |steps(tok, r, s) AS (
+       |  SELECT tok, 0,
+       |    regexp_replace(tok, '(.)', chr(1)||'\\1'||chr(2), 'g')
+       |  FROM d
+       |  UNION ALL
+       |  SELECT st.tok, st.r + 1,
+       |    replace(st.s, chr(1)||m.x||chr(2)||chr(1)||m.y||chr(2),
+       |      chr(1)||m.x||m.y||chr(2))
+       |  FROM steps st JOIN mg m ON m.r = st.r + 1),
+       |fin AS (
+       |  SELECT tok,
+       |    list_filter(list_transform(string_split(s, chr(2)||chr(1)),
+       |        v -> replace(replace(v, chr(1), ''), chr(2), '')),
+       |      v -> length(v) > 0) AS toks
+       |  FROM steps WHERE r = (SELECT COUNT(*) FROM mg)),
+       |ex AS (SELECT doc_id, unnest(pre) AS tok,
+       |    unnest(range(1, len(pre) + 1)) AS i FROM t),
+       |ag AS (SELECT e.doc_id, COUNT(*) AS n_pre,
+       |    SUM(length(e.tok)) AS n_chars,
+       |    flatten(list(f.toks ORDER BY e.i)) AS toks
+       |  FROM ex e JOIN fin f ON f.tok = e.tok GROUP BY e.doc_id)
+       |SELECT t.doc_id, CAST(COALESCE(a.n_pre, 0) AS INT) AS n_pre,
+       |  CAST(COALESCE(a.n_chars, 0) AS INT) AS n_chars,
+       |  CAST(COALESCE(len(a.toks), 0) AS INT) AS n_tokens,
+       |  CAST(COALESCE(len(list_distinct(a.toks)), 0) AS INT) AS n_types
+       |FROM t LEFT JOIN ag a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Number of merges x_bpe_train / x_bpe_train_encode learn — shared
+    * by the defs and the replay SQL so the two cannot drift. The
+    * corpus's 31-word vocabulary supports ~290 merges, so 32 always
+    * completes. */
+  private val bpeTrainMerges = 32
+
+  /** Chained-CTE replay of [[TextAnalysis.bpeTrain]]'s pinned
+    * semantics, one (pair-count, argmax, replace) step per rank —
+    * fixed depth `n`, ending with `mg(r, x, y)` = the learned table.
+    * MATERIALIZED is load-bearing on every state CTE: each step
+    * references its predecessor twice (pair counts + the rewrite), so
+    * inlining would re-derive st_0 a combinatorial number of times
+    * (the x_bootstrap_quantiles lesson — DuckDB flattens chained CTE
+    * references without CSE). Pair counts come from zipped slice
+    * unnests (ALL adjacent positions, overlapping — the trainer's
+    * counting rule), the winner is ORDER BY c DESC, x, y LIMIT 1, and
+    * the rewrite is the same sentinel-string replace the apply replay
+    * uses. A step with no pairs left yields an empty bs/st and every
+    * later step stays empty — mg simply ends early, matching the
+    * trainer's early stop. */
+  private def bpeTrainCtes(n: Int): String = {
+    val b = new StringBuilder
+    b ++= s"""st_0 AS MATERIALIZED (
+       |  SELECT w, f, regexp_replace(w, '(.)', chr(1)||'\\1'||chr(2), 'g') AS s
+       |  FROM (SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(regexp_extract_all(
+       |      replace(replace(text, chr(1), ''), chr(2), ''),
+       |      '${TextAnalysis.BpePattern}')) AS tok
+       |    FROM documents) GROUP BY tok))""".stripMargin
+    for (r <- 1 to n) {
+      val p = r - 1
+      b ++= s""",
+       |pr_$r AS (
+       |  SELECT x, y, SUM(f) AS c FROM (
+       |    SELECT f, unnest(a[1:len(a)-1]) AS x, unnest(a[2:len(a)]) AS y
+       |    FROM (SELECT f, list_transform(string_split(s, chr(2)||chr(1)),
+       |            v -> replace(replace(v, chr(1), ''), chr(2), '')) AS a
+       |          FROM st_$p)) GROUP BY x, y),
+       |bs_$r AS MATERIALIZED (
+       |  SELECT x, y FROM pr_$r ORDER BY c DESC, x, y LIMIT 1),
+       |st_$r AS MATERIALIZED (
+       |  SELECT w, f, replace(s, chr(1)||b.x||chr(2)||chr(1)||b.y||chr(2),
+       |    chr(1)||b.x||b.y||chr(2)) AS s
+       |  FROM st_$p, bs_$r b)""".stripMargin
+    }
+    val union = (1 to n)
+      .map(r => s"SELECT $r AS r, x, y FROM bs_$r")
+      .mkString("\n|  UNION ALL ")
+    b ++= s""",
+       |mg AS MATERIALIZED (
+       |  $union)""".stripMargin
+    b.toString
+  }
+
   /** Pid-scoped scratch dir under java.io.tmpdir for the round-trip
     * queries, deleted on JVM exit. The shutdown hook registers ONCE per
     * unique path regardless of how many times a query lambda re-runs
@@ -394,6 +492,44 @@ object TextDocs {
         .select(col("doc_id"), col("pre"),
           graft.functions.BpeEncodeVocab.encode(s, col("pre"),
             bpeVocabTable).as("toks"))
+        .select(col("doc_id"),
+          size(col("pre")).as("n_pre"),
+          length(array_join(col("pre"), "")).as("n_chars"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"))
+        .orderBy("doc_id")
+    }),
+
+    "x_bpe_train" -> ((s, dir) => {
+      // BPE TRAINING on the corpus itself (TextAnalysis.bpeTrain — the
+      // round-18 completion of the tokenization lifecycle): one
+      // distributed pre-token frequency pass, then the loud-bounded
+      // driver merge loop; the learned table IS the query result, so
+      // the oracle value-checks every rank of the training run (pair
+      // counts over all adjacent positions, (c DESC, x, y) winner,
+      // greedy rewrite — the chained-CTE replay in bpeTrainCtes).
+      val table = TextAnalysis.bpeTrain(docs(s, dir), "text", bpeTrainMerges)
+      val sp = s
+      import sp.implicits._
+      table.zipWithIndex
+        .map { case ((x, y), i) => (i + 1, x, y) }
+        .toDF("rank", "x", "y")
+        .orderBy("rank")
+    }),
+
+    "x_bpe_train_encode" -> ((s, dir) => {
+      // train -> tokenize END-TO-END: the table learned by x_bpe_train
+      // applied by the classic-loop expression (BpeEncodeVocab; a
+      // trained table is learned-like by construction, so the classic
+      // loop equals the oracle's rank-ascending replay — the
+      // bpeVocabTable argument, spec-pinned on this table too). Same
+      // per-document readout as x_bpe_merges_vocab.
+      val table = TextAnalysis.bpeTrain(docs(s, dir), "text", bpeTrainMerges)
+      val tx = translate(col("text"), "\u0001\u0002", "")
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
+        .select(col("doc_id"), col("pre"),
+          graft.functions.BpeEncodeVocab.encode(s, col("pre"), table).as("toks"))
         .select(col("doc_id"),
           size(col("pre")).as("n_pre"),
           length(array_join(col("pre"), "")).as("n_chars"),
@@ -2566,43 +2702,25 @@ object TextDocs {
       // vocab is ~35x the pre-token count, so dedup-then-rejoin is the
       // only sane replay shape), identical wrap/split/strip read-back
       // as x_bpe_merges, then the per-document counts rebuilt by
-      // position-ordered rejoin
+      // position-ordered rejoin (bpeRankApplySql — the fragment
+      // x_bpe_train_encode also rides)
       s"""WITH RECURSIVE mg(r, x, y) AS (
          |  SELECT * FROM (VALUES $bpeVocabValues) v(r, x, y)),
-         |sc AS (SELECT doc_id,
-         |    replace(replace(text, chr(1), ''), chr(2), '') AS tx
-         |  FROM documents),
-         |t AS (SELECT doc_id,
-         |    regexp_extract_all(tx, '${TextAnalysis.BpePattern}') AS pre
-         |  FROM sc),
-         |d AS (SELECT DISTINCT unnest(pre) AS tok FROM t),
-         |steps(tok, r, s) AS (
-         |  SELECT tok, 0,
-         |    regexp_replace(tok, '(.)', chr(1)||'\\1'||chr(2), 'g')
-         |  FROM d
-         |  UNION ALL
-         |  SELECT st.tok, st.r + 1,
-         |    replace(st.s, chr(1)||m.x||chr(2)||chr(1)||m.y||chr(2),
-         |      chr(1)||m.x||m.y||chr(2))
-         |  FROM steps st JOIN mg m ON m.r = st.r + 1),
-         |fin AS (
-         |  SELECT tok,
-         |    list_filter(list_transform(string_split(s, chr(2)||chr(1)),
-         |        v -> replace(replace(v, chr(1), ''), chr(2), '')),
-         |      v -> length(v) > 0) AS toks
-         |  FROM steps WHERE r = ${bpeVocabTable.size}),
-         |ex AS (SELECT doc_id, unnest(pre) AS tok,
-         |    unnest(range(1, len(pre) + 1)) AS i FROM t),
-         |ag AS (SELECT e.doc_id, COUNT(*) AS n_pre,
-         |    SUM(length(e.tok)) AS n_chars,
-         |    flatten(list(f.toks ORDER BY e.i)) AS toks
-         |  FROM ex e JOIN fin f ON f.tok = e.tok GROUP BY e.doc_id)
-         |SELECT t.doc_id, CAST(COALESCE(a.n_pre, 0) AS INT) AS n_pre,
-         |  CAST(COALESCE(a.n_chars, 0) AS INT) AS n_chars,
-         |  CAST(COALESCE(len(a.toks), 0) AS INT) AS n_tokens,
-         |  CAST(COALESCE(len(list_distinct(a.toks)), 0) AS INT) AS n_types
-         |FROM t LEFT JOIN ag a ON a.doc_id = t.doc_id
-         |ORDER BY t.doc_id""".stripMargin,
+         |$bpeRankApplySql""".stripMargin,
+    "x_bpe_train" ->
+      // the trainer replay: one (pair-count, argmax, rewrite) step per
+      // rank at fixed depth (bpeTrainCtes), reading the learned table
+      // back out — counts over ALL adjacent positions, winner
+      // (c DESC, x, y), greedy replace rewrite, exactly the pinned
+      // TextAnalysis.bpeTrain semantics
+      s"""WITH ${bpeTrainCtes(bpeTrainMerges)}
+         |SELECT CAST(r AS INT) AS rank, x, y FROM mg ORDER BY rank""".stripMargin,
+    "x_bpe_train_encode" ->
+      // end-to-end train -> tokenize: the trainer chain's mg feeds the
+      // SAME rank-apply replay the literal-vocab oracle uses — the
+      // whole tokenizer lifecycle value-checked in one query
+      s"""WITH RECURSIVE ${bpeTrainCtes(bpeTrainMerges)},
+         |$bpeRankApplySql""".stripMargin,
     "x_seq_pack_bpe" ->
       // the x_seq_pack bin walk over EXACT BPE token counts — the
       // bpeMergeCtes replay feeding the same cumulative-sum bin id

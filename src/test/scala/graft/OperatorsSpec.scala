@@ -721,6 +721,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("bpeTrain: hand-golden ranks + tie-breaks, early stop, loud bounds, feeds the classic loop") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("aa aa ab").toDF("text")
+    // wf: "aa"->1, " aa"->1, " ab"->1
+    // r1: (a,a)=2 (overlap counts BOTH "aa" positions? no — "aa" has
+    //     one adjacency; " aa" contributes the second), (" ",a)=2,
+    //     (a,b)=1 -> count tie broken left-symbol ASC: (" ","a")
+    // r2: state aa=[a,a], " aa"=[" a",a], " ab"=[" a",b]:
+    //     (a,a)=1, (" a",a)=1, (" a",b)=1 -> (" a","a")
+    // r3: state aa=[a,a], " aa"=[" aa"], " ab"=[" a",b]:
+    //     (a,a)=1, (" a",b)=1 -> (" a","b")
+    // r4: only (a,a)=1 -> ("a","a"); r5: no pairs -> early stop
+    val t3 = TextAnalysis.bpeTrain(docs, "text", 3)
+    assert(t3 == Seq((" ", "a"), (" a", "a"), (" a", "b")), t3)
+    val tAll = TextAnalysis.bpeTrain(docs, "text", 50)
+    assert(tAll == t3 :+ (("a", "a")), tAll)
+    // the trained table is learned-like by construction -> the classic
+    // loop (BpeEncodeVocab) equals the pass schedule (bpeMergeTokens)
+    // on it, and the full table tokenizes the corpus to whole words
+    val enc = Seq("aa aa ab").toDF("text").select(
+        TextAnalysis.bpeEncodeVocab(spark, $"text", tAll).as("a"),
+        TextAnalysis.bpeEncode($"text", tAll).as("b"))
+      .head()
+    assert(enc.getSeq[String](0) == enc.getSeq[String](1))
+    assert(enc.getSeq[String](0) == Seq("aa", " aa", " ab"))
+    // loud bounds: vocab cap and empty corpus
+    val exCap = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(docs, "text", 2, maxWords = 2)
+    }
+    assert(exCap.getMessage.contains("maxWords"))
+    val exEmpty = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeTrain(Seq.empty[String].toDF("text"), "text", 2)
+    }
+    assert(exEmpty.getMessage.contains("empty corpus"))
+  }
+
   test("production-vocab bpe: a 50k-merge table compiles, plans once and runs") {
     // the r17 'what's missing #1' smoke: a GPT-class merge-table SIZE
     // must be applicable — the replace-chain sibling refuses above
