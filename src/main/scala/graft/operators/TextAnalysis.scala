@@ -232,6 +232,89 @@ object TextAnalysis {
     out.result()
   }
 
+  /** UTF-8-byte lexicographic order — DuckDB's binary collation, used
+    * for the alphabet id assignment so the Scala sort and the oracle's
+    * ORDER BY agree on EVERY input (Java's String.compareTo is UTF-16
+    * code-unit order, which diverges from byte order for non-BMP
+    * code points vs U+E000–U+FFFF). */
+  private val Utf8ByteOrder: Ordering[String] = (a: String, b: String) => {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = (ab(i) & 0xff) - (bb(i) & 0xff); i += 1
+    }
+    if (r != 0) r else ab.length - bb.length
+  }
+
+  /** Token-id assignment over a merge table — the vocab file a real
+    * tokenizer ships: the corpus alphabet (every distinct code point
+    * appearing in any pre-token) takes ids `0..A-1` in UTF-8-byte
+    * order, then each merge's production `x+y` takes id `A + rank - 1`.
+    * A production colliding with an existing token (possible only on
+    * HAND-WRITTEN tables — e.g. (a,bc) and (ab,c) both producing "abc";
+    * a trained table reaching the pair first would have rewritten it)
+    * keeps its FIRST (lowest) id and the later id slot goes unused, so
+    * the returned token list is distinct and directly usable as an
+    * [[bpeEncodeIds]] lookup. Returned ordered by id.
+    *
+    * Same scale shape as [[bpeTrain]]: one distributed distinct-
+    * pre-token pass behind the same loud `maxWords` bound, then a
+    * planning-sized driver fold. */
+  def bpeVocabIds(docs: DataFrame, textCol: String,
+                  merges: Seq[(String, String)],
+                  maxWords: Int = 100_000): Seq[(String, Int)] = {
+    require(merges.nonEmpty, "bpeVocabIds: empty merge table")
+    val toks = docs
+      .select(explode(bpeTokens(
+        translate(col(textCol), MergeL + MergeR, ""))).as("w"))
+      .distinct()
+      .limit(maxWords + 1)
+      .collect()
+    require(toks.length <= maxWords,
+      s"bpeVocabIds: more than $maxWords distinct pre-tokens — raise " +
+        "maxWords deliberately (the id table must be planning-sized)")
+    val alphabet = scala.collection.mutable.SortedSet.empty[String](Utf8ByteOrder)
+    toks.foreach { r =>
+      val w = r.getString(0)
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        alphabet += w.substring(i, i + n); i += n
+      }
+    }
+    val out = scala.collection.mutable.LinkedHashMap[String, Int]()
+    alphabet.iterator.zipWithIndex.foreach { case (s, i) => out(s) = i }
+    val a = alphabet.size
+    merges.iterator.zipWithIndex.foreach { case ((x, y), i) =>
+      val tok = x + y
+      if (!out.contains(tok)) out(tok) = a + i
+    }
+    out.toSeq
+  }
+
+  /** Document-level BPE encode to TOKEN IDS — the training-run-facing
+    * readout ([[bpeEncodeVocab]] composed with a [[bpeVocabIds]]-style
+    * lookup): `array<int>` in document order, unknown tokens → `-1`
+    * (cannot arise when the vocab was built over the same corpus and
+    * merge table; a spec pins the sentinel for foreign text). The
+    * lookup rides the plan as ONE broadcast-sized map literal — narrow,
+    * no shuffle, whole-stage codegen (a 50 k-entry vocab is ~1 MB of
+    * expression state, the [[graft.functions.BpeEncodeVocab]]
+    * precedent). */
+  def bpeEncodeIds(spark: SparkSession, text: Column,
+                   merges: Seq[(String, String)],
+                   vocab: Seq[(String, Int)]): Column = {
+    require(vocab.nonEmpty, "bpeEncodeIds: empty vocab")
+    require(vocab.map(_._1).distinct.size == vocab.size,
+      "bpeEncodeIds: duplicate tokens in vocab — pass bpeVocabIds output")
+    val lut = typedLit(vocab.toMap)
+    transform(bpeEncodeVocab(spark, text, merges),
+      t => coalesce(element_at(lut, t), lit(-1)))
+  }
+
   /** Within-document repetition / boilerplate profile — the standard
     * cheap filter for template spam and degenerate generations in a
     * pretraining corpus: total tokens, distinct types, the duplicate

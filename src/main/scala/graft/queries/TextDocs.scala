@@ -129,8 +129,10 @@ object TextDocs {
     * applies ranks ascending via one sentinel-string replace each, and
     * rebuilds the per-document counts by position-ordered rejoin.
     * The recursion terminal is COUNT(*) FROM mg, so a table shorter
-    * than planned (training ran dry) still replays exactly. */
-  private val bpeRankApplySql: String =
+    * than planned (training ran dry) still replays exactly. Split as
+    * CTE body + final select so x_bpe_train_ids can ride the same body
+    * with an id-lookup readout instead. */
+  private val bpeRankApplyCtes: String =
     s"""sc AS (SELECT doc_id,
        |    replace(replace(text, chr(1), ''), chr(2), '') AS tx
        |  FROM documents),
@@ -158,12 +160,47 @@ object TextDocs {
        |ag AS (SELECT e.doc_id, COUNT(*) AS n_pre,
        |    SUM(length(e.tok)) AS n_chars,
        |    flatten(list(f.toks ORDER BY e.i)) AS toks
-       |  FROM ex e JOIN fin f ON f.tok = e.tok GROUP BY e.doc_id)
+       |  FROM ex e JOIN fin f ON f.tok = e.tok GROUP BY e.doc_id)""".stripMargin
+
+  private val bpeRankApplySql: String =
+    s"""$bpeRankApplyCtes
        |SELECT t.doc_id, CAST(COALESCE(a.n_pre, 0) AS INT) AS n_pre,
        |  CAST(COALESCE(a.n_chars, 0) AS INT) AS n_chars,
        |  CAST(COALESCE(len(a.toks), 0) AS INT) AS n_tokens,
        |  CAST(COALESCE(len(list_distinct(a.toks)), 0) AS INT) AS n_types
        |FROM t LEFT JOIN ag a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Vocab-id readout over the rank-apply body (x_bpe_train_ids): the
+    * oracle's own id assignment — alphabet = distinct code points of
+    * the distinct pre-tokens (`(?s).` so newlines count; binary ORDER
+    * BY = the engine's UTF-8-byte sort), ids 0..A-1, then production
+    * x||y at A + r - 1, collisions keep MIN(id) — joined against every
+    * token position and rolled up per document. */
+  private val bpeVocabIdsSql: String =
+    s"""al AS (
+       |  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY tok) - 1 AS INT) AS id
+       |  FROM (SELECT DISTINCT unnest(regexp_extract_all(tok, '(?s).')) AS tok
+       |        FROM d)),
+       |vocab AS (
+       |  SELECT tok, MIN(id) AS id FROM (
+       |    SELECT tok, id FROM al
+       |    UNION ALL
+       |    SELECT x || y AS tok,
+       |      CAST((SELECT COUNT(*) FROM al) + r - 1 AS INT) AS id
+       |    FROM mg) GROUP BY tok),
+       |tk AS (SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(1, len(toks) + 1)) AS j FROM ag),
+       |rd AS (
+       |  SELECT k.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       |    CAST(SUM(v.id) AS BIGINT) AS sum_ids,
+       |    MIN(v.id) AS min_id, MAX(v.id) AS max_id,
+       |    arg_min(v.id, k.j) AS first_id, arg_max(v.id, k.j) AS last_id
+       |  FROM tk k JOIN vocab v ON v.tok = k.tok GROUP BY k.doc_id)
+       |SELECT t.doc_id, CAST(COALESCE(r.n_tokens, 0) AS INT) AS n_tokens,
+       |  CAST(COALESCE(r.sum_ids, 0) AS BIGINT) AS sum_ids,
+       |  r.min_id, r.max_id, r.first_id, r.last_id
+       |FROM t LEFT JOIN rd r ON r.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
   /** Number of merges x_bpe_train / x_bpe_train_encode learn — shared
@@ -535,6 +572,28 @@ object TextDocs {
           length(array_join(col("pre"), "")).as("n_chars"),
           size(col("toks")).as("n_tokens"),
           size(array_distinct(col("toks"))).as("n_types"))
+        .orderBy("doc_id")
+    }),
+
+    "x_bpe_train_ids" -> ((s, dir) => {
+      // the vocab-file step a real tokenizer ships (train -> assign
+      // token IDS -> encode to array<int>): bpeVocabIds gives the
+      // alphabet ids 0..A-1 in UTF-8-byte order then production x+y at
+      // A+rank-1, bpeEncodeIds rides the plan as ONE broadcast map
+      // literal (narrow, no shuffle). Order-sensitive readout
+      // (first/last id) so the oracle checks the SEQUENCE, not a bag.
+      val d = docs(s, dir)
+      val table = TextAnalysis.bpeTrain(d, "text", bpeTrainMerges)
+      val vocab = TextAnalysis.bpeVocabIds(d, "text", table)
+      val ids = TextAnalysis.bpeEncodeIds(s, col("text"), table, vocab)
+      d.select(col("doc_id"), ids.as("ids"))
+        .select(col("doc_id"),
+          size(col("ids")).as("n_tokens"),
+          aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("sum_ids"),
+          array_min(col("ids")).as("min_id"),
+          array_max(col("ids")).as("max_id"),
+          get(col("ids"), lit(0)).as("first_id"),
+          get(col("ids"), size(col("ids")) - 1).as("last_id"))
         .orderBy("doc_id")
     }),
 
@@ -2721,6 +2780,13 @@ object TextDocs {
       // whole tokenizer lifecycle value-checked in one query
       s"""WITH RECURSIVE ${bpeTrainCtes(bpeTrainMerges)},
          |$bpeRankApplySql""".stripMargin,
+    "x_bpe_train_ids" ->
+      // train -> assign ids -> encode, all replayed: trainer chain
+      // (bpeTrainCtes) + the rank-apply body + the id assignment /
+      // per-position join readout (bpeVocabIdsSql)
+      s"""WITH RECURSIVE ${bpeTrainCtes(bpeTrainMerges)},
+         |$bpeRankApplyCtes,
+         |$bpeVocabIdsSql""".stripMargin,
     "x_seq_pack_bpe" ->
       // the x_seq_pack bin walk over EXACT BPE token counts — the
       // bpeMergeCtes replay feeding the same cumulative-sum bin id

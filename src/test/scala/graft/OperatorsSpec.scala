@@ -757,6 +757,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exEmpty.getMessage.contains("empty corpus"))
   }
 
+  test("bpeVocabIds/bpeEncodeIds: golden ids, unk sentinel, collision keeps first id") {
+    import graft.operators.TextAnalysis
+    val docs = Seq("aa aa ab").toDF("text")
+    val table = TextAnalysis.bpeTrain(docs, "text", 50)
+    // alphabet " "(0) "a"(1) "b"(2); productions " a"->3, " aa"->4,
+    // " ab"->5, "aa"->6 (table rank order from the trainer golden)
+    val vocab = TextAnalysis.bpeVocabIds(docs, "text", table)
+    assert(vocab == Seq((" ", 0), ("a", 1), ("b", 2),
+      (" a", 3), (" aa", 4), (" ab", 5), ("aa", 6)), vocab)
+    val ids = Seq("aa aa ab").toDF("text")
+      .select(TextAnalysis.bpeEncodeIds(spark, $"text", table, vocab).as("i"))
+      .head().getSeq[Int](0)
+    assert(ids == Seq(6, 4, 5), ids)
+    // foreign text: "c" is no alphabet/production token -> -1 sentinel
+    val unk = Seq("ac").toDF("text")
+      .select(TextAnalysis.bpeEncodeIds(spark, $"text", table, vocab).as("i"))
+      .head().getSeq[Int](0)
+    assert(unk == Seq(1, -1), unk)
+    // hand-written collision: rank-4 (a,bc) reproduces rank-3 (ab,c)'s
+    // "abc" -> the FIRST id (5) wins and slot 6 goes unused
+    val hand = Seq(("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc"))
+    val v2 = TextAnalysis.bpeVocabIds(Seq("abc").toDF("text"), "text", hand)
+    assert(v2 == Seq(("a", 0), ("b", 1), ("c", 2),
+      ("ab", 3), ("bc", 4), ("abc", 5)), v2)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeIds(spark, $"text", table,
+        Seq(("a", 0), ("a", 1)))
+    }
+    assert(ex.getMessage.contains("duplicate tokens"))
+  }
+
   test("production-vocab bpe: a 50k-merge table compiles, plans once and runs") {
     // the r17 'what's missing #1' smoke: a GPT-class merge-table SIZE
     // must be applicable — the replace-chain sibling refuses above
