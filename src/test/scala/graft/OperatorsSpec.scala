@@ -757,6 +757,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exEmpty.getMessage.contains("empty corpus"))
   }
 
+  test("bpeTrain at depth: exhaustive train on the real corpus fully merges every pre-token") {
+    import graft.operators.TextAnalysis
+    val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    // ask for far more merges than the corpus supports: training runs
+    // to pair exhaustion and stops early; the invariants that matter at
+    // ANY depth: (a) no pair is ever learned twice, (b) the exhaustive
+    // table reduces every pre-token to ONE symbol (n_tokens == n_pre),
+    // (c) ids under the exhaustive vocab are a bijection per pre-token
+    val table = TextAnalysis.bpeTrain(docs, "text", 8192)
+    assert(table.nonEmpty && table.size < 8192, s"expected early stop, got ${table.size}")
+    assert(table.distinct.size == table.size, "a pair was learned twice")
+    val vocab = TextAnalysis.bpeVocabIds(docs, "text", table)
+    val r = docs.select(
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.bpeTokens(org.apache.spark.sql.functions.col("text"))).as("n_pre"),
+        org.apache.spark.sql.functions.size(
+          TextAnalysis.bpeEncodeVocab(spark, org.apache.spark.sql.functions.col("text"), table)).as("n_tok"),
+        org.apache.spark.sql.functions.array_min(
+          TextAnalysis.bpeEncodeIds(spark, org.apache.spark.sql.functions.col("text"), table, vocab)).as("min_id"))
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_pre")).as("p"),
+        org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_tok")).as("t"),
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("min_id")).as("m"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1), s"exhaustive train left unmerged pairs: pre=${r.getLong(0)} tok=${r.getLong(1)}")
+    assert(r.getInt(2) >= 0, "an exhaustively-trained vocab produced an unk id")
+  }
+
   test("bpeVocabIds/bpeEncodeIds: golden ids, unk sentinel, collision keeps first id") {
     import graft.operators.TextAnalysis
     val docs = Seq("aa aa ab").toDF("text")
