@@ -620,6 +620,49 @@ object TextDocs {
         .orderBy("doc_id")
     }),
 
+    "x_curation_funnel" -> ((s, dir) => {
+      // THE WHOLE CURATION PIPELINE AS ONE DECLARATIVE PLAN — the
+      // composition the individual operators exist for: quality gate
+      // (qualityScore >= 0.8) -> near-dup dedup keeping the best copy
+      // (ngramJaccardPairs + dropNearDuplicatesBy, the x_dedup_best
+      // machinery over the gated subset) -> leakage-safe grouped
+      // train split (groupSplit on source) -> 512-token sequence
+      // packing (packBins). Readout = the per-stage funnel (docs,
+      // whitespace tokens) every curation run reports; the packed row
+      // carries the bin count. Every stage is the already-oracled
+      // operator applied to the previous stage's survivors, so the
+      // replay is the same fragments chained — one engine plan, one
+      // DuckDB query, value-checked end to end.
+      val d = docs(s, dir)
+      val q = d.filter(TextAnalysis.qualityScore(col("text")) >= 0.8)
+      val pairs = Dedup.ngramJaccardPairs(q, "doc_id", "text", threshold = 0.5)
+      val dedup = q.join(
+        Dedup.dropNearDuplicatesBy(q.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", pairs).select("doc_id"),
+        Seq("doc_id"))
+      val train = graft.operators.Sampling.groupSplit(dedup, "source",
+          nBuckets = 10, valBuckets = Set(0), testBuckets = Set(1))
+        .filter(col("split") === "train")
+      val packed = graft.operators.Sampling.packBins(
+        train.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
+        "doc_id", "toks", budget = 512)
+      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("docs"),
+            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
+              lit(0L)).as("tokens"))
+          .select(lit(name).as("stage"), col("docs"), col("tokens"))
+      stage("a_all", d)
+        .unionAll(stage("b_quality", q))
+        .unionAll(stage("c_dedup", dedup))
+        .unionAll(stage("d_train", train))
+        .unionAll(packed
+          .agg(countDistinct(col("bin")).as("docs"),
+            coalesce(sum(col("toks")), lit(0L)).as("tokens"))
+          .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
+        .orderBy("stage")
+    }),
+
     "x_langid" -> ((s, dir) =>
       TextAnalysis.langId(s, docs(s, dir), "doc_id", "text").orderBy("doc_id")),
 
@@ -1578,11 +1621,15 @@ object TextDocs {
   /** Shared CTE body (after WITH RECURSIVE) of the n-gram-jaccard →
     * connected-components dedup replay, through `walk(a, lbl)` — used
     * by both survivor policies (x_dedup_corpus min-id, x_dedup_best
-    * max-quality). A `def`, so object-init order can never bite. */
-  private def dedupCcCtes: String =
-    """toks AS (
-      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS w
-      |  FROM documents
+    * max-quality) and, over a FILTERED source relation, by the
+    * x_curation_funnel stage chain. A `def`, so object-init order can
+    * never bite. */
+  private def dedupCcCtes: String = dedupCcCtesOver("documents")
+
+  private def dedupCcCtesOver(src: String): String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+      |  FROM $src
       |), sh AS (
       |  SELECT DISTINCT doc_id, unnest(
       |    CASE WHEN len(w) >= 3
@@ -1609,7 +1656,7 @@ object TextDocs {
       |  SELECT ida AS a, idb AS b FROM pairs
       |  UNION SELECT idb, ida FROM pairs
       |), walk(a, lbl) AS (
-      |  SELECT doc_id, doc_id FROM documents
+      |  SELECT doc_id, doc_id FROM $src
       |  UNION
       |  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.a = e.b
       |)""".stripMargin
@@ -2170,6 +2217,60 @@ object TextDocs {
       s"""SELECT doc_id, CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_words,
          |  $qualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_curation_funnel" -> {
+      // the stage chain replayed end to end: the quality gate is the
+      // x_text_quality expression, the dedup stage is the x_dedup_best
+      // CC/survivor replay over the GATED subset (dedupCcCtesOver),
+      // the split is the x_group_split md5-nibble shard, the packing
+      // is the x_seq_pack cumulative-sum bin walk — chained, with one
+      // (docs, tokens) readout per stage
+      val nibbleSum = (1 to 8).map { i =>
+        val mult = BigInt(16).pow(8 - i)
+        s"(strpos('0123456789abcdef', substr(md5(source), $i, 1)) - 1) * $mult"
+      }.mkString("\n        + ")
+      s"""WITH RECURSIVE docs_q AS (
+         |  SELECT * FROM documents WHERE $qualityExprSql >= 0.8),
+         |${dedupCcCtesOver("docs_q")},
+         |comp AS (SELECT a AS doc_id, MIN(lbl) AS comp FROM walk GROUP BY a),
+         |best AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.comp, c.doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.comp
+         |                         ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |    FROM comp c JOIN docs_q d USING (doc_id)) t
+         |  WHERE rn = 1),
+         |dedup AS (SELECT d.* FROM docs_q d JOIN best USING (doc_id)),
+         |train AS (
+         |  SELECT * FROM (
+         |    SELECT *, CAST(($nibbleSum) % 10 AS INTEGER) AS bucket
+         |    FROM dedup) b
+         |  WHERE bucket NOT IN (0, 1)),
+         |pk AS (
+         |  SELECT doc_id, toks,
+         |    SUM(toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (SELECT doc_id,
+         |          CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS toks
+         |        FROM train) t),
+         |st AS (
+         |  SELECT 'a_all' AS stage, COUNT(*) AS docs,
+         |    COALESCE(SUM(len(string_split_regex(text, '\\s+'))), 0) AS tokens
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'b_quality', COUNT(*),
+         |    COALESCE(SUM(len(string_split_regex(text, '\\s+'))), 0) FROM docs_q
+         |  UNION ALL
+         |  SELECT 'c_dedup', COUNT(*),
+         |    COALESCE(SUM(len(string_split_regex(text, '\\s+'))), 0) FROM dedup
+         |  UNION ALL
+         |  SELECT 'd_train', COUNT(*),
+         |    COALESCE(SUM(len(string_split_regex(text, '\\s+'))), 0) FROM train
+         |  UNION ALL
+         |  SELECT 'e_packed', COUNT(DISTINCT (cum - toks) // 512),
+         |    COALESCE(SUM(toks), 0) FROM pk)
+         |SELECT stage, CAST(docs AS BIGINT) AS docs,
+         |  CAST(tokens AS BIGINT) AS tokens
+         |FROM st ORDER BY stage""".stripMargin
+    },
     "x_quality_by_source" ->
       // per-row quality is pinned to 4 decimals (the x_text_quality
       // contract), so summing it as DECIMAL(10,4) is exact in any
