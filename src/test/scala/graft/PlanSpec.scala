@@ -866,8 +866,11 @@ class PlanSpec extends AnyFunSuite {
     // packBins GLOBAL-ORDER form — deterministic by construction and
     // kept AS the oracle form (Sampling.packBins scaladoc); its scale
     // path (shardCols => parallel keyed windows) is spec-locked in
-    // OperatorsSpec
-    val documented = Set("x_seq_pack", "x_seq_pack_bpe")
+    // OperatorsSpec. x_curation_funnel's packing stage is the same
+    // global-order packBins call (same documented exception), and its
+    // window input is further bounded by the three preceding funnel
+    // stages
+    val documented = Set("x_seq_pack", "x_seq_pack_bpe", "x_curation_funnel")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => documented.contains(name) }
       .flatMap { case (name, fn) =>
