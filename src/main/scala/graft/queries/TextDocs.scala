@@ -634,33 +634,9 @@ object TextDocs {
       // replay is the same fragments chained — one engine plan, one
       // DuckDB query, value-checked end to end.
       val d = docs(s, dir)
-      val q = d.filter(TextAnalysis.qualityScore(col("text")) >= 0.8)
-      val pairs = Dedup.ngramJaccardPairs(q, "doc_id", "text", threshold = 0.5)
-      val dedup = q.join(
-        Dedup.dropNearDuplicatesBy(q.select(col("doc_id"), col("n_chars")),
-          "doc_id", "n_chars", pairs).select("doc_id"),
-        Seq("doc_id"))
-      val train = graft.operators.Sampling.groupSplit(dedup, "source",
-          nBuckets = 10, valBuckets = Set(0), testBuckets = Set(1))
-        .filter(col("split") === "train")
-      val packed = graft.operators.Sampling.packBins(
-        train.select(col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("toks")),
-        "doc_id", "toks", budget = 512)
-      def stage(name: String, df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("docs"),
-            coalesce(sum(TextAnalysis.tokenCount(col("text")).cast("long")),
-              lit(0L)).as("tokens"))
-          .select(lit(name).as("stage"), col("docs"), col("tokens"))
-      stage("a_all", d)
-        .unionAll(stage("b_quality", q))
-        .unionAll(stage("c_dedup", dedup))
-        .unionAll(stage("d_train", train))
-        .unionAll(packed
-          .agg(countDistinct(col("bin")).as("docs"),
-            coalesce(sum(col("toks")), lit(0L)).as("tokens"))
-          .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
-        .orderBy("stage")
+      graft.operators.Curation.funnelReport(d, "text",
+        graft.operators.Curation.curate(d, "doc_id", "text",
+          priorityCol = "n_chars", groupCol = "source"))
     }),
 
     "x_langid" -> ((s, dir) =>

@@ -757,6 +757,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exEmpty.getMessage.contains("empty corpus"))
   }
 
+  test("Curation.curate: gate drops junk, dedup keeps the longer copy, funnel is monotone and token-preserving") {
+    import graft.operators.Curation
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")        // quality 1.0
+    val nearA = good + " extra tail alpha"
+    val nearB = good + " extra tail beta bonus"                    // longer twin
+    val docs = Seq(
+      (1L, nearA, nearA.length, "src1"),
+      (2L, nearB, nearB.length, "src2"),
+      (3L, "hi", 2, "src3"),                                       // fails the gate
+      (4L, (100 to 170).map(i => s"tok$i").mkString(" "), 500, "src4"))
+      .toDF("doc_id", "text", "n_chars", "source")
+    val st = Curation.curate(docs, "doc_id", "text",
+      priorityCol = "n_chars", groupCol = "source")
+    // gate: doc 3 out; dedup: docs 1/2 are near-dups, the LONGER (2) survives
+    assert(st.quality.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+    assert(st.deduped.select("doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 4L))
+    // train is exactly the deduped rows groupSplit itself assigns to train
+    val expectTrain = graft.operators.Sampling
+      .groupSplit(st.deduped, "source", 10, Set(0), Set(1))
+      .filter($"split" === "train").select("doc_id").as[Long].collect().sorted.toSeq
+    assert(st.train.select("doc_id").as[Long].collect().sorted.toSeq == expectTrain)
+    // packing preserves every train doc and its token count
+    val packed = st.packed.collect()
+    assert(packed.map(_.getAs[Long]("doc_id")).sorted.toSeq == expectTrain)
+    // funnel: monotone docs column, packed row preserves the train token total
+    val f = Curation.funnelReport(docs, "text", st).collect()
+    val byStage = f.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(f.map(_.getString(0)).toSeq == Seq("a_all", "b_quality", "c_dedup", "d_train", "e_packed"))
+    assert(byStage("a_all")._1 >= byStage("b_quality")._1)
+    assert(byStage("b_quality")._1 >= byStage("c_dedup")._1)
+    assert(byStage("c_dedup")._1 >= byStage("d_train")._1)
+    assert(byStage("e_packed")._2 == byStage("d_train")._2)
+    val exQ = intercept[IllegalArgumentException] {
+      Curation.curate(docs, "doc_id", "text", "n_chars", "source", minQuality = 1.5)
+    }
+    assert(exQ.getMessage.contains("minQuality"))
+  }
+
   test("bpeTrain at depth: exhaustive train on the real corpus fully merges every pre-token") {
     import graft.operators.TextAnalysis
     val docs = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "documents")
