@@ -46,6 +46,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Let AQE coalesce CACHED plan output too (off by default only for
+      // plan-output-partitioning stability): every persisted/checkpointed
+      // round frame in the iterative operators otherwise pins the full
+      // shuffle-partition count onto each of its consumer stages, so a
+      // |V|-row state frame fans 32 near-empty tasks into every round at
+      // any scale factor. Guide §2.2 (fewer, larger partitions).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
       // reader only accepts via this flag (read as long, converted by
       // graft.core.Tables.events to a microsecond timestamp).

@@ -48,8 +48,14 @@ object Curation {
              tokenBudget: Int = 512): Stages = {
     require(minQuality >= 0.0 && minQuality <= 1.0,
       s"Curation: minQuality must be in [0, 1], got $minQuality")
-    val quality = docs.filter(
-      TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    // spread the gate: the quality regexes are CPU-heavy per byte and a
+    // small corpus often arrives as one input split — and every later
+    // stage (and the funnel report) builds on this frame, so the
+    // exchange is shared by reuse while the parallelism survives into
+    // each consumer (the Dedup repartition discipline)
+    val quality = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
     val pairs = Dedup.ngramJaccardPairs(quality, idCol, textCol,
       threshold = minJaccard)
     val deduped = quality.join(
@@ -70,22 +76,47 @@ object Curation {
   /** The per-stage (docs, tokens) funnel every curation run reports —
     * one row per stage in pipeline order (`a_all` … `e_packed`; the
     * packed row's `docs` is the BIN count). This is the
-    * x_curation_funnel readout. */
+    * x_curation_funnel readout.
+    *
+    * Evaluated EAGERLY over persisted stage frames: each stage's plan
+    * builds on the previous one's (the [[curate]] scaladoc's "persist
+    * `quality` first" advice, applied where the library itself
+    * materializes several stages) — a lazy five-branch union would
+    * re-run the quality gate for every later branch and the dedup
+    * survivor selection three times. The collect is bounded at exactly
+    * five rows by construction (one aggregate row per stage), and the
+    * caches are released before returning, so nothing leaks past the
+    * call. */
   def funnelReport(docs: DataFrame, textCol: String,
                    stages: Stages): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val shared = Seq(stages.quality, stages.deduped, stages.train)
+    shared.foreach(_.persist(lvl))
+    // materialize the chain SEQUENTIALLY before the five-branch report
+    // runs: union branches execute concurrently inside one job, so a
+    // merely-persisted frame would be recomputed by every branch racing
+    // the cache population; each count() here reads the previous
+    // stage's already-cached rows, so the whole chain runs once
+    shared.foreach(_.count())
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")),
             lit(0L)).as("tokens"))
         .select(lit(name).as("stage"), col("docs"), col("tokens"))
-    stage("a_all", docs)
-      .unionAll(stage("b_quality", stages.quality))
-      .unionAll(stage("c_dedup", stages.deduped))
-      .unionAll(stage("d_train", stages.train))
-      .unionAll(stages.packed
-        .agg(countDistinct(col("bin")).as("docs"),
-          coalesce(sum(col("toks")), lit(0L)).as("tokens"))
-        .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
-      .orderBy("stage")
+    val report =
+      stage("a_all",
+          docs.repartition(docs.sparkSession.sparkContext.defaultParallelism))
+        .unionAll(stage("b_quality", stages.quality))
+        .unionAll(stage("c_dedup", stages.deduped))
+        .unionAll(stage("d_train", stages.train))
+        .unionAll(stages.packed
+          .agg(countDistinct(col("bin")).as("docs"),
+            coalesce(sum(col("toks")), lit(0L)).as("tokens"))
+          .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
+        .orderBy("stage")
+    val rows = report.collect() // five rows by construction — see scaladoc
+    shared.foreach(_.unpersist())
+    docs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), report.schema)
   }
 }

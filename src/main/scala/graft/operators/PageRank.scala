@@ -44,7 +44,15 @@ object PageRank {
     * shuffled, which is the correct plan for a web-scale graph. */
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iters: Int = 5, damping: Double = 0.85,
-            maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+            maxBroadcastNodes: Long = 10_000_000L): DataFrame =
+    ranksWithN(edges, srcCol, dstCol, iters, damping, maxBroadcastNodes)._1
+
+  /** [[ranks]] plus |V| — the N the loop already counted, so callers
+    * scaling by the node count ([[relativeRanks]]) don't pay a second
+    * count job over the result frame. */
+  private def ranksWithN(edges: DataFrame, srcCol: String, dstCol: String,
+                         iters: Int, damping: Double,
+                         maxBroadcastNodes: Long): (DataFrame, Long) = {
     require(iters >= 1, "pageRank: iters must be >= 1")
     require(damping > 0 && damping < 1, s"pageRank: damping $damping outside (0,1)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -108,7 +116,7 @@ object PageRank {
     prevCAll.foreach(_.unpersist())
     ckpt.release()
     e.unpersist(); nodes.unpersist(); deg.unpersist()
-    r
+    (r, nNodes)
   }
 
   /** Personalized PageRank with a SEED restart distribution — the
@@ -138,7 +146,14 @@ object PageRank {
   def trustRanks(edges: DataFrame, srcCol: String, dstCol: String,
                  seeds: DataFrame, seedCol: String,
                  iters: Int = 5, damping: Double = 0.85,
-                 maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+                 maxBroadcastNodes: Long = 10_000_000L): DataFrame =
+    trustRanksWithN(edges, srcCol, dstCol, seeds, seedCol, iters, damping,
+      maxBroadcastNodes)._1
+
+  private def trustRanksWithN(edges: DataFrame, srcCol: String, dstCol: String,
+                              seeds: DataFrame, seedCol: String,
+                              iters: Int, damping: Double,
+                              maxBroadcastNodes: Long): (DataFrame, Long) = {
     require(iters >= 1, "trustRanks: iters must be >= 1")
     require(damping > 0 && damping < 1, s"trustRanks: damping $damping outside (0,1)")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -193,7 +208,7 @@ object PageRank {
     prevCAll.foreach(_.unpersist())
     ckpt.release()
     e.unpersist(); flagged.unpersist(); nodesP.unpersist(); deg.unpersist()
-    r
+    (r, nNodes)
   }
 
   /** [[trustRanks]] scaled like [[relativeRanks]] (rank·N, so 1.0 =
@@ -201,19 +216,19 @@ object PageRank {
   def relativeTrustRanks(edges: DataFrame, srcCol: String, dstCol: String,
                          seeds: DataFrame, seedCol: String,
                          iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val r = trustRanks(edges, srcCol, dstCol, seeds, seedCol, iters, damping)
-    val n = r.count().toDouble
-    r.select(col("node"), (col("r") * n).as("trust"))
+    val (r, n) = trustRanksWithN(edges, srcCol, dstCol, seeds, seedCol,
+      iters, damping, 10_000_000L)
+    r.select(col("node"), (col("r") * n.toDouble).as("trust"))
   }
 
   /** Ranks scaled so 1.0 = the uniform rank (rank·N): the relative
     * centrality score a corpus-weighting pipeline joins back on.
-    * N = the rank frame's own row count (one row per node, already
-    * checkpointed) — no second distinct-union pass over the edges. */
+    * N = the |V| the loop already counted (one row per node by
+    * construction) — no second count over the result frame, and still
+    * no second distinct-union pass over the edges. */
   def relativeRanks(edges: DataFrame, srcCol: String, dstCol: String,
                     iters: Int = 5, damping: Double = 0.85): DataFrame = {
-    val r = ranks(edges, srcCol, dstCol, iters, damping)
-    val n = r.count().toDouble
-    r.select(col("node"), (col("r") * n).as("rel_rank"))
+    val (r, n) = ranksWithN(edges, srcCol, dstCol, iters, damping, 10_000_000L)
+    r.select(col("node"), (col("r") * n.toDouble).as("rel_rank"))
   }
 }

@@ -59,6 +59,14 @@ object SetSimJoin {
     // it is small, and at vocabulary scale a shuffle join is correct.
     val freq = s.groupBy(col("item")).agg(count(lit(1)).as("f"))
     val sets = s.join(freq, Seq("item"))
+      // pin the set-building aggregation's parallelism: the per-group
+      // sort_array(collect_list) is CPU-heavy per byte, so AQE's
+      // size-based coalescing under-parallelizes it; the explicit-N
+      // id-keyed exchange IS the aggregation's required partitioning
+      // (N = shuffle.partitions), so no second shuffle appears at any
+      // scale — only the partition count stops being byte-derived
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("f"), col("item")))).as("fi"))
       .select(col("id"),
@@ -93,6 +101,13 @@ object SetSimJoin {
       .filter(col("na") >= lit(minJaccard) * col("nb") - UlpSlack &&
         col("nb") >= lit(minJaccard) * col("na") - UlpSlack)
       .select(col("id_a"), col("id_b")).distinct()
+      // the exact verify below is the heavy per-row stage (an
+      // array_intersect over two full sets per candidate) and runs in
+      // THESE partitions when the set side broadcasts — spread it over
+      // the cores regardless of how far AQE coalesced the tiny
+      // (id_a, id_b) exchange (the Dedup repartition discipline;
+      // measured ~free on a many-split source, BASELINE.md §14)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val out = cand
       .join(sets.select(col("id").as("id_a"), col("items").as("ia"),
         col("n").as("n_a")), Seq("id_a"))
@@ -164,6 +179,11 @@ object SetSimJoin {
     val freq = ix.groupBy(col("item")).agg(count(lit(1)).as("f")).persist(lvl)
     def toSets(side: DataFrame, who: String): DataFrame = side
       .join(freq, Seq("item"), "left")
+      // the jaccardJoin parallelism pin: CPU-heavy per-group sort, so
+      // the explicit-N id-keyed exchange replaces (not adds to) the
+      // aggregation's own shuffle
+      .repartition(side.sparkSession.sessionState.conf.numShufflePartitions,
+        col("id"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(
         coalesce(col("f"), lit(Long.MaxValue)).as("f"), col("item")))).as("fi"))
@@ -194,6 +214,9 @@ object SetSimJoin {
       // |B| >= t|A| with the same ε guard at threshold boundaries
       .filter(col("nb") >= lit(minContainment) * col("na") - UlpSlack)
       .select(col("id_a"), col("id_b")).distinct()
+      // spread the exact verify (array_intersect per candidate) — the
+      // jaccardJoin rationale
+      .repartition(probe.sparkSession.sparkContext.defaultParallelism)
     val out = cand
       .join(pSets.select(col("id").as("id_a"), col("items").as("ia"),
         col("n").as("n_a")), Seq("id_a"))

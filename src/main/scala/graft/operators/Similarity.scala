@@ -383,7 +383,15 @@ object Similarity {
         "broadcasting the whole corpus")
     val q = broadcast(corpus.select(col(idCol).as("__qid"),
       col(vecCol).as("__qvec"), col(labelCol).as("__qlab")))
-    corpus.join(q,
+    // Repartition the streamed side: the n·k-bounded broadcast join does
+    // ALL the n² cosine work in the stream tasks, and a small corpus
+    // (this operator's contract caps n at the broadcast bound) often
+    // arrives as a single input split — one core would then score every
+    // pair. The shuffle moves only the ≤ maxBroadcast corpus rows, and
+    // on a many-split source the repartition is measured ~free
+    // (tools/FanoutBench, BASELINE.md §14).
+    corpus.repartition(spark.sparkContext.defaultParallelism)
+      .join(q,
         col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
       .select(col("__qid"),
         struct(
@@ -437,11 +445,30 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe $nprobe outside 1..${coarse.length}")
     val spark = corpus.sparkSession
+    // Salt the cell key (guide §2.5): the join's reduce-side parallelism
+    // is bounded by |cells|, and a deployment sized for recall (small
+    // |cells|, large nprobe) would otherwise run the per-cell pair
+    // scoring on |cells| cores no matter how wide the cluster is. The
+    // QUERY side gets a deterministic salt (hash of the id — never
+    // rand(), SPARK-38388); the CANDIDATE side — the one NOT already
+    // replicated ×nprobe by the probe explode — replicates over the salt
+    // range, and the join key becomes (cell, salt): same candidate
+    // pairs, |cells|·S reduce partitions. S adapts to the session's
+    // parallelism and is 1 when |cells| already covers it (the
+    // documented 100 TB sizing), so the replication only happens where
+    // it buys cores.
     // candidate side: one narrow argmin pass — the ivfPqTopK cell
-    // assignment (1-based, ties to the lowest cell id)
+    // assignment (1-based, ties to the lowest cell id). The cell-keyed
+    // repartition distributes the pair scoring: when the planner
+    // broadcasts the (small-estimated) query side, ALL matching work
+    // runs in the candidate-side stream tasks — a single-split corpus
+    // file would otherwise score every pair on one core — and when the
+    // planner shuffle-joins at scale, the exchange is exactly the join's
+    // own requirement, so it is reused, not an extra pass (guide §2.4).
     val cell = pqCodeCols(vecCol, Array(coarse)).head
     val cand = corpus.select(col(idCol), col(vecCol), col(labelCol),
-      cell.cast("long").as("__cell"))
+        cell.cast("long").as("__cell"))
+      .repartition(col("__cell"))
     val q = corpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
         col(labelCol).as("__qlab"),
         explode(probeCellsCol(vecCol, coarse, nprobe)).as("__qcell"))

@@ -31,8 +31,15 @@ object StringSimJoin {
     * strings are excluded (an empty string's only key is itself).
     */
   def editDistance1Join(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    // Repartition before the heavy narrow stage (key explosion, hash,
+    // join probe + per-candidate levenshtein all run in the scan tasks):
+    // a key-like corpus often arrives as one input split, which would
+    // serialize every candidate verification through one core. Shuffles
+    // only (id, s) rows; measured ~free on a many-split source
+    // (tools/FanoutBench, BASELINE.md §14 — the Dedup discipline).
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(length(col("s")) >= 1)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     // keys: the string itself + every single-character deletion,
     // deduped per string (repeated chars give identical deletions),
     // then HASHED to 64 bits — the join shuffles longs instead of
