@@ -4010,9 +4010,14 @@ object Stats {
     require(lo >= 0 && hi <= 1 && lo < hi,
       s"winsorizedStatsSketch: bad bounds [$lo, $hi]")
     val session = df.sparkSession
-    val base = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).cast("string").as("g"),
-        col(valCol).cast("double").as("v"))
+    // spread the two per-row passes (sketch updates, then the clipped
+    // decimal sums): both otherwise run at the scan's task count, and a
+    // single-row-group source serializes them through one core;
+    // Tables.spread no-ops on a many-split corpus (guide §2.5)
+    val base = graft.core.Tables.spread(
+      df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("g"),
+          col(valCol).cast("double").as("v")))
     val bounds = base.groupBy(col("g"))
       .agg(graft.functions.KllQuantiles.kllSketch(session, col("v"), k).as("__sk"))
       .select(col("g"),

@@ -176,7 +176,7 @@ object TextAnalysis {
     require(numMerges >= 1 && numMerges <= 65536,
       s"bpeTrain: numMerges must be in [1, 65536], got $numMerges")
     require(maxWords >= 1, s"bpeTrain: maxWords must be positive")
-    val wf = docs
+    val wf = graft.core.Tables.spread(docs)
       .select(explode(bpeTokens(
         translate(col(textCol), MergeL + MergeR, ""))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))

@@ -499,7 +499,10 @@ object TextDocs {
       // shuffle; the oracle replays the identical rewrites on the
       // identical sentinel-delimited literals.
       val tx = translate(col("text"), "\u0001\u0002", "")
-      docs(s, dir)
+      // spread the merge chain: the regex pre-split + one replace pass
+      // per rank is CPU-heavy per row and otherwise rides the scan's
+      // task count (Tables.spread no-ops on a many-split source)
+      Tables.spread(docs(s, dir))
         .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
         .select(col("doc_id"), col("pre"),
           flatten(transform(col("pre"),
@@ -524,7 +527,8 @@ object TextDocs {
       // classic loop holds by the table's machine-checked learned-like
       // invariant — see bpeVocabTable).
       val tx = translate(col("text"), "\u0001\u0002", "")
-      docs(s, dir)
+      // spread the classic merge loop (the x_bpe_merges rationale)
+      Tables.spread(docs(s, dir))
         .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
         .select(col("doc_id"), col("pre"),
           graft.functions.BpeEncodeVocab.encode(s, col("pre"),
@@ -563,7 +567,8 @@ object TextDocs {
       // per-document readout as x_bpe_merges_vocab.
       val table = TextAnalysis.bpeTrain(docs(s, dir), "text", bpeTrainMerges)
       val tx = translate(col("text"), "\u0001\u0002", "")
-      docs(s, dir)
+      // spread the classic merge loop (the x_bpe_merges rationale)
+      Tables.spread(docs(s, dir))
         .select(col("doc_id"), TextAnalysis.bpeTokens(tx).as("pre"))
         .select(col("doc_id"), col("pre"),
           graft.functions.BpeEncodeVocab.encode(s, col("pre"), table).as("toks"))
@@ -586,7 +591,8 @@ object TextDocs {
       val table = TextAnalysis.bpeTrain(d, "text", bpeTrainMerges)
       val vocab = TextAnalysis.bpeVocabIds(d, "text", table)
       val ids = TextAnalysis.bpeEncodeIds(s, col("text"), table, vocab)
-      d.select(col("doc_id"), ids.as("ids"))
+      // spread the encode (the x_bpe_merges rationale)
+      Tables.spread(d).select(col("doc_id"), ids.as("ids"))
         .select(col("doc_id"),
           size(col("ids")).as("n_tokens"),
           aggregate(col("ids"), lit(0L), (acc, x) => acc + x).as("sum_ids"),
@@ -897,7 +903,8 @@ object TextDocs {
       // true merge-table counts, not pre-token approximations). The
       // count column is one narrow codegen pass; packing is unchanged.
       Sampling.packBins(
-        docs(s, dir).select(col("doc_id"),
+        // spread the exact-count pass (the x_bpe_merges rationale)
+        Tables.spread(docs(s, dir)).select(col("doc_id"),
           size(TextAnalysis.bpeEncode(col("text"), bpeMergeTable))
             .cast("long").as("toks")),
         "doc_id", "toks", budget = 512)
