@@ -26,9 +26,19 @@ object Curation {
   /** The four stage frames, lazy and plan-shared: `quality` (gated
     * docs), `deduped` (near-dup survivors, best copy kept), `train`
     * (the train-split rows — `val`/`test` are the dropped buckets),
-    * `packed` ((orderCol, toks, bin) under the token budget). */
+    * `packed` ((orderCol, toks, bin) under the token budget).
+    *
+    * `quality` is PERSISTED by [[curate]] (every other frame — and the
+    * dedup machinery's own eager passes — reads it, so the gate's
+    * regex pass over the corpus runs once instead of once per
+    * consumer); call [[Stages.release]] when done with the frames.
+    * [[funnelReport]] releases it itself. */
   case class Stages(quality: DataFrame, deduped: DataFrame,
-                    train: DataFrame, packed: DataFrame)
+                    train: DataFrame, packed: DataFrame) {
+    /** Drop the cached quality frame — call after the last action over
+      * any stage frame (a no-op if already released). */
+    def release(): Unit = quality.unpersist()
+  }
 
   /** Run the pipeline over `docs`. `idCol` uniquely identifies a doc,
     * `textCol` is the text, `priorityCol` ranks near-dup cluster
@@ -52,10 +62,19 @@ object Curation {
     // small corpus often arrives as one input split — and every later
     // stage (and the funnel report) builds on this frame, so the
     // exchange is shared by reuse while the parallelism survives into
-    // each consumer (the Dedup repartition discipline)
+    // each consumer (the Dedup repartition discipline).
+    // PERSISTED: the dedup stage below runs two EAGER passes at
+    // construction time (the pair checkpoint and the CC-label seed),
+    // and every returned frame plus the funnel report reads this frame
+    // again — uncached, the gate's regex pass over the whole corpus ran
+    // once per consumer (measured 8-10 recomputes ≈ 25-30 core-seconds
+    // each at sf0.1, the whole cost of the funnel query). The first
+    // eager pass populates the cache; callers release via
+    // [[Stages.release]] (guide §5: cache only what is re-read).
     val quality = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = Dedup.ngramJaccardPairs(quality, idCol, textCol,
       threshold = minJaccard)
     val deduped = quality.join(
@@ -78,26 +97,20 @@ object Curation {
     * packed row's `docs` is the BIN count). This is the
     * x_curation_funnel readout.
     *
-    * Evaluated EAGERLY over persisted stage frames: each stage's plan
-    * builds on the previous one's (the [[curate]] scaladoc's "persist
-    * `quality` first" advice, applied where the library itself
-    * materializes several stages) — a lazy five-branch union would
-    * re-run the quality gate for every later branch and the dedup
-    * survivor selection three times. The collect is bounded at exactly
-    * five rows by construction (one aggregate row per stage), and the
-    * caches are released before returning, so nothing leaks past the
-    * call. */
+    * ONE lazy five-branch union job: [[curate]]'s construction-time
+    * eager passes already populated the persisted `quality` cache, so
+    * every branch reads it instead of re-running the gate, and the
+    * dedup survivor set rides in as one reused broadcast (its own
+    * inputs — the CC labels and the priority projection — are a
+    * checkpoint and the cache respectively). The earlier sequential
+    * persist-and-count formulation (3 extra actions + 2 extra caches
+    * over frames that are cheap joins off the quality cache) measured
+    * 2× SLOWER at sf0.1 (10.4 s vs 5.2) — re-materializing cheap
+    * derivations is not worth one action each (guide §1.2: algorithm
+    * before caching). The collect is bounded at exactly five rows by
+    * construction; the quality cache is released before returning. */
   def funnelReport(docs: DataFrame, textCol: String,
                    stages: Stages): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val shared = Seq(stages.quality, stages.deduped, stages.train)
-    shared.foreach(_.persist(lvl))
-    // materialize the chain SEQUENTIALLY before the five-branch report
-    // runs: union branches execute concurrently inside one job, so a
-    // merely-persisted frame would be recomputed by every branch racing
-    // the cache population; each count() here reads the previous
-    // stage's already-cached rows, so the whole chain runs once
-    shared.foreach(_.count())
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")),
@@ -115,7 +128,7 @@ object Curation {
           .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
         .orderBy("stage")
     val rows = report.collect() // five rows by construction — see scaladoc
-    shared.foreach(_.unpersist())
+    stages.release()
     docs.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), report.schema)
   }

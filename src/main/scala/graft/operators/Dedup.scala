@@ -55,16 +55,37 @@ object Dedup {
     // join is keyed on the 64-bit shingle hash, not the string —
     // smaller shuffle, no interpreted HOFs (a hash collision merging
     // two distinct shingles is ~2^-64 per pair, far below float noise).
-    // Repartition: parallelize the heavy narrow stage regardless of
-    // input split count. Persist: the frame feeds doc-counts,
-    // hot-shingle detection AND both join branches (Spark has no
-    // subplan sharing across self-joins).
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    // Spread (scale-adaptive): parallelize the heavy narrow stage when
+    // the input plans narrower than the session — an already-wide input
+    // (e.g. Curation's repartitioned-and-cached quality frame) passes
+    // through with NO second exchange. Persist: the frame feeds
+    // doc-counts, hot-shingle detection AND both join branches (Spark
+    // has no subplan sharing across self-joins).
+    val sh = graft.core.Tables.spread(docs)
       .select(col(idCol).as("id"),
         explode(ShingleHashes.shingleHashes(docs.sparkSession, col(textCol), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache BEFORE the pair plan below runs: the two
+    // doc-count branches and the hot-shingle filter ride in as
+    // BROADCAST exchanges, and broadcast subtrees execute as separate
+    // jobs AHEAD of the main stages — against a merely-persisted
+    // (unpopulated) frame each one recomputes the whole upstream
+    // gate+shingle pass (measured 3× ~25 core-seconds at sf0.1 inside
+    // x_curation_funnel). This count() is the single pass the main job
+    // would pay anyway; every broadcast build then reads cached rows
+    // (guide §5 caching, §1.1 empirical loop).
+    sh.count()
+    // per-doc shingle totals feed BOTH pair sides (ida and idb) under
+    // different aliases, so the two broadcast builds cannot share one
+    // exchange — uncached, each re-aggregates the whole |shingles|
+    // frame (measured ~5 core-s + as much blocked time per build at
+    // sf0.1). The frame is |docs| rows (planning-sized next to the
+    // shingle frame at any scale); persist + materialize so both
+    // builds read it back instead (guide §2.4: two operations keyed
+    // the same way share one pass).
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf).select("sh")
     val pruned = sh.join(hot, Seq("sh"), "left_anti")
@@ -86,6 +107,7 @@ object Dedup {
     // dedup queries run in one harness: each un-released MEMORY_AND_DISK
     // shingle frame evicts/spills the next query's working set.
     val materialized = out.localCheckpoint(true)
+    counts.unpersist()
     sh.unpersist()
     materialized
   }

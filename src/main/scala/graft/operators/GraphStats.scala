@@ -68,6 +68,13 @@ object GraphStats {
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate the cache before the wedge plan runs: the degree table
+    // rides into the neighbour join as a BROADCAST build, and broadcast
+    // subtrees execute as separate jobs ahead of the main stages — an
+    // unpopulated cache makes each one recompute the whole symmetrized
+    // edge construction (here the caller's join+distinct). One count()
+    // is the single pass the main job pays anyway (guide §5).
+    sym.count()
     val deg = sym.groupBy(col("src").as("w")).agg(count(lit(1)).as("degw"))
     val nbrs = sym.select(col("src").as("w"), col("dst").as("x"))
       .join(deg.filter(col("degw") <= maxWedgeDegree), Seq("w"))
@@ -95,6 +102,9 @@ object GraphStats {
       .unionByName(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same broadcast-subtree discipline as [[adamicAdar]]: both degree
+    // joins broadcast-build off this frame before the main stages run
+    sym.count()
     val deg = sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val da = col("da").cast("decimal(18,0)")
     val db = col("db").cast("decimal(18,0)")

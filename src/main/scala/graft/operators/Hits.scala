@@ -95,6 +95,12 @@ object Hits {
         .join(hint(h.select(col("node").as("src"), col("h"))), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("ar"))
         .persist(lvl)
+      // populate before the normalize plan runs: its two consumers (the
+      // per-node join and the 1-row max) both ride in as BROADCAST
+      // builds, which execute concurrently ahead of the main stages —
+      // against an unpopulated cache each recomputes the |E|-keyed
+      // half-round join (guide §5; the Dedup/GraphStats discipline)
+      aRaw.count()
       a = ckpt(nodes
         .join(hint(aRaw), Seq("node"), "left")
         .crossJoin(broadcast(aRaw.agg(max(col("ar")).as("ma"))))
@@ -105,6 +111,7 @@ object Hits {
         .join(hint(a.select(col("node").as("dst"), col("a"))), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("hr"))
         .persist(lvl)
+      hRaw.count() // same two-broadcast-consumer discipline as aRaw
       val hPrev = h
       h = ckpt(nodes
         .join(hint(hRaw), Seq("node"), "left")

@@ -79,6 +79,14 @@ object SetSimJoin {
               "or pre-filter the hot id")))).as("items"),
         size(col("fi")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // populate before the candidate plan runs: the two verify-side
+    // projections ride in as BROADCAST builds and the prefix self-join
+    // reads the frame through two differently-aliased exchanges — all
+    // of them execute against the cache, but only if it is populated
+    // FIRST; otherwise each consumer recomputes the whole
+    // distinct+frequency+sort_array chain (the Dedup/GraphStats
+    // broadcast-subtree discipline, guide §5)
+    sets.count()
     // prefix length |s| - ceil(t*|s|) + 1 (Jaccard prefix bound). The
     // bound is computed in IEEE doubles while the verify compares its
     // OWN double ratio, so a one-ulp UPWARD rounding of t*|s| at an
@@ -174,9 +182,15 @@ object SetSimJoin {
     // aggregation per consumer (review)
     val ix = index.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
       .persist(lvl)
+    // populate each persisted frame before its consumers' broadcast
+    // builds run (the jaccardJoin discipline): freq feeds BOTH toSets
+    // scans, and the two set frames feed both the candidate explodes
+    // and the verify joins' broadcast builds
+    ix.count()
     // the global order: index-side item frequency; probe-only items
     // coalesce to Long.Max and sort last (they cannot join)
     val freq = ix.groupBy(col("item")).agg(count(lit(1)).as("f")).persist(lvl)
+    freq.count()
     def toSets(side: DataFrame, who: String): DataFrame = side
       .join(freq, Seq("item"), "left")
       // the jaccardJoin parallelism pin: CPU-heavy per-group sort, so
@@ -197,7 +211,9 @@ object SetSimJoin {
               "or pre-filter the hot id")))).as("items"),
         size(col("fi")).as("n"))
     val pSets = toSets(pr, "probe").persist(lvl)
+    pSets.count()
     val iSets = toSets(ix, "index").persist(lvl)
+    iSets.count()
     // probe side: A's containment prefix |A| - ceil(t*|A|) + 1, with
     // the [[UlpSlack]] guard on the double ceil (the jaccardJoin
     // float-boundary rationale: prune stages must never be stricter

@@ -29,6 +29,7 @@ object Jobs {
     val lines = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
+    val stageCpu = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -37,6 +38,8 @@ object Jobs {
         val si = sc.stageInfo
         stageTasks.put(si.stageId, (si.numTasks,
           si.taskMetrics.executorRunTime))
+        // run vs cpu separates real compute from blocked/contended time
+        stageCpu.put(si.stageId, si.taskMetrics.executorCpuTime / 1000000L)
         stageNames.put(si.stageId, si.name.take(90))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
@@ -63,7 +66,7 @@ object Jobs {
         import scala.jdk.CollectionConverters._
         stageTasks.asScala.toSeq.sortBy(-_._2._2).take(12).foreach {
           case (sid, (nt, rt)) =>
-            println(f"  stage $sid%4d run $rt%7d ms tasks $nt%3d  ${stageNames.getOrDefault(sid, "?")}")
+            println(f"  stage $sid%4d run $rt%7d ms cpu ${stageCpu.getOrDefault(sid, -1L)}%7d ms tasks $nt%3d  ${stageNames.getOrDefault(sid, "?")}")
         }
       }
     }
