@@ -34,8 +34,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 private[graft] final class KllBuffer(val k: Int) {
   var count: Long = 0L
   /** level i: items of weight 2^i; UNSORTED between compactions. */
-  val levels: ArrayBuffer[ArrayBuffer[Double]] =
-    ArrayBuffer(new ArrayBuffer[Double](16))
+  val levels: ArrayBuffer[DoubleVec] =
+    ArrayBuffer(new DoubleVec(16))
   /** per-level alternation bit for the deterministic compaction. */
   val parities: ArrayBuffer[Boolean] = ArrayBuffer(false)
 
@@ -61,7 +61,7 @@ private[graft] final class KllBuffer(val k: Int) {
     while (rem != 0L) {
       if ((rem & 1L) == 1L) {
         while (i >= levels.length) {
-          levels += new ArrayBuffer[Double](16)
+          levels += new DoubleVec(16)
           parities += false
         }
         levels(i) += v
@@ -79,7 +79,7 @@ private[graft] final class KllBuffer(val k: Int) {
     * line. Cascades if the level above fills. */
   private def compact(i: Int): Unit = {
     if (i + 1 >= levels.length) {
-      levels += new ArrayBuffer[Double](16)
+      levels += new DoubleVec(16)
       parities += false
     }
     val buf = levels(i)
@@ -101,10 +101,10 @@ private[graft] final class KllBuffer(val k: Int) {
     var i = 0
     while (i < other.levels.length) {
       if (i >= levels.length) {
-        levels += new ArrayBuffer[Double](16)
+        levels += new DoubleVec(16)
         parities += false
       }
-      levels(i) ++= other.levels(i)
+      levels(i).appendAll(other.levels(i))
       i += 1
     }
     // re-establish capacities bottom-up (a concat can overfill several)
@@ -138,7 +138,9 @@ private[graft] final class KllBuffer(val k: Int) {
     var i = 0
     while (i < levels.length) {
       val w = 1L << i
-      levels(i).foreach { v => vs(o) = v; ws(o) = w; o += 1 }
+      val lvl = levels(i)
+      var j0 = 0
+      while (j0 < lvl.length) { vs(o) = lvl(j0); ws(o) = w; o += 1; j0 += 1 }
       i += 1
     }
     val idx = Array.range(0, m).sortBy(vs(_))
@@ -186,7 +188,9 @@ private[graft] final class KllBuffer(val k: Int) {
     var i = 0
     while (i < levels.length) {
       val w = 1L << i
-      levels(i).foreach { v => vs(o) = v; ws(o) = w; o += 1 }
+      val lvl = levels(i)
+      var j0 = 0
+      while (j0 < lvl.length) { vs(o) = lvl(j0); ws(o) = w; o += 1; j0 += 1 }
       i += 1
     }
     val idx = Array.range(0, m).sortBy(vs(_))
@@ -224,8 +228,10 @@ private[graft] object KllBuffer {
     var i = 0
     while (i < buf.levels.length) {
       out.writeBoolean(buf.parities(i))
-      out.writeInt(buf.levels(i).length)
-      buf.levels(i).foreach(out.writeDouble)
+      val lvl = buf.levels(i)
+      out.writeInt(lvl.length)
+      var j = 0
+      while (j < lvl.length) { out.writeDouble(lvl(j)); j += 1 }
       i += 1
     }
     out.flush()
@@ -242,7 +248,7 @@ private[graft] object KllBuffer {
     while (i < nLevels) {
       buf.parities += in.readBoolean()
       val sz = in.readInt()
-      val lvl = new ArrayBuffer[Double](math.max(16, sz))
+      val lvl = new DoubleVec(math.max(16, sz))
       var j = 0
       while (j < sz) { lvl += in.readDouble(); j += 1 }
       buf.levels += lvl
@@ -250,6 +256,41 @@ private[graft] object KllBuffer {
     }
     buf
   }
+}
+
+/** Minimal growable PRIMITIVE double array — the KLL level buffer.
+  * `ArrayBuffer[Double]` boxes every element (one heap object per
+  * appended value), which dominated the sketch aggregates' per-row
+  * update cost: in the exact-no-compaction oracle regime (k = 65536)
+  * level 0 holds EVERY value of the group, so each row allocated a
+  * `java.lang.Double` on the hot path, each compaction unboxed k of
+  * them, and serialize/deserialize re-boxed each element (guide §1.2
+  * step 2: per-task work). Append order, clear semantics and growth
+  * behaviour match the ArrayBuffer it replaces, so compaction parity,
+  * merge concatenation order and the wire format are byte-identical. */
+private[graft] final class DoubleVec(initialCapacity: Int) {
+  private var arr: Array[Double] = new Array[Double](math.max(1, initialCapacity))
+  private var len: Int = 0
+
+  def +=(v: Double): Unit = {
+    if (len == arr.length)
+      arr = java.util.Arrays.copyOf(arr, arr.length << 1)
+    arr(len) = v
+    len += 1
+  }
+
+  def appendAll(o: DoubleVec): Unit = {
+    val need = len + o.len
+    if (need > arr.length)
+      arr = java.util.Arrays.copyOf(arr, math.max(need, arr.length << 1))
+    System.arraycopy(o.arr, 0, arr, len, o.len)
+    len = need
+  }
+
+  def apply(i: Int): Double = arr(i)
+  def length: Int = len
+  def clear(): Unit = len = 0
+  def toArray: Array[Double] = java.util.Arrays.copyOf(arr, len)
 }
 
 /** Per-group mergeable quantile sketch aggregate — the beyond-

@@ -42,6 +42,40 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(empty.count() == 0L)
   }
 
+  test("wire format is pinned byte-for-byte (persisted rollup artifacts rely on it)") {
+    // The exact byte layout (k int, count long, levels int, then per
+    // level: parity boolean, size int, doubles in INSERTION order) is a
+    // persistence contract: x_sketch_rollup writes these bytes to
+    // parquet and streaming state stores them across checkpoints, so an
+    // internal buffer change must not move a byte. Expected bytes are
+    // spelled out literally, independent of the implementation.
+    def expected(build: java.io.DataOutputStream => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      build(out); out.flush(); bos.toByteArray
+    }
+    val b = new KllBuffer(4)
+    Seq(5.0, 1.0, 3.0).foreach(b.add)
+    // no compaction yet: one level, parity false, insertion order kept
+    assert(java.util.Arrays.equals(KllBuffer.toBytes(b), expected { o =>
+      o.writeInt(4); o.writeLong(3L); o.writeInt(1)
+      o.writeBoolean(false); o.writeInt(3)
+      Seq(5.0, 1.0, 3.0).foreach(o.writeDouble)
+    }))
+    b.add(2.0) // level 0 reaches k=4: sort [1,2,3,5], parity-0 start,
+    // survivors 1.0 and 3.0 move up at weight 2, parity flips
+    assert(java.util.Arrays.equals(KllBuffer.toBytes(b), expected { o =>
+      o.writeInt(4); o.writeLong(4L); o.writeInt(2)
+      o.writeBoolean(true); o.writeInt(0)
+      o.writeBoolean(false); o.writeInt(2)
+      Seq(1.0, 3.0).foreach(o.writeDouble)
+    }))
+    // round trip preserves the bytes exactly
+    assert(java.util.Arrays.equals(
+      KllBuffer.toBytes(KllBuffer.fromBytes(KllBuffer.toBytes(b))),
+      KllBuffer.toBytes(b)))
+  }
+
   test("buffer merge preserves count and stays rank-accurate; serde round-trips") {
     // two disjoint halves of 1..20000, forced through compaction (k=64)
     val b1 = new KllBuffer(64)
