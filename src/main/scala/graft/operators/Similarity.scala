@@ -445,18 +445,13 @@ object Similarity {
     require(nprobe >= 1 && nprobe <= coarse.length,
       s"nprobe $nprobe outside 1..${coarse.length}")
     val spark = corpus.sparkSession
-    // Salt the cell key (guide §2.5): the join's reduce-side parallelism
-    // is bounded by |cells|, and a deployment sized for recall (small
-    // |cells|, large nprobe) would otherwise run the per-cell pair
-    // scoring on |cells| cores no matter how wide the cluster is. The
-    // QUERY side gets a deterministic salt (hash of the id — never
-    // rand(), SPARK-38388); the CANDIDATE side — the one NOT already
-    // replicated ×nprobe by the probe explode — replicates over the salt
-    // range, and the join key becomes (cell, salt): same candidate
-    // pairs, |cells|·S reduce partitions. S adapts to the session's
-    // parallelism and is 1 when |cells| already covers it (the
-    // documented 100 TB sizing), so the replication only happens where
-    // it buys cores.
+    // Spread the heavy NARROW passes (guide §2.5 input skew): both the
+    // candidate side's argmin cell assignment and the query side's
+    // nprobe-probe explode are per-row L2 folds against every centroid,
+    // and on a single-split corpus file each would otherwise run in ONE
+    // task — the query side inside the join's BROADCAST build (measured
+    // 4.8 s of 6.3 s total at sf0.1 in one single-task broadcast
+    // stage). Tables.spread is the identity on an already-wide source.
     // candidate side: one narrow argmin pass — the ivfPqTopK cell
     // assignment (1-based, ties to the lowest cell id). The cell-keyed
     // repartition distributes the pair scoring: when the planner
@@ -465,11 +460,12 @@ object Similarity {
     // file would otherwise score every pair on one core — and when the
     // planner shuffle-joins at scale, the exchange is exactly the join's
     // own requirement, so it is reused, not an extra pass (guide §2.4).
+    val spreadCorpus = graft.core.Tables.spread(corpus)
     val cell = pqCodeCols(vecCol, Array(coarse)).head
-    val cand = corpus.select(col(idCol), col(vecCol), col(labelCol),
+    val cand = spreadCorpus.select(col(idCol), col(vecCol), col(labelCol),
         cell.cast("long").as("__cell"))
       .repartition(col("__cell"))
-    val q = corpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+    val q = spreadCorpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
         col(labelCol).as("__qlab"),
         explode(probeCellsCol(vecCol, coarse, nprobe)).as("__qcell"))
     // the cell equi-key drives a shuffle hash join; id/label mismatch
