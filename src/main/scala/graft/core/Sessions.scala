@@ -53,6 +53,15 @@ object Sessions {
       // |V|-row state frame fans 32 near-empty tasks into every round at
       // any scale factor. Guide §2.2 (fewer, larger partitions).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // NOTE (r19 measurement): lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize to 64k
+      // session-wide was tried to stop AQE collapsing small-byte but
+      // CPU-heavy post-shuffle stages to one task; it helped the one
+      // wedge-join query (x_adamic_adar 4.1→2.7 s) but regressed every
+      // iterative operator (x_hits 4.2→6.7, x_kcore 2.9→4.9 — more tiny
+      // tasks per round × many rounds). CPU-heavy-per-byte stages pin
+      // their parallelism explicitly at the operator instead (the
+      // SetSimJoin/hardNegativesIvf discipline).
       // events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
       // reader only accepts via this flag (read as long, converted by
       // graft.core.Tables.events to a microsecond timestamp).

@@ -104,6 +104,13 @@ object CoOccurrence {
       when(ru < rv, col("u")).otherwise(col("v")).as("a"),
       when(ru < rv, rv).otherwise(ru).as("rb"))
       .select(col("a"), col("rb.n").as("b"), col("rb"))
+      // pin the wedge self-join's parallelism (the adamicAdar/SetSimJoin
+      // discipline): the per-source wedge expansion is quadratic CPU over
+      // small-byte pairs and AQE's byte-sized coalescing under-parallelizes
+      // it; the explicit-N source-keyed exchange is the join's own
+      // required partitioning, so nothing extra appears at scale.
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"))
     val wedges = o.select(col("a"), col("b").as("w1"), col("rb").as("r1"))
       .join(o.select(col("a"), col("b").as("w2"), col("rb").as("r2")), "a")
       .filter(col("r1") < col("r2"))
@@ -156,6 +163,11 @@ object CoOccurrence {
       when(ru < rv, col("u")).otherwise(col("v")).as("a"),
       when(ru < rv, rv).otherwise(ru).as("rb"))
       .select(col("a"), col("rb.n").as("b"), col("rb"))
+      // same wedge-parallelism pin as triangleStats: the cached frame
+      // would otherwise hand its byte-coalesced (near-single-task) layout
+      // to the quadratic wedge expansion
+      .repartition(edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"))
       .persist(lvl)
     // keep the wedge CENTER (c0) that triangleStats drops: the closing
     // join proves {c0, w1, w2} is a triangle, and all three get credit

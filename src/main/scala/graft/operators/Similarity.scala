@@ -462,20 +462,50 @@ object Similarity {
     // own requirement, so it is reused, not an extra pass (guide §2.4).
     val spreadCorpus = graft.core.Tables.spread(corpus)
     val cell = pqCodeCols(vecCol, Array(coarse)).head
-    val cand = spreadCorpus.select(col(idCol), col(vecCol), col(labelCol),
-        cell.cast("long").as("__cell"))
-      .repartition(col("__cell"))
-    val q = spreadCorpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
+    // Deterministic salt on the cell join key (ADVICE r18, guide §2.5):
+    // the cell-keyed exchange bounds the pair-scoring reduce side to at
+    // most |cells| busy partitions, so when the session is wider than
+    // the centroid table the scoring serializes however large the
+    // cluster. S = ceil(2·parallelism/|cells|) splits each cell's QUERY
+    // rows S ways (q is the heavy side after the nprobe explode — the
+    // r18 attempt salted the other way and measured worse) at the cost
+    // of replicating the n-row candidate side ×S; the 2× headroom keeps
+    // hash-collision occupancy near-full with |cells|·S keys over the
+    // shuffle partitions. S == 1 whenever |cells| already covers the
+    // parallelism — the 100 TB sizing contract — and the plan is then
+    // the plain cell-keyed join, exchange reused by ENSURE_REQUIREMENTS.
+    // The repartition carries an EXPLICIT partition count: the keyed
+    // no-N form is advisory to AQE, which sizes by bytes and coalesced
+    // this CPU-heavy-per-byte scoring stage to ONE task at sf0.1
+    // (measured: a 1-task 5.2 s-CPU stage inside a 7.7 s query).
+    val dp = spark.sparkContext.defaultParallelism
+    val nsp = spark.sessionState.conf.numShufflePartitions
+    val saltS = if (coarse.length >= dp) 1
+      else math.ceil(2.0 * dp / coarse.length).toInt
+    val cand0 = spreadCorpus.select(col(idCol), col(vecCol), col(labelCol),
+      cell.cast("long").as("__cell"))
+    val q0 = spreadCorpus.select(col(idCol).as("__qid"), col(vecCol).as("__qvec"),
         col(labelCol).as("__qlab"),
         explode(probeCellsCol(vecCol, coarse, nprobe)).as("__qcell"))
-    // the cell equi-key drives a shuffle hash join; id/label mismatch
-    // predicates ride alongside so same-label candidates never reach
-    // the aggregate
-    hardNegTopK(
+    // the (cell[, salt]) equi-key drives a shuffle hash join; id/label
+    // mismatch predicates ride alongside so same-label candidates never
+    // reach the aggregate
+    val joined = if (saltS == 1) {
+      cand0.repartition(nsp, col("__cell"))
+        .join(q0,
+          col("__cell") === col("__qcell") &&
+            col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
+    } else {
+      val cand = cand0
+        .withColumn("__csalt", explode(array((0 until saltS).map(s => lit(s.toLong)): _*)))
+        .repartition(nsp, col("__cell"), col("__csalt"))
+      val q = q0.withColumn("__qsalt",
+        pmod(xxhash64(col("__qid")), lit(saltS.toLong)))
       cand.join(q,
-        col("__cell") === col("__qcell") &&
-          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab")),
-      idCol, vecCol, k)
+        col("__cell") === col("__qcell") && col("__csalt") === col("__qsalt") &&
+          col(idCol) =!= col("__qid") && col(labelCol) =!= col("__qlab"))
+    }
+    hardNegTopK(joined, idCol, vecCol, k)
   }
 
   /** Per-row nprobe nearest coarse cells, fully in-plan — the same L2²
