@@ -108,9 +108,22 @@ object Curation {
     * 2× SLOWER at sf0.1 (10.4 s vs 5.2) — re-materializing cheap
     * derivations is not worth one action each (guide §1.2: algorithm
     * before caching). The collect is bounded at exactly five rows by
-    * construction; the quality cache is released before returning. */
+    * construction; the quality cache is released before returning
+    * unless `release = false` (pass false when you still plan to
+    * materialize the returned Stages — the cache is then yours to drop
+    * via [[Stages.release]]). */
   def funnelReport(docs: DataFrame, textCol: String,
-                   stages: Stages): DataFrame = {
+                   stages: Stages, release: Boolean = true): DataFrame = {
+    // Populate the quality cache BEFORE the five-branch union runs
+    // (ADVICE r18): the single lazy union is only cheap because every
+    // branch reads the cached gate — if the cache is set but unpopulated
+    // (funnelReport on hand-built Stages, cached blocks lost, or a
+    // second call after release) the concurrent branches race to
+    // recompute the regex pass up to 4x. One count() reads cached rows
+    // when warm (~tens of ms) and is the single gate pass the union
+    // would pay anyway when cold.
+    if (stages.quality.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      stages.quality.count()
     def stage(name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("docs"),
           coalesce(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")),
@@ -128,7 +141,12 @@ object Curation {
           .select(lit("e_packed").as("stage"), col("docs"), col("tokens")))
         .orderBy("stage")
     val rows = report.collect() // five rows by construction — see scaladoc
-    stages.release()
+    // `release = false` keeps the quality cache for callers that go on
+    // to materialize train/packed after reading the report (ADVICE r18:
+    // the unconditional unpersist made every later action on the
+    // returned Stages silently re-run the full gate); the default
+    // releases, matching the one-shot report-only call shape.
+    if (release) stages.release()
     docs.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), report.schema)
   }

@@ -358,8 +358,9 @@ object Sampling {
     * p ratio is a closed form of exact integer counts). Documents
     * with <2 tokens have no features and are absent.
     *
-    * Scale shape (100 TB): one token shuffle on the doc key (the
-    * bigram lag window), one (doc, bucket) partial-agged hash agg;
+    * Scale shape (100 TB): a narrow bigram expansion off the scan (no
+    * token shuffle — bigramFrames zips the split array with its own
+    * tail), one (doc, bucket) partial-agged hash agg;
     * the feature model is ≤ `buckets` rows (aggregated from the
     * per-doc counts — the corpus never re-scans) and BROADCASTS back
     * with its 1-row totals. Nothing vocabulary-sized shuffles; the

@@ -211,9 +211,13 @@ object SetSimJoin {
               "or pre-filter the hot id")))).as("items"),
         size(col("fi")).as("n"))
     val pSets = toSets(pr, "probe").persist(lvl)
-    pSets.count()
     val iSets = toSets(ix, "index").persist(lvl)
-    iSets.count()
+    // populate BOTH set frames with one action (ADVICE r18): they are
+    // independent, so a single union-count materializes them in one job
+    // — their partitions run concurrently instead of as two serialized
+    // driver round-trips. ix and freq are already warm above, so the
+    // two branches read caches, not racing recomputes.
+    pSets.select(col("id")).unionAll(iSets.select(col("id"))).count()
     // probe side: A's containment prefix |A| - ceil(t*|A|) + 1, with
     // the [[UlpSlack]] guard on the double ceil (the jaccardJoin
     // float-boundary rationale: prune stages must never be stricter

@@ -538,7 +538,9 @@ object TextAnalysis {
     * dropping empty split fragments, so a bigram is a pair of
     * consecutive non-empty tokens (split artifacts never break
     * adjacency); the filter lambda runs on the small per-row split
-    * array. Tokens shuffle ONCE on the doc key (the lag window).
+    * array. Both frames are NARROW (array zip/explode off the scan —
+    * no shuffle, no per-doc sort; r19 removed the lag window that
+    * previously shuffled the tokens on the doc key).
     *
     * `persistToks` / `persistBigrams`: only a caller that RE-READS a
     * frame should pay for caching it — both frames are |corpus
@@ -557,17 +559,26 @@ object TextAnalysis {
                                       persistBigrams: Boolean = true)
       : (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val arr = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     val toks0 = docs
       .select(col(idCol).as("__id"),
-        posexplode(filter(split(col(textCol), "\\s+"),
-          w => length(w) > 0)).as(Seq("__pos", "__w")))
+        posexplode(arr).as(Seq("__pos", "__w")))
     val toks = if (persistToks) toks0.persist(lvl) else toks0
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("__pos"))
-    val bigrams0 = toks
-      .select(col("__id"), lag(col("__w"), 1).over(byDoc).as("__prev"),
-        col("__w"))
-      .filter(col("__prev").isNotNull)
+    // consecutive pairs NARROWLY, from the same filtered split array a
+    // lag window would scan: zip the array with its own tail (guide
+    // §2.4 — remove shuffles outright). The earlier window+lag form
+    // paid one doc-keyed exchange plus a per-doc sort for adjacency the
+    // split array already has; the produced (__id, __prev, __w) multiset
+    // is identical (positions were assigned after the empty-fragment
+    // filter, so adjacency is adjacency in this same array).
+    val bigrams0 = docs
+      .select(col(idCol).as("__id"),
+        explode(zip_with(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          (p, w) => struct(p.as("__prev"), w.as("__w")))).as("__bg"))
+      .select(col("__id"), col("__bg.__prev").as("__prev"),
+        col("__bg.__w").as("__w"))
     val bigrams = if (persistBigrams) bigrams0.persist(lvl) else bigrams0
     (toks, bigrams)
   }
