@@ -437,8 +437,11 @@ object StatsQ {
         // the partitioned write: without this every shuffle partition
         // holding a month's rows opens its own file in that month's
         // dir (~4 tiny files per partition at local[32]) — one file
-        // per month is the shape a daily-artifact store wants
-        .repartition(col("mon"))
+        // per month is the shape a daily-artifact store wants. The N is
+        // EXPLICIT: the keyed no-N form is advisory and AQE coalesced
+        // the whole write to one task (measured 1-task ~2 s stage); with
+        // N, each task writes its own months — still one file per month
+        .repartition(s.sessionState.conf.numShufflePartitions, col("mon"))
         .write.mode("overwrite").partitionBy("mon")
         .parquet(store.getAbsolutePath)
       s.read.parquet(store.getAbsolutePath)

@@ -1183,6 +1183,12 @@ object TextDocs {
       val d = docs(s, dir)
       val dirF = scratchDir("zones", dir)
       d.withColumn("bucket", floor(col("doc_id") / 64).cast("int"))
+        // cluster by the partition column BEFORE the write (guide §6):
+        // the single-split source otherwise writes every bucket
+        // directory from one task (measured a 1-task ~1 s write stage);
+        // the bucket-keyed exchange parallelizes the write and keeps
+        // the one-file-per-bucket layout the zone-map stats are built on
+        .repartition(s.sessionState.conf.numShufflePartitions, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(dirF.getAbsolutePath)
       val clustered = s.read.parquet(dirF.getAbsolutePath)
