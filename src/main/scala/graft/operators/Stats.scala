@@ -149,6 +149,18 @@ object Stats {
     else graft.functions.CellBucket.bucket(
       org.apache.spark.sql.SparkSession.active, cellC, bounds)
 
+  /** Task count for the in-bucket window's explicit-N pin, derived
+    * from the histogram's own distinct-value total (scale-adaptive —
+    * guide §2.2): enough tasks for ~4k distinct values each, capped at
+    * the session's shuffle partitions. A tiny counts frame (e.g. 50
+    * distinct integer quantities) keeps 1 task instead of paying 32
+    * empty-task launches; a corpus-sized one gets the full width. */
+  private def cumPinParts(session: org.apache.spark.sql.SparkSession,
+                          ndTotal: Long): Int = {
+    val n = session.sessionState.conf.numShufflePartitions
+    math.max(1L, math.min(n.toLong, (ndTotal + 4095L) / 4096L)).toInt
+  }
+
   /** The PERSISTED per-distinct-value pair-counts frame `(v, na, nb)`
     * the two-sample family shares (collapses ties BEFORE any ordering,
     * so tie handling is exact and the cumsum input is |distinct
@@ -182,7 +194,14 @@ object Stats {
     val nA = hist.map(_._3).sum
     val nB = hist.map(_._4).sum
     val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    // explicit-N pin on the window's own bucket clustering — replaces
+    // the advisory exchange AQE coalesces to a handful of tasks on this
+    // small-byte CPU-heavy frame (guide §2.4/§2.5); N derives from the
+    // fold's own distinct-value total (scale-adaptive, 1 task when the
+    // frame is tiny); per-bucket cumsums are byte-identical under any
+    // partitioning
     val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
+      .repartition(cumPinParts(session, hist.map(_._2).sum), col("b"))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withB
@@ -314,7 +333,9 @@ object Stats {
     // boundaries balanced by DISTINCT-value count (the in-bucket window
     // iterates distinct values); offsets folded from the SAME rows
     val bounds = coarseBoundaries(hist.map(h => (h._1, h._2)), buckets)
+    // explicit-N pin on the window's bucket clustering (see [[pairCdf]])
     val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
+      .repartition(cumPinParts(session, hist.map(_._2).sum), col("b"))
     val inBucket = Window.partitionBy(col("b")).orderBy(col("v"))
     val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
     val perBucket = hist.groupBy(h => bounds.count(_ <= h._1))
@@ -447,7 +468,14 @@ object Stats {
     val marginal = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
       .toArray.sortBy(_._1)
     val bounds = coarseBoundaries(marginal, buckets)
+    // explicit-N pin on the window's own (g, b) clustering — same
+    // rationale as [[globalCum]]: replaces the advisory exchange AQE
+    // coalesces to a handful of tasks, parallelizing the in-bucket
+    // cumsum and the rank probe that rides it (guide §2.4/§2.5); N
+    // derives from the fold's distinct-value total (scale-adaptive)
     val withB = counts.withColumn("b", bucketOfCell(bounds, cc))
+      .repartition(cumPinParts(session, rows.map(_._3).sum),
+        col("g"), col("b"))
     val inBucket = Window.partitionBy(col("g"), col("b")).orderBy(col("v"))
     val local = withB.withColumn("lc", sum(col("c")).over(inBucket))
     val byGroup = rows.groupBy(_._1)
@@ -2302,9 +2330,18 @@ object Stats {
         yield sum(d6(xs(i)) * d6(xs(j))).as(s"q${i}_$j")) ++
       (0 until k).map(i => sum(d6(xs(i)) * d6(y)).as(s"p$i")) ++
       Seq(sum(nfCol).as("nf"))
-    val rows = df
+    // spread the moment pass: the k(k+3)/2-column decimal partial agg
+    // is the query's whole cost and otherwise runs at the scan's split
+    // count (measured 3 tasks × ~860 ms CPU at sf0.1 — guide §2.5);
+    // project to the consumed columns first so the exchange carries
+    // only (metric, covariates, arm flag). Decimal sums and counts are
+    // partition-order-independent, so the moments are byte-identical.
+    val pre = graft.core.Tables.spread(df
       .filter(xs.foldLeft(finite(y))((acc, x) => acc && finite(x)))
-      .groupBy(ia.as("ia"))
+      .select((metricCol +: covariateCols).distinct.map(col) :+
+        ia.as("__ia"): _*))
+    val rows = pre
+      .groupBy(col("__ia").as("ia"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => r.getAs[Long]("ia") -> r)
