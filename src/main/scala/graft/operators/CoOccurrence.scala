@@ -23,7 +23,19 @@ object CoOccurrence {
     * item table twice and re-materializes every basket as join output.
     */
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    // explicit-N pin on the basket key (guide §2.4/§2.5): the
+    // post-shuffle stage (set merge + the quadratic pair expansion +
+    // the pair partial agg) is CPU-heavy per byte, so AQE's byte-sized
+    // coalescing serialized it to 4 tasks (measured 2.7-3.7 s CPU at
+    // sf0.1 inside x_copurchase/x_assoc_rules). The key is the agg's
+    // own required clustering, so this REPLACES its exchange; the
+    // map-side partial collect_set it forgoes dedups almost nothing
+    // anyway (a basket's rows are scattered across input partitions).
+    // Per-basket arrays are sorted after the merge, so pairs and
+    // counts are byte-identical under any partitioning.
     val baskets = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(basketCol))
       .groupBy(col(basketCol).as("b"))
       .agg(sort_array(collect_set(col(itemCol))).as("items"))
     // (items[i], items[j]) for i < j; sorted, so u < v canonically

@@ -256,7 +256,13 @@ object Spectral {
       aggregate(zip_with(e, typedLit(v.toSeq), (x, w) => x * w),
         lit(0.0), (a, x) => a + x).as(s"__p$c")
     }
-    val withP = df.filter(col(vecCol).isNotNull)
+    // spread the scoring pass: the per-row HOF folds (k projections +
+    // residual square-sum over `dims`-wide arrays) are the query's
+    // whole post-planning cost and otherwise run at the scan's split
+    // count (measured 1 task × ~1.7 s CPU at sf0.1 — guide §2.5);
+    // per-row arithmetic and the (resid, id) TakeOrdered are
+    // partition-independent, so the top-N is byte-identical
+    val withP = graft.core.Tables.spread(df.filter(col(vecCol).isNotNull))
       .select(col(idCol) +: e.as("__e") +: projections.toIndexedSeq: _*)
     // residual r_i = e_i − Σ_c p_c·v_c_i (left-assoc per component),
     // resid = sqrt of the ascending square-sum fold

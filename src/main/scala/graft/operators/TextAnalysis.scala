@@ -560,7 +560,15 @@ object TextAnalysis {
       : (DataFrame, DataFrame) = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val arr = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
-    val toks0 = docs
+    // spread the source once for both frames: the narrow zip-with build
+    // below removed the lag window's doc-keyed exchange, which also
+    // removed the parallelism it incidentally bought — the split +
+    // explode + downstream hashing otherwise run at the scan's split
+    // count (measured 2 tasks through the whole x_dsir_select pipeline;
+    // guide §2.5). The produced multisets and every count-based
+    // consumer are partition-independent.
+    val src = graft.core.Tables.spread(docs)
+    val toks0 = src
       .select(col(idCol).as("__id"),
         posexplode(arr).as(Seq("__pos", "__w")))
     val toks = if (persistToks) toks0.persist(lvl) else toks0
@@ -571,7 +579,7 @@ object TextAnalysis {
     // split array already has; the produced (__id, __prev, __w) multiset
     // is identical (positions were assigned after the empty-fragment
     // filter, so adjacency is adjacency in this same array).
-    val bigrams0 = docs
+    val bigrams0 = src
       .select(col(idCol).as("__id"),
         explode(zip_with(
           slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
