@@ -52,7 +52,22 @@ object SetSimJoin {
     require(minJaccard > 0 && minJaccard <= 1,
       s"jaccardJoin: minJaccard $minJaccard outside (0,1]")
     require(maxSetSize > 0, s"jaccardJoin: maxSetSize must be positive")
-    val s = df.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    // items ride as their 64-bit FNV-1a hashes from here on (the
+    // ngramJaccardPairs convention): the candidate equi-join keys,
+    // the per-set sorted arrays and the exact-verify intersection all
+    // carry 8-byte longs instead of token strings — smaller shuffles
+    // (guide §2.2), cheaper sorts, and array_intersect hashes longs
+    // instead of re-hashing UTF-8 per candidate (§4). A collision
+    // merging two distinct items within one set is ~n²·2⁻⁶⁴ — far
+    // below any float-noise threshold the join itself tolerates. The
+    // global rarest-first order tie-breaks by hash instead of item
+    // text; the prefix bound only needs ONE fixed total order shared
+    // by every set, so candidates stay complete and the exact verify
+    // yields byte-identical pairs/counts.
+    val s = df.select(col(idCol).as("id"),
+        graft.functions.Fnv1a64.fnv64(df.sparkSession,
+          col(itemCol).cast("string")).as("item"))
+      .distinct()
     // global item frequency — the total order (f asc, item asc) every
     // set is sorted by; rarest-first puts the most selective items in
     // the prefixes. Plain join: AQE broadcasts the frequency side when
@@ -175,13 +190,20 @@ object SetSimJoin {
       s"containmentJoin: minContainment $minContainment outside (0,1]")
     require(maxSetSize > 0, s"containmentJoin: maxSetSize must be positive")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val pr = probe.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
+    // items as 64-bit FNV-1a hashes throughout (the jaccardJoin
+    // rationale: long join keys / arrays / intersections instead of
+    // token strings; collisions ~n²·2⁻⁶⁴, candidates stay complete
+    // under any one fixed global order)
+    def hashed(side: DataFrame) = side.select(col(idCol).as("id"),
+        graft.functions.Fnv1a64.fnv64(side.sparkSession,
+          col(itemCol).cast("string")).as("item"))
+      .distinct()
+    val pr = hashed(probe)
     // persisted: the index token frame feeds the frequency aggregation
     // AND its own toSets scan; freq joins into BOTH toSets scans — an
     // unpersisted chain would re-run the distinct and the vocabulary
     // aggregation per consumer (review)
-    val ix = index.select(col(idCol).as("id"), col(itemCol).as("item")).distinct()
-      .persist(lvl)
+    val ix = hashed(index).persist(lvl)
     // populate each persisted frame before its consumers' broadcast
     // builds run (the jaccardJoin discipline): freq feeds BOTH toSets
     // scans, and the two set frames feed both the candidate explodes
